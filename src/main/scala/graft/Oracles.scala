@@ -1,0 +1,415 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible entry in
+  * [[SparkEntry.queries]]. The driver runs these over the same parquet
+  * tables (registered under their bare names) and hash-compares against
+  * the Spark results, so every fragment here mirrors the Spark plan's
+  * arithmetic EXACTLY — same literals, same operation order, same
+  * `floor(x*1e6)/1e6` truncation, same DECIMAL-widened sums.
+  */
+object Oracles {
+
+  /** Language-ID marker sets (shared with the Spark side). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  // ---- SQL fragment helpers (DuckDB dialect) ----
+  private val stop = graft.functions.TextFunctions.StopWords
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def t6(x: String) = s"floor(($x) * 1e6) / 1e6"
+  // decimal→double via VARCHAR: correctly-rounded parse in both engines
+  // (DuckDB's direct DECIMAL→DOUBLE cast can be 1 ulp off Java's)
+  private def dsum(x: String) =
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
+  private def dsum12(x: String) =
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+  private def davg(x: String) =
+    s"CAST(${dsum(x)} / COUNT($x) AS DOUBLE)"
+  private def toks(x: String) = s"string_split($x, ' ')"
+  private def contentToks(x: String) =
+    s"list_filter(${toks(x)}, t -> NOT list_contains($stop, t))"
+  private def tokenSet(x: String) = s"list_distinct(${contentToks(x)})"
+  private def md5Long(x: String) =
+    s"CAST(concat('0x', substr(md5($x), 1, 13)) AS BIGINT)"
+  /** events.ts is TIMESTAMP_NS in DuckDB; epoch µs after the same ns→µs
+    * truncation the Spark loader applies. */
+  private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  /** cosine(a, b) with the zero-denominator guard, mirroring
+    * VectorFunctions.cosine: dot(a,b) / (sqrt(dot(a,a))·sqrt(dot(b,b))). */
+  private def cosine(a: String, b: String): String = {
+    val denom = s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))"
+    s"CASE WHEN $denom = 0 THEN 0.0 ELSE list_dot_product($a, $b) / ($denom) END"
+  }
+
+  /** The vector-store scan: cosine top-k vs the embedding of `qid`. */
+  private def vectorScanSql(qid: Long, topK: Int): String =
+    s"""SELECT id, score FROM (
+       |  SELECT e.vec_id AS id,
+       |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+       |  FROM embeddings e,
+       |       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $qid) q
+       |  WHERE e.vec_id != $qid)
+       |ORDER BY score DESC, id LIMIT $topK""".stripMargin
+
+  /** The keyword-store scan: BM25(k1=1.2, b=0.75) over whitespace tokens. */
+  private def bm25Sql(terms: Seq[String], topK: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""SELECT doc_id AS id, ${t6(dsum12("tscore"))} AS score FROM (
+       |  SELECT p.doc_id,
+       |         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+       |           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS tscore
+       |  FROM (SELECT doc_id, term, count(*) AS tf
+       |        FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |        GROUP BY doc_id, term) p
+       |  JOIN (SELECT term, count(*) AS df
+       |        FROM (SELECT doc_id, term, count(*) AS tf
+       |              FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |              GROUP BY doc_id, term)
+       |        WHERE term IN $termList GROUP BY term) f USING (term)
+       |  JOIN (SELECT doc_id, count(*) AS dl
+       |        FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |        GROUP BY doc_id) l ON p.doc_id = l.doc_id
+       |  CROSS JOIN (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       |              FROM (SELECT doc_id, count(*) AS dl
+       |                    FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |                    GROUP BY doc_id)) s
+       |  WHERE p.term IN $termList)
+       |GROUP BY doc_id ORDER BY score DESC, id LIMIT $topK""".stripMargin
+  }
+
+  /** vector ∪ keyword union with store_type tags (fusion input). */
+  private def unitedSql: String =
+    s"""SELECT id, score, 'vector' AS store_type FROM (${vectorScanSql(SparkEntry.KnnQueryId, 50)})
+       |UNION ALL
+       |SELECT id, score, 'keyword' AS store_type FROM (${bm25Sql(SparkEntry.Bm25Terms, 50)})""".stripMargin
+
+  private val weightCase =
+    "CASE WHEN store_type = 'vector' THEN 1.0 WHEN store_type = 'keyword' THEN 0.5 ELSE 0.0 END"
+
+  private def rrfSql(topK: Int): String =
+    s"""SELECT id, ${t6(dsum12(s"($weightCase) / (60.0 + rnk)"))} AS fused_score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY store_type ORDER BY score DESC, id) AS rnk
+       |      FROM ($unitedSql))
+       |GROUP BY id ORDER BY fused_score DESC, id LIMIT $topK""".stripMargin
+
+  /** Shared shingle pipeline over a `corpus(doc_id, text)` CTE body:
+    * distinct word 3-grams per doc. */
+  private def shinglesSql(corpus: String): String =
+    s"""WITH corpus AS ($corpus),
+       |tok AS (SELECT doc_id, unnest(${toks("text")}) AS t,
+       |               generate_subscripts(${toks("text")}, 1) AS i FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w) AS s,
+       |         lead(t,2) OVER w AS l2
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)) WHERE l2 IS NOT NULL)""".stripMargin
+
+  private val nearDupCorpus =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1) FROM documents""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue_orders" ->
+      s"""SELECT o_orderkey, ${t6(dsum("l_extendedprice * (1.0 - l_discount)"))} AS revenue,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_region_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_suppliers, ${dsum("s_acctbal")} AS total_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_point_lookup" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "q05_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q06_revenue_filter" ->
+      s"""SELECT ${t6(dsum("l_extendedprice * l_discount"))} AS revenue FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q07_customer_spend" ->
+      s"""SELECT c_custkey, c_name, n_orders, total_spent
+         |FROM (SELECT o_custkey, count(*) AS n_orders, ${dsum("o_totalprice")} AS total_spent
+         |      FROM orders GROUP BY o_custkey) o
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q08_events_rollup" ->
+      s"""SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |  count(*) AS n, ${dsum("value")} AS total_value, ${davg("value")} AS avg_value
+         |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+
+    "q09_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, $tsUs AS us FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(event_id) AS first_event, max(event_id) AS last_event,
+         |  ${dsum("value")} AS session_value
+         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q10_freshness_boost" ->
+      s"""SELECT event_id, user_id,
+         |  ${t6(s"value * (1.0 + 0.2 * greatest(0.0, 1.0 - (CAST(m.max_us - $tsUs AS DOUBLE) / 3.6e9) / 24.0))")} AS boosted
+         |FROM events, (SELECT max($tsUs) AS max_us FROM events) m
+         |ORDER BY boosted DESC, event_id LIMIT 100""".stripMargin,
+
+    "q11_quality_assessment" ->
+      s"""SELECT user_id,
+         |  ${t6(s"${davg("value")} * 0.6 + (CAST(SUM(CASE WHEN m.max_us - $tsUs <= 86400000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.4")} AS quality,
+         |  count(*) AS n
+         |FROM events, (SELECT max($tsUs) AS max_us FROM events) m
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q12_user_events" ->
+      s"""SELECT event_id, $tsUs AS ts_us, event_type, value FROM events
+         |WHERE user_id = 3 ORDER BY ts_us, event_id LIMIT 20""".stripMargin,
+
+    "q13_token_stats" ->
+      s"""SELECT doc_id, len(${toks("text")}) AS n_tokens,
+         |  len(list_distinct(${toks("text")})) AS n_distinct,
+         |  len(${toks("text")}) - len(${contentToks("text")}) AS n_stopwords,
+         |  length(text) AS n_chars_computed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_quality_score" ->
+      s"""SELECT doc_id, ${t6("stop_ratio")} AS stop_ratio, ${t6("uniq_ratio")} AS uniq_ratio,
+         |  ${t6("avg_token_len")} AS avg_token_len,
+         |  ${t6("uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 + least(avg_token_len / 8.0, 1.0) * 0.2")} AS quality
+         |FROM (SELECT doc_id,
+         |        CAST(len(${toks("text")}) - len(${contentToks("text")}) AS DOUBLE)
+         |          / CAST(len(${toks("text")}) AS DOUBLE) AS stop_ratio,
+         |        CAST(len(list_distinct(${toks("text")})) AS DOUBLE)
+         |          / CAST(len(${toks("text")}) AS DOUBLE) AS uniq_ratio,
+         |        CAST(length(text) - len(${toks("text")}) + 1 AS DOUBLE)
+         |          / CAST(len(${toks("text")}) AS DOUBLE) AS avg_token_len
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q15_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(${tokenSet("text")}), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_lang_id" -> {
+      val langs = LangMarkers.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        val markers = LangMarkers(l).map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_intersect(${toks("text")}, $markers)) AS DOUBLE) / len(${toks("text")}) AS s_$l"
+      }.mkString(",\n        ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0.0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess, ${t6("best")} AS lang_score
+         |FROM (SELECT doc_id, $best AS best, * FROM (
+         |  SELECT doc_id,
+         |        $scores
+         |  FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q17_text_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE contains(lower(text), 'join filter') ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    "q18_keyword_overlap" -> {
+      val q = SparkEntry.KwQuery.split(" ").distinct
+        .filterNot(graft.functions.TextFunctions.StopWords.contains)
+      val qList = q.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""SELECT id, score FROM (
+         |  SELECT doc_id AS id,
+         |    ${t6(s"CAST(len(list_intersect(${tokenSet("text")}, $qList)) AS DOUBLE) / ${q.length}.0")} AS score
+         |  FROM documents)
+         |WHERE score > 0.0 ORDER BY score DESC, id LIMIT 50""".stripMargin
+    },
+
+    "q19_bm25" -> bm25Sql(SparkEntry.Bm25Terms, 50),
+
+    "q20_knn_cosine" -> vectorScanSql(SparkEntry.KnnQueryId, 20),
+
+    "q21_knn_ivf" ->
+      s"""SELECT id, score FROM (
+         |  SELECT e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |  FROM embeddings e,
+         |       (SELECT CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings
+         |        WHERE vec_id = ${SparkEntry.IvfQueryId}) q
+         |  WHERE e.label = q.label AND e.vec_id != ${SparkEntry.IvfQueryId})
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+    "q22_near_dup_vectors" ->
+      s"""SELECT id_a, id_b, score FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${t6(cosine("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"))} AS score
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_label_centroids" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+         |  ${davg("CAST(v AS DOUBLE)")} AS centroid
+         |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings)
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q24_fusion_rrf" -> rrfSql(20),
+
+    "q25_fusion_weighted" ->
+      s"""SELECT id, ${t6(dsum12(s"score * ($weightCase)"))} AS fused_score
+         |FROM ($unitedSql)
+         |GROUP BY id ORDER BY fused_score DESC, id LIMIT 20""".stripMargin,
+
+    "q26_fusion_normalized" ->
+      s"""SELECT id, ${t6(dsum12(s"nscore * ($weightCase)"))} AS fused_score
+         |FROM (SELECT *, CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nscore
+         |      FROM (SELECT *, min(score) OVER (PARTITION BY store_type) AS mn,
+         |                   max(score) OVER (PARTITION BY store_type) AS mx
+         |            FROM ($unitedSql)))
+         |GROUP BY id ORDER BY fused_score DESC, id LIMIT 20""".stripMargin,
+
+    "q27_hybrid_query" ->
+      s"""SELECT id, fused_score, lang, source, substr(text, 1, 80) AS preview
+         |FROM (${rrfSql(15)}) f JOIN documents ON f.id = documents.doc_id
+         |ORDER BY fused_score DESC, id""".stripMargin,
+
+    "q28_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q29_minhash_lsh" -> {
+      val sigCols = (0 until 8)
+        .map(h => s"min(md5(concat('mh$h|', s))) AS mh$h").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', mh${b * 2}, mh${b * 2 + 1})) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""${shinglesSql(nearDupCorpus)},
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+         |          GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q30_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, ${md5Long("t")} AS h
+         |            FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM documents)),
+         |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+         |          GROUP BY doc_id, i)
+         |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q32_char_chunks" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, substr(text, i * 180 + 1, 200) AS chunk_text
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, CAST(floor((length(text) - 1) / 180.0) AS BIGINT))) AS i
+        |      FROM documents WHERE doc_id < 50 AND length(text) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q33_message_chunks" ->
+      """SELECT user_id, string_agg(concat('[', event_type, ']: ', props), chr(10) ORDER BY event_id) AS chunk_text
+        |FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q35_graph_neighbors" ->
+      """SELECT l_partkey + 100000 AS dst, p_name AS name, l_extendedprice AS weight,
+        |  l_returnflag AS relation
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey = 1 AND l_returnflag = 'A'
+        |ORDER BY weight DESC, dst LIMIT 20""".stripMargin,
+
+    "q36_two_hop" ->
+      s"""WITH e AS (SELECT l_suppkey AS src, l_partkey + 100000 AS dst,
+         |                  l_returnflag AS relation, l_extendedprice AS weight FROM lineitem),
+         |bidir AS (SELECT * FROM e
+         |          UNION ALL SELECT dst AS src, src AS dst, relation, weight FROM e)
+         |SELECT dst, ${t6("max(w1 * w2)")} AS path_weight
+         |FROM (SELECT dst AS mid, weight AS w1 FROM bidir WHERE src = 1) h1
+         |JOIN (SELECT src AS mid, dst, weight AS w2 FROM bidir) h2 USING (mid)
+         |WHERE dst != 1 GROUP BY dst ORDER BY path_weight DESC, dst LIMIT 20""".stripMargin,
+
+    "q37_edges_between" ->
+      """SELECT src, dst, relation, weight
+        |FROM (SELECT l_suppkey AS src, l_partkey + 100000 AS dst,
+        |             l_returnflag AS relation, l_extendedprice AS weight FROM lineitem)
+        |WHERE src = 1 AND dst = 101967 ORDER BY weight DESC, relation""".stripMargin,
+
+    "q38_lineage_join" ->
+      """SELECT l_orderkey, count(DISTINCT p_brand) AS n_brands, count(*) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_orderkey < 500 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q39_scalar_suite" ->
+      s"""SELECT doc_id, md5(text) AS content_hash, ${md5Long("text")} AS h52,
+         |  concat('[', lang, '] ', source) AS tag,
+         |  length(text) AS n_chars_sql,
+         |  contains(lower(text), 'join') AS has_join
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_first_wins_dedup" ->
+      s"""SELECT id, score, store_type FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY priority, score DESC) AS rn
+         |  FROM (SELECT id, score, store_type,
+         |               CASE WHEN store_type = 'vector' THEN 1 ELSE 2 END AS priority
+         |        FROM ($unitedSql)))
+         |WHERE rn = 1 ORDER BY id""".stripMargin,
+  )
+}

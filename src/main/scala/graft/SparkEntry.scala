@@ -1,13 +1,328 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each paired with ANSI SQL in [[Oracles]] that DuckDB runs
+  * over the same parquet tables for the correctness gate.
+  *
+  * Parity conventions (see TextFunctions): scores are `trunc6`'d before
+  * ranking, big double sums go through DECIMAL casts, every query ends in
+  * a total deterministic ORDER BY, and output types are restricted to
+  * BIGINT / DOUBLE / VARCHAR / DATE / BOOLEAN so Spark's parquet schema
+  * and DuckDB's result schema agree.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared constants (must match the literal values in Oracles) ----
+  private[graft] val KwQuery = "spark join filter table scan the"
+  private[graft] val Bm25Terms = Seq("join", "filter", "table", "scan")
+  private[graft] val KnnQueryId = 0L
+  private[graft] val IvfQueryId = 7L
+  private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
+  private[graft] val RrfK = 60.0 // reference config/retrieval/default.yaml rrf_k
+
+  /** documents ∪ an exact copy shifted by +10000 — the corpus for exact
+    * dedup (the synthetic docs have no duplicates of their own). */
+  private def docsWithCopies(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ a near-duplicate copy (first word dropped) shifted by
+    * +10000 — the corpus for near-dup detection. */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** Graph derived from lineitem: supplier --[returnflag, extendedprice]-->
+    * part, with part node ids offset by +100000 into a shared id space. */
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_suppkey").as("src"),
+      (col("l_partkey") + 100000L).as("dst"),
+      col("l_returnflag").as("relation"),
+      col("l_extendedprice").as("weight"))
+
+  private def graphVertices(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      (col("p_partkey") + 100000L).as("id"), col("p_name").as("name"))
+
+  /** union of the vector and keyword scored scans — the fusion input
+    * relation (SURVEY §2.6 T3). */
+  private[graft] def hybridInputs(s: SparkSession, d: String): DataFrame = {
+    val vector = Retrieval
+      .cosineKnn(Tables.embeddings(s, d), KnnQueryId, 50)
+      .withColumn("store_type", lit("vector"))
+    val keyword = Retrieval
+      .bm25(Tables.documents(s, d), Bm25Terms, 50)
+      .withColumn("store_type", lit("keyword"))
+    vector.unionByName(keyword)
+  }
+
+  /** Flagship hybrid retrieval (SURVEY §3.1): vector ∪ keyword scans →
+    * RRF fusion → hydration join against documents → top-k. */
+  private def hybridQuery(s: SparkSession, d: String): DataFrame = {
+    val fused = Fusion.rrf(hybridInputs(s, d), RrfK, FusionWeights, 15)
+    val docs = Tables.documents(s, d)
+    fused
+      .join(docs, fused("id") === docs("doc_id"))
+      .select(col("id"), col("fused_score"), col("lang"), col("source"),
+        substring(col("text"), 1, 80).as("preview"))
+      .orderBy(col("fused_score").desc, col("id"))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    hybridQuery(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational scans / filters / joins / aggregations ----
+    "q01_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_top_revenue_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(trunc6(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    }),
+
+    "q03_region_rollup" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_point_lookup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") === 42L)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))),
+
+    "q05_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45.0)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q06_revenue_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(trunc6(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))),
+
+    "q07_customer_spend" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      val c = Tables.customer(s, d)
+      spend.join(c, spend("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spent"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- events: rollups, sessionization, freshness, quality ----
+    "q08_events_rollup" -> ((s, d) =>
+      EventOps.rollup(Tables.events(s, d))
+        .withColumn("day", col("day").cast("date"))),
+
+    "q09_sessionize" -> ((s, d) =>
+      EventOps.sessionize(Tables.events(s, d), 3600L)),
+
+    "q10_freshness_boost" -> ((s, d) =>
+      EventOps.freshnessBoost(Tables.events(s, d), 0.2, 100)),
+
+    "q11_quality_assessment" -> ((s, d) =>
+      EventOps.qualityAssessment(Tables.events(s, d), 24.0)),
+
+    "q12_user_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") === 3L)
+        .orderBy(col("ts"), col("event_id"))
+        .limit(20)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))),
+
+    // ---- documents: text analysis ----
+    "q13_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d))),
+
+    "q14_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))),
+
+    "q15_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d))),
+
+    "q16_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), Oracles.LangMarkers)),
+
+    "q17_text_search" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(lower(col("text")).contains("join filter"))
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "source")),
+
+    "q18_keyword_overlap" -> ((s, d) =>
+      Retrieval.keywordOverlap(Tables.documents(s, d), KwQuery, 50)),
+
+    "q19_bm25" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), Bm25Terms, 50)),
+
+    // ---- vectors: exact KNN, IVF probe, near-dups, centroids ----
+    "q20_knn_cosine" -> ((s, d) =>
+      Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId, 20)),
+
+    "q21_knn_ivf" -> ((s, d) =>
+      Retrieval.cosineKnnIvf(Tables.embeddings(s, d), IvfQueryId, 20)),
+
+    "q22_near_dup_vectors" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25)),
+
+    "q23_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(davg(col("v").cast("double")).as("centroid"))
+        .orderBy("label", "pos")),
+
+    // ---- fusion (A1–A3) + the flagship hybrid pipeline ----
+    "q24_fusion_rrf" -> ((s, d) =>
+      Fusion.rrf(hybridInputs(s, d), RrfK, FusionWeights, 20)),
+
+    "q25_fusion_weighted" -> ((s, d) =>
+      Fusion.weightedSum(hybridInputs(s, d), FusionWeights, 20)),
+
+    "q26_fusion_normalized" -> ((s, d) =>
+      Fusion.normalizedWeightedSum(hybridInputs(s, d), FusionWeights, 20)),
+
+    "q27_hybrid_query" -> ((s, d) => hybridQuery(s, d)),
+
+    // ---- dedup family ----
+    "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
+
+    "q29_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docsWithNearDups(s, d),
+        shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)),
+
+    "q30_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), bits = 16)),
+
+    "q31_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        n = 3, threshold = 0.5)),
+
+    // ---- chunking ----
+    "q32_char_chunks" -> ((s, d) =>
+      Chunking.characterChunks(
+        Tables.documents(s, d).filter(col("doc_id") < 50),
+        "doc_id", "text", size = 200, overlap = 20)),
+
+    "q33_message_chunks" -> ((s, d) =>
+      Chunking.messageChunks(
+        Tables.events(s, d).filter(col("user_id") < 10),
+        groupCol = "user_id", seqCol = "event_id",
+        roleCol = "event_type", contentCol = "props")),
+
+    "q34_token_budget_chunks" -> ((s, d) =>
+      Chunking.tokenBudgetChunks(
+        Tables.documents(s, d), groupCol = "source", seqCol = "doc_id",
+        contentCol = "text", budget = 500)),
+
+    // ---- graph ----
+    "q35_graph_neighbors" -> ((s, d) =>
+      GraphOps.neighbors(graphEdges(s, d), graphVertices(s, d),
+        srcId = 1L, relation = Some("A"), topK = 20)),
+
+    "q36_two_hop" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      val bidir = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"),
+          col("relation"), col("weight")))
+      GraphOps.twoHop(bidir, srcId = 1L, topK = 20)
+    }),
+
+    "q37_edges_between" -> ((s, d) =>
+      GraphOps.edgesBetween(graphEdges(s, d), 1L, 101967L, None)),
+
+    // ---- array lineage join (J2 shape: array membership → explode-join) ----
+    "q38_lineage_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
+      val withParts = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("part_ids"))
+        .select(col("l_orderkey"), explode(col("part_ids")).as("pk"))
+      val p = Tables.part(s, d)
+      withParts.join(p, withParts("pk") === p("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("p_brand")).as("n_brands"), count(lit(1)).as("n_parts"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- scalar function suite (§2.7) ----
+    "q39_scalar_suite" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          contentHash(col("text")).as("content_hash"),
+          md5Long(col("text")).as("h52"),
+          concat(lit("["), col("lang"), lit("] "), col("source")).as("tag"),
+          length(col("text")).cast("long").as("n_chars_sql"),
+          lower(col("text")).contains("join").as("has_join"))
+        .orderBy("doc_id")),
+
+    // ---- first-wins union dedup (T4) ----
+    "q40_first_wins_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prio = hybridInputs(s, d)
+        .withColumn("priority", when(col("store_type") === "vector", 1).otherwise(2))
+      val w = Window.partitionBy("id")
+        .orderBy(col("priority"), col("score").desc)
+      prio.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("score"), col("store_type"))
+        .orderBy("id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.TextFunctions.trunc6
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over (vertices, edges) DataFrames — the GraphFrames
+  * convention (edges: src, dst, relation, weight).
+  *
+  * The reference's graph store is igraph/GraphML with 1-hop expansion and
+  * edge lookups (SURVEY §2.3 J3/J4; reference: store/graph_store/
+  * igraph_store.py:437-566). In Spark these are joins: the vertex side of
+  * a 1-hop expansion is broadcast when small, and multi-hop = iterated
+  * joins with the frontier kept distributed.
+  */
+object GraphOps {
+
+  /** J3: 1-hop out-neighbors of `src`, optional relation filter, sorted by
+    * edge weight desc, top-k. */
+  def neighbors(
+      edges: DataFrame,
+      vertices: DataFrame,
+      srcId: Long,
+      relation: Option[String],
+      topK: Int): DataFrame = {
+    val e0 = edges.filter(col("src") === srcId)
+    val e = relation.fold(e0)(r => e0.filter(col("relation") === r))
+    e.join(vertices, e("dst") === vertices("id"))
+      .select(col("dst"), col("name"), col("weight"), col("relation"))
+      .orderBy(col("weight").desc, col("dst"))
+      .limit(topK)
+  }
+
+  /** J4: edges between a (src, dst) pair, optional relation filter. */
+  def edgesBetween(
+      edges: DataFrame, srcId: Long, dstId: Long,
+      relation: Option[String]): DataFrame = {
+    val e0 = edges.filter(col("src") === srcId && col("dst") === dstId)
+    relation.fold(e0)(r => e0.filter(col("relation") === r))
+      .orderBy(col("weight").desc, col("relation"))
+  }
+
+  /** 2-hop neighborhood with multiplied edge weights — iterated join,
+    * frontier stays distributed. */
+  def twoHop(edges: DataFrame, srcId: Long, topK: Int): DataFrame = {
+    val hop1 = edges.filter(col("src") === srcId)
+      .select(col("dst").as("mid"), col("weight").as("w1"))
+    val hop2 = edges.select(
+      col("src").as("mid"), col("dst"), col("weight").as("w2"))
+    hop1.join(hop2, "mid")
+      .filter(col("dst") =!= srcId)
+      .groupBy("dst")
+      .agg(trunc6(max(col("w1") * col("w2"))).as("path_weight"))
+      .orderBy(col("path_weight").desc, col("dst"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity / ranking kernels (SURVEY §2.5).
+  *
+  * Conventions: every scorer returns lowercase-named columns and rounds the
+  * final score to 6 decimals BEFORE ranking, so ordering and top-k cuts are
+  * bit-stable across engines (scores are then tie-broken by id). At cluster
+  * scale the score scan is embarrassingly parallel (no shuffle until the
+  * top-k, which Spark executes as TakeOrderedAndProject — per-partition
+  * heap + driver merge, no global sort).
+  */
+object Retrieval {
+
+  /** Brute-force cosine top-k against the embedding of `queryId`
+    * (reference: store/vector_store/numpy_store.py:558-626; self-exclusion
+    * per :628-655). The one-row query side is broadcast. */
+  def cosineKnn(
+      embeddings: DataFrame,
+      queryId: Long,
+      topK: Int,
+      threshold: Double = Double.NegativeInfinity,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    var scored = embeddings
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        trunc6(VectorFunctions.cosine(col("embedding"), col("qvec"))))
+      .select(col("vec_id").as("id"), col("score"))
+    if (excludeSelf) scored = scored.filter(col("id") =!= queryId)
+    scored
+      .filter(col("score") >= threshold)
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** IVF-style approximate KNN: probe only the query's coarse cluster
+    * (the `label` column plays the IVF centroid-assignment role). At scale
+    * the table is partitioned by label so the probe prunes all other
+    * partitions; recall is traded for a ~nlist× scan cut, mirroring
+    * DiskANN's role in the reference (models/schema/m1_episodic.py:148-162). */
+  def cosineKnnIvf(
+      embeddings: DataFrame,
+      queryId: Long,
+      topK: Int): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"), col("label").as("qlabel"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("qlabel") && col("vec_id") =!= queryId)
+      .withColumn("score",
+        trunc6(VectorFunctions.cosine(col("embedding"), col("qvec"))))
+      .select(col("vec_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Word-overlap keyword score |q ∩ c| / |q| with stop-word removal
+    * (reference: rag/retrieve/buffer.py:219-309). */
+  def keywordOverlap(
+      docs: DataFrame,
+      queryText: String,
+      topK: Int): DataFrame = {
+    val qTokens = queryText.split(" ").distinct.filterNot(StopWords.contains)
+    docs
+      .withColumn("score",
+        trunc6(
+          size(array_intersect(tokenSet(col("text")),
+            lit(qTokens))).cast("double") / lit(qTokens.length.toDouble)))
+      .filter(col("score") > 0d)
+      .select(col("doc_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** BM25 over whitespace tokens, k1/b per the reference defaults
+    * (reference: store/keyword_store/bm25_store.py:171-250 — idf =
+    * ln((N-df+0.5)/(df+0.5)+1), tf·(k1+1)/(tf+k1·(1-b+b·len/avglen))).
+    *
+    * Corpus statistics (N, avglen, df) are tiny aggregates broadcast back
+    * against the postings — at 100 TB the postings stay distributed and
+    * only the per-query-term df rows move.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    // postings: one row per (doc, term) with term frequency
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus stats: single-row DataFrame, broadcast
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(trunc6(dsum12(col("tscore"))).as("score"))
+    scored
+      .select(col("doc_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, fingerprinting, language-ID heuristics. Everything is
+  * per-row narrow work (no shuffle) built on codegen'd functions — at
+  * 100 TB this runs at scan speed.
+  */
+object TextAnalysis {
+
+  /** Token counting + stop-word stats per document (A7-adjacent; the
+    * reference counts tokens per message via tiktoken with a word-count
+    * fallback — utils/token_counter.py:114-160). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // counts as long so the schema lines up with BIGINT-returning oracles
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (size(toks) - size(contentTokens(col("text")))).cast("long").as("n_stopwords"),
+      length(col("text")).cast("long").as("n_chars_computed"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/uniqueness ratios. A simple,
+    * deterministic stand-in for fastText-style quality classifiers. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = (size(toks) - size(contentTokens(col("text")))).cast("double") / nTok
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val avgTokLen = (length(col("text")) - size(toks) + 1).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      trunc6(stopRatio).as("stop_ratio"),
+      trunc6(uniqRatio).as("uniq_ratio"),
+      trunc6(avgTokLen).as("avg_token_len"),
+      trunc6((uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+        least(avgTokLen / 8.0, lit(1.0)) * 0.2)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct content tokens —
+    * stable under token reordering and duplication. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(tokenSet(col("text"))))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** N-gram-frequency language ID heuristic: score each candidate language
+    * by the share of tokens that hit its marker set; argmax with
+    * deterministic tie-break on language name. */
+  def languageId(docs: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val toks = tokens(col("text"))
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (size(array_intersect(toks, lit(words.toArray))).cast("double") /
+        size(toks)).as(s"score_$lang")
+    }
+    val scored = docs.select((col("doc_id") +: col("text") +: scoreCols): _*)
+    // argmax via greatest + chained when: deterministic, SQL-portable
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    // first (alphabetically) language reaching the max wins ties
+    val pickFirst = langs.foldLeft(lit("und")) { (acc, l) =>
+      when(acc === "und" && col(s"score_$l") === best && best > 0d, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      col("doc_id"),
+      pickFirst.as("lang_guess"),
+      trunc6(best).as("lang_score"))
+      .orderBy("doc_id")
+  }
+}
