@@ -312,13 +312,15 @@ object Oracles {
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q29_minhash_lsh" -> {
-      val sigCols = (0 until 8)
-        .map(h => s"min(md5(concat('mh$h|', s))) AS mh$h").mkString(", ")
+      val sigCols = (0 until 8).map { i =>
+        s"min(CAST(concat('0x', substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS BIGINT)) AS mh$i"
+      }.mkString(", ")
       val bandRows = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', mh${b * 2}, mh${b * 2 + 1})) AS bkey FROM sig"
+        s"SELECT doc_id, $b AS band, concat_ws('|', mh${b * 2}, mh${b * 2 + 1}) AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
       s"""${shinglesSql(nearDupCorpus)},
-         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |shm AS (SELECT doc_id, md5(concat('mh0|', s)) AS m0, md5(concat('mh1|', s)) AS m1 FROM sh),
+         |sig AS (SELECT doc_id, $sigCols FROM shm GROUP BY doc_id),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM bands x JOIN bands y

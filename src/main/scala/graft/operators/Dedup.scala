@@ -44,13 +44,21 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature: per doc, the lexicographic min of md5(salt|shingle)
-    * for `numHashes` salts. min(string) is order-independent → exact. */
+  /** MinHash signature: `numHashes` 32-bit hash functions derived as hex
+    * slices of ⌈numHashes/4⌉ salted md5s per shingle (md5 dominates the
+    * cost, so 4 hash functions share one digest), then per-doc numeric
+    * min — order-independent → exact and engine-portable. */
   def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map { h =>
-      min(md5(concat(lit(s"mh$h|"), col("shingle")))).as(s"mh$h")
+    val nMd5 = (numHashes + 3) / 4
+    val withMd5 = sh.select(
+      col("doc_id") +:
+        (0 until nMd5).map(j =>
+          md5(concat(lit(s"mh$j|"), col("shingle"))).as(s"m$j")): _*)
+    val aggs = (0 until numHashes).map { i =>
+      min(conv(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"mh$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withMd5.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact shingle Jaccard.
@@ -63,13 +71,16 @@ object Dedup {
       jaccardThreshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, shingleSize).cache()
     val sig = minhashSignature(sh, bands * rowsPerBand)
-    // band key = md5 of the band's signature slice
-    val bandRows = (0 until bands).map { b =>
+    // one row per (doc, band): explode rather than a bands-way union so the
+    // signature aggregation runs once, not `bands` times
+    val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bkey"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bkey"))
+    }
+    val bandRows = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache()
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
