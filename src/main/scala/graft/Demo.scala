@@ -1,0 +1,62 @@
+package graft
+
+import graft.pipeline.{MemFuse, Schemas}
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+
+/** Usage example for the library surface: batch ingest → hybrid query →
+  * lineage → cascade delete, plus the multimodal plumbing. Run with
+  * `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("memfuse-demo").toString
+    val engine = new MemFuse(spark, base)
+
+    def ts(i: Int) = new java.sql.Timestamp(1717200000000L + i * 1000L)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "alice", "r1", 1, "user",
+        "how should i size spark shuffle partitions", ts(1)),
+      Schemas.Message("m2", "s1", "alice", "r1", 2, "assistant",
+        "start with the number of cores and tune from shuffle spill metrics", ts(2)),
+      Schemas.Message("m3", "s1", "alice", "r2", 3, "user",
+        "when does a broadcast join help", ts(3)),
+      Schemas.Message("m4", "s1", "alice", "r2", 4, "assistant",
+        "when one side fits in executor memory broadcast avoids the shuffle", ts(4)),
+      Schemas.Message("m5", "s9", "bob", "r9", 1, "user",
+        "what temperature to bake sourdough bread", ts(5))).toDF())
+
+    println(s"m0 rows: ${engine.m0.count()}, m1 chunks: ${engine.m1.count()}")
+
+    println("\n-- alice asks about shuffle partitions --")
+    engine.query("size spark shuffle partitions", "alice", topK = 2).show(false)
+
+    println("-- bob must not see alice's chunks (tenant isolation) --")
+    engine.query("spark shuffle partitions", "bob", topK = 3).show(false)
+
+    println("-- unknown tenant: empty, no error --")
+    println("rows: " + engine.query("anything", "nobody", topK = 3).count())
+
+    println("-- lineage of every chunk --")
+    engine.chunkLineage.show(false)
+
+    engine.deleteUser("alice")
+    println(s"after deleteUser(alice): m0=${engine.m0.count()} m1=${engine.m1.count()}")
+
+    println("\n-- multimodal: features + frames from binary payloads --")
+    val media = Multimodal.synthesize(
+      Seq((1L, "abcdefghijklmnop"), (2L, "0123456789")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Multimodal.extractFeatures(media, 8).show(false)
+    Multimodal.sampleFrames(media).show(false)
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Pluggable embedding encoder stage (reference: rag/encode/base.py
+  * registry + rag/encode/MiniLM.py SentenceTransformer wrapper, K9).
+  *
+  * The production path is a broadcast ONNX session driven from
+  * `mapPartitions` — each partition encodes its rows in batches, so the
+  * work distributes across executors with no shuffle and no driver
+  * round-trip. Model inference libraries are not available in this
+  * environment, so the shipped implementation is [[HashingEncoder]]: the
+  * same partition-parallel shape with a deterministic feature-hashing
+  * kernel (tokens hashed into `dim` buckets, L2-normalized) standing in
+  * for the model forward pass.
+  */
+trait TextEncoder extends Serializable {
+  def dim: Int
+  /** Encode one text — used for query-time single encodes. */
+  def encodeOne(text: String): Array[Float]
+  /** Add an `embedding` array<float> column derived from `textCol`. */
+  def encode(df: DataFrame, textCol: String): DataFrame
+}
+
+/** Deterministic feature-hashing encoder: token counts hashed into `dim`
+  * buckets with a signed hash, L2-normalized. Embeds semantically-similar
+  * (token-overlapping) texts near each other, which is exactly what the
+  * retrieval tests need, and is reproducible across runs/engines. */
+case class HashingEncoder(dim: Int = Schemas.EmbeddingDim) extends TextEncoder {
+
+  def encodeOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    text.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, 42)
+        val bucket = math.floorMod(h, dim)
+        val sign = if (((h >>> 31) & 1) == 0) 1f else -1f
+        v(bucket) += sign
+      }
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+
+  /** Partition-parallel encode — the same `mapPartitions` shape a real
+    * ONNX encoder uses (batch per partition, no shuffle). */
+  def encode(df: DataFrame, textCol: String): DataFrame = {
+    val enc = this
+    val outSchema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ enc.encodeOne(r.getString(idx)).toSeq)
+      }
+    }(encoder)
+  }
+}
+
+/** Pluggable second-stage reranker (reference: rag/rerank/MiniLM.py
+  * cross-encoder, K8). Production = broadcast cross-encoder model in
+  * `mapPartitions` over (query, candidate) pairs; shipped stand-in scores
+  * by normalized token overlap — deterministic, same plumbing. */
+trait Reranker extends Serializable {
+  def rerank(candidates: DataFrame, queryText: String, topK: Int): DataFrame
+}
+
+case class OverlapReranker() extends Reranker {
+  /** candidates: must carry (id, content); returns (id, content,
+    * rerank_score) top-k sorted desc with id tie-break. */
+  def rerank(candidates: DataFrame, queryText: String, topK: Int): DataFrame = {
+    val qTokens = queryText.split(" ").filter(_.nonEmpty).distinct
+    candidates
+      .withColumn("rerank_score",
+        graft.functions.TextFunctions.trunc6(
+          size(array_intersect(array_distinct(split(col("content"), " ")),
+            lit(qTokens))).cast("double") / lit(qTokens.length.toDouble)))
+      .orderBy(col("rerank_score").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions.{trunc6, tokens}
+import graft.functions.VectorFunctions
+import graft.operators.{Fusion, Retrieval}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The memory-engine facade: batch ingest → chunk → embed → m1, and the
+  * hybrid query path (SURVEY §3.1/§3.2 collapsed into DataFrame DAGs).
+  *
+  * Storage is parquet under `basePath`, with m0/m1 partitioned by a
+  * 16-way user-id hash bucket: at cluster scale the tenant filter
+  * (reference: pgvectorscale_store.py:594-619 WHERE user_id) becomes
+  * partition pruning — a query for one user touches 1/16 of the files
+  * before any row is read. Cascade deletes (reference: postgres.py
+  * ON DELETE CASCADE) are explicit anti-join rewrites.
+  *
+  * @param encoder  embedding stage (K9) — pluggable, deterministic stub
+  *                 by default; a real ONNX encoder drops in unchanged
+  * @param reranker second-stage reranker (K8) — same
+  */
+class MemFuse(
+    spark: SparkSession,
+    basePath: String,
+    encoder: TextEncoder = HashingEncoder(),
+    reranker: Reranker = OverlapReranker()) extends Serializable {
+
+  import Schemas._
+
+  private def path(table: String) = s"$basePath/$table"
+  private val userBucket = pmod(xxhash64(col("user_id")), lit(16)).as("user_bucket")
+
+  // ---------- ingest (§3.2: validate → m0 → chunk → embed → m1) ----------
+
+  /** Batch ingest: CHECK-constrained append to m0_raw, then one chunk per
+    * (session, round) with role-prefixed content (C1 MessageChunkStrategy,
+    * reference rag/chunk/message.py), hash-encoded, appended to
+    * m1_episodic with m0 lineage ids. */
+  def ingest(messages: DataFrame): Unit = {
+    // role CHECK constraint as a validation filter on write (m0_raw.py:31-37)
+    val valid = messages.filter(col("role").isin(ValidRoles: _*))
+    val m0 = valid
+      .withColumn("token_count", size(tokens(col("content"))))
+      .withColumn("processing_status", lit("completed"))
+      .select(col("message_id"), col("content"), col("role"), col("user_id"),
+        col("session_id"), col("round_id"), col("sequence_number"),
+        col("token_count"), col("created_at"), col("processing_status"))
+    m0.withColumn("user_bucket", userBucket)
+      .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
+
+    // C1: one chunk per round, deterministic in-round order by sequence_number
+    val chunks = valid
+      .select(col("user_id"), col("session_id"), col("round_id"),
+        col("created_at"),
+        struct(col("sequence_number"), col("message_id"),
+          concat(lit("["), col("role"), lit("]: "), col("content")).as("line"))
+          .as("entry"))
+      .groupBy("user_id", "session_id", "round_id")
+      .agg(array_sort(collect_list(col("entry"))).as("entries"),
+        max(col("created_at")).as("created_at"))
+      .select(
+        col("user_id"), col("session_id"),
+        concat_ws("\n", transform(col("entries"), _.getField("line"))).as("content"),
+        transform(col("entries"), _.getField("message_id")).as("m0_raw_ids"),
+        col("created_at"))
+      .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
+      .withColumn("chunking_strategy", lit("conversation_turn"))
+      .withColumn("token_count", size(tokens(col("content"))))
+      .withColumn("needs_embedding", lit(false))
+    encoder.encode(chunks, "content")
+      .select(col("chunk_id"), col("content"), col("chunking_strategy"),
+        col("token_count"), col("embedding"), col("m0_raw_ids"),
+        col("user_id"), col("session_id"), col("needs_embedding"),
+        col("created_at"))
+      .withColumn("user_bucket", userBucket)
+      .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m1_episodic"))
+  }
+
+  def m0: DataFrame = spark.read.parquet(path("m0_raw"))
+  def m1: DataFrame = spark.read.parquet(path("m1_episodic"))
+
+  // ---------- query (§3.1: union of scored scans → fusion → rerank) ----------
+
+  /** Hybrid top-k retrieval, the flagship path: vector + keyword scans
+    * over the user's chunks, RRF-fused at 2×topK (first_stage_top_k,
+    * reference memory_service.py:1553-1555), hydrated, cross-encoder
+    * reranked to topK. One DataFrame DAG — the scans parallelize and the
+    * tenant filter prunes partitions. */
+  def query(
+      text: String,
+      userId: String,
+      topK: Int = 5,
+      rrfK: Double = 60.0,
+      weights: Map[String, Double] = Map("vector" -> 1.0, "keyword" -> 0.5),
+      similarityThreshold: Double = 0.0): DataFrame = {
+    val firstStage = 2 * topK
+    val chunks = m1.filter(col("user_id") === userId)
+
+    val qvec = typedLit(encoder.encodeOne(text).toSeq)
+    val vector = chunks
+      .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+      .filter(col("score") >= similarityThreshold)
+      .select(col("chunk_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(firstStage)
+      .withColumn("store_type", lit("vector"))
+
+    val terms = text.split(" ").filter(_.nonEmpty).toSeq
+    val keyword = Retrieval
+      .bm25(chunks.select(col("chunk_id").as("doc_id"), col("content").as("text")),
+        terms, firstStage)
+      .withColumn("store_type", lit("keyword"))
+
+    val fused = Fusion.rrf(vector.unionByName(keyword), rrfK, weights, firstStage)
+    val hydrated = fused
+      .join(chunks, fused("id") === chunks("chunk_id"))
+      .select(col("id"), col("content"), col("fused_score"),
+        col("session_id"), col("token_count"))
+    reranker.rerank(hydrated, text, topK)
+  }
+
+  /** Session message read (S2): sorted, limited scan. */
+  def messagesBySession(
+      sessionId: String, limit: Int = 20, ascending: Boolean = true): DataFrame = {
+    val sorted = m0.filter(col("session_id") === sessionId)
+    val keys = Seq(col("sequence_number"), col("message_id"))
+    sorted.orderBy((if (ascending) keys else keys.map(_.desc)): _*).limit(math.min(limit, 100))
+  }
+
+  /** Cascade delete of a user (reference: ON DELETE CASCADE,
+    * postgres.py:200-252): anti-join rewrite of every table that carries
+    * the user_id. */
+  def deleteUser(userId: String): Unit =
+    Seq("m0_raw", "m1_episodic").foreach { t =>
+      val df = spark.read.parquet(path(t)).filter(col("user_id") =!= userId)
+      df.write.mode(SaveMode.Overwrite).parquet(path(t) + "_tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path(t)), true)
+      fs.rename(new org.apache.hadoop.fs.Path(path(t) + "_tmp"),
+        new org.apache.hadoop.fs.Path(path(t)))
+    }
+
+  /** Lineage join (J2): chunks exploded to their source m0 messages. */
+  def chunkLineage: DataFrame = {
+    val m1df = m1
+    val m0df = m0
+    m1df
+      .select(col("chunk_id"), explode(col("m0_raw_ids")).as("mid"))
+      .join(m0df, col("mid") === m0df("message_id"))
+      .select(col("chunk_id"), col("message_id"), col("role"),
+        col("sequence_number"), col("content"))
+  }
+}

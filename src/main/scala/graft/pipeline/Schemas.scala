@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+
+/** Typed schemas for the memory-layer tables (SURVEY §1; reference:
+  * models/schema/m0_raw.py:10-114, m1_episodic.py:13-144 and the catalog
+  * DDL in database/postgres.py:167-253). UUIDs are strings, pgvector
+  * becomes ArrayType(FloatType), JSONB becomes MapType(String,String).
+  */
+object Schemas {
+
+  val EmbeddingDim = 64
+
+  /** m0_raw: one row per ingested message (reference m0_raw.py:10-114). */
+  case class M0Raw(
+      message_id: String,
+      content: String,
+      role: String, // CHECK role IN (user, assistant, system) enforced on write
+      user_id: String,
+      session_id: String,
+      round_id: String,
+      sequence_number: Int,
+      token_count: Int,
+      created_at: java.sql.Timestamp,
+      processing_status: String)
+
+  /** m1_episodic: one row per chunk (reference m1_episodic.py:13-144). */
+  case class M1Episodic(
+      chunk_id: String,
+      content: String,
+      chunking_strategy: String,
+      token_count: Int,
+      embedding: Array[Float],
+      m0_raw_ids: Array[String], // lineage (GIN-indexed in the reference)
+      user_id: String,
+      session_id: String,
+      needs_embedding: Boolean,
+      created_at: java.sql.Timestamp)
+
+  /** Incoming message batch row (the ingest API shape, reference
+    * models/core.py:92-98). */
+  case class Message(
+      message_id: String,
+      session_id: String,
+      user_id: String,
+      round_id: String,
+      sequence_number: Int,
+      role: String,
+      content: String,
+      created_at: java.sql.Timestamp)
+
+  /** Hybrid retrieval result row (reference models/core.py:75-82). */
+  case class QueryResult(
+      id: String,
+      content: String,
+      score: Double,
+      store_type: String)
+
+  val ValidRoles = Seq("user", "assistant", "system")
+
+  val m0Schema: StructType = StructType(Seq(
+    StructField("message_id", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("role", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("session_id", StringType),
+    StructField("round_id", StringType),
+    StructField("sequence_number", IntegerType),
+    StructField("token_count", IntegerType),
+    StructField("created_at", TimestampType),
+    StructField("processing_status", StringType)))
+
+  val m1Schema: StructType = StructType(Seq(
+    StructField("chunk_id", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("chunking_strategy", StringType),
+    StructField("token_count", IntegerType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("m0_raw_ids", ArrayType(StringType, containsNull = false)),
+    StructField("user_id", StringType),
+    StructField("session_id", StringType),
+    StructField("needs_embedding", BooleanType),
+    StructField("created_at", TimestampType)))
+}

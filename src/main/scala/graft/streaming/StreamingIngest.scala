@@ -1,0 +1,170 @@
+package graft.streaming
+
+import graft.pipeline.{Schemas, TextEncoder}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming replacement for the reference's hand-built
+  * buffer machinery (SURVEY §2.8).
+  *
+  * - [[sessionBatcher]] = RoundBuffer (B1, reference buffer/
+  *   round_buffer.py:78-130): per-session token-budget batching in
+  *   `flatMapGroupsWithState`; a batch is emitted when the accumulated
+  *   token count would exceed the budget, or on processing-time timeout
+  *   (the 60 s auto-flush, B9). Session change needs no special case —
+  *   each session is its own state key.
+  * - [[start]] = HybridBuffer + FlushManager (B2/B3): each emitted batch
+  *   is chunked + encoded inside `foreachBatch` and appended to m1.
+  * - [[embedBackfill]] = the pg NOTIFY/LISTEN embedding worker (B7,
+  *   reference store/pgai_store/immediate_trigger_components.py):
+  *   a batch job over `needs_embedding` rows; in production a streaming
+  *   query over table changes with the same body.
+  */
+object StreamingIngest {
+
+  /** One buffered message in session state. */
+  case class Buffered(message_id: String, sequence_number: Int, role: String,
+      content: String, user_id: String, token_count: Int)
+
+  /** State per session: pending messages + running token total. */
+  case class SessionBuf(pending: List[Buffered], tokenSum: Int)
+
+  /** An emitted micro-batch: one chunk's worth of messages for a session. */
+  case class SessionBatch(
+      session_id: String,
+      user_id: String,
+      content: String,        // role-prefixed, newline-joined
+      m0_raw_ids: Seq[String],
+      token_count: Int,
+      trigger: String)        // token_budget | timeout | oversized
+
+  private def whitespaceTokens(s: String): Int = s.split(" ").count(_.nonEmpty)
+
+  /** Token-budget batching, keyed by session (B1 semantics):
+    * accumulate until adding a message would cross `maxTokens`, then emit
+    * the pending batch; an oversized single message becomes its own batch
+    * (round_buffer.py:104-120). Pending data flushes on processing-time
+    * timeout (`timeoutMs`, the 60 s auto-flush); pass `timeoutMs <= 0`
+    * to disable the timer (deterministic tests, replay jobs — note the
+    * timer keeps the stream cycling through no-data micro-batches). */
+  def sessionBatcher(
+      messages: Dataset[Schemas.Message],
+      maxTokens: Int = 800,
+      timeoutMs: Long = 60000L): Dataset[SessionBatch] = {
+    import messages.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def toBatch(sid: String, msgs: List[Buffered], trig: String): SessionBatch = {
+      val sorted = msgs.sortBy(m => (m.sequence_number, m.message_id))
+      SessionBatch(
+        session_id = sid,
+        user_id = sorted.head.user_id,
+        content = sorted.map(m => s"[${m.role}]: ${m.content}").mkString("\n"),
+        m0_raw_ids = sorted.map(_.message_id),
+        token_count = sorted.map(_.token_count).sum,
+        trigger = trig)
+    }
+
+    messages
+      .groupByKey(_.session_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (sid: String, rows: Iterator[Schemas.Message], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            // auto-flush (B9): emit whatever is pending
+            val out = state.getOption.toList
+              .filter(_.pending.nonEmpty)
+              .map(b => toBatch(sid, b.pending, "timeout"))
+            state.remove()
+            out.iterator
+          } else {
+            var buf = state.getOption.getOrElse(SessionBuf(Nil, 0))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionBatch]
+            rows.toSeq.sortBy(m => (m.sequence_number, m.message_id)).foreach { m =>
+              val tc = whitespaceTokens(m.content)
+              val b = Buffered(m.message_id, m.sequence_number, m.role, m.content,
+                m.user_id, tc)
+              if (buf.tokenSum + tc > maxTokens && buf.pending.nonEmpty) {
+                out += toBatch(sid, buf.pending, "token_budget")
+                buf = SessionBuf(Nil, 0)
+              }
+              buf = SessionBuf(buf.pending :+ b, buf.tokenSum + tc)
+              if (buf.tokenSum > maxTokens) {
+                // oversized single message (or exactly-crossing batch):
+                // flush immediately rather than holding an over-budget buffer
+                out += toBatch(sid, buf.pending, "oversized")
+                buf = SessionBuf(Nil, 0)
+              }
+            }
+            state.update(buf)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Full streaming ingest: session batches → encode → append
+    * m1_episodic parquet (B2/B3's flush path as a `foreachBatch` sink).
+    * Caller stops the returned query. */
+  def start(
+      messages: Dataset[Schemas.Message],
+      basePath: String,
+      encoder: TextEncoder,
+      maxTokens: Int = 800,
+      timeoutMs: Long = 60000L,
+      checkpoint: String): StreamingQuery = {
+    val batches = sessionBatcher(messages, maxTokens, timeoutMs)
+    batches.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: Dataset[SessionBatch], _: Long) =>
+        val df = batch.toDF()
+          .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
+          .withColumn("chunking_strategy", lit("token_based"))
+          .withColumn("needs_embedding", lit(false))
+          .withColumn("created_at", current_timestamp())
+        encoder.encode(df, "content")
+          .select(col("chunk_id"), col("content"), col("chunking_strategy"),
+            col("token_count"), col("embedding"), col("m0_raw_ids"),
+            col("user_id"), col("session_id"), col("needs_embedding"),
+            col("created_at"))
+          .write.mode(SaveMode.Append).parquet(s"$basePath/m1_episodic")
+        ()
+      }
+      .start()
+  }
+
+  /** Embedding backfill (B7): encode every chunk still flagged
+    * `needs_embedding` and rewrite. The filter is the partial-index
+    * predicate (m1_episodic.py:196-202) — under a partitioned/Delta
+    * layout only matching files are read. */
+  def embedBackfill(spark: SparkSession, basePath: String, encoder: TextEncoder): Long = {
+    val p = s"$basePath/m1_episodic"
+    val all = spark.read.parquet(p)
+    val pending = all.filter(col("needs_embedding"))
+    val n = pending.count()
+    if (n > 0) {
+      val done = encoder.encode(pending.drop("embedding"), "content")
+        .withColumn("needs_embedding", lit(false))
+        .select(all.columns.map(col): _*)
+      val merged = all.filter(!col("needs_embedding")).unionByName(done)
+      merged.write.mode(SaveMode.Overwrite).parquet(p + "_tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      fs.rename(new org.apache.hadoop.fs.Path(p + "_tmp"), new org.apache.hadoop.fs.Path(p))
+    }
+    n
+  }
+
+  /** Event-time windowed rollup over a stream (the watermarked analogue
+    * of EventOps.rollup — SURVEY §2.8 notes the reference has no
+    * event-time semantics; Structured Streaming adds them for free). */
+  def windowedRollup(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -1,0 +1,24 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf()).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("oracle coverage: every query has oracle SQL or is a documented exception") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q34 is greedy stateful packing — not SQL-expressible, rows-only check
+    assert(noOracle == Set("q34_token_budget_chunks"), noOracle.toString)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, orphans.toString)
+  }
+}

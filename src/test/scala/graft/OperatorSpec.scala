@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression: exact value and codegen/eval parity") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+    // interpreted path must agree with codegen
+    val interp = df.withColumn("c",
+      VectorFunctions.dot(col("a"), col("b")))
+      .select("c").as[Double].collect()
+    assert(interp.toSeq == Seq(0.0, 14.0, 1.0))
+  }
+
+  test("rrf fusion: exact reciprocal-rank arithmetic") {
+    val results = Seq(
+      ("d1", 0.9, "vector"), ("d2", 0.8, "vector"),
+      ("d2", 5.0, "keyword"), ("d3", 4.0, "keyword")).toDF("id", "score", "store_type")
+    val fused = Fusion.rrf(results, 60.0, Map("vector" -> 1.0, "keyword" -> 0.5), 10)
+      .as[(String, Double)].collect().toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(fused("d1") == t6(1.0 / 61))
+    assert(fused("d2") == t6(1.0 / 62 + 0.5 / 61))
+    assert(fused("d3") == t6(0.5 / 62))
+  }
+
+  test("exact dedup finds a planted duplicate") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd ee"), (3L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash lsh finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, 3, 4, 2, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: similar docs closer in hamming distance than dissimilar") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i % 13 == 0) "x" else s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val sims = Dedup.simhash(Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text"), 16)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+  }
+
+  test("character chunks cover the text with the configured overlap") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val chunks = Chunking.characterChunks(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 100, 10)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().sortBy(_._1)
+    assert(chunks.length == 3) // stride 90: starts 0, 90, 180 cover 260
+    assert(chunks(0)._2.length == 100)
+    // overlap: last 10 chars of chunk k == first 10 of chunk k+1
+    assert(chunks(0)._2.takeRight(10) == chunks(1)._2.take(10))
+    // full coverage
+    assert(chunks.map(_._2).reduce((a, b) => a + b.drop(10)) == text.take(260))
+  }
+
+  test("token budget chunks respect the budget for normal messages") {
+    val msgs = (1 to 20).map(i => ("g1", i.toLong, Seq.fill(100)(s"w$i").mkString(" ")))
+      .toDF("g", "seq", "content")
+    val chunks = Chunking.tokenBudgetChunks(msgs, "g", "seq", "content", 250)
+      .select("n_tokens").as[Int].collect()
+    assert(chunks.forall(_ <= 250))
+    assert(chunks.sum == 2000) // nothing lost
+  }
+
+  test("bm25 ranks the doc containing the query terms first") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha epsilon"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val top = Retrieval.bm25(docs, Seq("alpha"), 3).as[(Long, Double)].collect()
+    assert(top.head._1 == 2L) // highest tf wins
+    assert(!top.map(_._1).contains(3L))
+  }
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq(
+      (1L, 10L, ts(0), 1.0), (2L, 10L, ts(100), 2.0),
+      (3L, 10L, ts(5000), 3.0), // gap > 3600 → new session
+      (4L, 11L, ts(0), 4.0)).toDF("event_id", "user_id", "ts", "value")
+    val sessions = EventOps.sessionize(events, 3600L)
+      .select("user_id", "session_idx", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(sessions == Set((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("multimodal: feature extraction and frame sampling plumbing") {
+    val docs = Seq((0L, "abcdefghij"), (1L, "0123456789abcdef")).toDF("doc_id", "text")
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, 16).as[(Long, String, Seq[Float])].collect()
+    assert(feats.forall(_._3.length == 16))
+    assert(feats.forall(f => math.abs(f._3.sum - 1f) < 1e-5)) // L1-normalized
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0)
+    // frames of one media reassemble a prefix of the original payload
+    val f0 = frames.filter(col("media_id") === 0L)
+      .orderBy("frame_idx").select("frame").as[Array[Byte]].collect()
+    assert(new String(f0.flatten) == "abcdefghij".take(f0.map(_.length).sum))
+  }
+}

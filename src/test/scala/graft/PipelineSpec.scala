@@ -1,0 +1,96 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + sec * 1000L)
+
+  private def freshEngine(): (MemFuse, String) = {
+    val dir = Files.createTempDirectory("memfuse").toString
+    (new MemFuse(spark, dir), dir)
+  }
+
+  private def msg(id: String, session: String, user: String, round: String,
+      seq: Int, role: String, content: String) =
+    Schemas.Message(id, session, user, round, seq, role, content, ts(seq))
+
+  test("ingest → hybrid query finds the planted conversation") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "how do i tune spark shuffle partitions"),
+      msg("m2", "s1", "u1", "r1", 2, "assistant", "set shuffle partitions near total cores"),
+      msg("m3", "s1", "u1", "r2", 3, "user", "what is a broadcast join"),
+      msg("m4", "s1", "u1", "r2", 4, "assistant", "small side ships to every executor"),
+      msg("m5", "s2", "u2", "r3", 1, "user", "completely unrelated cooking recipe")).toDF())
+
+    assert(engine.m0.count() == 5)
+    assert(engine.m1.count() == 3) // one chunk per round
+
+    val hits = engine.query("tune spark shuffle partitions", "u1", topK = 2)
+      .select("id", "content").collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[String]("content").contains("shuffle partitions"))
+
+    // tenant isolation: u2's query never sees u1 chunks
+    val other = engine.query("broadcast join", "u2", topK = 5)
+      .select("content").as[String].collect()
+    assert(other.forall(!_.contains("broadcast")))
+  }
+
+  test("role CHECK constraint filters invalid rows on write") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "ok"),
+      msg("m2", "s1", "u1", "r1", 2, "robot", "invalid role dropped")).toDF())
+    assert(engine.m0.count() == 1)
+  }
+
+  test("chunk lineage explodes back to source messages") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "first"),
+      msg("m2", "s1", "u1", "r1", 2, "assistant", "second")).toDF())
+    val lineage = engine.chunkLineage.collect()
+    assert(lineage.length == 2)
+    assert(lineage.map(_.getAs[String]("message_id")).toSet == Set("m1", "m2"))
+  }
+
+  test("deleteUser cascades across m0 and m1") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "keep me? no"),
+      msg("m2", "s2", "u2", "r2", 1, "user", "survivor")).toDF())
+    engine.deleteUser("u1")
+    assert(engine.m0.select("user_id").as[String].collect().toSeq == Seq("u2"))
+    assert(engine.m1.select("user_id").as[String].collect().toSeq == Seq("u2"))
+  }
+
+  test("messagesBySession: ordered, limited, capped at 100") {
+    val (engine, _) = freshEngine()
+    engine.ingest((1 to 30).map(i =>
+      msg(f"m$i%03d", "s1", "u1", s"r$i", i, "user", s"msg number $i")).toDF())
+    val first = engine.messagesBySession("s1", limit = 5)
+      .select("sequence_number").as[Int].collect()
+    assert(first.toSeq == Seq(1, 2, 3, 4, 5))
+    val last = engine.messagesBySession("s1", limit = 3, ascending = false)
+      .select("sequence_number").as[Int].collect()
+    assert(last.toSeq == Seq(30, 29, 28))
+  }
+
+  test("hashing encoder: deterministic, normalized, overlap-sensitive") {
+    val enc = HashingEncoder(64)
+    val a = enc.encodeOne("spark shuffle partition tuning")
+    val b = enc.encodeOne("spark shuffle partition tuning")
+    val c = enc.encodeOne("completely different words entirely")
+    assert(a.toSeq == b.toSeq)
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(cos(a, a) - 1f) < 1e-5)
+    assert(cos(a, c) < 0.5f)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.pipeline.{HashingEncoder, Schemas}
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + sec * 1000L)
+
+  private def msg(id: String, session: String, seq: Int, nTokens: Int) =
+    Schemas.Message(id, session, "u1", s"r$seq", seq, "user",
+      Seq.fill(nTokens)(s"w$seq").mkString(" "), ts(seq))
+
+  test("session batcher emits on token budget and isolates sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Schemas.Message]
+    val batches = StreamingIngest.sessionBatcher(source.toDS(), maxTokens = 100,
+      timeoutMs = 0) // no auto-flush timer: deterministic micro-batch test
+    val q = batches.writeStream.outputMode("append")
+      .format("memory").queryName("batches_out").start()
+    try {
+      // s1: 60 + 60 tokens → adding the second would cross 100 → first
+      // flushes; s2: 30 tokens stays buffered
+      source.addData(
+        msg("m1", "s1", 1, 60), msg("m2", "s1", 2, 60), msg("m3", "s2", 1, 30))
+      q.processAllAvailable()
+      val out = spark.table("batches_out")
+        .select("session_id", "m0_raw_ids", "token_count", "trigger")
+        .as[(String, Seq[String], Int, String)].collect()
+      assert(out.length == 1)
+      assert(out.head == (("s1", Seq("m1"), 60, "token_budget")))
+
+      // oversized single message: pending flushes first, then the
+      // oversized message becomes its own batch (round_buffer.py:104-120)
+      source.addData(msg("m4", "s2", 2, 200))
+      q.processAllAvailable()
+      val out2 = spark.table("batches_out")
+        .filter(col("session_id") === "s2")
+        .select("m0_raw_ids", "token_count", "trigger")
+        .as[(Seq[String], Int, String)].collect().sortBy(_._2)
+      assert(out2.toSeq == Seq(
+        (Seq("m3"), 30, "token_budget"), (Seq("m4"), 200, "oversized")))
+    } finally q.stop()
+  }
+
+  test("streaming ingest writes encoded chunks to m1") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream").toString
+    val source = MemoryStream[Schemas.Message]
+    val q = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
+      maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt")
+    try {
+      source.addData(msg("m1", "s1", 1, 40), msg("m2", "s1", 2, 40))
+      q.processAllAvailable()
+      val m1 = spark.read.parquet(s"$dir/m1_episodic")
+      assert(m1.count() >= 1)
+      val row = m1.orderBy("created_at").collect().head
+      assert(row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSeq == Seq("m1"))
+      assert(row.getAs[scala.collection.Seq[Float]]("embedding").length == Schemas.EmbeddingDim)
+    } finally q.stop()
+  }
+
+  test("embedding backfill encodes rows flagged needs_embedding") {
+    val dir = Files.createTempDirectory("backfill").toString
+    val pending = Seq(
+      ("c1", "some chunk text", "token_based", 3,
+        Array.empty[Float], Seq("m1"), "u1", "s1", true, ts(0)),
+      ("c2", "already embedded", "token_based", 2,
+        HashingEncoder().encodeOne("already embedded"), Seq("m2"), "u1", "s1", false, ts(1)))
+      .toDF("chunk_id", "content", "chunking_strategy", "token_count",
+        "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
+        "created_at")
+    pending.write.parquet(s"$dir/m1_episodic")
+    val n = StreamingIngest.embedBackfill(spark, dir, HashingEncoder())
+    assert(n == 1)
+    val after = spark.read.parquet(s"$dir/m1_episodic")
+    assert(after.filter(col("needs_embedding")).count() == 0)
+    assert(after.filter(size(col("embedding")) === Schemas.EmbeddingDim).count() == 2)
+  }
+
+  test("windowed rollup with watermark runs on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rollup = StreamingIngest.windowedRollup(
+      source.toDS().toDF("ts", "event_type", "value"), "1 minute", "2 minutes")
+    val q = rollup.writeStream.outputMode("update")
+      .format("memory").queryName("rollup_out").start()
+    try {
+      source.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("rollup_out")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(out == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+}
