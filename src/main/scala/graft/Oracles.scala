@@ -99,15 +99,17 @@ object Oracles {
        |GROUP BY id ORDER BY fused_score DESC, id LIMIT $topK""".stripMargin
 
   /** Shared shingle pipeline over a `corpus(doc_id, text)` CTE body:
-    * distinct word 3-grams per doc. */
+    * distinct word 3-grams per doc, built by array slicing (mirrors
+    * Dedup.shingles). DuckDB arrays are 1-based and `arr[i:j]` is
+    * inclusive, so Spark's slice(toks, i+1, 3) with i in 0..len-3 is
+    * arr[i:i+2] with i in 1..len-2. */
   private def shinglesSql(corpus: String): String =
     s"""WITH corpus AS ($corpus),
-       |tok AS (SELECT doc_id, unnest(${toks("text")}) AS t,
-       |               generate_subscripts(${toks("text")}, 1) AS i FROM corpus),
        |sh AS (SELECT DISTINCT doc_id, s FROM (
-       |  SELECT doc_id, concat_ws(' ', t, lead(t,1) OVER w, lead(t,2) OVER w) AS s,
-       |         lead(t,2) OVER w AS l2
-       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)) WHERE l2 IS NOT NULL)""".stripMargin
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(${toks("text")}) - 2),
+       |                i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS s
+       |  FROM corpus WHERE len(${toks("text")}) >= 3))""".stripMargin
 
   private val nearDupCorpus =
     """SELECT doc_id, text FROM documents
@@ -313,26 +315,28 @@ object Oracles {
 
     "q29_minhash_lsh" -> {
       val sigCols = (0 until 8).map { i =>
-        s"min(CAST(concat('0x', substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS BIGINT)) AS mh$i"
-      }.mkString(", ")
+        s"list_min(list_transform(m${i / 4}, m -> CAST(concat('0x', substr(m, ${(i % 4) * 8 + 1}, 8)) AS BIGINT))) AS mh$i"
+      }.mkString(",\n         ")
       val bandRows = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band, concat_ws('|', mh${b * 2}, mh${b * 2 + 1}) AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""${shinglesSql(nearDupCorpus)},
-         |shm AS (SELECT doc_id, md5(concat('mh0|', s)) AS m0, md5(concat('mh1|', s)) AS m1 FROM sh),
-         |sig AS (SELECT doc_id, $sigCols FROM shm GROUP BY doc_id),
+      s"""WITH corpus AS ($nearDupCorpus),
+         |sharr AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(${toks("text")}) - 2),
+         |        i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS shingles
+         |  FROM corpus WHERE len(${toks("text")}) >= 3),
+         |shm AS (SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> md5(concat('mh0|', s))) AS m0,
+         |         list_transform(shingles, s -> md5(concat('mh1|', s))) AS m1 FROM sharr),
+         |sig AS (SELECT doc_id, $sigCols FROM shm),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
-         |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
-         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
-         |          GROUP BY doc_a, doc_b)
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
-         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  SELECT doc_a, doc_b,
+         |    ${t6("CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))")} AS jaccard
+         |  FROM cand JOIN sharr a ON a.doc_id = doc_a JOIN sharr b ON b.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
 

@@ -27,52 +27,76 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Word n-gram shingles with positions, one row per (doc_id, shingle). */
+  /** Distinct word n-gram shingles, one row per (doc_id, shingle).
+    * Built by slicing the token array inside one projection (transform +
+    * explode) — a narrow, shuffle-free generator; the only shuffle is the
+    * final distinct. (A window/lead formulation would force a full
+    * shuffle+sort of every token row first.) */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withTok = docs.select(
-      col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val shingled = (1 until n).foldLeft(withTok.withColumn("sh", col("tok"))) {
-      case (df, i) => df.withColumn("sh",
-        concat_ws(" ", col("sh"), lead(col("tok"), i).over(w)))
-    }
-    // window results must be materialized as columns before filtering
-    shingled
-      .withColumn("last_tok", lead(col("tok"), n - 1).over(w))
-      .filter(col("last_tok").isNotNull)
-      .select(col("doc_id"), col("sh").as("shingle"))
+    val toksCol = tokens(col("text"))
+    // the filter below guarantees size-n >= 0, so the sequence is ascending
+    val grams = transform(
+      sequence(lit(0), size(toksCol) - n),
+      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
+    // repartition the (small) pre-explode input so the generator fans out
+    // across all cores — a narrow explode would otherwise inherit the
+    // parquet file's partition count and serialize the md5/slice work
+    docs
+      .filter(size(toksCol) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(grams).as("shingle"))
       .distinct()
   }
 
-  /** MinHash signature: `numHashes` 32-bit hash functions derived as hex
-    * slices of ⌈numHashes/4⌉ salted md5s per shingle (md5 dominates the
-    * cost, so 4 hash functions share one digest), then per-doc numeric
-    * min — order-independent → exact and engine-portable. */
-  def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
+  /** Distinct shingle ARRAY per doc — the row-free representation: every
+    * downstream minhash step is then a narrow per-row array expression
+    * with no shuffle at all. */
+  def shingleArrays(docs: DataFrame, n: Int): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(toksCol) - n),
+      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
+    docs
+      .filter(size(toksCol) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(grams).as("shingles"))
+  }
+
+  /** MinHash signature over per-doc shingle arrays: `numHashes` 32-bit
+    * hash functions derived as hex slices of ⌈numHashes/4⌉ salted md5s
+    * per shingle (md5 dominates, so 4 hash functions share one digest),
+    * then `array_min` per doc — a pure projection, no aggregation. */
+  def minhashSignature(sharr: DataFrame, numHashes: Int): DataFrame = {
     val nMd5 = (numHashes + 3) / 4
-    val withMd5 = sh.select(
-      col("doc_id") +:
+    val withMd5 = sharr.select(
+      col("doc_id") +: col("shingles") +:
         (0 until nMd5).map(j =>
-          md5(concat(lit(s"mh$j|"), col("shingle"))).as(s"m$j")): _*)
-    val aggs = (0 until numHashes).map { i =>
-      min(conv(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
-        .cast("long")).as(s"mh$i")
+          transform(col("shingles"),
+            s => md5(concat(lit(s"mh$j|"), s))).as(s"m$j")): _*)
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col(s"m${i / 4}"),
+        m => conv(substring(m, (i % 4) * 8 + 1, 8), 16, 10).cast("long")))
+        .as(s"mh$i")
     }
-    withMd5.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withMd5.select(col("doc_id") +: col("shingles") +: sigCols: _*)
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact shingle Jaccard.
-    * numHashes = bands × rowsPerBand. Returns (doc_a, doc_b, jaccard). */
+    * numHashes = bands × rowsPerBand. Returns (doc_a, doc_b, jaccard).
+    *
+    * Shape at scale: one narrow scan computes shingle arrays + signatures
+    * (no shuffle), the only shuffles are the band-bucket self-join (rows =
+    * docs × bands) and the candidate verification join — both tiny
+    * relative to the corpus. Skewed buckets (boilerplate near-identical
+    * docs) would be salted or capped here. */
   def minhashLsh(
       docs: DataFrame,
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, shingleSize).cache()
-    val sig = minhashSignature(sh, bands * rowsPerBand)
-    // one row per (doc, band): explode rather than a bands-way union so the
-    // signature aggregation runs once, not `bands` times
+    val sharr = shingleArrays(docs, shingleSize).cache()
+    val sig = minhashSignature(sharr, bands * rowsPerBand)
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bkey"))
@@ -87,29 +111,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification: Jaccard over shingle sets, candidates only
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    minhashVerify(candidates, sh, counts, jaccardThreshold)
-  }
-
-  private def minhashVerify(
-      candidates: DataFrame, sh: DataFrame, counts: DataFrame,
-      threshold: Double): DataFrame = {
-    val shA = sh.toDF("doc_a", "shingle")
-    val shB = sh.toDF("doc_b", "shingle")
-    val interCount = candidates
-      .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    val cA = counts.toDF("doc_a", "n_a")
-    val cB = counts.toDF("doc_b", "n_b")
-    interCount
-      .join(cA, "doc_a").join(cB, "doc_b")
+    // exact verification: set Jaccard via array_intersect, candidates only
+    val a = sharr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sharr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         trunc6(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))))
-      .filter(col("jaccard") >= threshold)
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))))
+      .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -158,10 +169,18 @@ object Dedup {
     * quadratic baseline; the LSH/IVF path replaces this at scale). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", trunc6(VectorFunctions.cosine(col("e_a"), col("e_b"))))
+    // precompute each side's L2 norm once per ROW (not per pair): the
+    // value is bit-identical to recomputing it inside cosine, but cuts
+    // the pair loop from 3 dot products to 1
+    def side(idName: String, eName: String, nName: String) =
+      embeddings.select(col("vec_id").as(idName), col("embedding").as(eName),
+        VectorFunctions.l2Norm(col("embedding")).as(nName))
+    val denom = col("n_a") * col("n_b")
+    side("id_a", "e_a", "n_a")
+      .join(side("id_b", "e_b", "n_b"), col("id_a") < col("id_b"))
+      .withColumn("score", trunc6(
+        when(denom === 0d, 0d)
+          .otherwise(VectorFunctions.dot(col("e_a"), col("e_b")) / denom)))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
