@@ -273,6 +273,26 @@ object Oracles {
          |  WHERE e.label = q.label AND e.vec_id != ${SparkEntry.IvfQueryId})
          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
 
+    "q41_knn_lsh" -> {
+      // duckdb parses plain decimal literals as DECIMAL; exponent notation
+      // forces DOUBLE so the dot products run in the same IEEE arithmetic
+      def dlit(d: Double) = { val s = d.toString; if (s.contains("E")) s else s + "e0" }
+      val hp = graft.operators.Retrieval.hyperplanes(6, 64)
+      def bucket(e: String) = hp.zipWithIndex.map { case (plane, p) =>
+        val arr = plane.map(dlit).mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(CAST($e AS DOUBLE[]), $arr) > 0 THEN ${1 << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""SELECT id, score FROM (
+         |  SELECT e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |  FROM embeddings e,
+         |       (SELECT CAST(embedding AS DOUBLE[]) AS qv, ${bucket("embedding")} AS qbucket
+         |        FROM embeddings WHERE vec_id = ${SparkEntry.KnnQueryId}) q
+         |  WHERE ${bucket("e.embedding")} = q.qbucket
+         |    AND e.vec_id != ${SparkEntry.KnnQueryId})
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin
+    },
+
     "q22_near_dup_vectors" ->
       s"""SELECT id_a, id_b, score FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -213,6 +213,9 @@ object SparkEntry {
     "q21_knn_ivf" -> ((s, d) =>
       Retrieval.cosineKnnIvf(Tables.embeddings(s, d), IvfQueryId, 20)),
 
+    "q41_knn_lsh" -> ((s, d) =>
+      Retrieval.cosineKnnLsh(Tables.embeddings(s, d), KnnQueryId, 10)),
+
     "q22_near_dup_vectors" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25)),
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity / ranking kernels (SURVEY §2.5).
@@ -55,6 +55,51 @@ object Retrieval {
     embeddings
       .crossJoin(broadcast(q))
       .filter(col("label") === col("qlabel") && col("vec_id") =!= queryId)
+      .withColumn("score",
+        trunc6(VectorFunctions.cosine(col("embedding"), col("qvec"))))
+      .select(col("vec_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Deterministic random-hyperplane family for sign-LSH: plane p,
+    * dim d → md5-derived value in [-1, 1). Derived from the digest so
+    * Spark and any SQL oracle can reproduce the exact same planes. */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hp|$p|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) % 2000) / 1000.0 - 1.0
+    }
+
+  /** Sign-LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def lshBucket(v: Column, hp: Array[Array[Double]]): Column =
+    hp.zipWithIndex.map { case (plane, p) =>
+      when(VectorFunctions.dot(v, typedlit(plane.toSeq)) > 0d, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH approximate KNN: probe only the query's sign
+    * bucket, exact-rescore inside it. With `planes` hyperplanes the scan
+    * shrinks ~2^planes×; at cluster scale the table is written bucketed
+    * on this id so the probe is pure partition pruning. Recall can be
+    * raised by multi-probing neighbor buckets (flip one bit). */
+  def cosineKnnLsh(
+      embeddings: DataFrame,
+      queryId: Long,
+      topK: Int,
+      planes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val withBucket = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), hp))
+    val q = withBucket
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    withBucket
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= queryId)
       .withColumn("score",
         trunc6(VectorFunctions.cosine(col("embedding"), col("qvec"))))
       .select(col("vec_id").as("id"), col("score"))
