@@ -104,7 +104,11 @@ object SparkEntry {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"))
+      // broadcast the filtered dimension side explicitly: left to its own
+      // estimates Spark broadcasts the column-pruned FACT table here,
+      // which inverts into a giant shuffle the moment lineitem outgrows
+      // the threshold — the dim side is the one that stays small at scale
+      broadcast(c.join(o, c("c_custkey") === o("o_custkey")))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(trunc6(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))

@@ -142,6 +142,60 @@ class MemFuse(
         new org.apache.hadoop.fs.Path(path(t)))
     }
 
+  // ---------- knowledge CRUD (S10, reference memory_service.py:1327-1507) ----------
+
+  def addKnowledge(userId: String, items: Seq[String]): Unit = {
+    import spark.implicits._
+    items.map(k => (java.util.UUID.randomUUID.toString, userId, k))
+      .toDF("knowledge_id", "user_id", "content")
+      .write.mode(SaveMode.Append).parquet(path("knowledge"))
+  }
+
+  def knowledge(userId: String): DataFrame =
+    spark.read.parquet(path("knowledge")).filter(col("user_id") === userId)
+
+  def updateKnowledge(knowledgeId: String, content: String): Unit =
+    rewrite("knowledge")(df =>
+      df.withColumn("content",
+        when(col("knowledge_id") === knowledgeId, lit(content))
+          .otherwise(col("content"))))
+
+  def deleteKnowledge(knowledgeId: String): Unit =
+    rewrite("knowledge")(_.filter(col("knowledge_id") =!= knowledgeId))
+
+  /** Read-modify-overwrite of one table (parquet stand-in for a Delta
+    * MERGE/DELETE transaction). */
+  private def rewrite(table: String)(f: DataFrame => DataFrame): Unit = {
+    val p = path(table)
+    f(spark.read.parquet(p)).write.mode(SaveMode.Overwrite).parquet(p + "_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.rename(new org.apache.hadoop.fs.Path(p + "_tmp"), new org.apache.hadoop.fs.Path(p))
+  }
+
+  // ---------- M2 semantic layer (H2/H3/H7) ----------
+
+  /** Derive m2 facts + entity graph from the current m1 chunks and
+    * persist them (the reference's M2SemanticLayer write path). */
+  def buildSemanticLayer(): Unit = {
+    val facts = SemanticLayer.extractFacts(m1)
+    facts.write.mode(SaveMode.Overwrite).parquet(path("m2_facts"))
+    val (vertices, edges) = SemanticLayer.extractGraph(facts)
+    vertices.write.mode(SaveMode.Overwrite).parquet(path("m2_vertices"))
+    edges.write.mode(SaveMode.Overwrite).parquet(path("m2_edges"))
+  }
+
+  def m2Facts: DataFrame = spark.read.parquet(path("m2_facts"))
+
+  /** H7: query every layer (m0 raw, m1 chunks, m2 facts) and union with a
+    * layer tag. */
+  def queryAllLayers(text: String, userId: String, topKPerLayer: Int = 3): DataFrame =
+    SemanticLayer.queryAllLayers(
+      m0.filter(col("user_id") === userId),
+      m1.filter(col("user_id") === userId),
+      m2Facts.filter(col("user_id") === userId),
+      encoder, text, topKPerLayer)
+
   /** Lineage join (J2): chunks exploded to their source m0 messages. */
   def chunkLineage: DataFrame = {
     val m1df = m1

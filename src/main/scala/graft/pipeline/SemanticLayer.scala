@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions.trunc6
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M2 semantic derivations (SURVEY §2.10 H2/H3/H6/H7).
+  *
+  * The reference extracts facts/entities with an LLM
+  * (fact_extraction_processor.py) and falls back to rule-based
+  * extraction (:434-472); conflict detection compares new facts against
+  * similar existing facts (conflict_detection.py:55-160). Here the LLM
+  * stage is the same deterministic rule-based shape — an LLM swap-in is a
+  * `mapPartitions` stage with identical inputs/outputs — while the joins,
+  * lineage and similarity prefilter are the real distributed plumbing.
+  */
+object SemanticLayer {
+
+  /** H2/H3 fact extraction (rule-based): one fact per "X is/are/has Y"
+    * line of a chunk. Output: (fact_id, chunk_id, user_id, subject,
+    * predicate, object, fact_text, confidence). */
+  def extractFacts(chunks: DataFrame): DataFrame = {
+    val line = explode(split(col("content"), "\n")).as("line")
+    val cleaned = regexp_replace(col("line"), "^\\[[a-z]+\\]: ", "")
+    val pattern = "^(.*?)\\s+(is|are|has|have)\\s+(.*)$"
+    chunks
+      .select(col("chunk_id"), col("user_id"), line)
+      .withColumn("clean", cleaned)
+      .withColumn("subject", regexp_extract(col("clean"), pattern, 1))
+      .withColumn("predicate", regexp_extract(col("clean"), pattern, 2))
+      .withColumn("object", regexp_extract(col("clean"), pattern, 3))
+      .filter(col("subject") =!= "" && col("object") =!= "")
+      .withColumn("fact_text",
+        concat_ws(" ", col("subject"), col("predicate"), col("object")))
+      .withColumn("fact_id", concat(col("chunk_id"), lit("|"), sha1(col("fact_text"))))
+      // rule-based extraction confidence mirrors the reference fallback's
+      // fixed mid confidence (vs LLM-scored)
+      .withColumn("confidence", lit(0.6))
+      .select("fact_id", "chunk_id", "user_id", "subject", "predicate",
+        "object", "fact_text", "confidence")
+  }
+
+  /** H3 entity/relationship extraction: entities are distinct non-stop
+    * tokens of fact subjects/objects; edges connect subject-entity to
+    * object-entity per fact, weighted by how many facts support them. */
+  def extractGraph(facts: DataFrame): (DataFrame, DataFrame) = {
+    def headToken(c: Column) = lower(element_at(split(trim(c), " "), 1))
+    val edges = facts
+      .select(headToken(col("subject")).as("src"),
+        headToken(col("object")).as("dst"),
+        col("predicate").as("relation"))
+      .filter(col("src") =!= "" && col("dst") =!= "")
+      .groupBy("src", "dst", "relation")
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val vertices = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("type", lit("entity"))
+    (vertices, edges)
+  }
+
+  /** H6 conflict detection: candidate pairs via embedding-cosine
+    * prefilter (the vector pre-join the reference does before asking the
+    * LLM), then rule verdicts — DIRECT_CONTRADICTION when subject and
+    * predicate agree but the object differs, SEMANTIC_CONFLICT when only
+    * the subjects collide. */
+  def detectConflicts(
+      newFacts: DataFrame,
+      existingFacts: DataFrame,
+      encoder: TextEncoder,
+      similarityThreshold: Double = 0.5): DataFrame = {
+    val enc = encoder
+    def embed(df: DataFrame, prefix: String) =
+      enc.encode(df.select(
+        col("fact_id").as(s"${prefix}_id"), col("subject").as(s"${prefix}_subject"),
+        col("predicate").as(s"${prefix}_predicate"), col("object").as(s"${prefix}_object"),
+        col("fact_text").as(s"${prefix}_text")), s"${prefix}_text")
+        .withColumnRenamed("embedding", s"${prefix}_emb")
+    val n = embed(newFacts, "new")
+    val e = embed(existingFacts, "old")
+    n.join(e, col("new_id") =!= col("old_id"))
+      .withColumn("similarity",
+        trunc6(VectorFunctions.cosine(col("new_emb"), col("old_emb"))))
+      .filter(col("similarity") >= similarityThreshold)
+      .withColumn("conflict_type",
+        when(col("new_subject") === col("old_subject") &&
+          col("new_predicate") === col("old_predicate") &&
+          col("new_object") =!= col("old_object"), "DIRECT_CONTRADICTION")
+          .when(col("new_subject") === col("old_subject"), "SEMANTIC_CONFLICT")
+          .otherwise("RELATED"))
+      .filter(col("conflict_type") =!= "RELATED")
+      .select(col("new_id"), col("old_id"), col("conflict_type"), col("similarity"))
+  }
+
+  /** H7 multi-layer fan-out: score every layer with the same query text
+    * and union with a layer tag. `m0`/`m1`/`m2facts` must carry a text
+    * column named content/content/fact_text respectively. */
+  def queryAllLayers(
+      m0: DataFrame, m1: DataFrame, m2facts: DataFrame,
+      encoder: TextEncoder, queryText: String, topKPerLayer: Int): DataFrame = {
+    val qvec = typedlit(encoder.encodeOne(queryText).toSeq)
+    def score(df: DataFrame, idCol: String, textCol: String, layer: String) = {
+      val enc = encoder
+      enc.encode(df.select(col(idCol).as("id"), col(textCol).as("content")), "content")
+        .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+        .select(col("id"), col("content"), col("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(topKPerLayer)
+        .withColumn("layer", lit(layer))
+    }
+    score(m0, "message_id", "content", "m0")
+      .unionByName(score(m1.drop("embedding"), "chunk_id", "content", "m1"))
+      .unionByName(score(m2facts, "fact_id", "fact_text", "m2"))
+  }
+}
