@@ -430,6 +430,24 @@ object Oracles {
          |  contains(lower(text), 'join') AS has_join
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q42_token_count_cjk" ->
+      s"""SELECT doc_id,
+         |  len(${toks("text")}) AS n_ws_tokens,
+         |  length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS n_cjk_chars,
+         |  CAST(floor((len(${toks("text")}) + length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g'))) * 1.3) AS BIGINT) AS token_estimate
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_two_stage_rerank" -> {
+      val q = SparkEntry.KwQuery.split(" ").distinct
+        .filterNot(graft.functions.TextFunctions.StopWords.contains)
+      val qList = q.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""SELECT id, score,
+         |  ${t6(s"score * 0.7 + CAST(len(list_intersect(${tokenSet("text")}, $qList)) AS DOUBLE) / ${q.length}.0 * 0.3")} AS rerank_score
+         |FROM (${vectorScanSql(SparkEntry.KnnQueryId, 20)}) s
+         |JOIN documents ON s.id = documents.doc_id
+         |ORDER BY rerank_score DESC, id LIMIT 10""".stripMargin
+    },
+
     "q40_first_wins_dedup" ->
       s"""SELECT id, score, store_type FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY priority, score DESC) AS rn

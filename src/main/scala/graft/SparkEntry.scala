@@ -317,6 +317,39 @@ object SparkEntry {
           lower(col("text")).contains("join").as("has_join"))
         .orderBy("doc_id")),
 
+    // ---- CJK-aware token counting (A7 fallback semantics:
+    // whitespace words + one token per Han char, ×1.3 estimate —
+    // reference utils/token_counter.py:114-160) ----
+    "q42_token_count_cjk" -> ((s, d) => {
+      val nWs = size(tokens(col("text"))).cast("long")
+      val nCjk = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\p{IsHan}", ""))).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nCjk.as("n_cjk_chars"),
+        floor((nWs + nCjk) * lit(1.3)).cast("long").as("token_estimate"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- two-stage retrieval (K8 shape: recall 2k by cosine, rerank by
+    // a second scorer, cut to k — reference memory_service.py:1553,1778) ----
+    "q43_two_stage_rerank" -> ((s, d) => {
+      val k = 10
+      val qTokens = KwQuery.split(" ").distinct
+        .filterNot(graft.functions.TextFunctions.StopWords.contains)
+      val stage1 = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId, 2 * k)
+      val docs = Tables.documents(s, d)
+      val overlap = size(array_intersect(tokenSet(col("text")), lit(qTokens)))
+        .cast("double") / lit(qTokens.length.toDouble)
+      stage1.join(docs, stage1("id") === docs("doc_id"))
+        .withColumn("rerank_score",
+          trunc6(col("score") * 0.7 + overlap * 0.3))
+        .select(col("id"), col("score"), col("rerank_score"))
+        .orderBy(col("rerank_score").desc, col("id"))
+        .limit(k)
+    }),
+
     // ---- first-wins union dedup (T4) ----
     "q40_first_wins_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
