@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet footer reads
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // untimed warmup pass: JIT, whole-stage-codegen compilation and file
+    // index caches, so the timed pass measures steady-state throughput
+    // (set SPARK_GRAFT_WARMUP=0 for cold-start numbers)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
