@@ -395,6 +395,32 @@ object Oracles {
       """SELECT user_id, string_agg(concat('[', event_type, ']: ', props), chr(10) ORDER BY event_id) AS chunk_text
         |FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // greedy stateful token-budget packing, expressed as a per-group
+    // recursive CTE advancing one row per recursion step (groups recurse
+    // in lockstep on their row_number)
+    "q34_token_budget_chunks" ->
+      """WITH RECURSIVE inp AS (
+        |  SELECT source AS g,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |         text AS content, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT g, rn, content, n, 0 AS idx, n AS acc, (n > 500) AS closed
+        |  FROM inp WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.g, i.rn, i.content, i.n,
+        |         CASE WHEN r.closed OR (r.acc + i.n > 500 AND r.acc > 0)
+        |              THEN r.idx + 1 ELSE r.idx END,
+        |         CASE WHEN r.closed OR (r.acc + i.n > 500 AND r.acc > 0)
+        |              THEN i.n ELSE r.acc + i.n END,
+        |         (CASE WHEN r.closed OR (r.acc + i.n > 500 AND r.acc > 0)
+        |               THEN i.n ELSE r.acc + i.n END) > 500
+        |  FROM r JOIN inp i ON i.g = r.g AND i.rn = r.rn + 1)
+        |SELECT g AS group_id, CAST(idx AS BIGINT) AS chunk_idx,
+        |       string_agg(content, chr(10) ORDER BY rn) AS chunk_text,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY g, idx ORDER BY group_id, chunk_idx""".stripMargin,
+
     "q35_graph_neighbors" ->
       """SELECT l_partkey + 100000 AS dst, p_name AS name, l_extendedprice AS weight,
         |  l_returnflag AS relation

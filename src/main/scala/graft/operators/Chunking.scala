@@ -77,7 +77,9 @@ object Chunking {
           buf = scala.collection.mutable.ArrayBuffer.empty[String]; tok = 0
         }
         rows.foreach { case (_, _, content) =>
-          val n = content.split(" ").length
+          // split with limit -1 keeps trailing empty tokens, matching
+          // SQL string_split semantics
+          val n = content.split(" ", -1).length
           if (tok + n > budget && buf.nonEmpty) flush()
           buf += content; tok += n
           if (tok > budget) flush() // oversized single message: own chunk
@@ -86,6 +88,8 @@ object Chunking {
         out
       }
     grouped.toDF("group_id", "chunk_idx", "chunk_text", "n_tokens")
+      .select(col("group_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
       .orderBy("group_id", "chunk_idx")
   }
 }

@@ -14,10 +14,9 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
-  test("oracle coverage: every query has oracle SQL or is a documented exception") {
+  test("oracle coverage: every query has oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q34 is greedy stateful packing — not SQL-expressible, rows-only check
-    assert(noOracle == Set("q34_token_budget_chunks"), noOracle.toString)
+    assert(noOracle.isEmpty, noOracle.toString)
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, orphans.toString)
   }

@@ -83,7 +83,7 @@ class OperatorSpec extends SparkSpec {
     val msgs = (1 to 20).map(i => ("g1", i.toLong, Seq.fill(100)(s"w$i").mkString(" ")))
       .toDF("g", "seq", "content")
     val chunks = Chunking.tokenBudgetChunks(msgs, "g", "seq", "content", 250)
-      .select("n_tokens").as[Int].collect()
+      .select("n_tokens").as[Long].collect()
     assert(chunks.forall(_ <= 250))
     assert(chunks.sum == 2000) // nothing lost
   }
