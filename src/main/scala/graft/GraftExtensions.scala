@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions for SQL use, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` runs the same codegen'd
+  * kernel as the DataFrame API.
+  *
+  * Wire up with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        val (a, b) = (children(0), children(1))
+        val denom = Multiply(
+          Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))
+        CaseWhen(
+          Seq((EqualTo(denom, Literal(0d)), Literal(0d))),
+          Some(Divide(DotProduct(a, b), denom)))
+      }))
+  }
+}

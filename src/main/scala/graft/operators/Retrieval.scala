@@ -140,19 +140,20 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
-    // postings: one row per (doc, term) with term frequency
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val postings = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // doc lengths + corpus stats need the full token stream; the postings
+    // aggregation only needs QUERY-term rows, so filter before grouping —
+    // at scale both sides are precomputed index tables and this becomes
+    // a pure index lookup
     val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // corpus stats: single-row DataFrame, broadcast
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfreq = postings
+    val postings = tok
       .filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = postings
-      .filter(col("term").isin(terms: _*))
       .join(broadcast(dfreq), "term")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(stats))
