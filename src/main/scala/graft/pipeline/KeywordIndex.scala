@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions.{dsum12, tokens, trunc6}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for keyword/BM25 retrieval — the engine-side
+  * replacement for the reference's SQLite FTS5 side index
+  * (store/keyword_store/sqlite_store.py:93-145).
+  *
+  * Layout: `postings(term, doc_id, tf)` written partitioned by a 64-way
+  * term hash bucket (a query's terms prune to a handful of partitions),
+  * plus `doclen(doc_id, dl)` and a single-row `stats(n_docs, avgdl)`.
+  * Query time never touches the raw corpus: score = join of the query's
+  * posting slices with broadcast df/stats — at 100 TB this is the
+  * difference between a corpus scan per query and an index lookup.
+  */
+class KeywordIndex(spark: SparkSession, basePath: String) {
+
+  private def p(t: String) = s"$basePath/kw_$t"
+
+  def build(docs: DataFrame): Unit = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64)))
+      .write.mode(SaveMode.Overwrite).partitionBy("term_bucket").parquet(p("postings"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    docLen.write.mode(SaveMode.Overwrite).parquet(p("doclen"))
+    docLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(p("stats"))
+  }
+
+  /** BM25 top-k from the index alone (k1/b per the reference defaults). */
+  def bm25(queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    // resolve the terms' partition buckets with the same xxhash64 expression
+    // used at write time (tiny local job)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(64)).as("b"))
+      .as[Long].collect().distinct.toSeq
+    val postings = spark.read.parquet(p("postings"))
+      .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
+      .filter(col("term").isin(terms: _*))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .join(spark.read.parquet(p("doclen")), "doc_id")
+      .crossJoin(broadcast(spark.read.parquet(p("stats"))))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(trunc6(dsum12(col("tscore"))).as("score"))
+    scored.select(col("doc_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+}

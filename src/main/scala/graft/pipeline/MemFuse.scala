@@ -142,6 +142,58 @@ class MemFuse(
         new org.apache.hadoop.fs.Path(path(t)))
     }
 
+  // ---------- query-result cache + quality gate (B5, reference
+  // buffer/query_buffer.py:102-215: cache check → buffer-first routing →
+  // quality gate ≥0.7 → storage supplement) ----------
+
+  private val resultCache =
+    new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
+        size() > 100 // reference cache_size=100
+    }
+
+  /** Cached hybrid query: driver-side LRU keyed by
+    * (query|user|topK) — the Spark analogue of QueryBuffer's result
+    * cache. Returns collected rows (the API-response shape). */
+  def queryCached(text: String, userId: String, topK: Int = 5): Array[org.apache.spark.sql.Row] =
+    resultCache.synchronized {
+      val key = s"$text|$userId|$topK"
+      val hit = resultCache.get(key)
+      if (hit != null) hit
+      else {
+        val rows = query(text, userId, topK).collect()
+        resultCache.put(key, rows)
+        rows
+      }
+    }
+
+  def clearCache(): Unit = resultCache.synchronized(resultCache.clear())
+
+  /** Buffer-first routing with quality gate: score the (cheap, recent)
+    * `recent` frame first; if avg rerank quality ≥ `qualityGate` and
+    * enough rows, skip the full-store query — else supplement from
+    * storage (reference query_buffer.py:170-215). */
+  def routedQuery(
+      text: String, userId: String, topK: Int,
+      recent: DataFrame, qualityGate: Double = 0.7): DataFrame = {
+    val enc = encoder
+    val qvec = typedLit(enc.encodeOne(text).toSeq)
+    val bufferHits = enc.encode(
+      recent.filter(col("user_id") === userId).select(
+        col("chunk_id").as("id"), col("content"), col("session_id"),
+        col("token_count")), "content")
+      .withColumn("fused_score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+      .drop("embedding")
+      .orderBy(col("fused_score").desc, col("id"))
+      .limit(topK)
+    val scored = reranker.rerank(bufferHits, text, topK)
+    val quality = scored.agg(avg(col("rerank_score"))).collect()(0)
+    val qOk = !quality.isNullAt(0) && quality.getDouble(0) >= qualityGate &&
+      scored.count() >= topK
+    if (qOk) scored else query(text, userId, topK)
+  }
+
   // ---------- knowledge CRUD (S10, reference memory_service.py:1327-1507) ----------
 
   def addKnowledge(userId: String, items: Seq[String]): Unit = {

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Retrieval
+import graft.pipeline.{KeywordIndex, MemFuse, Schemas}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyword index bm25 equals on-the-fly bm25") {
+    val docs = Tables.documents(spark, sf())
+    val dir = Files.createTempDirectory("kwidx").toString
+    val idx = new KeywordIndex(spark, dir)
+    idx.build(docs)
+    val fromIndex = idx.bm25(Seq("join", "filter", "table", "scan"), 50)
+      .as[(Long, Double)].collect().toSeq
+    val onTheFly = Retrieval.bm25(docs, Seq("join", "filter", "table", "scan"), 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromIndex == onTheFly)
+  }
+
+  private def ts(i: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + i * 1000L)
+
+  test("query cache: second call is served without recomputation; routing gates on quality") {
+    val dir = Files.createTempDirectory("cache").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "alpha beta gamma", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "delta epsilon zeta", ts(2))).toDF())
+
+    val first = engine.queryCached("alpha beta", "u1", 2)
+    val second = engine.queryCached("alpha beta", "u1", 2)
+    assert(first eq second) // same cached array instance
+    assert(first.nonEmpty)
+
+    // quality gate: recent frame holds a perfect match → buffer serves it
+    val recent = engine.m1
+    val routed = engine.routedQuery("alpha beta gamma", "u1", 1, recent, qualityGate = 0.7)
+    assert(routed.collect().head.getAs[String]("content").contains("alpha"))
+    // impossible gate → falls through to full storage query, still correct
+    val fallback = engine.routedQuery("alpha beta gamma", "u1", 1, recent, qualityGate = 1.1)
+    assert(fallback.collect().head.getAs[String]("content").contains("alpha"))
+  }
+}
