@@ -4,14 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
-  // needs its own session: extensions bind at session build time
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // extensions bind only when a NEW SparkSession is built — clear the
+  // JVM-wide default (shared by other suites via getOrCreate) so the
+  // builder actually constructs one (the underlying SparkContext is
+  // reused, so this is cheap and non-destructive)
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   test("dot_product and cosine_sim are callable from SQL") {
     val row = spark.sql(
