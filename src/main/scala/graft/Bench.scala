@@ -19,11 +19,15 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = ordered.map { case (name, fn) =>
+    // min of two timed passes: one-off GC/compilation hiccups otherwise
+    // dominate sub-second queries
+    def pass() = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

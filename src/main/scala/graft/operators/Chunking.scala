@@ -18,8 +18,11 @@ object Chunking {
     require(overlap < size, "overlap must be < size")
     val stride = size - overlap
     val lastIdx = floor((length(col(textCol)) - 1) / stride).cast("int")
+    // fan out before the explode: a narrow generator inherits the input
+    // file's partition count and would serialize the substring work
     docs
       .filter(length(col(textCol)) > 0)
+      .repartition(col(idCol))
       .select(col(idCol), col(textCol),
         explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
       .select(
