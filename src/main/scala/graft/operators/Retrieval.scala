@@ -80,26 +80,47 @@ object Retrieval {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Random-hyperplane LSH approximate KNN: probe only the query's sign
+  /** Random-hyperplane LSH approximate KNN: probe the query's sign
     * bucket, exact-rescore inside it. With `planes` hyperplanes the scan
     * shrinks ~2^planes×; at cluster scale the table is written bucketed
-    * on this id so the probe is pure partition pruning. Recall can be
-    * raised by multi-probing neighbor buckets (flip one bit). */
+    * on this id so the probe is pure partition pruning.
+    *
+    * `multiProbe = m` additionally probes every bucket at Hamming
+    * distance 1 whose flipped plane is among the `m` smallest-margin
+    * planes of the query (the classic multi-probe recall boost without
+    * re-hashing the corpus). */
   def cosineKnnLsh(
       embeddings: DataFrame,
       queryId: Long,
       topK: Int,
       planes: Int = 6,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      multiProbe: Int = 0): DataFrame = {
     val hp = hyperplanes(planes, dim)
     val withBucket = embeddings
       .withColumn("bucket", lshBucket(col("embedding"), hp))
     val q = withBucket
       .filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"),
+        array((0 until planes).map(p =>
+          abs(VectorFunctions.dot(col("embedding"), typedlit(hp(p).toSeq)))): _*)
+          .as("margins"))
+    // probe mask: qbucket itself plus qbucket with one low-margin bit flipped
+    val probes = if (multiProbe <= 0) array(col("qbucket"))
+    else {
+      // rank planes by |margin| ascending; flip the multiProbe smallest
+      val idxByMargin = array_sort(
+        array((0 until planes).map(p =>
+          struct(element_at(col("margins"), p + 1).as("m"), lit(p).as("p"))): _*))
+      val flipped = (0 until multiProbe).map { r =>
+        col("qbucket").bitwiseXOR(
+          pow(lit(2), element_at(idxByMargin, r + 1).getField("p")).cast("int"))
+      }
+      array(col("qbucket") +: flipped: _*)
+    }
     withBucket
-      .crossJoin(broadcast(q))
-      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q.withColumn("probes", probes)))
+      .filter(array_contains(col("probes"), col("bucket")) && col("vec_id") =!= queryId)
       .withColumn("score",
         trunc6(VectorFunctions.cosine(col("embedding"), col("qvec"))))
       .select(col("vec_id").as("id"), col("score"))

@@ -26,6 +26,20 @@ class IvfSpec extends SparkSpec {
       emb.count())
   }
 
+  test("multi-probe lsh recall >= single-bucket recall") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Retrieval.cosineKnn(emb, 0L, 10)
+      .select("id").as[Long].collect().toSet
+    def recall(mp: Int) = {
+      val ids = Retrieval.cosineKnnLsh(emb, 0L, 10, multiProbe = mp)
+        .select("id").as[Long].collect().toSet
+      (ids & exact).size
+    }
+    val single = recall(0)
+    val multi = recall(3)
+    assert(multi >= single)
+  }
+
   test("ivf build is deterministic under a fixed seed") {
     val emb = Tables.embeddings(spark, sf())
     val a = IvfIndex.build(spark, emb, 4).assigned
