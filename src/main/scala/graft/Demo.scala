@@ -57,6 +57,24 @@ object Demo {
     Multimodal.extractFeatures(media, 8).show(false)
     Multimodal.sampleFrames(media).show(false)
 
+    println("-- M2 semantic layer: facts + multi-layer query --")
+    val sem = new MemFuse(spark, java.nio.file.Files.createTempDirectory("sem").toString)
+    sem.ingest(Seq(
+      Schemas.Message("f1", "s1", "carol", "r1", 1, "user",
+        "the capital of france is paris", ts(10)),
+      Schemas.Message("f2", "s1", "carol", "r2", 2, "user",
+        "spark has lazy evaluation", ts(11))).toDF())
+    sem.buildSemanticLayer()
+    sem.m2Facts.select("subject", "predicate", "object", "confidence").show(false)
+    sem.queryAllLayers("capital of france", "carol", 1).show(false)
+
+    println("-- IVF ANN index over the testdata embeddings --")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = graft.pipeline.IvfIndex.build(spark, emb, nlist = 8)
+    val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    ivf.query(qv, topK = 5, nProbe = 2).show(false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, pruning, broadcast direction, top-k via
+  * TakeOrderedAndProject) must survive future edits. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q01: segment filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q02: the dim side is broadcast, not the fact table") {
+    val df = SparkEntry.queries("q02_top_revenue_orders")(spark, sf())
+    // sparkPlan = physical plan before AQE wrapping / exchange insertion:
+    // broadcast intent shows as BroadcastHashJoinExec build sides
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val exec = df.queryExecution.sparkPlan
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, exec.toString.take(500))
+    // the fact table must stream: never on a broadcast build side
+    val buildSides = joins.map(j =>
+      (if (j.buildSide == BuildLeft) j.left else j.right).toString)
+    assert(!buildSides.exists(_.contains("lineitem.parquet")),
+      buildSides.map(_.take(300)).mkString("\n"))
+  }
+
+  test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
+    val p = plan("q20_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "label column must be pruned from the scan")
+  }
+
+  test("q12: tenant filter reaches the events scan") {
+    val p = plan("q12_user_events")
+    assert(p.contains("EqualTo(user_id,3)"), p.take(2000))
+  }
+
+  test("facade query prunes to the tenant's user bucket partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan").toString
+    val engine = new graft.pipeline.MemFuse(spark, dir)
+    engine.ingest(Seq(graft.pipeline.Schemas.Message(
+      "m1", "s1", "u1", "r1", 1, "user", "hello world",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF())
+    val p = engine.m1.filter(org.apache.spark.sql.functions.col("user_id") === "u1")
+      .queryExecution.executedPlan.toString()
+    // partition column present in the scan's partition filters
+    assert(p.contains("user_bucket"), p.take(2000))
+  }
+}
