@@ -149,7 +149,7 @@ object StreamingIngest {
     if (n > 0) {
       val done = encoder.encode(pending.drop("embedding"), "content")
         .withColumn("needs_embedding", lit(false))
-        .select(all.columns.map(col): _*)
+        .select(all.columns.toIndexedSeq.map(col): _*)
       val merged = all.filter(!col("needs_embedding")).unionByName(done)
       merged.write.mode(SaveMode.Overwrite).parquet(p + "_tmp")
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
