@@ -161,16 +161,17 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // doc lengths + corpus stats need the full token stream; the postings
-    // aggregation only needs QUERY-term rows, so filter before grouping —
-    // at scale both sides are precomputed index tables and this becomes
-    // a pure index lookup
-    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length is size(tokens) — a narrow projection, no explode/shuffle;
+    // only QUERY-term postings ever explode (filtered before grouping).
+    // At scale both sides are precomputed index tables (KeywordIndex) and
+    // this becomes a pure index lookup.
+    val docLen = docs.select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val postings = tok
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))

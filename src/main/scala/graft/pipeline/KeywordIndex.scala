@@ -24,7 +24,9 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64)))
       .write.mode(SaveMode.Overwrite).partitionBy("term_bucket").parquet(p("postings"))
-    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length is a narrow projection — no need to re-aggregate the explode
+    val docLen = docs.select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     docLen.write.mode(SaveMode.Overwrite).parquet(p("doclen"))
     docLen.agg(
       count(lit(1)).as("n_docs"),
