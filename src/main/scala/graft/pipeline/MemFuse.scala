@@ -120,6 +120,32 @@ class MemFuse(
     reranker.rerank(hydrated, text, topK)
   }
 
+  /** J5 session fan-out, collapsed to one job: where the reference loops
+    * over a user's sessions issuing one query each (api/users.py:265-295),
+    * the scan is already tenant-wide — scoring once and ranking within
+    * each session via a window replaces N queries with one DAG. */
+  def queryPerSession(text: String, userId: String, topKPerSession: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qvec = typedLit(encoder.encodeOne(text).toSeq)
+    val w = Window.partitionBy("session_id")
+      .orderBy(col("score").desc, col("chunk_id"))
+    m1.filter(col("user_id") === userId)
+      .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+      .withColumn("rank_in_session", row_number().over(w))
+      .filter(col("rank_in_session") <= topKPerSession)
+      .select(col("session_id"), col("rank_in_session"),
+        col("chunk_id").as("id"), col("content"), col("score"))
+      .orderBy(col("session_id"), col("rank_in_session"))
+  }
+
+  /** A6 chunk stats rollup (reference memory_service.py:690-734). */
+  def chunkStats: DataFrame =
+    m1.groupBy("session_id", "chunking_strategy")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("token_count")).as("total_tokens"),
+        avg(col("token_count")).as("avg_tokens"))
+      .orderBy("session_id", "chunking_strategy")
+
   /** Session message read (S2): sorted, limited scan. */
   def messagesBySession(
       sessionId: String, limit: Int = 20, ascending: Boolean = true): DataFrame = {

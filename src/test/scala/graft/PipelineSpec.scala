@@ -82,6 +82,20 @@ class PipelineSpec extends SparkSpec {
     assert(last.toSeq == Seq(30, 29, 28))
   }
 
+  test("per-session fan-out ranks within each session in one job") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "spark tuning advice"),
+      msg("m2", "s2", "u1", "r2", 1, "user", "spark shuffle details"),
+      msg("m3", "s3", "u1", "r3", 1, "user", "cooking with cast iron")).toDF())
+    val out = engine.queryPerSession("spark shuffle", "u1", topKPerSession = 1)
+      .select("session_id", "rank_in_session").as[(String, Int)].collect().toSet
+    assert(out == Set(("s1", 1), ("s2", 1), ("s3", 1)))
+    val stats = engine.chunkStats.collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getAs[Long]("n_chunks") == 1L))
+  }
+
   test("hashing encoder: deterministic, normalized, overlap-sensitive") {
     val enc = HashingEncoder(64)
     val a = enc.encodeOne("spark shuffle partition tuning")
