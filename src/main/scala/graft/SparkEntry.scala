@@ -104,12 +104,15 @@ object SparkEntry {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      // broadcast the filtered dimension side explicitly: left to its own
-      // estimates Spark broadcasts the column-pruned FACT table here,
-      // which inverts into a giant shuffle the moment lineitem outgrows
-      // the threshold — the dim side is the one that stays small at scale
-      broadcast(c.join(o, c("c_custkey") === o("o_custkey")))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      // broadcast ONLY the filtered dimension: customer is the side that
+      // stays small at scale. orders and lineitem both grow with SF, so
+      // neither may ever sit on a broadcast build side — customer⋈orders
+      // stays a broadcast join (customer built), then orders⋈lineitem is
+      // pinned to a shuffle join (at toy SF the planner's size estimate
+      // would otherwise happily broadcast the column-pruned FACT table,
+      // the exact inversion that OOMs at 100×). PlanSpec guards both.
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l.hint("shuffle_merge"), o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(trunc6(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))

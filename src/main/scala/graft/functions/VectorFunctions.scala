@@ -39,9 +39,13 @@ object VectorFunctions {
 }
 
 /** Σ a(i)·b(i) with each element widened to Double before multiply.
-  * Null if either side is null; arrays must be equal length. Codegen
-  * emits a tight primitive loop (no per-element nulls expected — embedding
-  * arrays are containsNull=false; null elements are treated as 0).
+  * Null if either side is null. Mismatched lengths intentionally truncate
+  * to min(length): the kernel treats the shorter vector as zero-padded,
+  * which keeps the hot loop branch-free — callers are responsible for
+  * dimension agreement (everything in this engine encodes at
+  * `Schemas.EmbeddingDim`). Codegen emits a tight primitive loop (no
+  * per-element nulls expected — embedding arrays are containsNull=false;
+  * null elements are treated as 0).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -65,9 +65,11 @@ object TextAnalysis {
     // argmax via greatest + chained when: deterministic, SQL-portable
     val langs = markers.keys.toSeq.sorted
     val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
-    // first (alphabetically) language reaching the max wins ties
-    val pickFirst = langs.foldLeft(lit("und")) { (acc, l) =>
-      when(acc === "und" && col(s"score_$l") === best && best > 0d, lit(l)).otherwise(acc)
+    // first (alphabetically) language reaching the max wins ties: a
+    // right-fold builds the when-chain with the first language tested
+    // first, so no self-referential acc comparison is needed
+    val pickFirst = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0d, lit(l)).otherwise(acc)
     }
     scored.select(
       col("doc_id"),

@@ -26,10 +26,13 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
     assert(joins.nonEmpty, exec.toString.take(500))
-    // the fact table must stream: never on a broadcast build side
+    // the SF-growing tables must stream: neither lineitem NOR orders may
+    // ever sit on a broadcast build side (a build side that merely
+    // *contains* a fact table inverts into a broadcast OOM at scale)
     val buildSides = joins.map(j =>
       (if (j.buildSide == BuildLeft) j.left else j.right).toString)
-    assert(!buildSides.exists(_.contains("lineitem.parquet")),
+    assert(!buildSides.exists(s =>
+      s.contains("lineitem.parquet") || s.contains("orders.parquet")),
       buildSides.map(_.take(300)).mkString("\n"))
   }
 
