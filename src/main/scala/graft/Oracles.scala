@@ -116,7 +116,71 @@ object Oracles {
       |UNION ALL
       |SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1) FROM documents""".stripMargin
 
+  /** The q44 conflict-detection oracle. Mirrors SemanticLayer.extractFacts
+    * + detectConflicts with Md5SignEncoder: the encoder's unnormalized
+    * sign-count vectors are exact small integers, so cosine is rebuilt
+    * bit-for-bit from md5() — bucket h%64 / sign bit 6 of the 52-bit md5
+    * prefix, dot via a bucket equi-join, norms from Σv², trunc6 before
+    * the threshold filter (same order as the Spark plan). */
+  private def conflictsSql: String = {
+    val pat = """'^(.*?)\s+(is|are|has|have)\s+(.*)$'"""
+    def facts(corpus: String) =
+      s"""SELECT concat(chunk_id, '|', md5(fact_text)) AS fact_id,
+         |       subject, predicate, object, fact_text FROM (
+         |  SELECT chunk_id, subject, predicate, object,
+         |         concat_ws(' ', subject, predicate, object) AS fact_text FROM (
+         |    SELECT chunk_id,
+         |           regexp_extract(content, $pat, 1) AS subject,
+         |           regexp_extract(content, $pat, 2) AS predicate,
+         |           regexp_extract(content, $pat, 3) AS object
+         |    FROM ($corpus))
+         |  WHERE subject <> '' AND object <> '')""".stripMargin
+    def vecs(factsCte: String) =
+      s"""SELECT fact_id, h % 64 AS bucket,
+         |       CAST(SUM(CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+         |FROM (SELECT fact_id, CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT) AS h
+         |      FROM (SELECT fact_id, unnest(string_split(fact_text, ' ')) AS t FROM $factsCte)
+         |      WHERE t <> '')
+         |GROUP BY fact_id, bucket""".stripMargin
+    val oldCorpus =
+      """SELECT CAST(p_partkey AS VARCHAR) AS chunk_id,
+        |       concat(p_name, ' is ', p_type) AS content
+        |FROM part WHERE p_partkey < 500""".stripMargin
+    val newCorpus =
+      """SELECT CAST(p_partkey + 100000 AS VARCHAR) AS chunk_id,
+        |       concat(p_name, CASE WHEN p_size % 2 = 0 THEN ' is ' ELSE ' has ' END,
+        |              p_brand) AS content
+        |FROM part WHERE p_partkey < 500""".stripMargin
+    s"""WITH fo AS (${facts(oldCorpus)}),
+       |fn AS (${facts(newCorpus)}),
+       |vo AS (${vecs("fo")}),
+       |vn AS (${vecs("fn")}),
+       |nrmo AS (SELECT fact_id, sqrt(SUM(v * v)) AS nrm FROM vo GROUP BY fact_id),
+       |nrmn AS (SELECT fact_id, sqrt(SUM(v * v)) AS nrm FROM vn GROUP BY fact_id),
+       |pairs AS (SELECT n.fact_id AS new_id, o.fact_id AS old_id,
+       |                 n.predicate AS np, o.predicate AS op,
+       |                 n.object AS nb, o.object AS ob
+       |          FROM fn n JOIN fo o ON n.subject = o.subject),
+       |dots AS (SELECT p.new_id, p.old_id, SUM(a.v * b.v) AS d
+       |         FROM pairs p
+       |         JOIN vn a ON a.fact_id = p.new_id
+       |         JOIN vo b ON b.fact_id = p.old_id AND b.bucket = a.bucket
+       |         GROUP BY p.new_id, p.old_id)
+       |SELECT new_id, old_id, conflict_type, similarity FROM (
+       |  SELECT p.new_id, p.old_id,
+       |    CASE WHEN p.np = p.op AND p.nb <> p.ob THEN 'DIRECT_CONTRADICTION'
+       |         ELSE 'SEMANTIC_CONFLICT' END AS conflict_type,
+       |    ${t6("CASE WHEN nn.nrm * no_.nrm = 0 THEN 0.0 ELSE coalesce(d.d, 0.0) / (nn.nrm * no_.nrm) END")} AS similarity
+       |  FROM pairs p
+       |  LEFT JOIN dots d ON d.new_id = p.new_id AND d.old_id = p.old_id
+       |  JOIN nrmn nn ON nn.fact_id = p.new_id
+       |  JOIN nrmo no_ ON no_.fact_id = p.old_id)
+       |WHERE similarity >= 0.5
+       |ORDER BY new_id, old_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q44_conflicts" -> conflictsSql,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

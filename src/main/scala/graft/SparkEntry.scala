@@ -55,6 +55,26 @@ object SparkEntry {
     Tables.part(s, d).select(
       (col("p_partkey") + 100000L).as("id"), col("p_name").as("name"))
 
+  /** Two fact corpora built from `part` for conflict detection (H6):
+    * "name is TYPE" as the existing facts, "name is|has BRAND" as the
+    * new facts — same subjects, different objects, so same-name pairs are
+    * DIRECT_CONTRADICTIONs ("is" rows) or SEMANTIC_CONFLICTs ("has"
+    * rows). Bounded to p_partkey < 500 like q31's pair corpus. */
+  private def factCorpora(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val p = Tables.part(s, d).filter(col("p_partkey") < 500)
+    val existing = p.select(
+      col("p_partkey").cast("string").as("chunk_id"), lit("u").as("user_id"),
+      concat(col("p_name"), lit(" is "), col("p_type")).as("content"))
+    val fresh = p.select(
+      (col("p_partkey") + 100000L).cast("string").as("chunk_id"),
+      lit("u").as("user_id"),
+      concat(col("p_name"),
+        when(col("p_size") % 2 === 0, lit(" is ")).otherwise(lit(" has ")),
+        col("p_brand")).as("content"))
+    (pipeline.SemanticLayer.extractFacts(existing),
+      pipeline.SemanticLayer.extractFacts(fresh))
+  }
+
   /** union of the vector and keyword scored scans — the fusion input
     * relation (SURVEY §2.6 T3). */
   private[graft] def hybridInputs(s: SparkSession, d: String): DataFrame = {
@@ -351,6 +371,15 @@ object SparkEntry {
         .select(col("id"), col("score"), col("rerank_score"))
         .orderBy(col("rerank_score").desc, col("id"))
         .limit(k)
+    }),
+
+    // ---- conflict detection (H6): equi-join candidates + md5-sign
+    // cosine verify + rule verdicts — no cartesian anywhere ----
+    "q44_conflicts" -> ((s, d) => {
+      val (oldFacts, newFacts) = factCorpora(s, d)
+      pipeline.SemanticLayer
+        .detectConflicts(newFacts, oldFacts, pipeline.Md5SignEncoder(), 0.5)
+        .orderBy("new_id", "old_id")
     }),
 
     // ---- first-wins union dedup (T4) ----

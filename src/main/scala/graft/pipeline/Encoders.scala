@@ -20,8 +20,21 @@ trait TextEncoder extends Serializable {
   def dim: Int
   /** Encode one text — used for query-time single encodes. */
   def encodeOne(text: String): Array[Float]
-  /** Add an `embedding` array<float> column derived from `textCol`. */
-  def encode(df: DataFrame, textCol: String): DataFrame
+
+  /** Add an `embedding` array<float> column derived from `textCol` —
+    * partition-parallel, the same `mapPartitions` shape a real ONNX
+    * encoder uses (batch per partition, no shuffle). */
+  def encode(df: DataFrame, textCol: String): DataFrame = {
+    val enc = this
+    val outSchema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ enc.encodeOne(r.getString(idx)).toSeq)
+      }
+    }(encoder)
+  }
 }
 
 /** Deterministic feature-hashing encoder: token counts hashed into `dim`
@@ -43,19 +56,30 @@ case class HashingEncoder(dim: Int = Schemas.EmbeddingDim) extends TextEncoder {
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
     if (norm > 0) v.map(x => (x / norm).toFloat) else v
   }
+}
 
-  /** Partition-parallel encode — the same `mapPartitions` shape a real
-    * ONNX encoder uses (batch per partition, no shuffle). */
-  def encode(df: DataFrame, textCol: String): DataFrame = {
-    val enc = this
-    val outSchema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
-    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    val idx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        Row.fromSeq(r.toSeq :+ enc.encodeOne(r.getString(idx)).toSeq)
+/** Oracle-reproducible sign-hash encoder: token t lands in bucket
+  * md5_52(t) % dim with sign from bit 6 of the same digest, counts left
+  * UNNORMALIZED — every component is a small exact integer, and cosine is
+  * scale-invariant, so a SQL oracle can rebuild the identical similarity
+  * from md5() alone (DuckDB: CAST(concat('0x', substr(md5(t),1,13)) AS
+  * BIGINT), bucket = h % dim, sign = ((h >> 6) & 1)). Used wherever a
+  * correctness gate needs bit-exact cross-engine embeddings; the
+  * murmur-based [[HashingEncoder]] stays the default runtime stub. */
+case class Md5SignEncoder(dim: Int = Schemas.EmbeddingDim) extends TextEncoder {
+  def encodeOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 13)
+        val h = java.lang.Long.parseLong(hex, 16) // 52 bits, non-negative
+        val b = (h % dim).toInt
+        v(b) += (if (((h >> 6) & 1) == 0L) 1f else -1f)
       }
-    }(encoder)
+    }
+    v
   }
 }
 

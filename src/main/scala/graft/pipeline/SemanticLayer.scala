@@ -34,7 +34,7 @@ object SemanticLayer {
       .filter(col("subject") =!= "" && col("object") =!= "")
       .withColumn("fact_text",
         concat_ws(" ", col("subject"), col("predicate"), col("object")))
-      .withColumn("fact_id", concat(col("chunk_id"), lit("|"), sha1(col("fact_text"))))
+      .withColumn("fact_id", concat(col("chunk_id"), lit("|"), md5(col("fact_text"))))
       // rule-based extraction confidence mirrors the reference fallback's
       // fixed mid confidence (vs LLM-scored)
       .withColumn("confidence", lit(0.6))
@@ -61,11 +61,20 @@ object SemanticLayer {
     (vertices, edges)
   }
 
-  /** H6 conflict detection: candidate pairs via embedding-cosine
-    * prefilter (the vector pre-join the reference does before asking the
-    * LLM), then rule verdicts — DIRECT_CONTRADICTION when subject and
-    * predicate agree but the object differs, SEMANTIC_CONFLICT when only
-    * the subjects collide. */
+  /** H6 conflict detection (reference: hierarchy/conflict_detection.py:
+    * 55-160, which prefilters candidates through a vector similarity
+    * search precisely to avoid comparing every fact with every fact).
+    *
+    * Candidate generation here is an EQUI-join on the subject's head
+    * token: a conflict verdict (DIRECT/SEMANTIC) requires the full
+    * subjects to match, and equal subjects share a head token, so the
+    * bucketed join loses nothing while turning the all-pairs cartesian
+    * into one key-partitioned shuffle that scales linearly with the fact
+    * tables. (A hot head token — "the …" subjects — is a bounded skew
+    * bucket; AQE skew-join or SkewOps salting splits it.) Candidates are
+    * then cosine-verified against `similarityThreshold` and classified:
+    * DIRECT_CONTRADICTION when subject and predicate agree but the
+    * object differs, SEMANTIC_CONFLICT when only the subjects collide. */
   def detectConflicts(
       newFacts: DataFrame,
       existingFacts: DataFrame,
@@ -78,9 +87,11 @@ object SemanticLayer {
         col("predicate").as(s"${prefix}_predicate"), col("object").as(s"${prefix}_object"),
         col("fact_text").as(s"${prefix}_text")), s"${prefix}_text")
         .withColumnRenamed("embedding", s"${prefix}_emb")
+        .withColumn(s"${prefix}_key",
+          lower(element_at(split(trim(col(s"${prefix}_subject")), " "), 1)))
     val n = embed(newFacts, "new")
     val e = embed(existingFacts, "old")
-    n.join(e, col("new_id") =!= col("old_id"))
+    n.join(e, col("new_key") === col("old_key") && col("new_id") =!= col("old_id"))
       .withColumn("similarity",
         trunc6(VectorFunctions.cosine(col("new_emb"), col("old_emb"))))
       .filter(col("similarity") >= similarityThreshold)

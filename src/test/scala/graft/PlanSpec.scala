@@ -36,6 +36,13 @@ class PlanSpec extends SparkSpec {
       buildSides.map(_.take(300)).mkString("\n"))
   }
 
+  test("q44: conflict candidates come from an equi-join, never a cartesian") {
+    val df = SparkEntry.queries("q44_conflicts")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
