@@ -179,8 +179,38 @@ object Oracles {
        |ORDER BY new_id, old_id""".stripMargin
   }
 
+  /** q45: vertex-embedding cosine top-k. The query's md5-sign vector is
+    * computed by the same Scala encoder at SQL-generation time and
+    * inlined as VALUES (exponent literals force DOUBLE); vertex vectors
+    * are rebuilt from md5() per q44's construction. */
+  private def graphSemanticSql: String = {
+    val q = graft.pipeline.Md5SignEncoder().encodeOne(SparkEntry.GraphQueryText)
+    val qvals = q.zipWithIndex.collect { case (v, b) if v != 0f =>
+      s"($b, ${v.toDouble}e0)"
+    }.mkString(", ")
+    val q2 = q.map(x => x.toDouble * x.toDouble).sum
+    val qnorm = s"sqrt(${q2}e0)"
+    s"""WITH names AS (SELECT p_partkey + 100000 AS id, p_name AS name FROM part),
+       |vn AS (SELECT id, h % 64 AS bucket,
+       |              CAST(SUM(CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+       |       FROM (SELECT id, CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT) AS h
+       |             FROM (SELECT id, unnest(string_split(name, ' ')) AS t FROM names)
+       |             WHERE t <> '')
+       |       GROUP BY id, bucket),
+       |nrm AS (SELECT id, sqrt(SUM(v * v)) AS nrm FROM vn GROUP BY id),
+       |qv(bucket, qval) AS (VALUES $qvals),
+       |dots AS (SELECT vn.id, SUM(vn.v * qv.qval) AS d
+       |         FROM vn JOIN qv ON qv.bucket = vn.bucket GROUP BY vn.id)
+       |SELECT id, name, score FROM (
+       |  SELECT n.id, n.name,
+       |    ${t6(s"CASE WHEN nrm.nrm * $qnorm = 0 THEN 0.0 ELSE coalesce(d.d, 0.0) / (nrm.nrm * $qnorm) END")} AS score
+       |  FROM names n JOIN nrm ON nrm.id = n.id LEFT JOIN dots d ON d.id = n.id)
+       |ORDER BY score DESC, id LIMIT 20""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
+    "q45_graph_semantic" -> graphSemanticSql,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -21,6 +21,7 @@ object SparkEntry {
   // ---- shared constants (must match the literal values in Oracles) ----
   private[graft] val KwQuery = "spark join filter table scan the"
   private[graft] val Bm25Terms = Seq("join", "filter", "table", "scan")
+  private[graft] val GraphQueryText = "cold bolt red gear"
   private[graft] val KnnQueryId = 0L
   private[graft] val IvfQueryId = 7L
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
@@ -314,6 +315,16 @@ object SparkEntry {
 
     "q37_edges_between" -> ((s, d) =>
       GraphOps.edgesBetween(graphEdges(s, d), 1L, 101967L, None)),
+
+    // ---- graph semantic query (K5): cosine top-k over vertex
+    // embeddings, md5-sign encoded so the oracle rebuilds the exact
+    // similarity from md5() alone ----
+    "q45_graph_semantic" -> ((s, d) => {
+      val enc = pipeline.Md5SignEncoder()
+      GraphOps.semanticQuery(
+        enc.encode(graphVertices(s, d), "name"),
+        enc.encodeOne(GraphQueryText), 20)
+    }),
 
     // ---- array lineage join (J2 shape: array membership → explode-join) ----
     "q38_lineage_join" -> ((s, d) => {

@@ -40,6 +40,25 @@ object GraphOps {
       .orderBy(col("weight").desc, col("relation"))
   }
 
+  /** K5: semantic query over vertices carrying an `embedding` column —
+    * brute-force cosine top-k over the vertex table (the graph analogue
+    * of K1), matching the reference's graph store which scores every
+    * node embedding against the query (store/graph_store/graphml_store
+    * .py:611-704). At scale this is a narrow scan + TakeOrdered; swap in
+    * the LSH/IVF candidate path for very large vertex sets. */
+  def semanticQuery(
+      vertices: DataFrame,
+      queryVec: Array[Float],
+      topK: Int): DataFrame = {
+    val qvec = typedlit(queryVec.toSeq)
+    vertices
+      .withColumn("score",
+        trunc6(graft.functions.VectorFunctions.cosine(col("embedding"), qvec)))
+      .drop("embedding")
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** 2-hop neighborhood with multiplied edge weights — iterated join,
     * frontier stays distributed. */
   def twoHop(edges: DataFrame, srcId: Long, topK: Int): DataFrame = {

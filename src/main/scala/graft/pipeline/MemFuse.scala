@@ -254,16 +254,28 @@ class MemFuse(
   // ---------- M2 semantic layer (H2/H3/H7) ----------
 
   /** Derive m2 facts + entity graph from the current m1 chunks and
-    * persist them (the reference's M2SemanticLayer write path). */
+    * persist them (the reference's M2SemanticLayer write path). Facts
+    * and vertices are embedded AT BUILD TIME — the reference's graph
+    * store keeps per-node embeddings (graphml_store.py:611-704) and
+    * queries must never re-embed a layer (K5). */
   def buildSemanticLayer(): Unit = {
     val facts = SemanticLayer.extractFacts(m1)
-    facts.write.mode(SaveMode.Overwrite).parquet(path("m2_facts"))
+    encoder.encode(facts, "fact_text")
+      .write.mode(SaveMode.Overwrite).parquet(path("m2_facts"))
     val (vertices, edges) = SemanticLayer.extractGraph(facts)
-    vertices.write.mode(SaveMode.Overwrite).parquet(path("m2_vertices"))
+    encoder.encode(vertices, "id")
+      .write.mode(SaveMode.Overwrite).parquet(path("m2_vertices"))
     edges.write.mode(SaveMode.Overwrite).parquet(path("m2_edges"))
   }
 
   def m2Facts: DataFrame = spark.read.parquet(path("m2_facts"))
+
+  /** K5 graph semantic query: cosine top-k over the persisted vertex
+    * embeddings (reference graphml_store.py:611-704). */
+  def semanticGraphQuery(text: String, topK: Int = 10): DataFrame =
+    graft.operators.GraphOps.semanticQuery(
+      spark.read.parquet(path("m2_vertices")).withColumn("name", col("id")),
+      encoder.encodeOne(text), topK)
 
   /** H7: query every layer (m0 raw, m1 chunks, m2 facts) and union with a
     * layer tag. */

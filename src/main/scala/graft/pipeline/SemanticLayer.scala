@@ -107,14 +107,27 @@ object SemanticLayer {
 
   /** H7 multi-layer fan-out: score every layer with the same query text
     * and union with a layer tag. `m0`/`m1`/`m2facts` must carry a text
-    * column named content/content/fact_text respectively. */
+    * column named content/content/fact_text respectively.
+    *
+    * Layers that already persist an `embedding` column (m1 always, m2
+    * facts since buildSemanticLayer encodes them) are scored on the
+    * STORED vectors — re-encoding a layer per query is cheap with the
+    * hash stub but catastrophic with a real model, and is exactly the
+    * anti-pattern the reference avoids by persisting pgvector columns.
+    * Only m0 (raw messages, never embedded at ingest) encodes on the
+    * fly. */
   def queryAllLayers(
       m0: DataFrame, m1: DataFrame, m2facts: DataFrame,
       encoder: TextEncoder, queryText: String, topKPerLayer: Int): DataFrame = {
     val qvec = typedlit(encoder.encodeOne(queryText).toSeq)
     def score(df: DataFrame, idCol: String, textCol: String, layer: String) = {
       val enc = encoder
-      enc.encode(df.select(col(idCol).as("id"), col(textCol).as("content")), "content")
+      val withEmb =
+        if (df.columns.contains("embedding"))
+          df.select(col(idCol).as("id"), col(textCol).as("content"), col("embedding"))
+        else
+          enc.encode(df.select(col(idCol).as("id"), col(textCol).as("content")), "content")
+      withEmb
         .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
         .select(col("id"), col("content"), col("score"))
         .orderBy(col("score").desc, col("id"))
@@ -122,7 +135,7 @@ object SemanticLayer {
         .withColumn("layer", lit(layer))
     }
     score(m0, "message_id", "content", "m0")
-      .unionByName(score(m1.drop("embedding"), "chunk_id", "content", "m1"))
+      .unionByName(score(m1, "chunk_id", "content", "m1"))
       .unionByName(score(m2facts, "fact_id", "fact_text", "m2"))
   }
 }

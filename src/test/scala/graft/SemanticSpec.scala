@@ -72,6 +72,22 @@ class SemanticSpec extends SparkSpec {
     assert(top._2.contains("capital"))
   }
 
+  test("graph semantic query scores persisted vertex embeddings (K5)") {
+    val engine = engineWithFacts()
+    val out = engine.semanticGraphQuery("spark", topK = 3).collect()
+    assert(out.nonEmpty)
+    // exact-token vertex must rank first (cosine 1.0 with itself)
+    assert(out.head.getAs[String]("id") == "spark")
+  }
+
+  test("queryAllLayers scores m1/m2 on stored embeddings, only m0 encodes") {
+    val engine = engineWithFacts()
+    val plan = engine.queryAllLayers("capital", "u1", 2)
+      .queryExecution.executedPlan.toString()
+    val n = "MapPartitions".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one encode stage (m0), got $n:\n" + plan.take(1500))
+  }
+
   test("knowledge CRUD round-trip") {
     val dir = Files.createTempDirectory("kn").toString
     val engine = new MemFuse(spark, dir)
