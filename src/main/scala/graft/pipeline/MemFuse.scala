@@ -29,7 +29,6 @@ class MemFuse(
   import Schemas._
 
   private def path(table: String) = s"$basePath/$table"
-  private val userBucket = pmod(xxhash64(col("user_id")), lit(16)).as("user_bucket")
 
   // ---------- ingest (§3.2: validate → m0 → chunk → embed → m1) ----------
 
@@ -46,7 +45,7 @@ class MemFuse(
       .select(col("message_id"), col("content"), col("role"), col("user_id"),
         col("session_id"), col("round_id"), col("sequence_number"),
         col("token_count"), col("created_at"), col("processing_status"))
-    m0.withColumn("user_bucket", userBucket)
+    TableOps.withUserBucket(m0)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
 
     // C1: one chunk per round, deterministic in-round order by sequence_number
@@ -73,8 +72,9 @@ class MemFuse(
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
         col("created_at"))
-      .withColumn("user_bucket", userBucket)
+      .transform(TableOps.withUserBucket)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m1_episodic"))
+    clearCache() // B5 cache: any write invalidates cached query results
   }
 
   def m0: DataFrame = spark.read.parquet(path("m0_raw"))
@@ -155,18 +155,18 @@ class MemFuse(
   }
 
   /** Cascade delete of a user (reference: ON DELETE CASCADE,
-    * postgres.py:200-252): anti-join rewrite of every table that carries
-    * the user_id. */
-  def deleteUser(userId: String): Unit =
+    * postgres.py:200-252): anti-filter rewrite of ONLY the user's hash
+    * bucket in every table that carries the user_id — 15/16 of each
+    * table's files are never read or written, and the swap is
+    * recovery-ordered (TableOps.rewriteBucket). */
+  def deleteUser(userId: String): Unit = {
+    val bucket = TableOps.bucketOf(spark, userId)
     Seq("m0_raw", "m1_episodic").foreach { t =>
-      val df = spark.read.parquet(path(t)).filter(col("user_id") =!= userId)
-      df.write.mode(SaveMode.Overwrite).parquet(path(t) + "_tmp")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path(t)), true)
-      fs.rename(new org.apache.hadoop.fs.Path(path(t) + "_tmp"),
-        new org.apache.hadoop.fs.Path(path(t)))
+      TableOps.rewriteBucket(spark, path(t), bucket)(
+        _.filter(col("user_id") =!= userId))
     }
+    clearCache()
+  }
 
   // ---------- query-result cache + quality gate (B5, reference
   // buffer/query_buffer.py:102-215: cache check → buffer-first routing →
@@ -227,28 +227,24 @@ class MemFuse(
     items.map(k => (java.util.UUID.randomUUID.toString, userId, k))
       .toDF("knowledge_id", "user_id", "content")
       .write.mode(SaveMode.Append).parquet(path("knowledge"))
+    clearCache()
   }
 
   def knowledge(userId: String): DataFrame =
     spark.read.parquet(path("knowledge")).filter(col("user_id") === userId)
 
-  def updateKnowledge(knowledgeId: String, content: String): Unit =
-    rewrite("knowledge")(df =>
+  def updateKnowledge(knowledgeId: String, content: String): Unit = {
+    TableOps.rewriteTable(spark, path("knowledge"))(df =>
       df.withColumn("content",
         when(col("knowledge_id") === knowledgeId, lit(content))
           .otherwise(col("content"))))
+    clearCache()
+  }
 
-  def deleteKnowledge(knowledgeId: String): Unit =
-    rewrite("knowledge")(_.filter(col("knowledge_id") =!= knowledgeId))
-
-  /** Read-modify-overwrite of one table (parquet stand-in for a Delta
-    * MERGE/DELETE transaction). */
-  private def rewrite(table: String)(f: DataFrame => DataFrame): Unit = {
-    val p = path(table)
-    f(spark.read.parquet(p)).write.mode(SaveMode.Overwrite).parquet(p + "_tmp")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    fs.rename(new org.apache.hadoop.fs.Path(p + "_tmp"), new org.apache.hadoop.fs.Path(p))
+  def deleteKnowledge(knowledgeId: String): Unit = {
+    TableOps.rewriteTable(spark, path("knowledge"))(
+      _.filter(col("knowledge_id") =!= knowledgeId))
+    clearCache()
   }
 
   // ---------- M2 semantic layer (H2/H3/H7) ----------

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{Schemas, TextEncoder}
+import graft.pipeline.{Schemas, TableOps, TextEncoder}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -23,19 +23,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
-  /** One buffered message in session state. */
+  /** One buffered message in session state — carries everything needed to
+    * flush the ORIGINAL message to m0 alongside the derived chunk (the
+    * reference's dual queue keeps rounds for the DB flush and chunks for
+    * the vector flush, hybrid_buffer.py:27-150). */
   case class Buffered(message_id: String, sequence_number: Int, role: String,
-      content: String, user_id: String, token_count: Int)
+      content: String, user_id: String, round_id: String,
+      created_at: java.sql.Timestamp, token_count: Int)
 
   /** State per session: pending messages + running token total. */
   case class SessionBuf(pending: List[Buffered], tokenSum: Int)
 
-  /** An emitted micro-batch: one chunk's worth of messages for a session. */
+  /** An emitted micro-batch: one chunk's worth of messages for a session.
+    * `messages` is the original-rounds side of the dual queue. */
   case class SessionBatch(
       session_id: String,
       user_id: String,
       content: String,        // role-prefixed, newline-joined
       m0_raw_ids: Seq[String],
+      messages: Seq[Buffered],
       token_count: Int,
       trigger: String)        // token_budget | timeout | oversized
 
@@ -64,6 +70,7 @@ object StreamingIngest {
         user_id = sorted.head.user_id,
         content = sorted.map(m => s"[${m.role}]: ${m.content}").mkString("\n"),
         m0_raw_ids = sorted.map(_.message_id),
+        messages = sorted,
         token_count = sorted.map(_.token_count).sum,
         trigger = trig)
     }
@@ -85,7 +92,7 @@ object StreamingIngest {
             rows.toSeq.sortBy(m => (m.sequence_number, m.message_id)).foreach { m =>
               val tc = whitespaceTokens(m.content)
               val b = Buffered(m.message_id, m.sequence_number, m.role, m.content,
-                m.user_id, tc)
+                m.user_id, m.round_id, m.created_at, tc)
               if (buf.tokenSum + tc > maxTokens && buf.pending.nonEmpty) {
                 out += toBatch(sid, buf.pending, "token_budget")
                 buf = SessionBuf(Nil, 0)
@@ -105,9 +112,13 @@ object StreamingIngest {
       }
   }
 
-  /** Full streaming ingest: session batches → encode → append
-    * m1_episodic parquet (B2/B3's flush path as a `foreachBatch` sink).
-    * Caller stops the returned query. */
+  /** Full streaming ingest with the dual-queue flush (B2/B3 as one
+    * `foreachBatch` sink): every emitted batch appends BOTH the original
+    * messages to m0_raw and the encoded chunk to m1_episodic
+    * (hybrid_buffer.py:27-150 keeps rounds for the DB flush and chunks
+    * for the vector flush). Both writes use the same
+    * user_bucket-partitioned layout as MemFuse.ingest, so streaming and
+    * batch writers share one table. Caller stops the returned query. */
   def start(
       messages: Dataset[Schemas.Message],
       basePath: String,
@@ -121,42 +132,62 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: Dataset[SessionBatch], _: Long) =>
-        val df = batch.toDF()
+        val df = batch.toDF().persist()
+        // dual-queue flush 1/2: original messages → m0_raw
+        df.select(col("session_id"), explode(col("messages")).as("m"))
+          .select(col("m.message_id").as("message_id"), col("m.content").as("content"),
+            col("m.role").as("role"), col("m.user_id").as("user_id"),
+            col("session_id"), col("m.round_id").as("round_id"),
+            col("m.sequence_number").as("sequence_number"),
+            col("m.token_count").as("token_count"),
+            col("m.created_at").as("created_at"),
+            lit("completed").as("processing_status"))
+          .transform(TableOps.withUserBucket)
+          .write.mode(SaveMode.Append).partitionBy("user_bucket")
+          .parquet(s"$basePath/m0_raw")
+        // dual-queue flush 2/2: encoded chunk → m1_episodic
+        val chunks = df
           .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
           .withColumn("chunking_strategy", lit("token_based"))
           .withColumn("needs_embedding", lit(false))
           .withColumn("created_at", current_timestamp())
-        encoder.encode(df, "content")
+        encoder.encode(chunks, "content")
           .select(col("chunk_id"), col("content"), col("chunking_strategy"),
             col("token_count"), col("embedding"), col("m0_raw_ids"),
             col("user_id"), col("session_id"), col("needs_embedding"),
             col("created_at"))
-          .write.mode(SaveMode.Append).parquet(s"$basePath/m1_episodic")
+          .transform(TableOps.withUserBucket)
+          .write.mode(SaveMode.Append).partitionBy("user_bucket")
+          .parquet(s"$basePath/m1_episodic")
+        df.unpersist()
         ()
       }
       .start()
   }
 
   /** Embedding backfill (B7): encode every chunk still flagged
-    * `needs_embedding` and rewrite. The filter is the partial-index
-    * predicate (m1_episodic.py:196-202) — under a partitioned/Delta
-    * layout only matching files are read. */
+    * `needs_embedding` and rewrite ONLY the user_bucket partitions that
+    * contain pending rows — the filter is the partial-index predicate
+    * (m1_episodic.py:196-202), and buckets with nothing pending are
+    * never read twice or written at all. */
   def embedBackfill(spark: SparkSession, basePath: String, encoder: TextEncoder): Long = {
     val p = s"$basePath/m1_episodic"
     val all = spark.read.parquet(p)
-    val pending = all.filter(col("needs_embedding"))
-    val n = pending.count()
-    if (n > 0) {
-      val done = encoder.encode(pending.drop("embedding"), "content")
-        .withColumn("needs_embedding", lit(false))
-        .select(all.columns.toIndexedSeq.map(col): _*)
-      val merged = all.filter(!col("needs_embedding")).unionByName(done)
-      merged.write.mode(SaveMode.Overwrite).parquet(p + "_tmp")
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-      fs.rename(new org.apache.hadoop.fs.Path(p + "_tmp"), new org.apache.hadoop.fs.Path(p))
+    // partition-column type inference may read the bucket back as int
+    val pendingBuckets = all.filter(col("needs_embedding"))
+      .groupBy(col("user_bucket").cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    pendingBuckets.foreach { case (bucket, _) =>
+      TableOps.rewriteBucket(spark, p, bucket) { cur =>
+        val pend = cur.filter(col("needs_embedding"))
+        val done = encoder.encode(pend.drop("embedding"), "content")
+          .withColumn("needs_embedding", lit(false))
+          .select(cur.columns.toIndexedSeq.map(col): _*)
+        cur.filter(!col("needs_embedding")).unionByName(done)
+      }
     }
-    n
+    pendingBuckets.map(_._2).sum
   }
 
   /** Event-time windowed rollup over a stream (the watermarked analogue

@@ -70,6 +70,49 @@ class PipelineSpec extends SparkSpec {
     assert(engine.m1.select("user_id").as[String].collect().toSeq == Seq("u2"))
   }
 
+  test("deleteUser rewrites only the victim's bucket; ingest-after-delete keeps one layout") {
+    val (engine, dir) = freshEngine()
+    // pick two users hashing to different buckets (one engine job)
+    val candidates = (1 to 40).map(i => s"u$i")
+    val buckets = candidates.toDF("user_id")
+      .withColumn("b", TableOps.userBucket)
+      .as[(String, Long)].collect().toMap
+    val u1 = candidates.head
+    val u2 = candidates.find(u => buckets(u) != buckets(u1)).get
+    engine.ingest(Seq(
+      msg("m1", "s1", u1, "r1", 1, "user", "victim message"),
+      msg("m2", "s2", u2, "r2", 1, "user", "survivor message")).toDF())
+
+    val survivorDir = new java.io.File(s"$dir/m0_raw/user_bucket=${buckets(u2)}")
+    val before = survivorDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    engine.deleteUser(u1)
+    val after = survivorDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "survivor bucket files must be untouched by the delete")
+    assert(engine.m0.select("user_id").as[String].collect().toSeq == Seq(u2))
+
+    // ADVICE regression: delete-then-ingest must keep ONE partitioned
+    // layout (round-1's rewrite dropped partitionBy, mixing root files
+    // with user_bucket dirs and breaking partition discovery)
+    engine.ingest(Seq(msg("m3", "s3", u1, "r3", 1, "user", "back again")).toDF())
+    assert(engine.m0.count() == 2)
+    assert(engine.m0.filter(col("user_id") === u1).count() == 1)
+    val p = engine.m1.filter(col("user_id") === u1)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("user_bucket"), "tenant partition pruning must survive mutations")
+  }
+
+  test("result cache is invalidated by writes (B5 + cascade delete)") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "alpha beta gamma"),
+      msg("m2", "s2", "u2", "r2", 1, "user", "delta epsilon")).toDF())
+    val hits = engine.queryCached("alpha beta", "u1", topK = 3)
+    assert(hits.nonEmpty)
+    engine.deleteUser("u1")
+    // stale entries for the deleted user must not be served
+    assert(engine.queryCached("alpha beta", "u1", topK = 3).isEmpty)
+  }
+
   test("messagesBySession: ordered, limited, capped at 100") {
     val (engine, _) = freshEngine()
     engine.ingest((1 to 30).map(i =>

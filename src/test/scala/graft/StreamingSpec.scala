@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{HashingEncoder, Schemas}
+import graft.pipeline.{HashingEncoder, Schemas, TableOps}
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming ingest writes encoded chunks to m1") {
+  test("streaming ingest flushes the dual queue: m0 originals AND m1 chunks") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream").toString
     val source = MemoryStream[Schemas.Message]
@@ -62,6 +62,16 @@ class StreamingSpec extends SparkSpec {
       val row = m1.orderBy("created_at").collect().head
       assert(row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSeq == Seq("m1"))
       assert(row.getAs[scala.collection.Seq[Float]]("embedding").length == Schemas.EmbeddingDim)
+      // B2 dual queue: the flushed batch's ORIGINAL message landed in m0
+      // with matching lineage and the shared partitioned layout
+      val m0 = spark.read.parquet(s"$dir/m0_raw")
+      val m0Ids = m0.select("message_id").as[String].collect().toSet
+      assert(m0Ids == row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSet)
+      assert(m0.columns.contains("user_bucket"))
+      assert(m1.columns.contains("user_bucket"))
+      val m0Row = m0.collect().head
+      assert(m0Row.getAs[String]("round_id") == "r1")
+      assert(m0Row.getAs[String]("processing_status") == "completed")
     } finally q.stop()
   }
 
@@ -75,7 +85,8 @@ class StreamingSpec extends SparkSpec {
       .toDF("chunk_id", "content", "chunking_strategy", "token_count",
         "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
         "created_at")
-    pending.write.parquet(s"$dir/m1_episodic")
+    TableOps.withUserBucket(pending)
+      .write.partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
     val n = StreamingIngest.embedBackfill(spark, dir, HashingEncoder())
     assert(n == 1)
     val after = spark.read.parquet(s"$dir/m1_episodic")
