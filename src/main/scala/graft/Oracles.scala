@@ -355,6 +355,10 @@ object Oracles {
 
     "q19_bm25" -> bm25Sql(SparkEntry.Bm25Terms, 50),
 
+    // indexed BM25 reads the same scores from persisted postings — the
+    // oracle is therefore the q19 corpus-scan formula verbatim
+    "q46_bm25_indexed" -> bm25Sql(SparkEntry.Bm25Terms, 50),
+
     "q20_knn_cosine" -> vectorScanSql(SparkEntry.KnnQueryId, 20),
 
     "q21_knn_ivf" ->

@@ -56,6 +56,29 @@ object SparkEntry {
     Tables.part(s, d).select(
       (col("p_partkey") + 100000L).as("id"), col("p_name").as("name"))
 
+  /** Session-scoped index caches for the benched index-lookup queries:
+    * built once per dataset dir (the ingest-time cost), then every query
+    * touches only posting slices / probed clusters — the shape that
+    * replaces per-query corpus scans at 100 TB. */
+  private val kwIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.KeywordIndex]
+  private def keywordIndexFor(s: SparkSession, d: String): pipeline.KeywordIndex =
+    kwIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString
+      val idx = new pipeline.KeywordIndex(s, dir)
+      idx.build(Tables.documents(s, d))
+      idx
+    })
+
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.IvfIndex]
+  private def ivfIndexFor(s: SparkSession, d: String): pipeline.IvfIndex =
+    ivfIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+      pipeline.IvfIndex.build(s, Tables.embeddings(s, d), nlist = 8).save(dir)
+      pipeline.IvfIndex.load(s, dir)
+    })
+
   /** Two fact corpora built from `part` for conflict detection (H6):
     * "name is TYPE" as the existing facts, "name is|has BRAND" as the
     * new facts — same subjects, different objects, so same-name pairs are
@@ -233,6 +256,24 @@ object SparkEntry {
 
     "q19_bm25" -> ((s, d) =>
       Retrieval.bm25(Tables.documents(s, d), Bm25Terms, 50)),
+
+    // ---- indexed BM25 (S8/A4 at scale): same scores as q19 but read
+    // from the persisted term-bucket-partitioned postings — the query
+    // touches the query terms' posting slices, never the corpus ----
+    "q46_bm25_indexed" -> ((s, d) =>
+      keywordIndexFor(s, d).bm25(Bm25Terms, 50)),
+
+    // ---- real IVF probe (K2 at scale): k-means quantizer, nProbe=2 of
+    // nlist=8 clusters scanned. KMeans isn't SQL-expressible, so this is
+    // a rows-only driver check; IvfSpec pins recall vs brute force ----
+    "q47_knn_ivf_probe" -> ((s, d) => {
+      val q = Tables.embeddings(s, d)
+        .filter(col("vec_id") === KnnQueryId)
+        .select("embedding").head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      ivfIndexFor(s, d).query(q, topK = 20, nProbe = 2)
+        .filter(col("id") =!= KnnQueryId)
+    }),
 
     // ---- vectors: exact KNN, IVF probe, near-dups, centroids ----
     "q20_knn_cosine" -> ((s, d) =>

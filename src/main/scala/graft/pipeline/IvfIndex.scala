@@ -3,8 +3,7 @@ package graft.pipeline
 import graft.functions.TextFunctions.trunc6
 import graft.functions.VectorFunctions
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: k-means coarse quantizer + cluster
@@ -13,12 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * This is the realistic 100 TB replacement for the reference's
   * StreamingDiskANN index (models/schema/m1_episodic.py:148-162): the
-  * centroid table is tiny (broadcast), the vector table is written
-  * partitioned by `cluster` so a probe reads nProbe/nlist of the data as
-  * pure partition pruning, and both build and query are plain DataFrame
-  * jobs. Recall is tuned with nProbe.
+  * centroid table is tiny (broadcast/driver-held), the vector table is
+  * persisted partitioned by `cluster` so a probe reads nProbe/nlist of
+  * the data as pure partition pruning, and both build and query are
+  * plain DataFrame jobs. Recall is tuned with nProbe.
   */
-class IvfIndex private (
+class IvfIndex private[pipeline] (
     val centroids: Array[(Int, Array[Double])],
     val assigned: DataFrame) {
 
@@ -39,30 +38,62 @@ class IvfIndex private (
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Persist the index: assignments partitioned by `cluster` (the probe
+    * is then pure partition pruning) + the centroid table. */
+  def save(basePath: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$basePath/ivf_assigned")
+    centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/ivf_centroids")
+  }
 }
 
 object IvfIndex {
 
-  /** Build the index: fit k-means (fixed seed → deterministic) on the
-    * embedding column and attach a `cluster` id to every row. At scale
-    * the fit runs on a sample and `assigned` is persisted bucketed by
-    * `cluster`. */
+  /** Build the index: fit k-means (fixed seed → deterministic) and attach
+    * a `cluster` id to every row. The fit runs on AT MOST `maxFitRows`
+    * sampled rows — k-means needs only a representative sample for stable
+    * centroids, and fitting the full table at 100 TB would be a
+    * multi-pass scan of everything. Assignment (transform) is a single
+    * narrow pass over the full table. */
   def build(
       spark: SparkSession,
       embeddings: DataFrame,
       nlist: Int,
-      seed: Long = 42L): IvfIndex = {
-    val toVec = udf((a: scala.collection.Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val withFeatures = embeddings.withColumn("features", toVec(col("embedding")))
+      seed: Long = 42L,
+      maxFitRows: Long = 200000L): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeatures = embeddings
+      .withColumn("features", array_to_vector(col("embedding")))
+    val total = withFeatures.count()
+    val fitSet =
+      if (total > maxFitRows)
+        withFeatures.sample(withReplacement = false,
+          fraction = maxFitRows.toDouble / total, seed = seed)
+      else withFeatures
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(withFeatures)
+      .fit(fitSet)
     val assigned = model.transform(withFeatures)
       .withColumnRenamed("prediction", "cluster")
       .select("vec_id", "embedding", "cluster")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }
+    new IvfIndex(centroids, assigned)
+  }
+
+  /** Reopen a saved index — centroids to the driver (tiny), assignments
+    * stay a lazy partitioned scan. */
+  def load(spark: SparkSession, basePath: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$basePath/ivf_centroids")
+      .collect()
+      .map(r => (r.getAs[Number]("cluster").intValue(),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+    val assigned = spark.read.parquet(s"$basePath/ivf_assigned")
     new IvfIndex(centroids, assigned)
   }
 }

@@ -86,31 +86,62 @@ class MemFuse(
     * over the user's chunks, RRF-fused at 2×topK (first_stage_top_k,
     * reference memory_service.py:1553-1555), hydrated, cross-encoder
     * reranked to topK. One DataFrame DAG — the scans parallelize and the
-    * tenant filter prunes partitions. */
+    * tenant filter prunes partitions.
+    *
+    * With `useIndexes = true` (after [[buildIndexes]]) the two scans
+    * become INDEX LOOKUPS instead of corpus scans — the IVF probe reads
+    * nProbe/nlist of the vectors as partition pruning and BM25 reads
+    * only the query terms' posting slices (the reference's whole point:
+    * DiskANN + FTS5 side indexes, sqlite_store.py:93-145,
+    * m1_episodic.py:148-162). The indexes are table-global, so index
+    * hits are over-fetched `indexOversample`× and semi-joined back to
+    * the tenant's chunks; the BM25 corpus statistics are likewise global
+    * (standard IR semantics) where the scan path's are tenant-scoped —
+    * identical whenever one tenant owns the corpus, documented
+    * approximation otherwise. */
   def query(
       text: String,
       userId: String,
       topK: Int = 5,
       rrfK: Double = 60.0,
       weights: Map[String, Double] = Map("vector" -> 1.0, "keyword" -> 0.5),
-      similarityThreshold: Double = 0.0): DataFrame = {
+      similarityThreshold: Double = 0.0,
+      useIndexes: Boolean = false,
+      nProbe: Int = 2,
+      indexOversample: Int = 4): DataFrame = {
     val firstStage = 2 * topK
     val chunks = m1.filter(col("user_id") === userId)
-
-    val qvec = typedLit(encoder.encodeOne(text).toSeq)
-    val vector = chunks
-      .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
-      .filter(col("score") >= similarityThreshold)
-      .select(col("chunk_id").as("id"), col("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(firstStage)
-      .withColumn("store_type", lit("vector"))
-
+    val chunkIds = chunks.select(col("chunk_id"))
     val terms = text.split(" ").filter(_.nonEmpty).toSeq
-    val keyword = Retrieval
-      .bm25(chunks.select(col("chunk_id").as("doc_id"), col("content").as("text")),
-        terms, firstStage)
-      .withColumn("store_type", lit("keyword"))
+
+    val vector =
+      (if (useIndexes)
+        IvfIndex.load(spark, path("index"))
+          .query(encoder.encodeOne(text), indexOversample * firstStage, nProbe)
+          .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
+      else {
+        val qvec = typedLit(encoder.encodeOne(text).toSeq)
+        chunks
+          .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+          .select(col("chunk_id").as("id"), col("score"))
+      })
+        .filter(col("score") >= similarityThreshold)
+        .orderBy(col("score").desc, col("id"))
+        .limit(firstStage)
+        .withColumn("store_type", lit("vector"))
+
+    val keyword =
+      (if (useIndexes)
+        new KeywordIndex(spark, path("index"))
+          .bm25(terms, indexOversample * firstStage)
+          .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
+      else
+        Retrieval.bm25(
+          chunks.select(col("chunk_id").as("doc_id"), col("content").as("text")),
+          terms, firstStage))
+        .orderBy(col("score").desc, col("id"))
+        .limit(firstStage)
+        .withColumn("store_type", lit("keyword"))
 
     val fused = Fusion.rrf(vector.unionByName(keyword), rrfK, weights, firstStage)
     val hydrated = fused
@@ -118,6 +149,19 @@ class MemFuse(
       .select(col("id"), col("content"), col("fused_score"),
         col("session_id"), col("token_count"))
     reranker.rerank(hydrated, text, topK)
+  }
+
+  /** Build the persisted side indexes over the current m1 chunks: the
+    * term-bucket-partitioned BM25 postings (KeywordIndex) and the
+    * cluster-partitioned IVF vector index. Rebuild after bulk ingest —
+    * the reference maintains its FTS5/DiskANN indexes on the same
+    * schedule. */
+  def buildIndexes(nlist: Int = 4): Unit = {
+    new KeywordIndex(spark, path("index"))
+      .build(m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
+    IvfIndex
+      .build(spark, m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
+      .save(path("index"))
   }
 
   /** J5 session fan-out, collapsed to one job: where the reference loops

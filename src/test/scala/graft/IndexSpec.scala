@@ -23,6 +23,24 @@ class IndexSpec extends SparkSpec {
   private def ts(i: Int) =
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + i * 1000L)
 
+  test("indexed hybrid query equals the on-the-fly path on the same corpus") {
+    val dir = Files.createTempDirectory("idxq").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    engine.buildIndexes(nlist = 2)
+    val scan = engine.query("spark partition", "u1", topK = 3).collect().toSeq
+    // exhaustive probe (nProbe = nlist) → IVF scans everything → results
+    // must be IDENTICAL to the corpus-scan path (single-tenant corpus, so
+    // global and tenant-scoped BM25 statistics coincide)
+    val indexed = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan)
+  }
+
   test("query cache: second call is served without recomputation; routing gates on quality") {
     val dir = Files.createTempDirectory("cache").toString
     val engine = new MemFuse(spark, dir)
