@@ -211,6 +211,15 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
     "q45_graph_semantic" -> graphSemanticSql,
+
+    "q48_metadata_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,
+        |  len(json_keys(props)) AS n_keys,
+        |  CAST(json_extract_string(props, 'k') AS BIGINT) % 10 = 0 AS k_mod10
+        |FROM events
+        |WHERE json_extract_string(props, 'k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -425,6 +425,20 @@ object SparkEntry {
         .limit(k)
     }),
 
+    // ---- JSON metadata serde (§2.7): parse the events props JSON into
+    // a MapType and extract typed values — the JSONB edge of the memory
+    // tables, oracle-checked against DuckDB's JSON functions ----
+    "q48_metadata_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("meta",
+          from_json(col("props"), graft.pipeline.Schemas.MetadataType))
+        .select(col("event_id"),
+          col("meta")("k").cast("long").as("k_value"),
+          size(map_keys(col("meta"))).cast("long").as("n_keys"),
+          (col("meta")("k").cast("long") % 10 === 0).as("k_mod10"))
+        .filter(col("k_value").isNotNull)
+        .orderBy("event_id")),
+
     // ---- conflict detection (H6): equi-join candidates + md5-sign
     // cosine verify + rule verdicts — no cartesian anywhere ----
     "q44_conflicts" -> ((s, d) => {

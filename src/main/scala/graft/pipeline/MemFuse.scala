@@ -37,32 +37,49 @@ class MemFuse(
     * reference rag/chunk/message.py), hash-encoded, appended to
     * m1_episodic with m0 lineage ids. */
   def ingest(messages: DataFrame): Unit = {
+    // JSON serde edge (reference JSONB metadata, m1_episodic.py:103-109):
+    // accept metadata as a map column, a JSON-string column (parsed
+    // here), or absent (empty map) — storage always holds MapType
+    val withMeta =
+      if (!messages.columns.contains("metadata"))
+        messages.withColumn("metadata", typedLit(Map.empty[String, String]))
+      else messages.schema("metadata").dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          messages.withColumn("metadata",
+            coalesce(from_json(col("metadata"), Schemas.MetadataType),
+              typedLit(Map.empty[String, String])))
+        case _ => messages
+      }
     // role CHECK constraint as a validation filter on write (m0_raw.py:31-37)
-    val valid = messages.filter(col("role").isin(ValidRoles: _*))
+    val valid = withMeta.filter(col("role").isin(ValidRoles: _*))
     val m0 = valid
       .withColumn("token_count", size(tokens(col("content"))))
       .withColumn("processing_status", lit("completed"))
       .select(col("message_id"), col("content"), col("role"), col("user_id"),
         col("session_id"), col("round_id"), col("sequence_number"),
-        col("token_count"), col("created_at"), col("processing_status"))
+        col("token_count"), col("created_at"), col("processing_status"),
+        col("metadata"))
     TableOps.withUserBucket(m0)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
 
     // C1: one chunk per round, deterministic in-round order by sequence_number
     val chunks = valid
       .select(col("user_id"), col("session_id"), col("round_id"),
-        col("created_at"),
+        col("created_at"), col("sequence_number"), col("metadata"),
         struct(col("sequence_number"), col("message_id"),
           concat(lit("["), col("role"), lit("]: "), col("content")).as("line"))
           .as("entry"))
       .groupBy("user_id", "session_id", "round_id")
       .agg(array_sort(collect_list(col("entry"))).as("entries"),
-        max(col("created_at")).as("created_at"))
+        max(col("created_at")).as("created_at"),
+        // chunk metadata = the round's first message's metadata (min_by
+        // avoids ordering on the map type itself)
+        min_by(col("metadata"), col("sequence_number")).as("metadata"))
       .select(
         col("user_id"), col("session_id"),
         concat_ws("\n", transform(col("entries"), _.getField("line"))).as("content"),
         transform(col("entries"), _.getField("message_id")).as("m0_raw_ids"),
-        col("created_at"))
+        col("created_at"), col("metadata"))
       .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
       .withColumn("chunking_strategy", lit("conversation_turn"))
       .withColumn("token_count", size(tokens(col("content"))))
@@ -71,7 +88,7 @@ class MemFuse(
       .select(col("chunk_id"), col("content"), col("chunking_strategy"),
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
-        col("created_at"))
+        col("created_at"), col("metadata"))
       .transform(TableOps.withUserBucket)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
@@ -79,6 +96,16 @@ class MemFuse(
 
   def m0: DataFrame = spark.read.parquet(path("m0_raw"))
   def m1: DataFrame = spark.read.parquet(path("m1_episodic"))
+
+  /** F4 item-type filter over the metadata map (reference filters
+    * messages/knowledge/chunks by metadata.type, numpy_store.py:532-546)
+    * — works for any metadata key. */
+  def chunksByMetadata(key: String, value: String): DataFrame =
+    m1.filter(col("metadata")(key) === value)
+
+  /** JSON projection of m1 metadata (the to_json edge of the serde). */
+  def m1MetadataJson: DataFrame =
+    m1.select(col("chunk_id"), to_json(col("metadata")).as("metadata_json"))
 
   // ---------- query (§3.1: union of scored scans → fusion → rerank) ----------
 

@@ -11,7 +11,9 @@ object Schemas {
 
   val EmbeddingDim = 64
 
-  /** m0_raw: one row per ingested message (reference m0_raw.py:10-114). */
+  /** m0_raw: one row per ingested message (reference m0_raw.py:10-114).
+    * `metadata` is the JSONB column as MapType — free-form per-item
+    * metadata (models/core.py:42), parsed from JSON at the ingest edge. */
   case class M0Raw(
       message_id: String,
       content: String,
@@ -22,9 +24,11 @@ object Schemas {
       sequence_number: Int,
       token_count: Int,
       created_at: java.sql.Timestamp,
-      processing_status: String)
+      processing_status: String,
+      metadata: Map[String, String])
 
-  /** m1_episodic: one row per chunk (reference m1_episodic.py:13-144). */
+  /** m1_episodic: one row per chunk (reference m1_episodic.py:13-144;
+    * metadata JSONB per :103-109). */
   case class M1Episodic(
       chunk_id: String,
       content: String,
@@ -35,7 +39,8 @@ object Schemas {
       user_id: String,
       session_id: String,
       needs_embedding: Boolean,
-      created_at: java.sql.Timestamp)
+      created_at: java.sql.Timestamp,
+      metadata: Map[String, String])
 
   /** Incoming message batch row (the ingest API shape, reference
     * models/core.py:92-98). */
@@ -58,6 +63,10 @@ object Schemas {
 
   val ValidRoles = Seq("user", "assistant", "system")
 
+  /** JSONB → MapType(String, String): the storage type of the free-form
+    * metadata column (scalar JSON values arrive as their string forms). */
+  val MetadataType: MapType = MapType(StringType, StringType)
+
   val m0Schema: StructType = StructType(Seq(
     StructField("message_id", StringType, nullable = false),
     StructField("content", StringType, nullable = false),
@@ -68,7 +77,8 @@ object Schemas {
     StructField("sequence_number", IntegerType),
     StructField("token_count", IntegerType),
     StructField("created_at", TimestampType),
-    StructField("processing_status", StringType)))
+    StructField("processing_status", StringType),
+    StructField("metadata", MapType(StringType, StringType))))
 
   val m1Schema: StructType = StructType(Seq(
     StructField("chunk_id", StringType, nullable = false),
@@ -80,5 +90,6 @@ object Schemas {
     StructField("user_id", StringType),
     StructField("session_id", StringType),
     StructField("needs_embedding", BooleanType),
-    StructField("created_at", TimestampType)))
+    StructField("created_at", TimestampType),
+    StructField("metadata", MapType(StringType, StringType))))
 }

@@ -141,7 +141,10 @@ object StreamingIngest {
             col("m.sequence_number").as("sequence_number"),
             col("m.token_count").as("token_count"),
             col("m.created_at").as("created_at"),
-            lit("completed").as("processing_status"))
+            lit("completed").as("processing_status"),
+            // the streaming API shape carries no metadata; write the
+            // empty map so both m0 writers share one schema
+            typedlit(Map.empty[String, String]).as("metadata"))
           .transform(TableOps.withUserBucket)
           .write.mode(SaveMode.Append).partitionBy("user_bucket")
           .parquet(s"$basePath/m0_raw")
@@ -155,7 +158,8 @@ object StreamingIngest {
           .select(col("chunk_id"), col("content"), col("chunking_strategy"),
             col("token_count"), col("embedding"), col("m0_raw_ids"),
             col("user_id"), col("session_id"), col("needs_embedding"),
-            col("created_at"))
+            col("created_at"),
+            typedlit(Map.empty[String, String]).as("metadata"))
           .transform(TableOps.withUserBucket)
           .write.mode(SaveMode.Append).partitionBy("user_bucket")
           .parquet(s"$basePath/m1_episodic")

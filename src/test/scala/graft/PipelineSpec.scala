@@ -139,6 +139,29 @@ class PipelineSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Long]("n_chunks") == 1L))
   }
 
+  test("metadata JSON serde round-trip and type filter") {
+    val (engine, _) = freshEngine()
+    // metadata arrives as a JSON string column → parsed to MapType at
+    // the ingest edge (the JSONB boundary)
+    val df = Seq(
+      ("m1", "s1", "u1", "r1", 1, "user", "tagged message", ts(1), """{"type":"note","lang":"en"}"""),
+      ("m2", "s1", "u1", "r2", 2, "user", "untagged message", ts(2), null.asInstanceOf[String]))
+      .toDF("message_id", "session_id", "user_id", "round_id",
+        "sequence_number", "role", "content", "created_at", "metadata")
+    engine.ingest(df)
+    // m0 stores the parsed map; null JSON becomes the empty map
+    val metas = engine.m0.orderBy("message_id")
+      .select(col("metadata")("type")).as[String].collect()
+    assert(metas.toSeq == Seq("note", null))
+    // F4-style item-type filter over m1 chunk metadata
+    assert(engine.chunksByMetadata("type", "note").count() == 1)
+    assert(engine.chunksByMetadata("type", "other").count() == 0)
+    // to_json edge re-serializes the map
+    val js = engine.m1MetadataJson.orderBy("chunk_id")
+      .select("metadata_json").as[String].collect()
+    assert(js.exists(_.contains("\"type\":\"note\"")))
+  }
+
   test("hashing encoder: deterministic, normalized, overlap-sensitive") {
     val enc = HashingEncoder(64)
     val a = enc.encodeOne("spark shuffle partition tuning")
