@@ -14,8 +14,11 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
-  test("oracle coverage: every query has oracle SQL") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("oracle coverage: every query has oracle SQL or is explicitly rows-only") {
+    // queries whose kernel has no SQL expression (k-means quantizer) get
+    // the driver's weaker rows-only check — keep this list deliberate
+    val rowsOnly = Set("q47_knn_ivf_probe")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, noOracle.toString)
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, orphans.toString)
