@@ -40,6 +40,20 @@ object Oracles {
     * truncation the Spark loader applies. */
   private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
 
+  /** Sign-LSH bucket id of embedding expression `e` — the exact SQL
+    * mirror of Retrieval.lshBucket over the md5-derived hyperplanes.
+    * (DuckDB parses plain decimal literals as DECIMAL; exponent notation
+    * forces DOUBLE so the dot products run in the same IEEE
+    * arithmetic.) */
+  private def lshBucketSql(e: String, planes: Int = 6, dim: Int = 64): String = {
+    def dlit(d: Double) = { val s = d.toString; if (s.contains("E")) s else s + "e0" }
+    val hp = graft.operators.Retrieval.hyperplanes(planes, dim)
+    hp.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(dlit).mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(CAST($e AS DOUBLE[]), $arr) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
   /** cosine(a, b) with the zero-denominator guard, mirroring
     * VectorFunctions.cosine: dot(a,b) / (sqrt(dot(a,a))·sqrt(dot(b,b))). */
   private def cosine(a: String, b: String): String = {
@@ -381,14 +395,7 @@ object Oracles {
          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
 
     "q41_knn_lsh" -> {
-      // duckdb parses plain decimal literals as DECIMAL; exponent notation
-      // forces DOUBLE so the dot products run in the same IEEE arithmetic
-      def dlit(d: Double) = { val s = d.toString; if (s.contains("E")) s else s + "e0" }
-      val hp = graft.operators.Retrieval.hyperplanes(6, 64)
-      def bucket(e: String) = hp.zipWithIndex.map { case (plane, p) =>
-        val arr = plane.map(dlit).mkString("[", ",", "]")
-        s"CASE WHEN list_dot_product(CAST($e AS DOUBLE[]), $arr) > 0 THEN ${1 << p} ELSE 0 END"
-      }.mkString("(", " + ", ")")
+      def bucket(e: String) = lshBucketSql(e)
       s"""SELECT id, score FROM (
          |  SELECT e.vec_id AS id,
          |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
@@ -405,6 +412,17 @@ object Oracles {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ${t6(cosine("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"))} AS score
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // bucketed variant: candidates restricted to shared sign-LSH buckets
+    "q49_near_dup_lsh" ->
+      s"""WITH wb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |                   ${lshBucketSql("embedding")} AS bucket
+         |            FROM embeddings)
+         |SELECT id_a, id_b, score FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${t6(cosine("a.e", "b.e"))} AS score
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     "q23_label_centroids" ->

@@ -288,6 +288,11 @@ object SparkEntry {
     "q22_near_dup_vectors" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25)),
 
+    // the 100 TB near-dup path: same verification, candidates from
+    // sign-LSH buckets instead of all pairs
+    "q49_near_dup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d), 0.25)),
+
     "q23_label_centroids" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label").cast("long").as("label"),

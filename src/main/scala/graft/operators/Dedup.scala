@@ -114,7 +114,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      salts: Int = 1): DataFrame = {
     val rawSharr = shingleArrays(docs, shingleSize)
     val sig = minhashSignature(rawSharr, bands * rowsPerBand)
     val bandStructs = (0 until bands).map { b =>
@@ -127,11 +128,16 @@ object Dedup {
     val key = (rawSharr.queryExecution.analyzed.canonicalized.hashCode(),
       bands, rowsPerBand).hashCode()
     val Seq(sharr, bandRows) = cachedSigs(key)(Seq(rawSharr, rawBandRows))
-    val candidates = bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // hot buckets (boilerplate corpora) fan out over salted sub-keys
+    // when salts > 1 — identical pairs, spread workload (SkewOps)
+    val xa = bandRows.toDF("doc_a", "band", "bkey")
+    val yb = bandRows.toDF("doc_b", "band", "bkey")
+    val bucketJoin =
+      if (salts > 1) SkewOps.saltedSelfJoin(xa, yb, Seq("band", "bkey"), "doc_b", salts)
+      else xa.join(yb, Seq("band", "bkey"))
+    val candidates = bucketJoin
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
     // exact verification: set Jaccard via array_intersect, candidates only
     val a = sharr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
@@ -185,6 +191,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup pairs at scale: sign-LSH bucket candidates
+    * (pairs must share all `planes` hyperplane signs), exact cosine
+    * verified inside each bucket. The join is a bucket EQUI-join — rows
+    * × rows only within a bucket (~2^planes× smaller than all-pairs),
+    * and `salts > 1` spreads a hot bucket via [[SkewOps.saltedSelfJoin]].
+    * Bucket-boundary pairs are the recall trade; multi-probe (q41's
+    * trick) or fewer planes widen recall. This is the registered scale
+    * path; [[embeddingNearDups]] stays the exact quadratic baseline. */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 6,
+      dim: Int = 64,
+      salts: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions
+    val hp = Retrieval.hyperplanes(planes, dim)
+    def side(idName: String, eName: String, nName: String) =
+      embeddings.select(col("vec_id").as(idName), col("embedding").as(eName),
+        VectorFunctions.l2Norm(col("embedding")).as(nName),
+        Retrieval.lshBucket(col("embedding"), hp).as("bucket"))
+    val a = side("id_a", "e_a", "n_a")
+    val b = side("id_b", "e_b", "n_b")
+    val joined =
+      if (salts > 1) SkewOps.saltedSelfJoin(a, b, Seq("bucket"), "id_b", salts)
+      else a.join(b, Seq("bucket"))
+    val denom = col("n_a") * col("n_b")
+    joined
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", trunc6(
+        when(denom === 0d, 0d)
+          .otherwise(VectorFunctions.dot(col("e_a"), col("e_b")) / denom)))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs (exact

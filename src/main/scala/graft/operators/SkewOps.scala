@@ -32,6 +32,28 @@ object SkewOps {
       .drop("_salt")
   }
 
+  /** Salted SELF-join for same-key pair generation (LSH/MinHash bucket
+    * candidates): the right side gets a deterministic salt
+    * hash(rightId) % salts, the left side is replicated `salts`× with a
+    * partner column, and the join key becomes (keys..., partner) — a hot
+    * bucket's pair workload spreads across `salts` join keys while
+    * producing EXACTLY the same pairs (every right row's salt value is
+    * covered by one left replica). Use when one bucket dominates
+    * (boilerplate near-identical docs) and AQE's skew split isn't
+    * enough. */
+  def saltedSelfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      rightId: String,
+      salts: Int): DataFrame = {
+    val l = left.withColumn("_partner",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val r = right.withColumn("_partner",
+      pmod(xxhash64(col(rightId)), lit(salts)).cast("int"))
+    l.join(r, keys :+ "_partner").drop("_partner")
+  }
+
   /** Key-frequency profile: the driver-side check that decides whether a
     * key needs salting (top-n heaviest keys with counts). */
   def keyProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame =

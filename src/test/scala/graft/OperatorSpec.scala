@@ -36,6 +36,32 @@ class OperatorSpec extends SparkSpec {
     assert(fused("d3") == t6(0.5 / 62))
   }
 
+  test("salted self-join splits a hot bucket without changing the pairs") {
+    // pathological skew: every doc is a near-copy → ONE LSH/MinHash
+    // bucket holds the whole corpus
+    val docs = (1L to 30L).map(i => (i, s"the same boilerplate text repeated everywhere v$i"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    val salted = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(plain.nonEmpty)
+    assert(salted == plain)
+  }
+
+  test("lsh-bucketed embedding near-dups: subset of exact pairs, salt-invariant") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = SparkEntry.queries("q22_near_dup_vectors")(spark, sf())
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = Dedup.embeddingNearDupsLsh(emb, 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed.nonEmpty)
+    assert(bucketed.subsetOf(exact), "bucket candidates must verify with the exact scorer")
+    val saltedB = Dedup.embeddingNearDupsLsh(emb, 0.25, salts = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(saltedB == bucketed)
+  }
+
   test("exact dedup finds a planted duplicate") {
     val docs = Seq((1L, "aa bb cc"), (2L, "dd ee"), (3L, "aa bb cc"))
       .toDF("doc_id", "text")
