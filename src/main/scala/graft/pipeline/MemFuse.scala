@@ -135,23 +135,41 @@ class MemFuse(
       similarityThreshold: Double = 0.0,
       useIndexes: Boolean = false,
       nProbe: Int = 2,
-      indexOversample: Int = 4): DataFrame = {
+      indexOversample: Int = 4,
+      includeKnowledge: Boolean = false): DataFrame = {
     val firstStage = 2 * topK
     val chunks = m1.filter(col("user_id") === userId)
-    val chunkIds = chunks.select(col("chunk_id"))
     val terms = text.split(" ").filter(_.nonEmpty).toSeq
+    val qvec = typedLit(encoder.encodeOne(text).toSeq)
+
+    // the retrieval corpus: the tenant's chunks, optionally ∪ their
+    // knowledge rows (include_knowledge — the reference stores both in
+    // one vector store and filters by item type, numpy_store.py:532-546)
+    val corpusCols = Seq("chunk_id", "content", "embedding", "session_id", "token_count")
+    val chunkCorpus = chunks.select(corpusCols.map(col): _*)
+    val knCorpus =
+      if (!includeKnowledge) None
+      else Some(knowledge(userId).select(
+        col("knowledge_id").as("chunk_id"), col("content"), col("embedding"),
+        lit("knowledge").as("session_id"),
+        size(tokens(col("content"))).as("token_count")))
+    val corpus = knCorpus.fold(chunkCorpus)(chunkCorpus.unionByName(_))
 
     val vector =
-      (if (useIndexes)
-        IvfIndex.load(spark, path("index"))
+      (if (useIndexes) {
+        // indexed candidates come from the m1 IVF index; knowledge (a
+        // small side table, not IVF-indexed) is scanned and unioned
+        val chunkIds = chunks.select(col("chunk_id"))
+        val ivfHits = IvfIndex.load(spark, path("index"))
           .query(encoder.encodeOne(text), indexOversample * firstStage, nProbe)
           .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
-      else {
-        val qvec = typedLit(encoder.encodeOne(text).toSeq)
-        chunks
+        knCorpus.fold(ivfHits)(k => ivfHits.unionByName(
+          k.withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+            .select(col("chunk_id").as("id"), col("score"))))
+      } else
+        corpus
           .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
-          .select(col("chunk_id").as("id"), col("score"))
-      })
+          .select(col("chunk_id").as("id"), col("score")))
         .filter(col("score") >= similarityThreshold)
         .orderBy(col("score").desc, col("id"))
         .limit(firstStage)
@@ -161,10 +179,10 @@ class MemFuse(
       (if (useIndexes)
         new KeywordIndex(spark, path("index"))
           .bm25(terms, indexOversample * firstStage)
-          .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
+          .join(chunks.select(col("chunk_id")), col("id") === col("chunk_id"), "left_semi")
       else
         Retrieval.bm25(
-          chunks.select(col("chunk_id").as("doc_id"), col("content").as("text")),
+          corpus.select(col("chunk_id").as("doc_id"), col("content").as("text")),
           terms, firstStage))
         .orderBy(col("score").desc, col("id"))
         .limit(firstStage)
@@ -172,7 +190,7 @@ class MemFuse(
 
     val fused = Fusion.rrf(vector.unionByName(keyword), rrfK, weights, firstStage)
     val hydrated = fused
-      .join(chunks, fused("id") === chunks("chunk_id"))
+      .join(corpus, fused("id") === corpus("chunk_id"))
       .select(col("id"), col("content"), col("fused_score"),
         col("session_id"), col("token_count"))
     reranker.rerank(hydrated, text, topK)
@@ -225,16 +243,108 @@ class MemFuse(
     sorted.orderBy((if (ascending) keys else keys.map(_.desc)): _*).limit(math.min(limit, 100))
   }
 
+  // ---------- relational catalog (reference postgres.py:167-253):
+  // users / agents / sessions / rounds / api_keys with FK cascades ----------
+
+  private def emptyDf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readOr(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (TableOps.exists(spark, path(table))) spark.read.parquet(path(table))
+    else emptyDf(schema)
+
+  private def now() = new java.sql.Timestamp(System.currentTimeMillis())
+
+  def createUser(userId: String, name: String): Unit = {
+    import spark.implicits._
+    Seq((userId, name, now())).toDF("user_id", "name", "created_at")
+      .write.mode(SaveMode.Append).parquet(path("users"))
+  }
+
+  def createAgent(agentId: String, name: String): Unit = {
+    import spark.implicits._
+    Seq((agentId, name, now())).toDF("agent_id", "name", "created_at")
+      .write.mode(SaveMode.Append).parquet(path("agents"))
+  }
+
+  def createSession(sessionId: String, userId: String, agentId: String): Unit = {
+    import spark.implicits._
+    Seq((sessionId, userId, agentId, now()))
+      .toDF("session_id", "user_id", "agent_id", "created_at")
+      .write.mode(SaveMode.Append).parquet(path("sessions"))
+  }
+
+  def createRound(roundId: String, sessionId: String): Unit = {
+    import spark.implicits._
+    Seq((roundId, sessionId, now())).toDF("round_id", "session_id", "created_at")
+      .write.mode(SaveMode.Append).parquet(path("rounds"))
+  }
+
+  def createApiKey(keyId: String, userId: String, keyHash: String): Unit = {
+    import spark.implicits._
+    Seq((keyId, userId, keyHash, now()))
+      .toDF("key_id", "user_id", "key_hash", "created_at")
+      .write.mode(SaveMode.Append).parquet(path("api_keys"))
+  }
+
+  def users: DataFrame = readOr("users", Schemas.usersSchema)
+  def agents: DataFrame = readOr("agents", Schemas.agentsSchema)
+  def sessions: DataFrame = readOr("sessions", Schemas.sessionsSchema)
+  def rounds: DataFrame = readOr("rounds", Schemas.roundsSchema)
+  def apiKeys: DataFrame = readOr("api_keys", Schemas.apiKeysSchema)
+
+  /** S2 through the catalog: session → rounds → m0 messages (reference
+    * get_messages_by_session joins through rounds, base.py:821-874). */
+  def messagesBySessionViaRounds(sessionId: String, limit: Int = 20): DataFrame = {
+    val r = rounds.filter(col("session_id") === sessionId)
+      .select(col("round_id").as("rid"))
+    m0.join(broadcast(r), col("round_id") === col("rid"), "left_semi")
+      .orderBy(col("sequence_number"), col("message_id"))
+      .limit(math.min(limit, 100))
+  }
+
+  /** Cascade delete of a session: rounds + the session's m0/m1 rows
+    * (scoped to the owning user's bucket via the catalog FK). */
+  def deleteSession(sessionId: String): Unit = {
+    val owner = sessions.filter(col("session_id") === sessionId)
+      .select("user_id").collect().headOption.map(_.getString(0))
+    owner.foreach { uid =>
+      val bucket = TableOps.bucketOf(spark, uid)
+      Seq("m0_raw", "m1_episodic").foreach { t =>
+        TableOps.rewriteBucket(spark, path(t), bucket)(
+          _.filter(col("session_id") =!= sessionId))
+      }
+    }
+    if (TableOps.exists(spark, path("rounds")))
+      TableOps.rewriteTable(spark, path("rounds"))(
+        _.filter(col("session_id") =!= sessionId))
+    if (TableOps.exists(spark, path("sessions")))
+      TableOps.rewriteTable(spark, path("sessions"))(
+        _.filter(col("session_id") =!= sessionId))
+    clearCache()
+  }
+
   /** Cascade delete of a user (reference: ON DELETE CASCADE,
     * postgres.py:200-252): anti-filter rewrite of ONLY the user's hash
-    * bucket in every table that carries the user_id — 15/16 of each
-    * table's files are never read or written, and the swap is
-    * recovery-ordered (TableOps.rewriteBucket). */
+    * bucket in m0/m1 — 15/16 of each table's files are never read or
+    * written, with a recovery-ordered swap (TableOps.rewriteBucket) —
+    * plus the catalog cascades: sessions, their rounds, api_keys and
+    * knowledge. */
   def deleteUser(userId: String): Unit = {
     val bucket = TableOps.bucketOf(spark, userId)
     Seq("m0_raw", "m1_episodic").foreach { t =>
       TableOps.rewriteBucket(spark, path(t), bucket)(
         _.filter(col("user_id") =!= userId))
+    }
+    val victimSessions = sessions.filter(col("user_id") === userId)
+      .select("session_id").collect().map(_.getString(0)).toSeq
+    if (victimSessions.nonEmpty && TableOps.exists(spark, path("rounds")))
+      TableOps.rewriteTable(spark, path("rounds"))(
+        _.filter(!col("session_id").isin(victimSessions: _*)))
+    Seq("sessions", "api_keys", "users", "knowledge").foreach { t =>
+      if (TableOps.exists(spark, path(t)))
+        TableOps.rewriteTable(spark, path(t))(
+          _.filter(col("user_id") =!= userId))
     }
     clearCache()
   }
@@ -293,22 +403,31 @@ class MemFuse(
 
   // ---------- knowledge CRUD (S10, reference memory_service.py:1327-1507) ----------
 
+  /** Knowledge rows are EMBEDDED AT WRITE (the reference keeps knowledge
+    * in the same vector store as messages and filters by item type,
+    * numpy_store.py:532-546) so retrieval never re-encodes them. */
   def addKnowledge(userId: String, items: Seq[String]): Unit = {
     import spark.implicits._
-    items.map(k => (java.util.UUID.randomUUID.toString, userId, k))
-      .toDF("knowledge_id", "user_id", "content")
+    encoder.encode(
+      items.map(k => (java.util.UUID.randomUUID.toString, userId, k))
+        .toDF("knowledge_id", "user_id", "content"), "content")
       .write.mode(SaveMode.Append).parquet(path("knowledge"))
     clearCache()
   }
 
   def knowledge(userId: String): DataFrame =
-    spark.read.parquet(path("knowledge")).filter(col("user_id") === userId)
+    readOr("knowledge", Schemas.knowledgeSchema).filter(col("user_id") === userId)
 
   def updateKnowledge(knowledgeId: String, content: String): Unit = {
+    val enc = encoder
     TableOps.rewriteTable(spark, path("knowledge"))(df =>
-      df.withColumn("content",
-        when(col("knowledge_id") === knowledgeId, lit(content))
-          .otherwise(col("content"))))
+      // content changed → re-encode (the table is small; at scale this
+      // would be a needs_embedding flag + backfill like m1's)
+      enc.encode(
+        df.withColumn("content",
+          when(col("knowledge_id") === knowledgeId, lit(content))
+            .otherwise(col("content")))
+          .drop("embedding"), "content"))
     clearCache()
   }
 

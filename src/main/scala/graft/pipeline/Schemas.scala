@@ -67,6 +67,41 @@ object Schemas {
     * metadata column (scalar JSON values arrive as their string forms). */
   val MetadataType: MapType = MapType(StringType, StringType)
 
+  // ---- relational catalog tables (reference postgres.py:167-253) ----
+
+  val usersSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("created_at", TimestampType)))
+
+  val agentsSchema: StructType = StructType(Seq(
+    StructField("agent_id", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("created_at", TimestampType)))
+
+  val sessionsSchema: StructType = StructType(Seq(
+    StructField("session_id", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("agent_id", StringType),
+    StructField("created_at", TimestampType)))
+
+  val roundsSchema: StructType = StructType(Seq(
+    StructField("round_id", StringType, nullable = false),
+    StructField("session_id", StringType),
+    StructField("created_at", TimestampType)))
+
+  val apiKeysSchema: StructType = StructType(Seq(
+    StructField("key_id", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("key_hash", StringType),
+    StructField("created_at", TimestampType)))
+
+  val knowledgeSchema: StructType = StructType(Seq(
+    StructField("knowledge_id", StringType, nullable = false),
+    StructField("user_id", StringType),
+    StructField("content", StringType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
   val m0Schema: StructType = StructType(Seq(
     StructField("message_id", StringType, nullable = false),
     StructField("content", StringType, nullable = false),

@@ -57,6 +57,11 @@ object TableOps {
     fs.delete(old, true)
   }
 
+  def exists(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new Path(tablePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Whole-table rewrite for small unpartitioned tables (knowledge,
     * catalog) with the same recovery-ordered swap. */
   def rewriteTable(spark: SparkSession, tablePath: String)(

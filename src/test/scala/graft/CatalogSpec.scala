@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The 7-table relational catalog (reference postgres.py:167-253) and
+  * knowledge participation in retrieval. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + i * 1000L)
+
+  private def msg(id: String, session: String, user: String, round: String,
+      seq: Int, content: String) =
+    Schemas.Message(id, session, user, round, seq, "user", content, ts(seq))
+
+  private def populated(): MemFuse = {
+    val dir = Files.createTempDirectory("catalog").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "Alice")
+    engine.createUser("u2", "Bob")
+    engine.createAgent("a1", "assistant-alpha")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u2", "a1")
+    engine.createRound("r1", "s1")
+    engine.createRound("r2", "s1")
+    engine.createRound("r3", "s2")
+    engine.createApiKey("k1", "u1", "hash-one")
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "first round text"),
+      msg("m2", "s1", "u1", "r2", 2, "second round text"),
+      msg("m3", "s2", "u2", "r3", 1, "other user text")).toDF())
+    engine
+  }
+
+  test("catalog CRUD round-trip and rounds-join message read") {
+    val engine = populated()
+    assert(engine.users.count() == 2)
+    assert(engine.agents.count() == 1)
+    assert(engine.sessions.count() == 2)
+    assert(engine.rounds.count() == 3)
+    assert(engine.apiKeys.count() == 1)
+    val viaRounds = engine.messagesBySessionViaRounds("s1")
+      .select("message_id").as[String].collect()
+    assert(viaRounds.toSeq == Seq("m1", "m2"))
+  }
+
+  test("deleteUser cascades through sessions, rounds, api_keys, knowledge") {
+    val engine = populated()
+    engine.addKnowledge("u1", Seq("likes scala"))
+    engine.deleteUser("u1")
+    assert(engine.users.select("user_id").as[String].collect().toSeq == Seq("u2"))
+    assert(engine.sessions.select("session_id").as[String].collect().toSeq == Seq("s2"))
+    assert(engine.rounds.select("round_id").as[String].collect().toSeq == Seq("r3"))
+    assert(engine.apiKeys.count() == 0)
+    assert(engine.knowledge("u1").count() == 0)
+    assert(engine.m0.select("user_id").as[String].collect().toSet == Set("u2"))
+  }
+
+  test("deleteSession cascades rounds and the session's m0/m1 rows only") {
+    val engine = populated()
+    engine.deleteSession("s1")
+    assert(engine.sessions.select("session_id").as[String].collect().toSeq == Seq("s2"))
+    assert(engine.rounds.select("round_id").as[String].collect().toSeq == Seq("r3"))
+    assert(engine.m0.select("session_id").as[String].collect().toSet == Set("s2"))
+    // the user record itself survives a session delete
+    assert(engine.users.count() == 2)
+  }
+
+  test("include_knowledge surfaces embedded knowledge rows in the hybrid query") {
+    val engine = populated()
+    engine.addKnowledge("u1", Seq("favorite language is scala zqx"))
+    val without = engine.query("scala zqx", "u1", topK = 3).collect()
+    assert(!without.exists(_.getAs[String]("content").contains("zqx")))
+    val withKn = engine.query("scala zqx", "u1", topK = 3, includeKnowledge = true)
+      .collect()
+    assert(withKn.exists(_.getAs[String]("content").contains("zqx")))
+    assert(withKn.exists(_.getAs[String]("session_id") == "knowledge"))
+  }
+}
