@@ -226,6 +226,15 @@ object Oracles {
     "q44_conflicts" -> conflictsSql,
     "q45_graph_semantic" -> graphSemanticSql,
 
+    "q50_token_count_bpe" -> {
+      // same regex as TextAnalysis.BpePattern, SQL-quoted ('' escapes ')
+      val pat = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$pat')) AS n_bpe_pieces,
+         |  len(string_split(text, ' ')) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q48_metadata_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,

@@ -244,6 +244,9 @@ object SparkEntry {
     "q16_lang_id" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), Oracles.LangMarkers)),
 
+    "q50_token_count_bpe" -> ((s, d) =>
+      TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
+
     "q17_text_search" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(lower(col("text")).contains("join filter"))

@@ -52,6 +52,28 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(tokenSet(col("text"))))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** The GPT-2-style pre-tokenizer regex (contractions, letter runs,
+    * number runs, punctuation runs, whitespace), minus the `\s+(?!\S)`
+    * lookahead which RE2-based engines can't express — portable between
+    * the JVM and the SQL oracle. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** A7 token counting, BPE-pre-tokenizer flavor: counts the regex
+    * pre-tokenization pieces a BPE tokenizer would start from — a far
+    * closer estimate of model token counts than whitespace words
+    * (reference primary path is tiktoken, utils/token_counter.py:19-110;
+    * exact BPE merges need the vocab file, which has no place in a
+    * pure-engine build). */
+  def bpeTokenCount(docs: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_bpe_pieces"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram-frequency language ID heuristic: score each candidate language
     * by the share of tokens that hit its marker set; argmax with
     * deterministic tie-break on language name. */

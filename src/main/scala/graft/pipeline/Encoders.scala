@@ -58,6 +58,52 @@ case class HashingEncoder(dim: Int = Schemas.EmbeddingDim) extends TextEncoder {
   }
 }
 
+/** Fixed-weight random-projection encoder — the closest stand-in for a
+  * real model this dependency-free build can ship (and a step up in
+  * honesty from token hashing): a frozen, seed-derived dense layer
+  * W[dim×featDim] maps a hashed bag-of-tokens feature vector through
+  * tanh, L2-normalized. The compute is a genuine per-row matrix-vector
+  * product with broadcast-once weights inside `mapPartitions` — exactly
+  * the shape of an ONNX session forward pass (reference
+  * rag/encode/MiniLM.py), so swapping in real weights changes only the
+  * kernel, not the distribution strategy. Deterministic across
+  * executors: the weights regenerate from the fixed seed per JVM. */
+case class RandomProjectionEncoder(
+    dim: Int = Schemas.EmbeddingDim,
+    featDim: Int = 256,
+    seed: Long = 42L) extends TextEncoder {
+
+  // frozen "model weights": regenerated deterministically per executor
+  // instead of shipping tensors through the closure
+  @transient private lazy val weights: Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(dim, featDim)((rnd.nextGaussian() / math.sqrt(featDim)).toFloat)
+  }
+
+  def encodeOne(text: String): Array[Float] = {
+    val feat = new Array[Float](featDim)
+    text.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed.toInt)
+        feat(math.floorMod(h, featDim)) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+      }
+    }
+    val w = weights
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = 0.0
+      val row = w(i)
+      var j = 0
+      while (j < featDim) { acc += row(j) * feat(j); j += 1 }
+      v(i) = math.tanh(acc).toFloat
+      i += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+}
+
 /** Oracle-reproducible sign-hash encoder: token t lands in bucket
   * md5_52(t) % dim with sign from bit 6 of the same digest, counts left
   * UNNORMALIZED — every component is a small exact integer, and cosine is

@@ -173,4 +173,26 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(cos(a, a) - 1f) < 1e-5)
     assert(cos(a, c) < 0.5f)
   }
+
+  test("random-projection encoder: frozen weights, normalized, similarity-preserving") {
+    val enc = RandomProjectionEncoder()
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val a = enc.encodeOne("spark shuffle partition tuning")
+    assert(a.toSeq == RandomProjectionEncoder().encodeOne("spark shuffle partition tuning").toSeq,
+      "weights must regenerate identically from the seed")
+    assert(math.abs(cos(a, a) - 1f) < 1e-5)
+    // near-identical texts stay near; disjoint texts land far
+    val near = enc.encodeOne("spark shuffle partition tuning tips")
+    val far = enc.encodeOne("completely unrelated cooking recipe words")
+    assert(cos(a, near) > cos(a, far))
+    // the full facade runs with the projection encoder plugged in
+    val dir = java.nio.file.Files.createTempDirectory("rpenc").toString
+    val engine = new MemFuse(spark, dir, encoder = enc)
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "how to tune spark shuffle"),
+      msg("m2", "s2", "u1", "r2", 1, "user", "banana bread recipe")).toDF())
+    val top = engine.query("tune spark shuffle", "u1", topK = 1).collect()
+    assert(top.nonEmpty && top.head.getAs[String]("content").contains("shuffle"))
+  }
 }
