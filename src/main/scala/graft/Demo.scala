@@ -47,8 +47,29 @@ object Demo {
     println("-- lineage of every chunk --")
     engine.chunkLineage.show(false)
 
+    println("-- relational catalog: sessions/rounds + rounds-join read --")
+    engine.createUser("alice", "Alice")
+    engine.createUser("bob", "Bob")
+    engine.createAgent("a1", "helper")
+    engine.createSession("s1", "alice", "a1")
+    engine.createRound("r1", "s1")
+    engine.createRound("r2", "s1")
+    engine.messagesBySessionViaRounds("s1")
+      .select("message_id", "role", "content").show(false)
+
+    println("-- knowledge participates in retrieval (include_knowledge) --")
+    engine.addKnowledge("alice", Seq("alice prefers parquet over csv for archives"))
+    engine.query("parquet preference archives", "alice", topK = 2,
+      includeKnowledge = true).show(false)
+
+    println("-- index-lookup query path (BM25 postings + IVF probe) --")
+    engine.buildIndexes(nlist = 2)
+    engine.query("broadcast join help", "alice", topK = 2, useIndexes = true).show(false)
+
     engine.deleteUser("alice")
-    println(s"after deleteUser(alice): m0=${engine.m0.count()} m1=${engine.m1.count()}")
+    println(s"after deleteUser(alice) cascade: m0=${engine.m0.count()} " +
+      s"m1=${engine.m1.count()} sessions=${engine.sessions.count()} " +
+      s"rounds=${engine.rounds.count()}")
 
     println("\n-- multimodal: features + frames from binary payloads --")
     val media = Multimodal.synthesize(
@@ -67,6 +88,17 @@ object Demo {
     sem.buildSemanticLayer()
     sem.m2Facts.select("subject", "predicate", "object", "confidence").show(false)
     sem.queryAllLayers("capital of france", "carol", 1).show(false)
+
+    println("-- graph semantic query over persisted vertex embeddings --")
+    sem.semanticGraphQuery("spark", topK = 3).show(false)
+
+    println("-- conflict detection: new facts vs stored facts --")
+    import graft.pipeline.SemanticLayer
+    val newFacts = SemanticLayer.extractFacts(
+      Seq(("c9", "carol", "the capital of france is lyon"))
+        .toDF("chunk_id", "user_id", "content"))
+    SemanticLayer.detectConflicts(
+      newFacts, sem.m2Facts, graft.pipeline.HashingEncoder(), 0.3).show(false)
 
     println("-- IVF ANN index over the testdata embeddings --")
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
