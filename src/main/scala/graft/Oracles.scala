@@ -235,6 +235,27 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // media synthesized from text bytes (all-ASCII corpus → byte and
+    // char slicing coincide); frame_len mirrors greatest(int(n/nf), 1)
+    "q51_multimodal_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |         text, length(text) AS n_bytes, (doc_id % 7) + 1 AS nf
+        |  FROM documents WHERE doc_id < 200),
+        |frames AS (
+        |  SELECT media_id, kind, text,
+        |         greatest(CAST(floor(CAST(n_bytes AS DOUBLE) / nf) AS INT), 1) AS frame_len,
+        |         unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM media)
+        |SELECT media_id, kind, frame_idx, frame_hash, frame_bytes FROM (
+        |  SELECT media_id, kind, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |         md5(substr(text, frame_idx * frame_len + 1, frame_len)) AS frame_hash,
+        |         CAST(length(substr(text, frame_idx * frame_len + 1, frame_len)) AS BIGINT) AS frame_bytes
+        |  FROM frames)
+        |WHERE frame_bytes > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     "q48_metadata_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,

@@ -332,6 +332,21 @@ object SparkEntry {
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
         n = 3, threshold = 0.5)),
 
+    // ---- multimodal binary columns: synthesize media from text bytes,
+    // explode into even frame slices — the frame-sampling plumbing is
+    // pure expressions (binary substring) and oracle-checked; only the
+    // codec kernel itself is a stub ----
+    "q51_multimodal_frames" -> ((s, d) => {
+      val media = Multimodal.synthesize(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
+      Multimodal.sampleFrames(media)
+        .select(col("media_id"), col("kind"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame").cast("string")).as("frame_hash"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- chunking ----
     "q32_char_chunks" -> ((s, d) =>
       Chunking.characterChunks(

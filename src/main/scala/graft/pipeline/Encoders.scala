@@ -151,3 +151,78 @@ case class OverlapReranker() extends Reranker {
       .limit(topK)
   }
 }
+
+/** Fixed-weight CROSS-encoder stand-in (K8): a frozen two-layer MLP
+  * scores each (query, candidate) pair JOINTLY — the feature vector is
+  * [feat(q) ; feat(c) ; feat(q)⊙feat(c)] so the model sees the
+  * interaction, which is what distinguishes a cross-encoder from a
+  * bi-encoder — computed per candidate row inside `mapPartitions` with
+  * weights regenerated once per executor from the seed. This is the
+  * exact distribution shape of the reference's MiniLM cross-encoder
+  * (rag/rerank/MiniLM.py:26-240): swapping real weights in changes only
+  * the forward function. Frozen-random weights score arbitrarily (shape,
+  * not semantics), so [[OverlapReranker]] stays the default heuristic. */
+case class ProjectionCrossEncoder(
+    featDim: Int = 128,
+    hidden: Int = 32,
+    seed: Long = 7L) extends Reranker {
+
+  @transient private lazy val weights: (Array[Array[Float]], Array[Float]) = {
+    val rnd = new java.util.Random(seed)
+    (Array.fill(hidden, 3 * featDim)(
+      (rnd.nextGaussian() / math.sqrt(3.0 * featDim)).toFloat),
+      Array.fill(hidden)((rnd.nextGaussian() / math.sqrt(hidden.toDouble)).toFloat))
+  }
+
+  private def feat(text: String): Array[Float] = {
+    val f = new Array[Float](featDim)
+    text.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed.toInt)
+        f(math.floorMod(h, featDim)) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+      }
+    }
+    val n = math.sqrt(f.map(x => x.toDouble * x).sum)
+    if (n > 0) f.map(x => (x / n).toFloat) else f
+  }
+
+  /** One pairwise forward pass. */
+  def score(query: String, candidate: String): Double = {
+    val (w1, w2) = weights
+    val fq = feat(query); val fc = feat(candidate)
+    val joint = new Array[Float](3 * featDim)
+    var j = 0
+    while (j < featDim) {
+      joint(j) = fq(j); joint(featDim + j) = fc(j)
+      joint(2 * featDim + j) = fq(j) * fc(j)
+      j += 1
+    }
+    var out = 0.0
+    var i = 0
+    while (i < hidden) {
+      var acc = 0.0
+      val row = w1(i)
+      var k = 0
+      while (k < 3 * featDim) { acc += row(k) * joint(k); k += 1 }
+      out += w2(i) * math.tanh(acc)
+      i += 1
+    }
+    math.tanh(out)
+  }
+
+  def rerank(candidates: DataFrame, queryText: String, topK: Int): DataFrame = {
+    val self = this
+    val outSchema = candidates.schema.add("rerank_score",
+      org.apache.spark.sql.types.DoubleType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val contentIdx = candidates.schema.fieldIndex("content")
+    candidates.mapPartitions { rows =>
+      rows.map { r =>
+        val s = self.score(queryText, r.getString(contentIdx))
+        Row.fromSeq(r.toSeq :+ math.floor(s * 1e6) / 1e6)
+      }
+    }(enc)
+      .orderBy(col("rerank_score").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -174,6 +174,26 @@ class PipelineSpec extends SparkSpec {
     assert(cos(a, c) < 0.5f)
   }
 
+  test("projection cross-encoder: deterministic pairwise forward, facade-pluggable") {
+    val ce = ProjectionCrossEncoder()
+    val s1 = ce.score("spark shuffle", "tuning spark shuffle partitions")
+    assert(s1 == ProjectionCrossEncoder().score("spark shuffle", "tuning spark shuffle partitions"),
+      "frozen weights must regenerate identically")
+    assert(s1 >= -1.0 && s1 <= 1.0)
+    // interaction features: score must CHANGE when the candidate does
+    // (a bi-encoder oracle would too, but a constant scorer would not)
+    assert(s1 != ce.score("spark shuffle", "banana bread recipe"))
+    // the facade runs end-to-end with the cross-encoder plugged in
+    val dir = java.nio.file.Files.createTempDirectory("xenc").toString
+    val engine = new MemFuse(spark, dir, reranker = ce)
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning"),
+      msg("m2", "s2", "u1", "r2", 1, "user", "unrelated cooking content")).toDF())
+    val out = engine.query("spark shuffle", "u1", topK = 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("rerank_score"))))
+  }
+
   test("random-projection encoder: frozen weights, normalized, similarity-preserving") {
     val enc = RandomProjectionEncoder()
     def cos(x: Array[Float], y: Array[Float]) =
