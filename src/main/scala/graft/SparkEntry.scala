@@ -362,7 +362,8 @@ object SparkEntry {
     "q34_token_budget_chunks" -> ((s, d) =>
       Chunking.tokenBudgetChunks(
         Tables.documents(s, d), groupCol = "source", seqCol = "doc_id",
-        contentCol = "text", budget = 500)),
+        contentCol = "text", budget = 500)
+        .drop("m0_raw_ids")), // lineage column has no SQL twin
 
     // ---- graph ----
     "q35_graph_neighbors" -> ((s, d) =>

@@ -61,38 +61,46 @@ object Chunking {
     * chunk_text, n_tokens). */
   def tokenBudgetChunks(
       messages: DataFrame, groupCol: String, seqCol: String,
-      contentCol: String, budget: Int): DataFrame = {
+      contentCol: String, budget: Int,
+      idCol: Option[String] = None): DataFrame = {
     import messages.sparkSession.implicits._
+    val idExpr = idCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     val grouped = messages
       .select(col(groupCol).cast("string").as("g"),
         col(seqCol).cast("long").as("seq"),
-        col(contentCol).cast("string").as("content"))
-      .as[(String, Long, String)]
+        col(contentCol).cast("string").as("content"),
+        idExpr.as("mid"))
+      .as[(String, Long, String, String)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
         val rows = it.toSeq.sortBy(_._2)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Int)]
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Int, Seq[String])]
         var buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var ids = scala.collection.mutable.ArrayBuffer.empty[String]
         var tok = 0
         var idx = 0
         def flush(): Unit = if (buf.nonEmpty) {
-          out += ((g, idx, buf.mkString("\n"), tok)); idx += 1
-          buf = scala.collection.mutable.ArrayBuffer.empty[String]; tok = 0
+          out += ((g, idx, buf.mkString("\n"), tok, ids.toSeq)); idx += 1
+          buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          ids = scala.collection.mutable.ArrayBuffer.empty[String]
+          tok = 0
         }
-        rows.foreach { case (_, _, content) =>
+        rows.foreach { case (_, _, content, mid) =>
           // split with limit -1 keeps trailing empty tokens, matching
           // SQL string_split semantics
           val n = content.split(" ", -1).length
           if (tok + n > budget && buf.nonEmpty) flush()
-          buf += content; tok += n
+          buf += content; ids += mid; tok += n
           if (tok > budget) flush() // oversized single message: own chunk
         }
         flush()
         out
       }
-    grouped.toDF("group_id", "chunk_idx", "chunk_text", "n_tokens")
+    grouped.toDF("group_id", "chunk_idx", "chunk_text", "n_tokens", "m0_raw_ids")
       .select(col("group_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+        col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"),
+        col("m0_raw_ids"))
       .orderBy("group_id", "chunk_idx")
   }
 }

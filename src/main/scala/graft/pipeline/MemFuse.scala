@@ -24,7 +24,8 @@ class MemFuse(
     spark: SparkSession,
     basePath: String,
     encoder: TextEncoder = HashingEncoder(),
-    reranker: Reranker = OverlapReranker()) extends Serializable {
+    reranker: Reranker = OverlapReranker(),
+    chunking: String = "conversation_turn") extends Serializable {
 
   import Schemas._
 
@@ -62,26 +63,68 @@ class MemFuse(
     TableOps.withUserBucket(m0)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
 
-    // C1: one chunk per round, deterministic in-round order by sequence_number
-    val chunks = valid
-      .select(col("user_id"), col("session_id"), col("round_id"),
-        col("created_at"), col("sequence_number"), col("metadata"),
-        struct(col("sequence_number"), col("message_id"),
-          concat(lit("["), col("role"), lit("]: "), col("content")).as("line"))
-          .as("entry"))
-      .groupBy("user_id", "session_id", "round_id")
-      .agg(array_sort(collect_list(col("entry"))).as("entries"),
-        max(col("created_at")).as("created_at"),
-        // chunk metadata = the round's first message's metadata (min_by
-        // avoids ordering on the map type itself)
-        min_by(col("metadata"), col("sequence_number")).as("metadata"))
-      .select(
-        col("user_id"), col("session_id"),
-        concat_ws("\n", transform(col("entries"), _.getField("line"))).as("content"),
-        transform(col("entries"), _.getField("message_id")).as("m0_raw_ids"),
-        col("created_at"), col("metadata"))
-      .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
-      .withColumn("chunking_strategy", lit("conversation_turn"))
+    // C4 integrated dispatch: every strategy lands on the same m1 shape
+    // (user_id, session_id, content, m0_raw_ids, created_at, metadata,
+    // disc) — disc is a per-strategy uniqueness discriminator folded
+    // into the chunk id. C3 token-budget-with-timeout additionally lives
+    // in the streaming batcher (StreamingIngest.sessionBatcher).
+    val chunkBase: DataFrame = chunking match {
+      // C1: one chunk per round, deterministic in-round order
+      case "conversation_turn" => valid
+        .select(col("user_id"), col("session_id"), col("round_id"),
+          col("created_at"), col("sequence_number"), col("metadata"),
+          struct(col("sequence_number"), col("message_id"),
+            concat(lit("["), col("role"), lit("]: "), col("content")).as("line"))
+            .as("entry"))
+        .groupBy("user_id", "session_id", "round_id")
+        .agg(array_sort(collect_list(col("entry"))).as("entries"),
+          max(col("created_at")).as("created_at"),
+          // chunk metadata = the round's first message's metadata (min_by
+          // avoids ordering on the map type itself)
+          min_by(col("metadata"), col("sequence_number")).as("metadata"))
+        .select(
+          col("user_id"), col("session_id"),
+          concat_ws("\n", transform(col("entries"), _.getField("line"))).as("content"),
+          transform(col("entries"), _.getField("message_id")).as("m0_raw_ids"),
+          col("created_at"), col("metadata"),
+          col("round_id").as("disc"))
+
+      // C2: fixed-size character windows with overlap, per message
+      case "character" =>
+        graft.operators.Chunking
+          .characterChunks(valid, "message_id", "content", size = 1000, overlap = 100)
+          .join(valid.select(col("message_id"), col("user_id"), col("session_id"),
+            col("created_at"), col("metadata")), "message_id")
+          .select(col("user_id"), col("session_id"),
+            col("chunk_text").as("content"),
+            array(col("message_id")).as("m0_raw_ids"),
+            col("created_at"), col("metadata"),
+            concat(col("message_id"), lit("@"), col("chunk_idx")).as("disc"))
+
+      // C3: greedy token-budget packing per session, with full lineage
+      case "token_budget" =>
+        val packed = graft.operators.Chunking.tokenBudgetChunks(
+          valid, "session_id", "sequence_number", "content",
+          budget = 800, idCol = Some("message_id"))
+        val sess = valid.groupBy(col("session_id").as("sid"))
+          .agg(min_by(col("user_id"), col("sequence_number")).as("user_id"),
+            max(col("created_at")).as("created_at"),
+            min_by(col("metadata"), col("sequence_number")).as("metadata"))
+        packed.join(sess, packed("group_id") === sess("sid"))
+          .select(col("user_id"), col("group_id").as("session_id"),
+            col("chunk_text").as("content"), col("m0_raw_ids"),
+            col("created_at"), col("metadata"),
+            col("chunk_idx").cast("string").as("disc"))
+
+      case other => throw new IllegalArgumentException(
+        s"unknown chunking strategy '$other' " +
+          "(conversation_turn | character | token_budget)")
+    }
+    val chunks = chunkBase
+      .withColumn("chunk_id", concat(col("session_id"), lit("#"),
+        sha1(concat_ws("|", col("disc"), col("content")))))
+      .drop("disc")
+      .withColumn("chunking_strategy", lit(chunking))
       .withColumn("token_count", size(tokens(col("content"))))
       .withColumn("needs_embedding", lit(false))
     encoder.encode(chunks, "content")
@@ -225,6 +268,20 @@ class MemFuse(
       .select(col("session_id"), col("rank_in_session"),
         col("chunk_id").as("id"), col("content"), col("score"))
       .orderBy(col("session_id"), col("rank_in_session"))
+  }
+
+  /** A9 store stats counters (the reference's per-store stats surface):
+    * row counts per table in one frame — at scale these come from the
+    * Spark metrics system / table metadata rather than count scans. */
+  def storeStats: DataFrame = {
+    import spark.implicits._
+    Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
+      "sessions", "rounds", "api_keys")
+      .map { t =>
+        val n = if (TableOps.exists(spark, path(t)))
+          spark.read.parquet(path(t)).count() else 0L
+        (t, n)
+      }.toDF("table", "n_rows")
   }
 
   /** A6 chunk stats rollup (reference memory_service.py:690-734). */

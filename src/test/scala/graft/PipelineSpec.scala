@@ -139,6 +139,49 @@ class PipelineSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Long]("n_chunks") == 1L))
   }
 
+  test("chunking dispatch: character and token_budget strategies land on the m1 shape") {
+    // C2: one long message → multiple overlapping character windows,
+    // each with lineage to its source message
+    val dirC = Files.createTempDirectory("chunkc").toString
+    val charEngine = new MemFuse(spark, dirC, chunking = "character")
+    val long = ("word " * 500).trim
+    charEngine.ingest(Seq(msg("m1", "s1", "u1", "r1", 1, "user", long)).toDF())
+    val charChunks = charEngine.m1.collect()
+    assert(charChunks.length > 1, "1000-char windows over 2500 chars must split")
+    assert(charChunks.forall(
+      _.getAs[scala.collection.Seq[String]]("m0_raw_ids") == Seq("m1")))
+    assert(charChunks.forall(_.getAs[String]("chunking_strategy") == "character"))
+
+    // C3: messages pack greedily into ≤budget chunks, lineage covers
+    // every message exactly once
+    val dirT = Files.createTempDirectory("chunkt").toString
+    val tbEngine = new MemFuse(spark, dirT, chunking = "token_budget")
+    tbEngine.ingest((1 to 6).map(i =>
+      msg(s"m$i", "s1", "u1", s"r$i", i, "user", ("tok " * 300).trim)).toDF())
+    val tb = tbEngine.m1.collect()
+    assert(tb.length > 1)
+    val lineage = tb.flatMap(_.getAs[scala.collection.Seq[String]]("m0_raw_ids"))
+    assert(lineage.sorted.toSeq == (1 to 6).map(i => s"m$i").sorted)
+    assert(tb.forall(_.getAs[Int]("token_count") <= 900)) // budget + one message slack
+
+    // hybrid query still works on the dispatched layout
+    assert(tbEngine.query("tok", "u1", topK = 2).count() > 0)
+  }
+
+  test("store stats counters report per-table row counts") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "alpha"),
+      msg("m2", "s1", "u1", "r2", 2, "user", "beta")).toDF())
+    engine.createUser("u1", "Alice")
+    val stats = engine.storeStats.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("m0_raw") == 2)
+    assert(stats("m1_episodic") == 2)
+    assert(stats("users") == 1)
+    assert(stats("knowledge") == 0)
+  }
+
   test("metadata JSON serde round-trip and type filter") {
     val (engine, _) = freshEngine()
     // metadata arrives as a JSON string column → parsed to MapType at
