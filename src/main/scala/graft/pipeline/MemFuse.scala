@@ -255,16 +255,31 @@ class MemFuse(
   /** J5 session fan-out, collapsed to one job: where the reference loops
     * over a user's sessions issuing one query each (api/users.py:265-295),
     * the scan is already tenant-wide — scoring once and ranking within
-    * each session via a window replaces N queries with one DAG. */
+    * each session replaces N queries with one DAG.
+    *
+    * On a session built with [[graft.GraftExtensions]] the per-session
+    * cut runs through the custom [[graft.plans.TopKPerKey]] operator
+    * (bounded heaps, no windowed full sort — the survivors, k rows per
+    * session, then take a tiny window just to number the ranks); on a
+    * plain session it falls back to the window idiom. */
   def queryPerSession(text: String, userId: String, topKPerSession: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qvec = typedLit(encoder.encodeOne(text).toSeq)
     val w = Window.partitionBy("session_id")
       .orderBy(col("score").desc, col("chunk_id"))
-    m1.filter(col("user_id") === userId)
+    val scored = m1.filter(col("user_id") === userId)
       .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
-      .withColumn("rank_in_session", row_number().over(w))
-      .filter(col("rank_in_session") <= topKPerSession)
+    val heapStrategyRegistered = spark.sessionState.planner.strategies
+      .exists(_ eq graft.plans.TopKPerKeyStrategy)
+    val cut =
+      if (heapStrategyRegistered)
+        graft.plans.TopKPerKey(scored, Seq("session_id"),
+          Seq(col("score").desc, col("chunk_id")), topKPerSession)
+          .withColumn("rank_in_session", row_number().over(w))
+      else
+        scored.withColumn("rank_in_session", row_number().over(w))
+          .filter(col("rank_in_session") <= topKPerSession)
+    cut
       .select(col("session_id"), col("rank_in_session"),
         col("chunk_id").as("id"), col("content"), col("score"))
       .orderBy(col("session_id"), col("rank_in_session"))

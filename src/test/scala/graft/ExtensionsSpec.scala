@@ -20,6 +20,54 @@ class ExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  test("TopKPerKey: bounded-heap plan matches windowed row_number, sort-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 2000).map { i =>
+      (s"key${i % 13}", (i * 37 % 500).toDouble, i.toLong)
+    }.toDF("key", "score", "id")
+
+    val viaHeap = graft.plans.TopKPerKey(
+      df, Seq("key"), Seq(col("score").desc, col("id")), k = 5)
+      .select("key", "score", "id")
+      .as[(String, Double, Long)].collect().toSet
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .as[(String, Double, Long)].collect().toSet
+
+    assert(viaHeap == viaWindow)
+
+    // the whole point: no Window, no Sort — two heap phases around one
+    // hash exchange
+    val plan = graft.plans.TopKPerKey(
+      df, Seq("key"), Seq(col("score").desc, col("id")), k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Sort "), plan.take(1500))
+  }
+
+  test("queryPerSession auto-routes through the heap operator on an extended session") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("heapq").toString
+    val engine = new graft.pipeline.MemFuse(spark, dir)
+    def ts(i: Int) = new java.sql.Timestamp(1717200000000L + i * 1000L)
+    engine.ingest(Seq(
+      graft.pipeline.Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark tuning advice", ts(1)),
+      graft.pipeline.Schemas.Message("m2", "s2", "u1", "r2", 1, "user", "spark shuffle details", ts(2)),
+      graft.pipeline.Schemas.Message("m3", "s3", "u1", "r3", 1, "user", "cast iron cooking", ts(3))).toDF())
+    val out = engine.queryPerSession("spark shuffle", "u1", topKPerSession = 1)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    val rows = out.select("session_id", "rank_in_session")
+      .as[(String, Int)].collect().toSet
+    assert(rows == Set(("s1", 1), ("s2", 1), ("s3", 1)))
+  }
+
   test("dot_product and cosine_sim are callable from SQL") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
