@@ -599,6 +599,16 @@ object Oracles {
         |             l_returnflag AS relation, l_extendedprice AS weight FROM lineitem)
         |WHERE src = 1 AND dst = 101967 ORDER BY weight DESC, relation""".stripMargin,
 
+    "q52_topk_per_key" ->
+      """SELECT l_suppkey, l_extendedprice, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
+        |  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     "q38_lineage_join" ->
       """SELECT l_orderkey, count(DISTINCT p_brand) AS n_brands, count(*) AS n_parts
         |FROM lineitem JOIN part ON l_partkey = p_partkey

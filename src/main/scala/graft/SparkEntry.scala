@@ -391,6 +391,21 @@ object SparkEntry {
         enc.encodeOne(GraphQueryText), 20)
     }),
 
+    // ---- per-key top-k through the custom TopKPerKey plan node
+    // (bounded heaps + one exchange — no windowed sort); the oracle is
+    // the equivalent row_number window ----
+    "q52_topk_per_key" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        Tables.lineitem(s, d)
+          .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq("l_suppkey"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))),
+
     // ---- array lineage join (J2 shape: array membership → explode-join) ----
     "q38_lineage_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 500)
