@@ -43,6 +43,27 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q49: LSH near-dup joins on the bucket key, never a nested loop") {
+    val df = SparkEntry.queries("q49_near_dup_lsh")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q46: indexed BM25 prunes postings partitions by term bucket") {
+    val df = SparkEntry.queries("q46_bm25_indexed")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    // the term_bucket partition filter must reach the postings scan
+    assert(p.contains("term_bucket"), p.take(2000))
+  }
+
+  test("q52: per-key top-k plans through the custom heap operator, no Window") {
+    val df = SparkEntry.queries("q52_topk_per_key")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerKey"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
