@@ -528,6 +528,14 @@ class MemFuse(
 
   def m2Facts: DataFrame = spark.read.parquet(path("m2_facts"))
 
+  /** H2 episode formation over the current m1 chunks (time-gap
+    * sessionized, extractive summaries) persisted as m1_episodes. */
+  def buildEpisodes(gapSeconds: Long = 3600): Unit =
+    SemanticLayer.formEpisodes(m1, gapSeconds)
+      .write.mode(SaveMode.Overwrite).parquet(path("m1_episodes"))
+
+  def episodes: DataFrame = spark.read.parquet(path("m1_episodes"))
+
   /** K5 graph semantic query: cosine top-k over the persisted vertex
     * embeddings (reference graphml_store.py:611-704). */
   def semanticGraphQuery(text: String, topK: Int = 10): DataFrame =

@@ -61,6 +61,61 @@ object SemanticLayer {
     (vertices, edges)
   }
 
+  /** H2 episode formation: chunks of a session that fall within
+    * `gapSeconds` of each other fold into one episode, in time order,
+    * with an extractive summary (top content tokens by frequency, ties
+    * alphabetical) and full chunk lineage. The reference forms episodes
+    * with LLM summaries; this is the deterministic extractive stand-in —
+    * an LLM swap-in replaces only the summary expression with a
+    * mapPartitions stage over the same episode rows. */
+  def formEpisodes(m1: DataFrame, gapSeconds: Long = 3600, summaryTokens: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("created_at"), col("chunk_id"))
+    val gapped = m1
+      .withColumn("prev_at", lag(col("created_at"), 1).over(w))
+      .withColumn("new_episode",
+        when(col("prev_at").isNull ||
+          unix_timestamp(col("created_at")) - unix_timestamp(col("prev_at")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("episode_idx",
+        sum(col("new_episode")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val episodes = gapped
+      .select(col("user_id"), col("session_id"), col("episode_idx"),
+        col("created_at"), col("chunk_id"),
+        struct(col("created_at"), col("chunk_id"), col("content")).as("entry"),
+        col("m0_raw_ids"))
+      .groupBy("user_id", "session_id", "episode_idx")
+      .agg(
+        concat_ws("\n\n",
+          transform(array_sort(collect_list(col("entry"))), _.getField("content")))
+          .as("content"),
+        flatten(collect_list(col("m0_raw_ids"))).as("m0_raw_ids"),
+        count(lit(1)).as("n_chunks"),
+        min(col("created_at")).as("started_at"),
+        max(col("created_at")).as("ended_at"))
+      .withColumn("episode_id",
+        concat(col("session_id"), lit("~"), col("episode_idx")))
+    // extractive summary: top content tokens by (freq desc, token asc)
+    val tokenCounts = episodes
+      .select(col("episode_id"),
+        explode(graft.functions.TextFunctions.contentTokens(col("content"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("episode_id", "tok").agg(count(lit(1)).as("n"))
+    val topTokens = tokenCounts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("episode_id").orderBy(col("n").desc, col("tok"))))
+      .filter(col("rnk") <= summaryTokens)
+      .groupBy("episode_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+          _.getField("tok"))).as("summary"))
+    episodes.join(topTokens, Seq("episode_id"), "left")
+      .withColumn("summary", coalesce(col("summary"), lit("")))
+      .select("episode_id", "user_id", "session_id", "episode_idx", "summary",
+        "content", "m0_raw_ids", "n_chunks", "started_at", "ended_at")
+  }
+
   /** H6 conflict detection (reference: hierarchy/conflict_detection.py:
     * 55-160, which prefilters candidates through a vector similarity
     * search precisely to avoid comparing every fact with every fact).

@@ -88,6 +88,30 @@ class SemanticSpec extends SparkSpec {
     assert(n == 1, s"expected exactly one encode stage (m0), got $n:\n" + plan.take(1500))
   }
 
+  test("episode formation: time-gap split, lineage, extractive summary") {
+    val dir = Files.createTempDirectory("epi").toString
+    val engine = new MemFuse(spark, dir)
+    def at(hours: Int, id: String, round: String, seq: Int, content: String) =
+      Schemas.Message(id, "s1", "u1", round, seq, "user", content,
+        new java.sql.Timestamp(
+          java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + hours * 3600000L))
+    engine.ingest(Seq(
+      at(0, "m1", "r1", 1, "spark spark shuffle tuning"),
+      at(0, "m2", "r2", 2, "spark partition advice"),
+      // > 1h gap → second episode
+      at(3, "m3", "r3", 3, "completely new topic cooking")).toDF())
+    engine.buildEpisodes(gapSeconds = 3600)
+    val eps = engine.episodes.orderBy("episode_idx").collect()
+    assert(eps.length == 2)
+    assert(eps(0).getAs[Long]("n_chunks") == 2)
+    assert(eps(1).getAs[Long]("n_chunks") == 1)
+    // lineage covers every source message exactly once across episodes
+    val lineage = eps.flatMap(_.getAs[scala.collection.Seq[String]]("m0_raw_ids"))
+    assert(lineage.sorted.toSeq == Seq("m1", "m2", "m3"))
+    // extractive summary: most frequent content token leads
+    assert(eps(0).getAs[String]("summary").startsWith("spark"))
+  }
+
   test("knowledge CRUD round-trip") {
     val dir = Files.createTempDirectory("kn").toString
     val engine = new MemFuse(spark, dir)
