@@ -40,6 +40,34 @@ class IvfSpec extends SparkSpec {
     assert(multi >= single)
   }
 
+  test("ivf index: save/load round-trip answers identically, cluster-partitioned") {
+    val emb = Tables.embeddings(spark, sf())
+    val built = IvfIndex.build(spark, emb, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsave").toString
+    built.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    val a = built.query(qvec, 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val b = loaded.query(qvec, 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    // persisted layout: one directory per cluster → probes prune files
+    val clusterDirs = new java.io.File(s"$dir/ivf_assigned").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(clusterDirs.size == 4, clusterDirs.toString)
+  }
+
+  test("ivf build fits on a bounded sample when the table exceeds maxFitRows") {
+    val emb = Tables.embeddings(spark, sf())
+    // sampled fit (tiny cap) must still produce a working index over the
+    // FULL table — every row assigned, queries answer
+    val idx = IvfIndex.build(spark, emb, nlist = 4, maxFitRows = 50)
+    assert(idx.assigned.count() == emb.count())
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    assert(idx.query(qvec, 5, nProbe = 4).count() == 5)
+  }
+
   test("ivf build is deterministic under a fixed seed") {
     val emb = Tables.embeddings(spark, sf())
     val a = IvfIndex.build(spark, emb, 4).assigned

@@ -87,11 +87,30 @@ class StreamingSpec extends SparkSpec {
         "created_at")
     TableOps.withUserBucket(pending)
       .write.partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
+    // a second user in a DIFFERENT bucket with nothing pending: the
+    // backfill must never touch that bucket's files
+    val otherUser = (1 to 40).map(i => s"z$i").find(u =>
+      TableOps.bucketOf(spark, u) != TableOps.bucketOf(spark, "u1")).get
+    val settled = Seq((
+      "c3", "other bucket chunk", "token_based", 3,
+      HashingEncoder().encodeOne("other bucket chunk"), Seq("m3"),
+      otherUser, "s2", false, ts(2)))
+      .toDF("chunk_id", "content", "chunking_strategy", "token_count",
+        "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
+        "created_at")
+    TableOps.withUserBucket(settled)
+      .write.mode("append").partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
+    val otherDir = new java.io.File(
+      s"$dir/m1_episodic/user_bucket=${TableOps.bucketOf(spark, otherUser)}")
+    val before = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+
     val n = StreamingIngest.embedBackfill(spark, dir, HashingEncoder())
     assert(n == 1)
     val after = spark.read.parquet(s"$dir/m1_episodic")
     assert(after.filter(col("needs_embedding")).count() == 0)
-    assert(after.filter(size(col("embedding")) === Schemas.EmbeddingDim).count() == 2)
+    assert(after.filter(size(col("embedding")) === Schemas.EmbeddingDim).count() == 3)
+    val afterFiles = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(afterFiles == before, "settled bucket must be untouched by backfill")
   }
 
   test("windowed rollup with watermark runs on a stream") {
