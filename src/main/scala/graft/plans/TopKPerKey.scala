@@ -9,17 +9,19 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
-/** Whole-operator extension (SURVEY §2.11, the prompt's option (c)):
-  * top-k rows PER KEY as a first-class plan node.
+/** Whole-operator extension (SURVEY §2.11): top-k rows PER KEY as a
+  * first-class plan node.
   *
   * The DataFrame idiom for per-group top-k — `row_number() OVER
-  * (PARTITION BY key ORDER BY s) <= k` — plans as a Window over a FULL
-  * sort of every partition: at 100 TB the sort dominates even though
-  * only k rows per key survive. This operator is the per-key analogue of
-  * `TakeOrderedAndProject`: a bounded heap per key on the map side
-  * (partial), one shuffle clustered by key, bounded heaps again on the
-  * reduce side (final). No global or per-partition sort ever happens;
-  * memory is O(keys-per-partition × k).
+  * (PARTITION BY key ORDER BY s) <= k` — plans as Sort → WindowGroupLimit
+  * → Window: Spark's built-in `InferWindowGroupLimit` (3.5+) caps how
+  * many rows per key flow into the Window, but the per-partition SORT of
+  * every input row still runs on both sides of the exchange. This
+  * operator is the per-key analogue of `TakeOrderedAndProject`: a
+  * bounded heap per key on the map side (partial), one shuffle clustered
+  * by key, bounded heaps again on the reduce side (final). No sort ever
+  * happens — O(n log k) comparisons instead of O(n log n) per partition —
+  * and memory is O(keys-per-partition × k).
   *
   * Registered through `SparkSessionExtensions.injectPlannerStrategy`
   * ([[graft.GraftExtensions]]) — the logical node is planned by
