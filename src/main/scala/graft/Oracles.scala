@@ -256,6 +256,24 @@ object Oracles {
         |WHERE frame_bytes > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
 
+    // exponent literals force DOUBLE so rate*1e6 is the same IEEE
+    // product as Spark's lit(rate) * 1000000d (a DECIMAL 0.2 * 1000000
+    // would be exactly 200000 where the double product is not)
+    "q53_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(${md5Long("concat(CAST(doc_id AS VARCHAR), '|s1')")} % 1000000 AS DOUBLE)
+         |      < (CASE WHEN lang = 'en' THEN 0.5e0
+         |              WHEN lang = 'zh' THEN 0.2e0 ELSE 1.0e0 END) * 1000000e0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q54_mixture_report" ->
+      s"""SELECT lang, source, n_docs, n_tokens,
+         |  ${t6("CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)")} AS token_share
+         |FROM (SELECT lang, source, count(*) AS n_docs,
+         |             CAST(SUM(len(${toks("text")})) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY lang, source)
+         |ORDER BY lang, source""".stripMargin,
+
     "q48_metadata_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,

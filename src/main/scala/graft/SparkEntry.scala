@@ -247,6 +247,19 @@ object SparkEntry {
     "q50_token_count_bpe" -> ((s, d) =>
       TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
 
+    // ---- corpus mixing: deterministic hash-threshold subsample per
+    // stratum (reproducible across engines/partitionings, pushes to the
+    // scan) + the mixture report a data recipe starts from ----
+    "q53_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q54_mixture_report" -> ((s, d) =>
+      TextAnalysis.mixtureReport(Tables.documents(s, d), Seq("lang", "source"))),
+
     "q17_text_search" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(lower(col("text")).contains("join filter"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token stats,
@@ -51,6 +51,46 @@ object TextAnalysis {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(tokenSet(col("text"))))).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Deterministic stratified sampling for corpus mixing: keep a row iff
+    * md5_52(id|salt) mod 1e6 falls under its stratum's rate — the
+    * standard reproducible subsample for pretraining-data recipes
+    * ("keep 50% of en, 10% of low-quality, all of rare langs"). Unlike
+    * `DataFrame.sample` this is a pure row-local predicate: stable
+    * across runs, engines, partitionings and cluster sizes, and it
+    * pushes down to the scan. Strata without an entry keep
+    * `defaultRate`. */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = "s1"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), acc) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(
+      md5Long(concat(col(idCol).cast("string"), lit("|" + salt)))
+        .mod(1000000L).cast("double") < rate * 1000000d)
+  }
+
+  /** Corpus-mixture report: per-stratum document/token counts and the
+    * stratum's share of total tokens — the "what is this dataset made
+    * of" table every mixing recipe starts from. */
+  def mixtureReport(docs: DataFrame, strataCols: Seq[String]): DataFrame = {
+    val keys = strataCols.map(col)
+    val perStratum = docs
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    perStratum
+      .withColumn("token_share", trunc6(
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy())))
+      .orderBy(strataCols.map(col): _*)
+  }
 
   /** The GPT-2-style pre-tokenizer regex (contractions, letter runs,
     * number runs, punctuation runs, whitespace), minus the `\s+(?!\S)`

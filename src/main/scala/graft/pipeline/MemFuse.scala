@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * (reference: pgvectorscale_store.py:594-619 WHERE user_id) becomes
   * partition pruning — a query for one user touches 1/16 of the files
   * before any row is read. Cascade deletes (reference: postgres.py
-  * ON DELETE CASCADE) are explicit anti-join rewrites.
+  * ON DELETE CASCADE) are bucket-scoped anti-filter rewrites plus the
+  * relational-catalog cascades, all through TableOps' recovery-ordered
+  * swaps.
   *
   * @param encoder  embedding stage (K9) — pluggable, deterministic stub
   *                 by default; a real ONNX encoder drops in unchanged
