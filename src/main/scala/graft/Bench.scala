@@ -11,7 +11,8 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // oracle-checked queries + bench-only x* entries (index/facade paths)
+    val ordered = (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq.sortBy(_._1)
     // untimed warmup pass: JIT, whole-stage-codegen compilation and file
     // index caches, so the timed pass measures steady-state throughput
     // (set SPARK_GRAFT_WARMUP=0 for cold-start numbers)
@@ -20,7 +21,7 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // min of two timed passes: one-off GC/compilation hiccups otherwise
+    // min of n>=3 timed passes: one-off GC/compilation hiccups otherwise
     // dominate sub-second queries. A query that throws is recorded as
     // failed (time -1) instead of silently contributing a near-zero time.
     def pass() = ordered.map { case (name, fn) =>
@@ -28,9 +29,12 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a, ok1), (_, b, ok2)) =>
-      (n, if (ok1 && ok2) math.min(a, b) else -1.0, ok1 && ok2)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = (1 to nPasses).map(_ => pass())
+    val results = ordered.indices.map { i =>
+      val rs = passes.map(_(i))
+      val ok = rs.forall(_._3)
+      (rs.head._1, if (ok) rs.map(_._2).min else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -432,6 +432,11 @@ object Oracles {
 
     "q20_knn_cosine" -> vectorScanSql(SparkEntry.KnnQueryId, 20),
 
+    // exhaustive IVF probe (nProbe = nlist): every cluster is scanned, so
+    // the index result must equal the brute-force KNN — q20's formula
+    // checks the whole index machinery end to end
+    "q47_knn_ivf_probe" -> vectorScanSql(SparkEntry.KnnQueryId, 20),
+
     "q21_knn_ivf" ->
       s"""SELECT id, score FROM (
          |  SELECT e.vec_id AS id,
@@ -455,11 +460,13 @@ object Oracles {
          |ORDER BY score DESC, id LIMIT 10""".stripMargin
     },
 
+    // capped quadratic baseline (vec_id < 500 mirrors the Spark side)
     "q22_near_dup_vectors" ->
       s"""SELECT id_a, id_b, score FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ${t6(cosine("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"))} AS score
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 500 AND b.vec_id < 500)
          |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     // bucketed variant: candidates restricted to shared sign-LSH buckets

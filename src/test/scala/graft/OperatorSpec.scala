@@ -51,7 +51,7 @@ class OperatorSpec extends SparkSpec {
 
   test("lsh-bucketed embedding near-dups: subset of exact pairs, salt-invariant") {
     val emb = Tables.embeddings(spark, sf())
-    val exact = SparkEntry.queries("q22_near_dup_vectors")(spark, sf())
+    val exact = Dedup.embeddingNearDups(emb, 0.25) // uncapped exact reference
       .as[(Long, Long, Double)].collect().toSet
     val bucketed = Dedup.embeddingNearDupsLsh(emb, 0.25)
       .as[(Long, Long, Double)].collect().toSet
