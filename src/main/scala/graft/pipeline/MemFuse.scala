@@ -139,8 +139,13 @@ class MemFuse(
     clearCache() // B5 cache: any write invalidates cached query results
   }
 
-  def m0: DataFrame = spark.read.parquet(path("m0_raw"))
-  def m1: DataFrame = spark.read.parquet(path("m1_episodic"))
+  /** m0/m1 are read through the streaming committed view: on a table a
+    * streaming writer ever touched, rows of half-flushed (uncommitted)
+    * micro-batches are invisible and checkpoint-replay duplicates are
+    * collapsed by primary key; a purely batch-written table passes
+    * through untouched (no batch_id column → no extra shuffle). */
+  def m0: DataFrame = graft.streaming.StreamingIngest.m0Committed(spark, basePath)
+  def m1: DataFrame = graft.streaming.StreamingIngest.m1Committed(spark, basePath)
 
   /** F4 item-type filter over the metadata map (reference filters
     * messages/knowledge/chunks by metadata.type, numpy_store.py:532-546)

@@ -50,14 +50,19 @@ object StreamingIngest {
   /** Token-budget batching, keyed by session (B1 semantics):
     * accumulate until adding a message would cross `maxTokens`, then emit
     * the pending batch; an oversized single message becomes its own batch
-    * (round_buffer.py:104-120). Pending data flushes on processing-time
-    * timeout (`timeoutMs`, the 60 s auto-flush); pass `timeoutMs <= 0`
-    * to disable the timer (deterministic tests, replay jobs — note the
-    * timer keeps the stream cycling through no-data micro-batches). */
+    * (round_buffer.py:104-120); a buffer holding `maxRounds` distinct
+    * rounds flushes regardless of token count (round_buffer.max_size=5,
+    * reference config/buffer/default.yaml — the reference buffers whole
+    * rounds, so its size trigger counts rounds, not messages). Pending
+    * data flushes on processing-time timeout (`timeoutMs`, the 60 s
+    * auto-flush); pass `timeoutMs <= 0` to disable the timer
+    * (deterministic tests, replay jobs — note the timer keeps the stream
+    * cycling through no-data micro-batches). */
   def sessionBatcher(
       messages: Dataset[Schemas.Message],
       maxTokens: Int = 800,
-      timeoutMs: Long = 60000L): Dataset[SessionBatch] = {
+      timeoutMs: Long = 60000L,
+      maxRounds: Int = 5): Dataset[SessionBatch] = {
     import messages.sparkSession.implicits._
     val timeoutConf =
       if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
@@ -103,6 +108,12 @@ object StreamingIngest {
                 // flush immediately rather than holding an over-budget buffer
                 out += toBatch(sid, buf.pending, "oversized")
                 buf = SessionBuf(Nil, 0)
+              } else if (maxRounds > 0 &&
+                  buf.pending.iterator.map(_.round_id).toSet.size >= maxRounds) {
+                // B1 max_size trigger: the buffer holds maxRounds rounds —
+                // flush even though the token budget was never crossed
+                out += toBatch(sid, buf.pending, "max_size")
+                buf = SessionBuf(Nil, 0)
               }
             }
             state.update(buf)
@@ -118,20 +129,41 @@ object StreamingIngest {
     * (hybrid_buffer.py:27-150 keeps rounds for the DB flush and chunks
     * for the vector flush). Both writes use the same
     * user_bucket-partitioned layout as MemFuse.ingest, so streaming and
-    * batch writers share one table. Caller stops the returned query. */
+    * batch writers share one table. Caller stops the returned query.
+    *
+    * Exactly-once across the DUAL flush (the reference gets this from
+    * Postgres transactions, postgres.py): blind parquet appends are not
+    * idempotent, so a checkpoint replay after a crash would duplicate
+    * rows, and a crash BETWEEN the two writes would split the queues.
+    * Three pieces close both holes:
+    *  1. every row carries the foreachBatch `batch_id` (and the chunk's
+    *     created_at derives from its messages, so a replayed batch is
+    *     bit-identical, never wall-clock-stamped);
+    *  2. after BOTH appends succeed, a marker file
+    *     `_streaming_commits/<batch_id>` is created — the cross-table
+    *     commit record;
+    *  3. readers go through [[m0Committed]]/[[m1Committed]], which drop
+    *     rows of unmarked batches (atomicity: a half-flushed batch is
+    *     invisible in both tables) and collapse replay duplicates by
+    *     primary key (idempotency: replayed rows are identical, any one
+    *     survives).
+    * `interWriteHook` runs between the two appends — a failpoint for the
+    * crash-recovery spec; production leaves it a no-op. */
   def start(
       messages: Dataset[Schemas.Message],
       basePath: String,
       encoder: TextEncoder,
       maxTokens: Int = 800,
       timeoutMs: Long = 60000L,
-      checkpoint: String): StreamingQuery = {
-    val batches = sessionBatcher(messages, maxTokens, timeoutMs)
+      checkpoint: String,
+      maxRounds: Int = 5,
+      interWriteHook: Long => Unit = _ => ()): StreamingQuery = {
+    val batches = sessionBatcher(messages, maxTokens, timeoutMs, maxRounds)
     batches.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("5 seconds"))
-      .foreachBatch { (batch: Dataset[SessionBatch], _: Long) =>
+      .foreachBatch { (batch: Dataset[SessionBatch], batchId: Long) =>
         val df = batch.toDF().persist()
         // dual-queue flush 1/2: original messages → m0_raw
         df.select(col("session_id"), explode(col("messages")).as("m"))
@@ -144,30 +176,97 @@ object StreamingIngest {
             lit("completed").as("processing_status"),
             // the streaming API shape carries no metadata; write the
             // empty map so both m0 writers share one schema
-            typedlit(Map.empty[String, String]).as("metadata"))
+            typedlit(Map.empty[String, String]).as("metadata"),
+            lit(batchId).as("batch_id"))
           .transform(TableOps.withUserBucket)
           .write.mode(SaveMode.Append).partitionBy("user_bucket")
           .parquet(s"$basePath/m0_raw")
-        // dual-queue flush 2/2: encoded chunk → m1_episodic
+        interWriteHook(batchId) // failpoint: crash between the two writes
+        // dual-queue flush 2/2: encoded chunk → m1_episodic. created_at
+        // is the batch's max message time — deterministic under replay
+        // (current_timestamp() would make replayed rows distinct)
         val chunks = df
           .withColumn("chunk_id", concat(col("session_id"), lit("#"), sha1(col("content"))))
           .withColumn("chunking_strategy", lit("token_based"))
           .withColumn("needs_embedding", lit(false))
-          .withColumn("created_at", current_timestamp())
+          .withColumn("created_at",
+            array_max(transform(col("messages"), m => m.getField("created_at"))))
         encoder.encode(chunks, "content")
           .select(col("chunk_id"), col("content"), col("chunking_strategy"),
             col("token_count"), col("embedding"), col("m0_raw_ids"),
             col("user_id"), col("session_id"), col("needs_embedding"),
             col("created_at"),
-            typedlit(Map.empty[String, String]).as("metadata"))
+            typedlit(Map.empty[String, String]).as("metadata"),
+            lit(batchId).as("batch_id"))
           .transform(TableOps.withUserBucket)
           .write.mode(SaveMode.Append).partitionBy("user_bucket")
           .parquet(s"$basePath/m1_episodic")
+        commitBatch(batch.sparkSession, basePath, batchId)
         df.unpersist()
         ()
       }
       .start()
   }
+
+  private def commitsDir(basePath: String) =
+    new org.apache.hadoop.fs.Path(s"$basePath/_streaming_commits")
+
+  /** Write the cross-table commit marker for `batchId` — called only
+    * after BOTH queue flushes succeeded. Creation is idempotent
+    * (overwrite), so a replayed already-committed batch re-marks
+    * harmlessly. */
+  private def commitBatch(spark: SparkSession, basePath: String, batchId: Long): Unit = {
+    val dir = commitsDir(basePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString), true).close()
+  }
+
+  /** Batch ids with a commit marker. The marker set is one tiny file per
+    * micro-batch — at scale a compaction job folds old markers into a
+    * manifest table on the same cadence as parquet compaction. */
+  def committedBatchIds(spark: SparkSession, basePath: String): Set[Long] = {
+    val dir = commitsDir(basePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName.toLong).toSet
+  }
+
+  /** Committed view of a streaming-written table: rows of uncommitted
+    * batches dropped (a crash between the two queue flushes leaves the
+    * half-written batch invisible), replay duplicates collapsed by
+    * `idCol` (replayed rows are bit-identical, min_by batch_id keeps the
+    * first-committed copy deterministically). Rows with no batch_id —
+    * written by the synchronous batch ingest, which needs no marker —
+    * pass through. The dedup is one hash-shuffle on the primary key,
+    * the same cost class as the reference's PK upsert. */
+  private def committedView(
+      spark: SparkSession, basePath: String, table: String, idCol: String): DataFrame = {
+    // mergeSchema: batch-ingested files carry no batch_id column, so a
+    // sampled-footer schema would hide (or fabricate) the column on a
+    // mixed batch+streaming table
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/$table")
+    if (!df.columns.contains("batch_id")) df
+    else {
+      import spark.implicits._
+      val commDf = committedBatchIds(spark, basePath).toSeq.toDF("__cb")
+      val stream = df.filter(col("batch_id").isNotNull)
+        .join(broadcast(commDf), col("batch_id") === col("__cb"), "left_semi")
+      val visible = df.filter(col("batch_id").isNull).unionByName(stream)
+      val keyed = visible.groupBy(col(idCol).as("__k"))
+        .agg(min_by(struct(visible.columns.map(col): _*), coalesce(col("batch_id"), lit(-1L)))
+          .as("__r"))
+      keyed.select(col("__r.*"))
+    }
+  }
+
+  /** m0_raw with exactly-once semantics restored on read. */
+  def m0Committed(spark: SparkSession, basePath: String): DataFrame =
+    committedView(spark, basePath, "m0_raw", "message_id")
+
+  /** m1_episodic with exactly-once semantics restored on read. */
+  def m1Committed(spark: SparkSession, basePath: String): DataFrame =
+    committedView(spark, basePath, "m1_episodic", "chunk_id")
 
   /** Embedding backfill (B7): encode every chunk still flagged
     * `needs_embedding` and rewrite ONLY the user_bucket partitions that

@@ -75,6 +75,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session batcher flushes on the 5-round max_size trigger under budget") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Schemas.Message]
+    // 5 rounds × 10 tokens = 50 ≪ the 800 budget: only the round-count
+    // trigger (round_buffer.max_size) can flush this buffer
+    val batches = StreamingIngest.sessionBatcher(source.toDS(), maxTokens = 800,
+      timeoutMs = 0, maxRounds = 5)
+    val q = batches.writeStream.outputMode("append")
+      .format("memory").queryName("maxsize_out").start()
+    try {
+      source.addData((1 to 5).map(i => msg(s"m$i", "s1", i, 10)): _*)
+      q.processAllAvailable()
+      val out = spark.table("maxsize_out")
+        .select("m0_raw_ids", "token_count", "trigger")
+        .as[(Seq[String], Int, String)].collect()
+      assert(out.length == 1)
+      assert(out.head == ((Seq("m1", "m2", "m3", "m4", "m5"), 50, "max_size")))
+    } finally q.stop()
+  }
+
+  test("dual flush survives a crash between the two writes: no dupes, lineage 1:1") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_crash").toString
+    val source = MemoryStream[Schemas.Message]
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // failpoint: die AFTER the m0 append, BEFORE the m1 append —
+    // the exact split the reference's Postgres transaction prevents
+    val q1 = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
+      maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt",
+      interWriteHook = _ => if (fired.compareAndSet(false, true))
+        throw new RuntimeException("injected crash between m0 and m1 flush"))
+    source.addData(msg("m1", "s1", 1, 40), msg("m2", "s1", 2, 40))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+
+    // the half-flushed batch is physically in m0 but logically invisible
+    assert(spark.read.parquet(s"$dir/m0_raw").count() == 1)
+    assert(StreamingIngest.m0Committed(spark, dir).count() == 0)
+
+    // restart from the SAME checkpoint without the failpoint: the epoch
+    // replays, appending m0 rows a second time + m1 + the commit marker
+    val q2 = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
+      maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // physical m0 holds the replay duplicate; the committed view doesn't
+    assert(spark.read.parquet(s"$dir/m0_raw").count() == 2)
+    val m0 = StreamingIngest.m0Committed(spark, dir)
+    val m1 = StreamingIngest.m1Committed(spark, dir)
+    assert(m0.count() == 1)
+    assert(m0.select("message_id").as[String].collect().toSeq == Seq("m1"))
+    assert(m1.count() == 1)
+    // m0 ↔ m1 lineage still exactly 1:1
+    val lineage = m1.select(explode(col("m0_raw_ids")).as("message_id"))
+    assert(lineage.as[String].collect().toSeq == Seq("m1"))
+    assert(lineage.join(m0, Seq("message_id")).count() == 1)
+    assert(m0.join(lineage, Seq("message_id"), "left_anti").count() == 0)
+  }
+
   test("embedding backfill encodes rows flagged needs_embedding") {
     val dir = Files.createTempDirectory("backfill").toString
     val pending = Seq(
