@@ -16,6 +16,64 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * kernel (tokens hashed into `dim` buckets, L2-normalized) standing in
   * for the model forward pass.
   */
+/** Shared hashed bag-of-tokens featurizer: token t adds ±1 (sign from
+  * the hash's top bit) into bucket murmur3(t, seed) % featDim. Both the
+  * projection models and the offline trainer (graft.tools.TrainWeights)
+  * featurize through here, so shipped weights can never drift from the
+  * runtime feature space. */
+object HashedBow {
+  def raw(text: String, featDim: Int, seed: Int): Array[Float] = {
+    val f = new Array[Float](featDim)
+    text.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed)
+        f(math.floorMod(h, featDim)) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
+      }
+    }
+    f
+  }
+
+  def l2(text: String, featDim: Int, seed: Int): Array[Float] = {
+    val f = raw(text, featDim, seed)
+    val n = math.sqrt(f.map(x => x.toDouble * x).sum)
+    if (n > 0) f.map(x => (x / n).toFloat) else f
+  }
+}
+
+/** Loader for the small trained weight tensors shipped on the classpath
+  * (`src/main/resources/graft/weights/`). The tensors are TRAINED, not
+  * random: `graft.tools.TrainWeights` (test scope, committed alongside)
+  * fits them by SGD on sentence pairs generated from a public
+  * common-English synonym lexicon — positives share meaning through
+  * different surface tokens, so the models must learn cross-bucket
+  * synonym alignment, which no hash kernel can express. File format:
+  * DataOutputStream big-endian — matrix = int rows, int cols, row-major
+  * float32; vector = int length, float32. */
+object TrainedWeights {
+  val EncoderResource = "/graft/weights/encoder_w.bin"
+  val CrossW1Resource = "/graft/weights/cross_w1.bin"
+  val CrossW2Resource = "/graft/weights/cross_w2.bin"
+
+  private def open(resource: String) = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"trained weight resource $resource not on classpath")
+    new java.io.DataInputStream(new java.io.BufferedInputStream(in))
+  }
+
+  def loadMatrix(resource: String): Array[Array[Float]] = {
+    val in = open(resource)
+    try {
+      val rows = in.readInt(); val cols = in.readInt()
+      Array.fill(rows)(Array.fill(cols)(in.readFloat()))
+    } finally in.close()
+  }
+
+  def loadVector(resource: String): Array[Float] = {
+    val in = open(resource)
+    try Array.fill(in.readInt())(in.readFloat()) finally in.close()
+  }
+}
+
 trait TextEncoder extends Serializable {
   def dim: Int
   /** Encode one text — used for query-time single encodes. */
@@ -67,27 +125,35 @@ case class HashingEncoder(dim: Int = Schemas.EmbeddingDim) extends TextEncoder {
   * the shape of an ONNX session forward pass (reference
   * rag/encode/MiniLM.py), so swapping in real weights changes only the
   * kernel, not the distribution strategy. Deterministic across
-  * executors: the weights regenerate from the fixed seed per JVM. */
+  * executors: the weights regenerate from the fixed seed per JVM —
+  * or, with `weightsResource` set ([[RandomProjectionEncoder.trained]]),
+  * load once per JVM from a shipped TRAINED tensor, closing the last
+  * gap between "the compute shape of a model" and "a model actually
+  * scoring": with the trained weights, synonym paraphrases embed near
+  * each other even with zero token overlap. */
 case class RandomProjectionEncoder(
     dim: Int = Schemas.EmbeddingDim,
     featDim: Int = 256,
-    seed: Long = 42L) extends TextEncoder {
+    seed: Long = 42L,
+    weightsResource: Option[String] = None) extends TextEncoder {
 
-  // frozen "model weights": regenerated deterministically per executor
-  // instead of shipping tensors through the closure
-  @transient private lazy val weights: Array[Array[Float]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(dim, featDim)((rnd.nextGaussian() / math.sqrt(featDim)).toFloat)
-  }
+  // frozen "model weights": loaded from the shipped trained tensor, or
+  // regenerated deterministically per executor from the seed — never
+  // shipped through the closure either way
+  @transient private lazy val weights: Array[Array[Float]] =
+    weightsResource match {
+      case Some(res) =>
+        val w = TrainedWeights.loadMatrix(res)
+        require(w.length == dim && w.head.length == featDim,
+          s"trained tensor $res is ${w.length}x${w.head.length}, model wants ${dim}x$featDim")
+        w
+      case None =>
+        val rnd = new java.util.Random(seed)
+        Array.fill(dim, featDim)((rnd.nextGaussian() / math.sqrt(featDim)).toFloat)
+    }
 
   def encodeOne(text: String): Array[Float] = {
-    val feat = new Array[Float](featDim)
-    text.split(" ").foreach { tok =>
-      if (tok.nonEmpty) {
-        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed.toInt)
-        feat(math.floorMod(h, featDim)) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
-      }
-    }
+    val feat = HashedBow.raw(text, featDim, seed.toInt)
     val w = weights
     val v = new Array[Float](dim)
     var i = 0
@@ -102,6 +168,13 @@ case class RandomProjectionEncoder(
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
     if (norm > 0) v.map(x => (x / norm).toFloat) else v
   }
+}
+
+object RandomProjectionEncoder {
+  /** The shipped TRAINED encoder (weights fit offline by
+    * graft.tools.TrainWeights on the public synonym lexicon). */
+  def trained: RandomProjectionEncoder =
+    RandomProjectionEncoder(weightsResource = Some(TrainedWeights.EncoderResource))
 }
 
 /** Oracle-reproducible sign-hash encoder: token t lands in bucket
@@ -152,58 +225,89 @@ case class OverlapReranker() extends Reranker {
   }
 }
 
-/** Fixed-weight CROSS-encoder stand-in (K8): a frozen two-layer MLP
-  * scores each (query, candidate) pair JOINTLY — the feature vector is
-  * [feat(q) ; feat(c) ; feat(q)⊙feat(c)] so the model sees the
-  * interaction, which is what distinguishes a cross-encoder from a
-  * bi-encoder — computed per candidate row inside `mapPartitions` with
-  * weights regenerated once per executor from the seed. This is the
+/** Fixed-weight CROSS-encoder (K8): hashed token features pass through a
+  * projection layer P (a learned token-representation), then a two-layer
+  * MLP head scores each (query, candidate) pair JOINTLY over
+  * [p(q) ; p(c) ; p(q)⊙p(c) ; 1] — the interaction block is what
+  * distinguishes a cross-encoder from a bi-encoder, and the trailing
+  * constant is the hidden bias input. Computed per candidate row inside
+  * `mapPartitions` with tensors materialized once per executor — the
   * exact distribution shape of the reference's MiniLM cross-encoder
   * (rag/rerank/MiniLM.py:26-240): swapping real weights in changes only
-  * the forward function. Frozen-random weights score arbitrarily (shape,
-  * not semantics), so [[OverlapReranker]] stays the default heuristic. */
+  * the tensors, never the plumbing. With the default seed-random tensors
+  * the model scores arbitrarily (shape, not semantics) and
+  * [[OverlapReranker]] stays the facade's default heuristic; with
+  * [[ProjectionCrossEncoder.trained]] the shipped TRAINED tensors make
+  * it a real (if tiny) relevance model — the facade's documented
+  * non-default reranker. In the trained build P is the bi-encoder's
+  * trained projection reused as the frozen representation layer and the
+  * head is fit on synonym-paraphrase relevance — the classic
+  * "pretrained body + task head" composition. */
 case class ProjectionCrossEncoder(
-    featDim: Int = 128,
-    hidden: Int = 32,
-    seed: Long = 7L) extends Reranker {
+    featDim: Int = 256,
+    projDim: Int = 64,
+    hidden: Int = 64,
+    seed: Long = 7L,
+    hashSeed: Int = 42,
+    weightsResource: Option[(String, String, String)] = None) extends Reranker {
 
-  @transient private lazy val weights: (Array[Array[Float]], Array[Float]) = {
-    val rnd = new java.util.Random(seed)
-    (Array.fill(hidden, 3 * featDim)(
-      (rnd.nextGaussian() / math.sqrt(3.0 * featDim)).toFloat),
-      Array.fill(hidden)((rnd.nextGaussian() / math.sqrt(hidden.toDouble)).toFloat))
-  }
-
-  private def feat(text: String): Array[Float] = {
-    val f = new Array[Float](featDim)
-    text.split(" ").foreach { tok =>
-      if (tok.nonEmpty) {
-        val h = scala.util.hashing.MurmurHash3.stringHash(tok, seed.toInt)
-        f(math.floorMod(h, featDim)) += (if (((h >>> 31) & 1) == 0) 1f else -1f)
-      }
+  // (P projection, w1 hidden, w2 output)
+  @transient private lazy val weights
+      : (Array[Array[Float]], Array[Array[Float]], Array[Float]) =
+    weightsResource match {
+      case Some((pRes, w1Res, w2Res)) =>
+        val p = TrainedWeights.loadMatrix(pRes)
+        val w1 = TrainedWeights.loadMatrix(w1Res)
+        val w2 = TrainedWeights.loadVector(w2Res)
+        require(p.length == projDim && p.head.length == featDim &&
+          w1.length == hidden && w1.head.length == 3 * projDim + 1 && w2.length == hidden,
+          s"trained tensors $pRes/$w1Res/$w2Res don't fit " +
+            s"featDim=$featDim projDim=$projDim hidden=$hidden")
+        (p, w1, w2)
+      case None =>
+        val rnd = new java.util.Random(seed)
+        (Array.fill(projDim, featDim)(
+          (rnd.nextGaussian() / math.sqrt(featDim)).toFloat),
+          Array.fill(hidden, 3 * projDim + 1)(
+            (rnd.nextGaussian() / math.sqrt(3.0 * projDim)).toFloat),
+          Array.fill(hidden)((rnd.nextGaussian() / math.sqrt(hidden.toDouble)).toFloat))
     }
-    val n = math.sqrt(f.map(x => x.toDouble * x).sum)
-    if (n > 0) f.map(x => (x / n).toFloat) else f
+
+  /** p(text) = tanh(P · hashedBow(text)) — the representation layer. */
+  private def proj(p: Array[Array[Float]], text: String): Array[Float] = {
+    val f = HashedBow.raw(text, featDim, hashSeed)
+    val v = new Array[Float](projDim)
+    var i = 0
+    while (i < projDim) {
+      var acc = 0.0
+      val row = p(i)
+      var j = 0
+      while (j < featDim) { acc += row(j) * f(j); j += 1 }
+      v(i) = math.tanh(acc).toFloat
+      i += 1
+    }
+    v
   }
 
   /** One pairwise forward pass. */
   def score(query: String, candidate: String): Double = {
-    val (w1, w2) = weights
-    val fq = feat(query); val fc = feat(candidate)
-    val joint = new Array[Float](3 * featDim)
+    val (p, w1, w2) = weights
+    val fq = proj(p, query); val fc = proj(p, candidate)
+    val joint = new Array[Float](3 * projDim + 1)
     var j = 0
-    while (j < featDim) {
-      joint(j) = fq(j); joint(featDim + j) = fc(j)
-      joint(2 * featDim + j) = fq(j) * fc(j)
+    while (j < projDim) {
+      joint(j) = fq(j); joint(projDim + j) = fc(j)
+      joint(2 * projDim + j) = fq(j) * fc(j)
       j += 1
     }
+    joint(3 * projDim) = 1f
     var out = 0.0
     var i = 0
     while (i < hidden) {
       var acc = 0.0
       val row = w1(i)
       var k = 0
-      while (k < 3 * featDim) { acc += row(k) * joint(k); k += 1 }
+      while (k < joint.length) { acc += row(k) * joint(k); k += 1 }
       out += w2(i) * math.tanh(acc)
       i += 1
     }
@@ -225,4 +329,17 @@ case class ProjectionCrossEncoder(
       .orderBy(col("rerank_score").desc, col("id"))
       .limit(topK)
   }
+}
+
+object ProjectionCrossEncoder {
+  /** The shipped TRAINED cross-encoder (tensors fit offline by
+    * graft.tools.TrainWeights; P is the bi-encoder's trained projection):
+    * pass as `MemFuse(reranker = ...)` to replace the default
+    * token-overlap heuristic with a model that scores synonym-paraphrase
+    * relevance. */
+  def trained: ProjectionCrossEncoder =
+    ProjectionCrossEncoder(weightsResource = Some((
+      TrainedWeights.EncoderResource,
+      TrainedWeights.CrossW1Resource,
+      TrainedWeights.CrossW2Resource)))
 }

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * swaps.
   *
   * @param encoder  embedding stage (K9) — pluggable, deterministic stub
-  *                 by default; a real ONNX encoder drops in unchanged
-  * @param reranker second-stage reranker (K8) — same
+  *                 by default; `RandomProjectionEncoder.trained` swaps in
+  *                 the shipped trained tensors, a real ONNX encoder drops
+  *                 in unchanged
+  * @param reranker second-stage reranker (K8) — token-overlap heuristic
+  *                 by default; `ProjectionCrossEncoder.trained` is the
+  *                 shipped trained-model alternative
   */
 class MemFuse(
     spark: SparkSession,
