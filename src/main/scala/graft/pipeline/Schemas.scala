@@ -24,6 +24,7 @@ object Schemas {
       sequence_number: Int,
       token_count: Int,
       created_at: java.sql.Timestamp,
+      updated_at: java.sql.Timestamp, // maintained by every mutation (m0_raw.py:156-183 trigger)
       processing_status: String,
       metadata: Map[String, String])
 
@@ -40,6 +41,7 @@ object Schemas {
       session_id: String,
       needs_embedding: Boolean,
       created_at: java.sql.Timestamp,
+      updated_at: java.sql.Timestamp, // bumped by mutations (embedding backfill)
       metadata: Map[String, String])
 
   /** Incoming message batch row (the ingest API shape, reference
@@ -94,13 +96,18 @@ object Schemas {
     StructField("key_id", StringType, nullable = false),
     StructField("user_id", StringType),
     StructField("key_hash", StringType),
-    StructField("created_at", TimestampType)))
+    StructField("permissions", MapType(StringType, StringType)), // JSONB (postgres.py:247)
+    StructField("expires_at", TimestampType), // NULL = never expires
+    StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType)))
 
   val knowledgeSchema: StructType = StructType(Seq(
     StructField("knowledge_id", StringType, nullable = false),
     StructField("user_id", StringType),
     StructField("content", StringType),
-    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType)))
 
   val m0Schema: StructType = StructType(Seq(
     StructField("message_id", StringType, nullable = false),
@@ -112,6 +119,7 @@ object Schemas {
     StructField("sequence_number", IntegerType),
     StructField("token_count", IntegerType),
     StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType),
     StructField("processing_status", StringType),
     StructField("metadata", MapType(StringType, StringType))))
 
@@ -126,5 +134,6 @@ object Schemas {
     StructField("session_id", StringType),
     StructField("needs_embedding", BooleanType),
     StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType),
     StructField("metadata", MapType(StringType, StringType))))
 }
