@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   * @param reranker second-stage reranker (K8) — token-overlap heuristic
   *                 by default; `ProjectionCrossEncoder.trained` is the
   *                 shipped trained-model alternative
+  * @param situating optional C3 situating-context stage run between
+  *                  chunk packing and encoding (contextual.py:263-380);
+  *                  None (default) skips the external call entirely
   */
 class MemFuse(
     spark: SparkSession,
     basePath: String,
     encoder: TextEncoder = HashingEncoder(),
     reranker: Reranker = OverlapReranker(),
-    chunking: String = "conversation_turn") extends Serializable {
+    chunking: String = "conversation_turn",
+    situating: Option[SituatingStage] = None) extends Serializable {
 
   import Schemas._
 
@@ -64,7 +68,10 @@ class MemFuse(
       .withColumn("processing_status", lit("completed"))
       .select(col("message_id"), col("content"), col("role"), col("user_id"),
         col("session_id"), col("round_id"), col("sequence_number"),
-        col("token_count"), col("created_at"), col("processing_status"),
+        col("token_count"), col("created_at"),
+        // updated_at starts equal to created_at; mutation paths bump it
+        // (the reference maintains it with a trigger, m0_raw.py:156-183)
+        col("created_at").as("updated_at"), col("processing_status"),
         col("metadata"))
     TableOps.withUserBucket(m0)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
@@ -126,7 +133,14 @@ class MemFuse(
         s"unknown chunking strategy '$other' " +
           "(conversation_turn | character | token_budget)")
     }
-    val chunks = chunkBase
+    // C3 situating-context seam (contextual.py:263-380): the external
+    // stage runs between packing and id/encoding, so chunk ids and
+    // embeddings are computed over the SITUATED text
+    val situated = situating match {
+      case Some(stage) => SituatingStage(chunkBase, stage)
+      case None        => chunkBase
+    }
+    val chunks = situated
       .withColumn("chunk_id", concat(col("session_id"), lit("#"),
         sha1(concat_ws("|", col("disc"), col("content")))))
       .drop("disc")
@@ -137,7 +151,7 @@ class MemFuse(
       .select(col("chunk_id"), col("content"), col("chunking_strategy"),
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
-        col("created_at"), col("metadata"))
+        col("created_at"), col("created_at").as("updated_at"), col("metadata"))
       .transform(TableOps.withUserBucket)
       .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
@@ -340,34 +354,64 @@ class MemFuse(
 
   def createUser(userId: String, name: String): Unit = {
     import spark.implicits._
-    Seq((userId, name, now())).toDF("user_id", "name", "created_at")
+    val t = now()
+    Seq((userId, name, t, t)).toDF("user_id", "name", "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("users"))
   }
 
   def createAgent(agentId: String, name: String): Unit = {
     import spark.implicits._
-    Seq((agentId, name, now())).toDF("agent_id", "name", "created_at")
+    val t = now()
+    Seq((agentId, name, t, t)).toDF("agent_id", "name", "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("agents"))
   }
 
   def createSession(sessionId: String, userId: String, agentId: String): Unit = {
     import spark.implicits._
-    Seq((sessionId, userId, agentId, now()))
-      .toDF("session_id", "user_id", "agent_id", "created_at")
+    val t = now()
+    Seq((sessionId, userId, agentId, t, t))
+      .toDF("session_id", "user_id", "agent_id", "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("sessions"))
   }
 
   def createRound(roundId: String, sessionId: String): Unit = {
     import spark.implicits._
-    Seq((roundId, sessionId, now())).toDF("round_id", "session_id", "created_at")
+    val t = now()
+    Seq((roundId, sessionId, t, t))
+      .toDF("round_id", "session_id", "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("rounds"))
   }
 
-  def createApiKey(keyId: String, userId: String, keyHash: String): Unit = {
+  /** api_keys with the reference's full column set (postgres.py:243-253):
+    * free-form `permissions` (JSONB → map) and nullable `expires_at`. */
+  def createApiKey(
+      keyId: String, userId: String, keyHash: String,
+      permissions: Map[String, String] = Map.empty,
+      expiresAt: Option[java.sql.Timestamp] = None): Unit = {
     import spark.implicits._
-    Seq((keyId, userId, keyHash, now()))
-      .toDF("key_id", "user_id", "key_hash", "created_at")
+    val t = now()
+    Seq((keyId, userId, keyHash, expiresAt.orNull, t, t))
+      .toDF("key_id", "user_id", "key_hash", "expires_at", "created_at", "updated_at")
+      .withColumn("permissions", typedLit(permissions))
+      .select("key_id", "user_id", "key_hash", "permissions", "expires_at",
+        "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("api_keys"))
+  }
+
+  /** Key validation (the API-gateway check): the hash must exist, be
+    * unexpired at `at`, and — when `permission` is given — carry that
+    * permission with value "true" in its permissions map. */
+  def validateKey(
+      keyHash: String,
+      permission: Option[String] = None,
+      at: java.sql.Timestamp = now()): Boolean = {
+    val live = apiKeys.filter(col("key_hash") === keyHash)
+      .filter(col("expires_at").isNull || col("expires_at") > lit(at))
+    val authorized = permission match {
+      case Some(p) => live.filter(col("permissions")(p) === "true")
+      case None    => live
+    }
+    !authorized.limit(1).isEmpty
   }
 
   def users: DataFrame = readOr("users", Schemas.usersSchema)
@@ -404,6 +448,36 @@ class MemFuse(
     if (TableOps.exists(spark, path("sessions")))
       TableOps.rewriteTable(spark, path("sessions"))(
         _.filter(col("session_id") =!= sessionId))
+    clearCache()
+  }
+
+  /** Cascade delete of an agent (reference: sessions FK agent_id ON
+    * DELETE CASCADE, postgres.py:193-203): the agent's sessions, their
+    * rounds and their m0/m1 rows go with it. The m0/m1 rewrite touches
+    * only the buckets of users who actually had sessions with this
+    * agent. */
+  def deleteAgent(agentId: String): Unit = {
+    val victims = sessions.filter(col("agent_id") === agentId)
+      .select("session_id", "user_id").collect()
+    if (victims.nonEmpty) {
+      val victimSessions = victims.map(_.getString(0)).toSeq
+      val buckets = victims.map(r => TableOps.bucketOf(spark, r.getString(1))).distinct
+      buckets.foreach { bucket =>
+        Seq("m0_raw", "m1_episodic").foreach { t =>
+          TableOps.rewriteBucket(spark, path(t), bucket)(
+            _.filter(!col("session_id").isin(victimSessions: _*)))
+        }
+      }
+      if (TableOps.exists(spark, path("rounds")))
+        TableOps.rewriteTable(spark, path("rounds"))(
+          _.filter(!col("session_id").isin(victimSessions: _*)))
+      if (TableOps.exists(spark, path("sessions")))
+        TableOps.rewriteTable(spark, path("sessions"))(
+          _.filter(col("agent_id") =!= agentId))
+    }
+    if (TableOps.exists(spark, path("agents")))
+      TableOps.rewriteTable(spark, path("agents"))(
+        _.filter(col("agent_id") =!= agentId))
     clearCache()
   }
 
@@ -491,9 +565,13 @@ class MemFuse(
     * numpy_store.py:532-546) so retrieval never re-encodes them. */
   def addKnowledge(userId: String, items: Seq[String]): Unit = {
     import spark.implicits._
+    val t = now()
     encoder.encode(
-      items.map(k => (java.util.UUID.randomUUID.toString, userId, k))
-        .toDF("knowledge_id", "user_id", "content"), "content")
+      items.map(k => (java.util.UUID.randomUUID.toString, userId, k, t, t))
+        .toDF("knowledge_id", "user_id", "content", "created_at", "updated_at"),
+      "content")
+      .select("knowledge_id", "user_id", "content", "embedding",
+        "created_at", "updated_at")
       .write.mode(SaveMode.Append).parquet(path("knowledge"))
     clearCache()
   }
@@ -503,14 +581,20 @@ class MemFuse(
 
   def updateKnowledge(knowledgeId: String, content: String): Unit = {
     val enc = encoder
+    val t = now()
     TableOps.rewriteTable(spark, path("knowledge"))(df =>
       // content changed → re-encode (the table is small; at scale this
-      // would be a needs_embedding flag + backfill like m1's)
+      // would be a needs_embedding flag + backfill like m1's); only the
+      // mutated row's updated_at is bumped, created_at never changes
       enc.encode(
         df.withColumn("content",
           when(col("knowledge_id") === knowledgeId, lit(content))
             .otherwise(col("content")))
-          .drop("embedding"), "content"))
+          .withColumn("updated_at",
+            when(col("knowledge_id") === knowledgeId, lit(t))
+              .otherwise(col("updated_at")))
+          .drop("embedding"), "content")
+        .select(df.columns.toIndexedSeq.map(col): _*))
     clearCache()
   }
 

@@ -173,6 +173,8 @@ object StreamingIngest {
             col("m.sequence_number").as("sequence_number"),
             col("m.token_count").as("token_count"),
             col("m.created_at").as("created_at"),
+            // updated_at = created_at at insert (replay-deterministic)
+            col("m.created_at").as("updated_at"),
             lit("completed").as("processing_status"),
             // the streaming API shape carries no metadata; write the
             // empty map so both m0 writers share one schema
@@ -195,7 +197,7 @@ object StreamingIngest {
           .select(col("chunk_id"), col("content"), col("chunking_strategy"),
             col("token_count"), col("embedding"), col("m0_raw_ids"),
             col("user_id"), col("session_id"), col("needs_embedding"),
-            col("created_at"),
+            col("created_at"), col("created_at").as("updated_at"),
             typedlit(Map.empty[String, String]).as("metadata"),
             lit(batchId).as("batch_id"))
           .transform(TableOps.withUserBucket)
@@ -281,11 +283,15 @@ object StreamingIngest {
       .groupBy(col("user_bucket").cast("long").as("user_bucket"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val stamp = new java.sql.Timestamp(System.currentTimeMillis())
     pendingBuckets.foreach { case (bucket, _) =>
       TableOps.rewriteBucket(spark, p, bucket) { cur =>
         val pend = cur.filter(col("needs_embedding"))
         val done = encoder.encode(pend.drop("embedding"), "content")
           .withColumn("needs_embedding", lit(false))
+          // the mutation bumps updated_at; untouched rows keep theirs
+          // (dropped again by the select if the fixture predates the column)
+          .withColumn("updated_at", lit(stamp))
           .select(cur.columns.toIndexedSeq.map(col): _*)
         cur.filter(!col("needs_embedding")).unionByName(done)
       }

@@ -69,6 +69,63 @@ class CatalogSpec extends SparkSpec {
     assert(engine.users.count() == 2)
   }
 
+  test("deleteAgent cascades sessions, rounds and both users' m0/m1 rows") {
+    val engine = populated()
+    engine.createAgent("a2", "assistant-beta")
+    engine.createSession("s3", "u1", "a2")
+    engine.createRound("r4", "s3")
+    engine.ingest(Seq(msg("m4", "s3", "u1", "r4", 1, "survives the cascade")).toDF())
+
+    engine.deleteAgent("a1") // owns s1 (u1) and s2 (u2)
+    assert(engine.agents.select("agent_id").as[String].collect().toSeq == Seq("a2"))
+    assert(engine.sessions.select("session_id").as[String].collect().toSeq == Seq("s3"))
+    assert(engine.rounds.select("round_id").as[String].collect().toSeq == Seq("r4"))
+    // m0/m1 rows of BOTH users' a1-sessions are gone; the a2 session survives
+    assert(engine.m0.select("message_id").as[String].collect().toSeq == Seq("m4"))
+    assert(engine.m1.select("session_id").as[String].collect().toSet == Set("s3"))
+    // users themselves survive an agent delete
+    assert(engine.users.count() == 2)
+  }
+
+  test("api key validation: expiry filter and permission check") {
+    val engine = populated()
+    val past = ts(-3600)
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 3600 * 1000L)
+    engine.createApiKey("k2", "u1", "hash-expired", expiresAt = Some(past))
+    engine.createApiKey("k3", "u1", "hash-live",
+      permissions = Map("read" -> "true", "write" -> "false"),
+      expiresAt = Some(future))
+
+    assert(engine.validateKey("hash-one")) // no expiry = never expires
+    assert(!engine.validateKey("hash-expired"))
+    assert(!engine.validateKey("no-such-hash"))
+    assert(engine.validateKey("hash-live"))
+    assert(engine.validateKey("hash-live", permission = Some("read")))
+    assert(!engine.validateKey("hash-live", permission = Some("write")))
+    assert(!engine.validateKey("hash-live", permission = Some("admin")))
+  }
+
+  test("mutations bump updated_at and never touch created_at") {
+    val engine = populated()
+    engine.addKnowledge("u1", Seq("likes scala"))
+    val before = engine.knowledge("u1")
+      .select("knowledge_id", "created_at", "updated_at").collect().head
+    assert(before.getTimestamp(1) == before.getTimestamp(2),
+      "insert: updated_at starts equal to created_at")
+
+    Thread.sleep(5)
+    engine.updateKnowledge(before.getString(0), "loves spark")
+    val after = engine.knowledge("u1")
+      .select("created_at", "updated_at", "content").collect().head
+    assert(after.getTimestamp(0) == before.getTimestamp(1), "created_at unchanged")
+    assert(after.getTimestamp(1).after(before.getTimestamp(2)), "updated_at bumped")
+    assert(after.getString(2) == "loves spark")
+
+    // m0/m1 inserts carry updated_at = created_at
+    val m1Row = engine.m1.select("created_at", "updated_at").collect().head
+    assert(m1Row.getTimestamp(0) == m1Row.getTimestamp(1))
+  }
+
   test("include_knowledge surfaces embedded knowledge rows in the hybrid query") {
     val engine = populated()
     engine.addKnowledge("u1", Seq("favorite language is scala zqx"))

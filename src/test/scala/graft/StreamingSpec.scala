@@ -138,12 +138,12 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("backfill").toString
     val pending = Seq(
       ("c1", "some chunk text", "token_based", 3,
-        Array.empty[Float], Seq("m1"), "u1", "s1", true, ts(0)),
+        Array.empty[Float], Seq("m1"), "u1", "s1", true, ts(0), ts(0)),
       ("c2", "already embedded", "token_based", 2,
-        HashingEncoder().encodeOne("already embedded"), Seq("m2"), "u1", "s1", false, ts(1)))
+        HashingEncoder().encodeOne("already embedded"), Seq("m2"), "u1", "s1", false, ts(1), ts(1)))
       .toDF("chunk_id", "content", "chunking_strategy", "token_count",
         "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
-        "created_at")
+        "created_at", "updated_at")
     TableOps.withUserBucket(pending)
       .write.partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
     // a second user in a DIFFERENT bucket with nothing pending: the
@@ -153,10 +153,10 @@ class StreamingSpec extends SparkSpec {
     val settled = Seq((
       "c3", "other bucket chunk", "token_based", 3,
       HashingEncoder().encodeOne("other bucket chunk"), Seq("m3"),
-      otherUser, "s2", false, ts(2)))
+      otherUser, "s2", false, ts(2), ts(2)))
       .toDF("chunk_id", "content", "chunking_strategy", "token_count",
         "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
-        "created_at")
+        "created_at", "updated_at")
     TableOps.withUserBucket(settled)
       .write.mode("append").partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
     val otherDir = new java.io.File(
@@ -170,6 +170,12 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter(size(col("embedding")) === Schemas.EmbeddingDim).count() == 3)
     val afterFiles = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
     assert(afterFiles == before, "settled bucket must be untouched by backfill")
+    // the mutation bumped ONLY the encoded row's updated_at
+    val upd = after.select("chunk_id", "created_at", "updated_at").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(upd("c1")._2.after(upd("c1")._1), "backfilled row: updated_at bumped")
+    assert(upd("c2")._1 == upd("c2")._2 && upd("c3")._1 == upd("c3")._2,
+      "untouched rows keep updated_at = created_at")
   }
 
   test("windowed rollup with watermark runs on a stream") {
