@@ -168,6 +168,37 @@ class PipelineSpec extends SparkSpec {
     assert(tbEngine.query("tok", "u1", topK = 2).count() > 0)
   }
 
+  test("C3 situating-context stage runs between packing and encoding") {
+    def fresh(stage: Option[SituatingStage]) = {
+      val dir = Files.createTempDirectory("situate").toString
+      val e = new MemFuse(spark, dir, chunking = "token_budget", situating = stage)
+      e.ingest(Seq(
+        msg("m1", "s1", "u1", "r1", 1, "user", "alpha beta gamma"),
+        msg("m2", "s1", "u1", "r1", 2, "assistant", "delta epsilon zeta")).toDF())
+      e
+    }
+    // a tagging stage proves the routing point: ids and embeddings must
+    // be computed over the SITUATED text
+    val tag = new SituatingStage {
+      def situate(texts: Iterator[String]): Iterator[String] =
+        texts.map(t => s"[ctx] $t")
+    }
+    val tagged = fresh(Some(tag)).m1
+      .select("chunk_id", "content", "embedding").collect()
+    assert(tagged.nonEmpty)
+    assert(tagged.forall(_.getAs[String]("content").startsWith("[ctx] ")))
+    tagged.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("embedding").toSeq ==
+        HashingEncoder().encodeOne(r.getAs[String]("content")).toSeq,
+        "embedding must be over the situated text")
+    }
+    // the identity stage passes chunk text through bit-for-bit: same
+    // (chunk_id, content) set as a pipeline with no stage at all
+    def shape(e: MemFuse) = e.m1.select("chunk_id", "content")
+      .as[(String, String)].collect().toSet
+    assert(shape(fresh(Some(IdentitySituating))) == shape(fresh(None)))
+  }
+
   test("store stats counters report per-table row counts") {
     val (engine, _) = freshEngine()
     engine.ingest(Seq(
