@@ -19,6 +19,13 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
 
   private def p(t: String) = s"$basePath/kw_$t"
 
+  // one handle = one file-listing/schema-read per table; a handle opened
+  // before a rebuild is stale by design (callers reopen after build, the
+  // reference's FTS index has the same reopen-after-reindex semantics)
+  @transient private lazy val postingsDf = spark.read.parquet(p("postings"))
+  @transient private lazy val doclenDf = spark.read.parquet(p("doclen"))
+  @transient private lazy val statsDf = spark.read.parquet(p("stats"))
+
   def build(docs: DataFrame): Unit = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -44,14 +51,14 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     val buckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(64)).as("b"))
       .as[Long].collect().distinct.toSeq
-    val postings = spark.read.parquet(p("postings"))
+    val postings = postingsDf
       .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
       .filter(col("term").isin(terms: _*))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), "term")
-      .join(spark.read.parquet(p("doclen")), "doc_id")
-      .crossJoin(broadcast(spark.read.parquet(p("stats"))))
+      .join(doclenDf, "doc_id")
+      .crossJoin(broadcast(statsDf))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tscore",

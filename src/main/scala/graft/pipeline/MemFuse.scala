@@ -228,7 +228,7 @@ class MemFuse(
         // indexed candidates come from the m1 IVF index; knowledge (a
         // small side table, not IVF-indexed) is scanned and unioned
         val chunkIds = chunks.select(col("chunk_id"))
-        val ivfHits = IvfIndex.load(spark, path("index"))
+        val ivfHits = openIvf()
           .query(encoder.encodeOne(text), indexOversample * firstStage, nProbe)
           .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
         knCorpus.fold(ivfHits)(k => ivfHits.unionByName(
@@ -245,7 +245,7 @@ class MemFuse(
 
     val keyword =
       (if (useIndexes)
-        new KeywordIndex(spark, path("index"))
+        openKw()
           .bm25(terms, indexOversample * firstStage)
           .join(chunks.select(col("chunk_id")), col("id") === col("chunk_id"), "left_semi")
       else
@@ -275,6 +275,25 @@ class MemFuse(
     IvfIndex
       .build(spark, m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
       .save(path("index"))
+    // drop stale open handles; the next indexed query reopens
+    indexHandles.synchronized { ivfHandle = None; kwHandle = None }
+  }
+
+  // open index handles, held like the reference holds its FTS/DiskANN
+  // connections: centroids collected once, file listings resolved once —
+  // NOT once per query. Invalidated by buildIndexes.
+  @transient private object indexHandles
+  @transient private var ivfHandle: Option[IvfIndex] = None
+  @transient private var kwHandle: Option[KeywordIndex] = None
+  private def openIvf(): IvfIndex = indexHandles.synchronized {
+    ivfHandle.getOrElse {
+      val h = IvfIndex.load(spark, path("index")); ivfHandle = Some(h); h
+    }
+  }
+  private def openKw(): KeywordIndex = indexHandles.synchronized {
+    kwHandle.getOrElse {
+      val h = new KeywordIndex(spark, path("index")); kwHandle = Some(h); h
+    }
   }
 
   /** J5 session fan-out, collapsed to one job: where the reference loops
