@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-key top-k as bounded heaps instead
     // of a windowed full sort (graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer rewrite: `row_number() OVER (...) <= k` filters route
+    // into the heap operator automatically (graft.plans.WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -634,6 +634,18 @@ object Oracles {
         |WHERE rn <= 3
         |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
+    // q55 is the window-idiom spelling of q52 (rewritten to the heap
+    // operator by WindowTopKRewrite): same result, same oracle
+    "q55_topk_window_rewrite" ->
+      """SELECT l_suppkey, l_extendedprice, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
+        |  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     "q38_lineage_join" ->
       """SELECT l_orderkey, count(DISTINCT p_brand) AS n_brands, count(*) AS n_parts
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -284,6 +284,25 @@ object SparkEntry {
     "q54_mixture_report" -> ((s, d) =>
       TextAnalysis.mixtureReport(Tables.documents(s, d), Seq("lang", "source"))),
 
+    // ---- the SAME per-key top-k written as the universal window idiom:
+    // on a Graft session the WindowTopKRewrite optimizer rule routes it
+    // into the bounded-heap operator automatically (plan-guarded) — the
+    // user keeps their SQL, the engine swaps the O(n log n) sort for
+    // O(n log k) heaps ----
+    "q55_topk_window_rewrite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q17_text_search" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(lower(col("text")).contains("join filter"))

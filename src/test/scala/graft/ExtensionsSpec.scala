@@ -50,6 +50,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), plan.take(1500))
   }
 
+  test("WindowTopKRewrite: the window idiom routes through the heap, stays correct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 2000).map { i =>
+      (s"key${i % 13}", (i * 37 % 500).toDouble, i.toLong)
+    }.toDF("key", "score", "id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+
+    assert(out.queryExecution.executedPlan.toString().contains("TopKPerKey"),
+      "the optimizer rule must fire on the plain window idiom")
+
+    // expected computed OFF Spark from the raw rows — the rewrite can't
+    // fool this baseline
+    val expected = (1 to 2000).map { i =>
+      (s"key${i % 13}", (i * 37 % 500).toDouble, i.toLong)
+    }.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(t => (-t._2, t._3)).take(5)
+    }.toSet
+    val got = out.select("key", "score", "id")
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == expected)
+
+    // rn survives the rewrite, renumbered 1..k over exactly the survivors
+    val rns = out.select("key", "rn").as[(String, Int)].collect()
+      .groupBy(_._1).values
+    assert(rns.forall(_.map(_._2).sorted.toSeq == (1 to 5)))
+
+    // rank() admits ties past k — the rule must NOT touch it
+    val ranked = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
+    assert(!ranked.queryExecution.executedPlan.toString().contains("TopKPerKey"))
+  }
+
   test("queryPerSession auto-routes through the heap operator on an extended session") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

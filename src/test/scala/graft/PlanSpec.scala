@@ -64,6 +64,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("q55: the window idiom is rewritten into the heap operator") {
+    val df = SparkEntry.queries("q55_topk_window_rewrite")(spark, sf())
+    // AQE wraps the real plan; collect() doesn't descend into the wrapper
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val heaps = exec.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(heaps.nonEmpty, exec.toString.take(1500))
+    // below the partial heap: the raw scan — never a sort, window or
+    // exchange (the full input is neither sorted nor shuffled)
+    val partial = heaps.last // deepest = partial side
+    val below = partial.child.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(below.isEmpty, exec.toString.take(1500))
+    // the surviving Window (renumbering ≤ 3×keys rows) sits ABOVE the
+    // final heap — the only sort left is over survivors
+    assert(exec.toString.contains("Window"), "rn must still be produced")
+  }
+
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
