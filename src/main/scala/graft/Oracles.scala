@@ -634,6 +634,55 @@ object Oracles {
         |WHERE rn <= 3
         |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
+    "q56_repetition_ratio" -> {
+      val toksSql = "string_split(text, ' ')"
+      s"""SELECT doc_id,
+         |       CAST(len(grams) AS BIGINT) AS n_grams,
+         |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |       ${t6("CASE WHEN len(grams) > 0 THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) ELSE 0.0 END")} AS rep_ratio
+         |FROM (SELECT doc_id,
+         |        CASE WHEN len($toksSql) >= 3
+         |          THEN list_transform(generate_series(1, len($toksSql) - 2),
+         |                 i -> array_to_string($toksSql[i:i+2], ' '))
+         |          ELSE CAST([] AS VARCHAR[]) END AS grams
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q57_pii_redaction" -> {
+      val phonePat = "'[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'"
+      val emailPat = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+      s"""WITH texts AS (
+         |  SELECT c_custkey,
+         |         CASE WHEN c_custkey % 5 = 0
+         |           THEN concat(c_name, ' segment ', c_mktsegment)
+         |           ELSE concat(c_name, ' reachable at ',
+         |                  lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0'), '-',
+         |                  lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0'), '-',
+         |                  lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0'), '-',
+         |                  lpad(CAST(c_custkey * 17 % 10000 AS VARCHAR), 4, '0'),
+         |                  ' segment ', c_mktsegment) END AS text
+         |  FROM customer)
+         |SELECT c_custkey,
+         |       regexp_replace(regexp_replace(text, $phonePat, '[PHONE]', 'g'),
+         |                      $emailPat, '[EMAIL]', 'g') AS redacted,
+         |       CAST(len(regexp_split_to_array(text, $phonePat)) - 1
+         |          + len(regexp_split_to_array(text, $emailPat)) - 1 AS BIGINT) AS n_redacted
+         |FROM texts ORDER BY c_custkey""".stripMargin
+    },
+
+    "q58_shared_passages" -> {
+      val toksSql = "string_split(text, ' ')"
+      s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len($toksSql) - 7),
+         |                i -> array_to_string($toksSql[i:i+7], ' '))) AS s
+         |  FROM documents WHERE len($toksSql) >= 8))
+         |SELECT s AS shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, shingle LIMIT 50""".stripMargin
+    },
+
     // q55 is the window-idiom spelling of q52 (rewritten to the heap
     // operator by WindowTopKRewrite): same result, same oracle
     "q55_topk_window_rewrite" ->

@@ -284,6 +284,37 @@ object SparkEntry {
     "q54_mixture_report" -> ((s, d) =>
       TextAnalysis.mixtureReport(Tables.documents(s, d), Seq("lang", "source"))),
 
+    // ---- n-gram repetition ratio (Gopher/C4 "repetitious text" filter):
+    // narrow array-slice projection, scan speed ----
+    "q56_repetition_ratio" -> ((s, d) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, d))),
+
+    // ---- PII scrubbing with an audit count. The corpus carries no real
+    // PII, so a phone-shaped span is composed deterministically from
+    // c_custkey on BOTH engines (1 in 5 rows get none) — the operator
+    // under test is the regex redaction itself ----
+    "q57_pii_redaction" -> ((s, d) => {
+      val phone = concat_ws("-",
+        lpad((col("c_custkey") % 89 + 10).cast("string"), 2, "0"),
+        lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        lpad((col("c_custkey") * 13 % 1000).cast("string"), 3, "0"),
+        lpad((col("c_custkey") * 17 % 10000).cast("string"), 4, "0"))
+      val text = when(col("c_custkey") % 5 === 0,
+        concat(col("c_name"), lit(" segment "), col("c_mktsegment")))
+        .otherwise(concat(col("c_name"), lit(" reachable at "), phone,
+          lit(" segment "), col("c_mktsegment")))
+      TextAnalysis.redactPii(
+        Tables.customer(s, d).withColumn("text", text), "text")
+        .select(col("c_custkey"), col("redacted"), col("n_redacted"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- exact-substring dedup: verbatim 8-gram passages shared across
+    // documents (the suffix-array replacement that scales) ----
+    "q58_shared_passages" -> ((s, d) =>
+      Dedup.sharedPassages(
+        Tables.documents(s, d).select("doc_id", "text"), n = 8)),
+
     // ---- the SAME per-key top-k written as the universal window idiom:
     // on a Graft session the WindowTopKRewrite optimizer rule routes it
     // into the bounded-heap operator automatically (plan-guarded) — the

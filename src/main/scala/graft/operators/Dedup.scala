@@ -170,6 +170,23 @@ object Dedup {
     votes.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
+  /** Exact-substring duplication across documents (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): word
+    * n-grams appearing verbatim in ≥ `minDocs` distinct documents.
+    * Distinct from MinHash near-dup — this finds SHARED PASSAGES
+    * (boilerplate, licenses, copied spans) inside otherwise-different
+    * documents. One explode + one groupBy on the gram: the distributed
+    * replacement for a suffix array, and the shuffle key is the gram so
+    * hot boilerplate spreads over the partial-aggregation combiners. */
+  def sharedPassages(
+      docs: DataFrame, n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame =
+    shingles(docs, n) // already DISTINCT (doc_id, shingle)
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(topK)
+
   /** Exact n-gram Jaccard similarity for all pairs of the given (pre-
     * filtered, small) docs — the quadratic baseline; LSH (above) is the
     * scale path. */

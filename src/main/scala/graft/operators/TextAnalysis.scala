@@ -139,4 +139,48 @@ object TextAnalysis {
       trunc6(best).as("lang_score"))
       .orderBy("doc_id")
   }
+
+  /** N-gram repetition ratio (the Gopher/C4-style "repetitious text"
+    * quality filter): 1 − distinct/total word n-grams per document.
+    * Pure narrow projection — the gram list is built by array slicing
+    * inside one row, no explode, no shuffle: scan speed at any scale. */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val grams = when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => array_join(slice(toksCol, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("grams", grams)
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        trunc6(when(size(col("grams")) > 0,
+          lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+            size(col("grams")).cast("double"))
+          .otherwise(lit(0.0))).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns redacted by [[redactPii]]: NANP-style phone numbers
+    * (the TPC-H c_phone shape) and email addresses. RE2-safe (no
+    * lookaround), so the same patterns run in Spark, DuckDB and the
+    * reference's Python. */
+  val PhonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrubbing for training corpora: replace phone/email spans with
+    * typed placeholders and count what was redacted (audit trail).
+    * Row-local regex work — scan speed, no shuffle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, PhonePattern, "[PHONE]"),
+          EmailPattern, "[EMAIL]"))
+      .withColumn("n_redacted",
+        ((size(split(t, PhonePattern)) - 1) +
+          (size(split(t, EmailPattern)) - 1)).cast("long"))
+  }
 }

@@ -136,6 +136,47 @@ class OperatorSpec extends SparkSpec {
     assert(sessions == Set((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
   }
 
+  test("repetition ratio: repeated trigrams raise the ratio, short docs are 0") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // trigram "a b c" dominates
+      (2L, "one two three four five"), // all trigrams distinct
+      (3L, "x y")) // shorter than a trigram
+      .toDF("doc_id", "text")
+    val byId = TextAnalysis.repetitionRatio(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L)._1 == 7 && byId(1L)._2 == 3) // 7 grams, 3 distinct
+    assert(byId(1L)._3 > 0.5)
+    assert(byId(2L)._3 == 0.0)
+    assert(byId(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("redactPii scrubs phones and emails and counts them") {
+    val df = Seq(
+      (1L, "call 12-345-678-9012 or mail bob@example.com now"),
+      (2L, "nothing sensitive here")).toDF("id", "text")
+    val rows = TextAnalysis.redactPii(df, "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(rows(1L)._1 == "call [PHONE] or mail [EMAIL] now")
+    assert(rows(1L)._2 == 2L)
+    assert(rows(2L) == (("nothing sensitive here", 0L)))
+  }
+
+  test("sharedPassages finds verbatim cross-doc n-grams only") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"intro $shared outro"),
+      (2L, s"other words then $shared"),
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedPassages(docs, n = 8, minDocs = 2)
+      .as[(String, Long)].collect()
+    assert(out.map(_._1).contains(shared))
+    // every reported gram is a window over the shared span, seen twice
+    assert(out.forall { case (g, nd) =>
+      nd == 2 && g.split(" ").forall(_.startsWith("w"))
+    })
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val docs = Seq((0L, "abcdefghij"), (1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.synthesize(docs, "doc_id", "text")
