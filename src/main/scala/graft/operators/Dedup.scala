@@ -47,6 +47,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Fan the (narrow) shingle generator out across all cores ONLY when
+    * the scan is under-partitioned (toy file counts would otherwise
+    * serialize the slice/md5 work on a handful of tasks). At real scale
+    * the parquet scan already has ≥ defaultParallelism splits and the
+    * repartition — a full extra shuffle of the doc table — is skipped. */
+  private def fanOut(docs: DataFrame): DataFrame =
+    if (docs.rdd.getNumPartitions >=
+        docs.sparkSession.sparkContext.defaultParallelism) docs
+    else docs.repartition(col("doc_id"))
+
   /** Distinct word n-gram shingles, one row per (doc_id, shingle).
     * Built by slicing the token array inside one projection (transform +
     * explode) — a narrow, shuffle-free generator; the only shuffle is the
@@ -58,12 +68,7 @@ object Dedup {
     val grams = transform(
       sequence(lit(0), size(toksCol) - n),
       i => array_join(slice(toksCol, i + 1, lit(n)), " "))
-    // repartition the (small) pre-explode input so the generator fans out
-    // across all cores — a narrow explode would otherwise inherit the
-    // parquet file's partition count and serialize the md5/slice work
-    docs
-      .filter(size(toksCol) >= n)
-      .repartition(col("doc_id"))
+    fanOut(docs.filter(size(toksCol) >= n))
       .select(col("doc_id"), explode(grams).as("shingle"))
       .distinct()
   }
@@ -76,9 +81,7 @@ object Dedup {
     val grams = transform(
       sequence(lit(0), size(toksCol) - n),
       i => array_join(slice(toksCol, i + 1, lit(n)), " "))
-    docs
-      .filter(size(toksCol) >= n)
-      .repartition(col("doc_id"))
+    fanOut(docs.filter(size(toksCol) >= n))
       .select(col("doc_id"), array_distinct(grams).as("shingles"))
   }
 
@@ -180,9 +183,16 @@ object Dedup {
     * hot boilerplate spreads over the partial-aggregation combiners. */
   def sharedPassages(
       docs: DataFrame, n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame =
-    shingles(docs, n) // already DISTINCT (doc_id, shingle)
+    // per-doc dedup happens NARROWLY (array_distinct inside the row), so
+    // every exploded (doc_id, gram) row is already globally unique and a
+    // plain count(*) IS the distinct-doc count — exactly ONE exchange,
+    // keyed on the gram, with map-side partial counts absorbing hot
+    // boilerplate grams. (A distinct() + countDistinct formulation
+    // shuffles the same pairs twice; PlanSpec pins the single exchange.)
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(topK)

@@ -330,17 +330,21 @@ class MemFuse(
   }
 
   /** A9 store stats counters (the reference's per-store stats surface):
-    * row counts per table in one frame — at scale these come from the
-    * Spark metrics system / table metadata rather than count scans. */
+    * row counts per table as ONE union-of-counts job — the eight table
+    * scans run as parallel stages of a single action instead of eight
+    * serial count jobs; at scale these come from the Spark metrics
+    * system / table metadata rather than count scans. */
   def storeStats: DataFrame = {
-    import spark.implicits._
-    Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
+    val counts = Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
       "sessions", "rounds", "api_keys")
       .map { t =>
-        val n = if (TableOps.exists(spark, path(t)))
-          spark.read.parquet(path(t)).count() else 0L
-        (t, n)
-      }.toDF("table", "n_rows")
+        val n =
+          if (TableOps.exists(spark, path(t)))
+            spark.read.parquet(path(t)).agg(count(lit(1)).as("n_rows"))
+          else spark.range(1).select(lit(0L).as("n_rows"))
+        n.select(lit(t).as("table"), col("n_rows"))
+      }
+    counts.reduce(_.unionByName(_))
   }
 
   /** A6 chunk stats rollup (reference memory_service.py:690-734). */
@@ -476,20 +480,24 @@ class MemFuse(
     * only the buckets of users who actually had sessions with this
     * agent. */
   def deleteAgent(agentId: String): Unit = {
+    // victim sessions stay a DATAFRAME (broadcast anti-join inside each
+    // rewrite) — no driver collect of the id list, so the cascade scales
+    // with any number of sessions per agent. Only the ≤ BucketCount
+    // affected bucket ids are collected (index metadata, bounded).
     val victims = sessions.filter(col("agent_id") === agentId)
-      .select("session_id", "user_id").collect()
-    if (victims.nonEmpty) {
-      val victimSessions = victims.map(_.getString(0)).toSeq
-      val buckets = victims.map(r => TableOps.bucketOf(spark, r.getString(1))).distinct
+    val buckets = victims.select(TableOps.userBucket.as("b"))
+      .distinct().collect().map(_.getLong(0))
+    if (buckets.nonEmpty) {
+      val victimIds = broadcast(victims.select("session_id"))
       buckets.foreach { bucket =>
         Seq("m0_raw", "m1_episodic").foreach { t =>
           TableOps.rewriteBucket(spark, path(t), bucket)(
-            _.filter(!col("session_id").isin(victimSessions: _*)))
+            _.join(victimIds, Seq("session_id"), "left_anti"))
         }
       }
       if (TableOps.exists(spark, path("rounds")))
         TableOps.rewriteTable(spark, path("rounds"))(
-          _.filter(!col("session_id").isin(victimSessions: _*)))
+          _.join(victimIds, Seq("session_id"), "left_anti"))
       if (TableOps.exists(spark, path("sessions")))
         TableOps.rewriteTable(spark, path("sessions"))(
           _.filter(col("agent_id") =!= agentId))
@@ -512,11 +520,14 @@ class MemFuse(
       TableOps.rewriteBucket(spark, path(t), bucket)(
         _.filter(col("user_id") =!= userId))
     }
-    val victimSessions = sessions.filter(col("user_id") === userId)
-      .select("session_id").collect().map(_.getString(0)).toSeq
-    if (victimSessions.nonEmpty && TableOps.exists(spark, path("rounds")))
+    // anti-join against the victim-session frame — no driver collect of
+    // the id list (the sessions table is only rewritten AFTER this, so
+    // the lazy read here still sees the pre-delete catalog)
+    val victimIds = broadcast(
+      sessions.filter(col("user_id") === userId).select("session_id"))
+    if (TableOps.exists(spark, path("rounds")))
       TableOps.rewriteTable(spark, path("rounds"))(
-        _.filter(!col("session_id").isin(victimSessions: _*)))
+        _.join(victimIds, Seq("session_id"), "left_anti"))
     Seq("sessions", "api_keys", "users", "knowledge").foreach { t =>
       if (TableOps.exists(spark, path(t)))
         TableOps.rewriteTable(spark, path(t))(

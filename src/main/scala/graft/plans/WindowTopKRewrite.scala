@@ -20,7 +20,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * The rewrite keeps the Window (so `rn` stays available to downstream
   * expressions, renumbered over exactly the surviving rows) and keeps
   * the Filter (a no-op after the rewrite, and a safety net if a heap
-  * ever under-fills). It fires only for `row_number` — `rank`/
+  * ever under-fills). A second pattern then removes BOTH when they are
+  * provably dead: a Project straight above the Filter that never
+  * references `rn` means nothing downstream can see the row numbers, so
+  * the renumbering Window (and its per-key sort of the survivors) and
+  * the no-op Filter are dropped — the typical `...filter(rn <= k)
+  * .select(cols-without-rn)` query then runs as the bare heap operator
+  * with zero Window overhead. It fires only for `row_number` — `rank`/
   * `dense_rank` admit >k survivors on ties, which a k-bounded heap
   * cannot represent. Like `row_number` itself, boundary ties under a
   * non-total `ORDER BY` are broken arbitrarily; with a total order the
@@ -73,5 +79,16 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
             Seq(TopKPerKeyPlan(keys, order, k, stripGroupLimit(wchild)))))
         case _ => f
       }
+
+    // dead-rn elision (transformUp visits the Filter first, so by the
+    // time the parent Project is reached the heap node is already in
+    // place): the Project proves no downstream expression can reference
+    // the row number, the heap already emits exactly the ≤ k survivors
+    // the Filter would keep — drop both and run the bare heap operator
+    case p @ Project(projList,
+        Filter(cond, Window(Seq(RowNumberExpr(rn)), _, _, tk: TopKPerKeyPlan, _)))
+        if limitOf(cond, rn).contains(tk.k) &&
+          !projList.exists(_.references.contains(rn)) =>
+      p.copy(child = tk)
   }
 }

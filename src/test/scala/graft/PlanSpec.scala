@@ -83,9 +83,49 @@ class PlanSpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(below.isEmpty, exec.toString.take(1500))
-    // the surviving Window (renumbering ≤ 3×keys rows) sits ABOVE the
-    // final heap — the only sort left is over survivors
-    assert(exec.toString.contains("Window"), "rn must still be produced")
+    // q55's final select drops rn, so the dead-rn elision must also have
+    // removed the renumbering Window and the no-op Filter entirely — the
+    // query runs as the bare heap operator (parity with q52's direct call)
+    assert(!exec.toString.contains("Window"),
+      "dead rn: the retained Window must be elided\n" + exec.toString.take(1500))
+  }
+
+  test("window rewrite keeps the Window when rn survives into the output") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val df = Tables.lineitem(spark, sf())
+      .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "rn") // rn USED downstream → renumbering required
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    assert(exec.collect { case t: graft.plans.TopKPerKeyExec => t }.nonEmpty,
+      exec.toString.take(1500))
+    assert(exec.toString.contains("Window"),
+      "rn is referenced: Window must survive\n" + exec.toString.take(1500))
+  }
+
+  test("q58: shared passages shuffle exactly once, keyed on the gram") {
+    import org.apache.spark.sql.functions._
+    // 64 input partitions ≥ defaultParallelism, so the conditional
+    // fan-out repartition must NOT fire: the only exchange left is the
+    // gram-keyed groupBy (per-doc dedup is narrow, count(*) replaces the
+    // second dedup-shuffle a countDistinct would plan)
+    val docs = spark.range(0, 512, 1, 64)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), col("id") % 7)): _*).as("text"))
+    val p = graft.operators.Dedup.sharedPassages(docs, n = 8)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, p.take(3000))
+    assert(p.contains("Exchange hashpartitioning(shingle"), p.take(3000))
   }
 
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
