@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * partition pruning — a query for one user touches 1/16 of the files
   * before any row is read. Cascade deletes (reference: postgres.py
   * ON DELETE CASCADE) are bucket-scoped anti-filter rewrites plus the
-  * relational-catalog cascades, all through TableOps' recovery-ordered
-  * swaps.
+  * relational-catalog cascades, all through TableOps' versioned-manifest
+  * commits — readers are snapshot-isolated, racing writers retry rather
+  * than lose a mutation (the parquet stand-in for the reference's
+  * Postgres MVCC).
   *
   * @param encoder  embedding stage (K9) — pluggable, deterministic stub
   *                 by default; `RandomProjectionEncoder.trained` swaps in
@@ -73,8 +75,7 @@ class MemFuse(
         // (the reference maintains it with a trigger, m0_raw.py:156-183)
         col("created_at").as("updated_at"), col("processing_status"),
         col("metadata"))
-    TableOps.withUserBucket(m0)
-      .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m0_raw"))
+    TableOps.appendBucketed(m0, path("m0_raw"))
 
     // C4 integrated dispatch: every strategy lands on the same m1 shape
     // (user_id, session_id, content, m0_raw_ids, created_at, metadata,
@@ -147,13 +148,12 @@ class MemFuse(
       .withColumn("chunking_strategy", lit(chunking))
       .withColumn("token_count", size(tokens(col("content"))))
       .withColumn("needs_embedding", lit(false))
-    encoder.encode(chunks, "content")
+    val m1New = encoder.encode(chunks, "content")
       .select(col("chunk_id"), col("content"), col("chunking_strategy"),
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
         col("created_at"), col("created_at").as("updated_at"), col("metadata"))
-      .transform(TableOps.withUserBucket)
-      .write.mode(SaveMode.Append).partitionBy("user_bucket").parquet(path("m1_episodic"))
+    TableOps.appendBucketed(m1New, path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
   }
 
@@ -161,9 +161,43 @@ class MemFuse(
     * streaming writer ever touched, rows of half-flushed (uncommitted)
     * micro-batches are invisible and checkpoint-replay duplicates are
     * collapsed by primary key; a purely batch-written table passes
-    * through untouched (no batch_id column → no extra shuffle). */
-  def m0: DataFrame = graft.streaming.StreamingIngest.m0Committed(spark, basePath)
-  def m1: DataFrame = graft.streaming.StreamingIngest.m1Committed(spark, basePath)
+    * through untouched (no batch_id column → no extra shuffle).
+    *
+    * The RESOLVED view is held per table the way index handles are held:
+    * manifest + commit markers are read once, not once per query (the
+    * reference reads a Postgres table — no per-query recovery work).
+    * Any facade write invalidates via [[clearCache]]; a snapshot held
+    * across someone ELSE's write simply keeps reading its own version
+    * (MVCC) — call [[refresh]] to see foreign writes. */
+  def m0: DataFrame = cachedView("m0")(
+    graft.streaming.StreamingIngest.m0Committed(spark, basePath))
+  def m1: DataFrame = cachedView("m1")(
+    graft.streaming.StreamingIngest.m1Committed(spark, basePath))
+
+  /** Tenant-scoped m1: the manifest resolves to ONLY the user's hash
+    * bucket before any job launches — the file-list-time analogue of
+    * partition pruning (1/16 of the segments for 16 buckets). */
+  def m1ForUser(userId: String): DataFrame = {
+    val b = TableOps.bucketOf(spark, userId)
+    cachedView(s"m1#$b")(graft.streaming.StreamingIngest
+      .m1Committed(spark, basePath, Some(Seq(b))))
+  }
+
+  /** Tenant-scoped m0 (same file-list pruning as [[m1ForUser]]). */
+  def m0ForUser(userId: String): DataFrame = {
+    val b = TableOps.bucketOf(spark, userId)
+    cachedView(s"m0#$b")(graft.streaming.StreamingIngest
+      .m0Committed(spark, basePath, Some(Seq(b))))
+  }
+
+  @transient private lazy val viewCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cachedView(key: String)(build: => DataFrame): DataFrame =
+    viewCache.getOrElseUpdate(key, build)
+
+  /** Drop cached table views (picks up writes made outside this facade,
+    * e.g. a streaming ingest running against the same warehouse). */
+  def refresh(): Unit = clearCache()
 
   /** F4 item-type filter over the metadata map (reference filters
     * messages/knowledge/chunks by metadata.type, numpy_store.py:532-546)
@@ -206,7 +240,7 @@ class MemFuse(
       indexOversample: Int = 4,
       includeKnowledge: Boolean = false): DataFrame = {
     val firstStage = 2 * topK
-    val chunks = m1.filter(col("user_id") === userId)
+    val chunks = m1ForUser(userId).filter(col("user_id") === userId)
     val terms = text.split(" ").filter(_.nonEmpty).toSeq
     val qvec = typedLit(encoder.encodeOne(text).toSeq)
 
@@ -311,7 +345,7 @@ class MemFuse(
     val qvec = typedLit(encoder.encodeOne(text).toSeq)
     val w = Window.partitionBy("session_id")
       .orderBy(col("score").desc, col("chunk_id"))
-    val scored = m1.filter(col("user_id") === userId)
+    val scored = m1ForUser(userId).filter(col("user_id") === userId)
       .withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
     val heapStrategyRegistered = spark.sessionState.planner.strategies
       .exists(_ eq graft.plans.TopKPerKeyStrategy)
@@ -340,7 +374,7 @@ class MemFuse(
       .map { t =>
         val n =
           if (TableOps.exists(spark, path(t)))
-            spark.read.parquet(path(t)).agg(count(lit(1)).as("n_rows"))
+            TableOps.read(spark, path(t)).agg(count(lit(1)).as("n_rows"))
           else spark.range(1).select(lit(0L).as("n_rows"))
         n.select(lit(t).as("table"), col("n_rows"))
       }
@@ -370,7 +404,7 @@ class MemFuse(
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def readOr(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (TableOps.exists(spark, path(table))) spark.read.parquet(path(table))
+    if (TableOps.exists(spark, path(table))) TableOps.read(spark, path(table))
     else emptyDf(schema)
 
   private def now() = new java.sql.Timestamp(System.currentTimeMillis())
@@ -378,31 +412,35 @@ class MemFuse(
   def createUser(userId: String, name: String): Unit = {
     import spark.implicits._
     val t = now()
-    Seq((userId, name, t, t)).toDF("user_id", "name", "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("users"))
+    TableOps.append(
+      Seq((userId, name, t, t)).toDF("user_id", "name", "created_at", "updated_at"),
+      path("users"))
   }
 
   def createAgent(agentId: String, name: String): Unit = {
     import spark.implicits._
     val t = now()
-    Seq((agentId, name, t, t)).toDF("agent_id", "name", "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("agents"))
+    TableOps.append(
+      Seq((agentId, name, t, t)).toDF("agent_id", "name", "created_at", "updated_at"),
+      path("agents"))
   }
 
   def createSession(sessionId: String, userId: String, agentId: String): Unit = {
     import spark.implicits._
     val t = now()
-    Seq((sessionId, userId, agentId, t, t))
-      .toDF("session_id", "user_id", "agent_id", "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("sessions"))
+    TableOps.append(
+      Seq((sessionId, userId, agentId, t, t))
+        .toDF("session_id", "user_id", "agent_id", "created_at", "updated_at"),
+      path("sessions"))
   }
 
   def createRound(roundId: String, sessionId: String): Unit = {
     import spark.implicits._
     val t = now()
-    Seq((roundId, sessionId, t, t))
-      .toDF("round_id", "session_id", "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("rounds"))
+    TableOps.append(
+      Seq((roundId, sessionId, t, t))
+        .toDF("round_id", "session_id", "created_at", "updated_at"),
+      path("rounds"))
   }
 
   /** api_keys with the reference's full column set (postgres.py:243-253):
@@ -413,12 +451,13 @@ class MemFuse(
       expiresAt: Option[java.sql.Timestamp] = None): Unit = {
     import spark.implicits._
     val t = now()
-    Seq((keyId, userId, keyHash, expiresAt.orNull, t, t))
-      .toDF("key_id", "user_id", "key_hash", "expires_at", "created_at", "updated_at")
-      .withColumn("permissions", typedLit(permissions))
-      .select("key_id", "user_id", "key_hash", "permissions", "expires_at",
-        "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("api_keys"))
+    TableOps.append(
+      Seq((keyId, userId, keyHash, expiresAt.orNull, t, t))
+        .toDF("key_id", "user_id", "key_hash", "expires_at", "created_at", "updated_at")
+        .withColumn("permissions", typedLit(permissions))
+        .select("key_id", "user_id", "key_hash", "permissions", "expires_at",
+          "created_at", "updated_at"),
+      path("api_keys"))
   }
 
   /** Key validation (the API-gateway check): the hash must exist, be
@@ -562,7 +601,10 @@ class MemFuse(
       }
     }
 
-  def clearCache(): Unit = resultCache.synchronized(resultCache.clear())
+  def clearCache(): Unit = {
+    resultCache.synchronized(resultCache.clear())
+    viewCache.clear()
+  }
 
   /** Buffer-first routing with quality gate: score the (cheap, recent)
     * `recent` frame first; if avg rerank quality ≥ `qualityGate` and
@@ -596,13 +638,14 @@ class MemFuse(
   def addKnowledge(userId: String, items: Seq[String]): Unit = {
     import spark.implicits._
     val t = now()
-    encoder.encode(
-      items.map(k => (java.util.UUID.randomUUID.toString, userId, k, t, t))
-        .toDF("knowledge_id", "user_id", "content", "created_at", "updated_at"),
-      "content")
-      .select("knowledge_id", "user_id", "content", "embedding",
-        "created_at", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path("knowledge"))
+    TableOps.append(
+      encoder.encode(
+        items.map(k => (java.util.UUID.randomUUID.toString, userId, k, t, t))
+          .toDF("knowledge_id", "user_id", "content", "created_at", "updated_at"),
+        "content")
+        .select("knowledge_id", "user_id", "content", "embedding",
+          "created_at", "updated_at"),
+      path("knowledge"))
     clearCache()
   }
 
@@ -672,8 +715,8 @@ class MemFuse(
     * layer tag. */
   def queryAllLayers(text: String, userId: String, topKPerLayer: Int = 3): DataFrame =
     SemanticLayer.queryAllLayers(
-      m0.filter(col("user_id") === userId),
-      m1.filter(col("user_id") === userId),
+      m0ForUser(userId).filter(col("user_id") === userId),
+      m1ForUser(userId).filter(col("user_id") === userId),
       m2Facts.filter(col("user_id") === userId),
       encoder, text, topKPerLayer)
 

@@ -1,20 +1,41 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
 
-/** Shared table-layout helpers: every writer of the m0/m1 tables goes
-  * through the same 16-way `user_bucket` hash partitioning (the tenant
-  * filter then prunes partitions — reference: WHERE user_id,
-  * pgvectorscale_store.py:594-619), and every mutation is
-  * PARTITION-SCOPED: a one-user delete or a backfill rewrites only the
-  * affected bucket directory, with a recovery-ordered swap (write aside →
-  * rename live → rename new in → drop old) instead of round-1's
-  * delete-then-rename which could lose the whole table on a crash. This
-  * is the plain-parquet stand-in for the reference's transactional
-  * storage (postgres.py:167-253); on a Delta-enabled cluster these become
-  * MERGE/DELETE on the same layout.
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Shared table layout + a versioned-manifest commit protocol — the
+  * plain-parquet stand-in for the reference's transactional storage
+  * (postgres.py:167-253), structured like a miniature Delta/Iceberg log:
+  *
+  *  - Every writer of the m0/m1 tables shares one 16-way `user_bucket`
+  *    hash layout (the tenant filter then prunes at FILE-LIST time —
+  *    reference: WHERE user_id, pgvectorscale_store.py:594-619).
+  *  - Data lives in IMMUTABLE segment dirs (`seg_<id>`), never renamed
+  *    or rewritten in place. The current table = the file set named by
+  *    the newest manifest under `_log/`.
+  *  - A commit is one atomic step: write the full new manifest to a
+  *    temp file, then rename it to `v<N+1>`. Hadoop's rename refuses an
+  *    existing destination, so two racing writers cannot both win a
+  *    version — the loser re-reads the fresh snapshot, re-applies its
+  *    mutation and retries (optimistic concurrency; no mutation is ever
+  *    silently lost). Same-JVM writers are additionally serialized per
+  *    table, which keeps the retry loop a cross-process affair only.
+  *  - Readers resolve the manifest ONCE per DataFrame: a reader racing
+  *    a rewrite keeps its snapshot's segments (still on disk until
+  *    [[vacuum]]) — it never sees a half-swapped bucket, the failure
+  *    mode of round-1..3's rename-swap. MVCC-on-read, like the
+  *    streaming side's `_streaming_commits` markers.
+  *
+  * Mutations stay PARTITION-SCOPED: a one-user delete or a backfill
+  * replaces only the affected bucket's manifest entries; 15/16 of the
+  * table's files are neither read nor written. On a Delta-enabled
+  * cluster these become MERGE/DELETE on the same layout.
   */
 object TableOps {
 
@@ -28,22 +49,291 @@ object TableOps {
     df.withColumn("user_bucket", userBucket)
 
   /** Bucket id of one user — evaluated through the same engine expression
-    * as the write path (a one-row local job, never a guess). */
-  def bucketOf(spark: SparkSession, userId: String): Long = {
-    import spark.implicits._
-    Seq(userId).toDF("user_id").select(userBucket).head().getLong(0)
+    * as the write path (a one-row local job, memoized). */
+  def bucketOf(spark: SparkSession, userId: String): Long =
+    bucketCache.getOrElseUpdate(userId, {
+      import spark.implicits._
+      Seq(userId).toDF("user_id").select(userBucket).head().getLong(0)
+    })
+  private val bucketCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  // ---------- manifest log ----------
+
+  /** One resolved snapshot: manifest version, whether the table is
+    * user_bucket-partitioned, the file schema (for empty reads), and the
+    * live segment dirs relative to the table path. */
+  private[pipeline] case class Snapshot(
+      version: Long, bucketed: Boolean, schemaJson: String, entries: Seq[String])
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(tablePath: String) = new Path(tablePath, "_log")
+
+  private val VersionRe = "v(\\d{8})".r
+
+  // same-JVM writers serialize per table; the rename-CAS below guards
+  // cross-process races (reentrant, so a test hook may nest a writer)
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tablePath: String): Object =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object)
+
+  /** The latest committed snapshot, or None for a legacy / absent table. */
+  private[pipeline] def currentSnapshot(
+      spark: SparkSession, tablePath: String): Option[Snapshot] = {
+    val ld = logDir(tablePath)
+    val fs = fsOf(spark, ld)
+    if (!fs.exists(ld)) return None
+    val versions = fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toLong }
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = new BufferedReader(new InputStreamReader(
+      fs.open(new Path(ld, f"v$v%08d")), StandardCharsets.UTF_8))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+      Some(Snapshot(v, lines.head == "bucketed=true", lines(1),
+        lines.drop(2).filter(_.nonEmpty)))
+    } finally in.close()
   }
 
-  /** Rewrite a single `user_bucket=<bucket>` partition of `tablePath`
-    * through `f`, leaving every other partition's files untouched.
-    * Swap order: write the new partition aside, rename the live
-    * partition dir to `.old`, rename the new one in, then drop `.old` —
-    * a crash mid-swap leaves either the old or the new partition (plus a
-    * recoverable aside dir), never nothing. */
-  def rewriteBucket(spark: SparkSession, tablePath: String, bucket: Long)(
+  /** One optimistic commit attempt: full manifest to a temp file, then
+    * an atomic rename to `v<version>`. Hadoop rename returns false when
+    * the destination exists — that IS the compare-and-swap; false means
+    * another writer won this version and the caller must re-read. */
+  private def tryCommit(spark: SparkSession, tablePath: String, version: Long,
+      bucketed: Boolean, schemaJson: String, entries: Seq[String]): Boolean = {
+    val ld = logDir(tablePath)
+    val fs = fsOf(spark, ld)
+    fs.mkdirs(ld)
+    val tmp = new Path(ld, s".tmp_${UUID.randomUUID().toString.take(8)}")
+    val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
+    try out.write(
+      (s"bucketed=$bucketed" +: schemaJson +: entries).mkString("\n"))
+    finally out.close()
+    val won = fs.rename(tmp, new Path(ld, f"v$version%08d"))
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  private def newSegName(): String = s"seg_${UUID.randomUUID().toString.take(8)}"
+
+  /** Relative entry dirs that actually contain data files (a write whose
+    * every task saw zero rows may leave no part files — such segments
+    * are simply not referenced; the manifest's schema line keeps empty
+    * reads well-typed). */
+  private def dataEntries(fs: FileSystem, tablePath: String, seg: String,
+      bucketed: Boolean): Seq[String] = {
+    val segPath = new Path(tablePath, seg)
+    if (!fs.exists(segPath)) return Seq.empty
+    if (bucketed)
+      fs.listStatus(segPath).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted.toSeq
+        .filter(_.startsWith("user_bucket="))
+        .map(b => s"$seg/$b")
+    else if (fs.listStatus(segPath).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-") && st.getLen > 0))
+      Seq(seg)
+    else Seq.empty
+  }
+
+  private def emptyOf(spark: SparkSession, schemaJson: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+
+  private def readDirs(spark: SparkSession, tablePath: String,
+      entries: Seq[String], mergeSchema: Boolean): DataFrame = {
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(entries.map(e => s"$tablePath/$e"): _*)
+  }
+
+  /** Read the current committed snapshot of a table. `buckets` prunes to
+    * the named user buckets at FILE-LIST time — the manifest resolves on
+    * the driver before any job launches, so a tenant query reads 1/16 of
+    * the segments (the partition-pruning analogue for manifest tables).
+    * The `user_bucket` column is re-derived from `user_id` (bit-identical
+    * to the write-path expression). Tables without a manifest fall back
+    * to a plain directory read (legacy layout). */
+  def read(spark: SparkSession, tablePath: String,
+      buckets: Option[Seq[Long]] = None,
+      mergeSchema: Boolean = false): DataFrame =
+    currentSnapshot(spark, tablePath) match {
+      case None =>
+        val reader =
+          if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+        buckets.fold(reader.parquet(tablePath))(bs =>
+          reader.parquet(tablePath).filter(col("user_bucket").isin(bs: _*)))
+      case Some(snap) =>
+        val chosen = buckets match {
+          case Some(bs) =>
+            val wanted = bs.map(b => s"user_bucket=$b").toSet
+            snap.entries.filter(e => wanted.exists(e.endsWith))
+          case None => snap.entries
+        }
+        val base =
+          if (chosen.isEmpty) emptyOf(spark, snap.schemaJson)
+          else readDirs(spark, tablePath, chosen, mergeSchema)
+        if (snap.bucketed) withUserBucket(base) else base
+    }
+
+  def exists(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new Path(tablePath)
+    fsOf(spark, p).exists(p)
+  }
+
+  /** Append rows to a bucketed table: write an immutable segment
+    * (partitioned by user_bucket inside it), then commit the enlarged
+    * entry list. Concurrent appends both survive — the commit loop
+    * re-reads and re-applies on a lost race; the segment itself is never
+    * rewritten. */
+  def appendBucketed(df: DataFrame, tablePath: String): Unit = {
+    val spark = df.sparkSession
+    val seg = newSegName()
+    val segPath = new Path(tablePath, seg)
+    val fs = fsOf(spark, segPath)
+    withUserBucket(df).write.mode(SaveMode.Overwrite)
+      .partitionBy("user_bucket").parquet(segPath.toString)
+    val newEntries = dataEntries(fs, tablePath, seg, bucketed = true)
+    commitAppend(spark, tablePath, bucketed = true, df.schema.json, newEntries)
+  }
+
+  /** Append rows to an unpartitioned (catalog) table. */
+  def append(df: DataFrame, tablePath: String): Unit = {
+    val spark = df.sparkSession
+    val seg = newSegName()
+    val segPath = new Path(tablePath, seg)
+    val fs = fsOf(spark, segPath)
+    df.write.mode(SaveMode.Overwrite).parquet(segPath.toString)
+    commitAppend(spark, tablePath, bucketed = false, df.schema.json,
+      dataEntries(fs, tablePath, seg, bucketed = false))
+  }
+
+  private def commitAppend(spark: SparkSession, tablePath: String,
+      bucketed: Boolean, schemaJson: String, newEntries: Seq[String]): Unit =
+    lockFor(tablePath).synchronized {
+      var done = false
+      while (!done) {
+        val snap = currentSnapshot(spark, tablePath)
+        val entries = snap.fold(Seq.empty[String])(_.entries) ++ newEntries
+        val version = snap.fold(0L)(_.version + 1)
+        // keep the newest schema line: appends may widen (e.g. batch_id)
+        done = tryCommit(spark, tablePath, version, bucketed, schemaJson, entries)
+      }
+    }
+
+  /** Rewrite one `user_bucket=<bucket>` slice of `tablePath` through `f`.
+    * The new bucket data lands in a fresh segment; the commit swaps the
+    * bucket's manifest entries for the new one atomically. A lost
+    * commit race RE-RUNS `f` on the fresh snapshot — two concurrent
+    * mutations to one bucket both land, in some serial order, neither
+    * lost. Readers holding the old snapshot keep reading the old
+    * segments untouched. `preCommitHook` is a failpoint between data
+    * write and commit for the interleaving specs (production no-op). */
+  def rewriteBucket(spark: SparkSession, tablePath: String, bucket: Long,
+      preCommitHook: () => Unit = () => ())(
+      f: DataFrame => DataFrame): Unit =
+    lockFor(tablePath).synchronized {
+      var done = false
+      while (!done) {
+        currentSnapshot(spark, tablePath) match {
+          case None =>
+            legacySwapBucket(spark, tablePath, bucket)(f); done = true
+          case Some(snap) =>
+            val suffix = s"/user_bucket=$bucket"
+            val mine = snap.entries.filter(_.endsWith(suffix))
+            if (mine.isEmpty) { done = true } // no data for this bucket
+            else {
+              val cur = withUserBucket(
+                readDirs(spark, tablePath, mine, mergeSchema = true))
+              val next = f(cur).drop("user_bucket")
+              val seg = newSegName()
+              val segPath = new Path(tablePath, s"$seg$suffix")
+              val fs = fsOf(spark, segPath)
+              next.write.mode(SaveMode.Overwrite).parquet(segPath.toString)
+              val hasData = fs.listStatus(segPath).exists(st =>
+                st.isFile && st.getPath.getName.startsWith("part-") && st.getLen > 0)
+              val entries = snap.entries.filterNot(_.endsWith(suffix)) ++
+                (if (hasData) Seq(s"$seg$suffix".stripPrefix("/")) else Seq.empty)
+              preCommitHook()
+              done = tryCommit(spark, tablePath, snap.version + 1,
+                bucketed = true, snap.schemaJson, entries)
+              if (!done) fs.delete(new Path(tablePath, seg), true) // lost race: orphan
+            }
+        }
+      }
+    }
+
+  /** Whole-table rewrite for small unpartitioned tables (knowledge,
+    * catalog) under the same manifest-commit protocol. */
+  def rewriteTable(spark: SparkSession, tablePath: String,
+      preCommitHook: () => Unit = () => ())(
+      f: DataFrame => DataFrame): Unit =
+    lockFor(tablePath).synchronized {
+      var done = false
+      while (!done) {
+        currentSnapshot(spark, tablePath) match {
+          case None =>
+            legacySwapTable(spark, tablePath)(f); done = true
+          case Some(snap) =>
+            val cur =
+              if (snap.entries.isEmpty) emptyOf(spark, snap.schemaJson)
+              else readDirs(spark, tablePath, snap.entries, mergeSchema = true)
+            val next = f(cur)
+            val seg = newSegName()
+            val segPath = new Path(tablePath, seg)
+            val fs = fsOf(spark, segPath)
+            next.write.mode(SaveMode.Overwrite).parquet(segPath.toString)
+            val entries = dataEntries(fs, tablePath, seg, bucketed = false)
+            preCommitHook()
+            done = tryCommit(spark, tablePath, snap.version + 1,
+              bucketed = false, snap.schemaJson, entries)
+            if (!done) fs.delete(segPath, true)
+        }
+      }
+    }
+
+  /** Drop segments no manifest of the newest `keepVersions` references,
+    * and manifests older than those — the compaction/GC job. Readers
+    * holding a snapshot within the retention window keep working;
+    * running this with `keepVersions = 1` reclaims everything but the
+    * current version (the Delta VACUUM trade, stated plainly). */
+  def vacuum(spark: SparkSession, tablePath: String, keepVersions: Int = 2): Unit =
+    lockFor(tablePath).synchronized {
+      val ld = logDir(tablePath)
+      val fs = fsOf(spark, ld)
+      if (!fs.exists(ld)) return
+      val versions = fs.listStatus(ld).map(_.getPath.getName)
+        .collect { case VersionRe(n) => n.toLong }.sorted.reverse
+      if (versions.isEmpty) return
+      val kept = versions.take(keepVersions)
+      val live: Set[String] = kept.flatMap { v =>
+        val in = new BufferedReader(new InputStreamReader(
+          fs.open(new Path(ld, f"v$v%08d")), StandardCharsets.UTF_8))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .drop(2).filter(_.nonEmpty).map(_.split("/")(0)).toVector
+        finally in.close()
+      }.toSet
+      val base = new Path(tablePath)
+      fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("seg_"))
+        .filterNot(p => live.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+      versions.drop(keepVersions)
+        .foreach(v => fs.delete(new Path(ld, f"v$v%08d"), false))
+      fs.listStatus(ld).map(_.getPath).filter(_.getName.startsWith(".tmp_"))
+        .foreach(p => fs.delete(p, false))
+    }
+
+  // ---------- legacy (pre-manifest) layout fallbacks ----------
+
+  /** Round-3 recovery-ordered swap, kept for directories written before
+    * the manifest log existed (plain `partitionBy` output read straight
+    * by path). New writers never produce this layout. */
+  private def legacySwapBucket(spark: SparkSession, tablePath: String, bucket: Long)(
       f: DataFrame => DataFrame): Unit = {
     val base = new Path(tablePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, base)
     val partDir = new Path(base, s"user_bucket=$bucket")
     if (!fs.exists(partDir)) return
     val cur = spark.read.parquet(tablePath).filter(col("user_bucket") === bucket)
@@ -57,17 +347,11 @@ object TableOps {
     fs.delete(old, true)
   }
 
-  def exists(spark: SparkSession, tablePath: String): Boolean = {
-    val p = new Path(tablePath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Whole-table rewrite for small unpartitioned tables (knowledge,
-    * catalog) with the same recovery-ordered swap. */
-  def rewriteTable(spark: SparkSession, tablePath: String)(
+  private def legacySwapTable(spark: SparkSession, tablePath: String)(
       f: DataFrame => DataFrame): Unit = {
     val base = new Path(tablePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, base)
+    if (!fs.exists(base)) return
     val aside = new Path(tablePath + "_tmp")
     val old = new Path(tablePath + "_old")
     f(spark.read.parquet(tablePath)).write.mode(SaveMode.Overwrite).parquet(aside.toString)

@@ -165,24 +165,24 @@ object StreamingIngest {
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: Dataset[SessionBatch], batchId: Long) =>
         val df = batch.toDF().persist()
-        // dual-queue flush 1/2: original messages → m0_raw
-        df.select(col("session_id"), explode(col("messages")).as("m"))
-          .select(col("m.message_id").as("message_id"), col("m.content").as("content"),
-            col("m.role").as("role"), col("m.user_id").as("user_id"),
-            col("session_id"), col("m.round_id").as("round_id"),
-            col("m.sequence_number").as("sequence_number"),
-            col("m.token_count").as("token_count"),
-            col("m.created_at").as("created_at"),
-            // updated_at = created_at at insert (replay-deterministic)
-            col("m.created_at").as("updated_at"),
-            lit("completed").as("processing_status"),
-            // the streaming API shape carries no metadata; write the
-            // empty map so both m0 writers share one schema
-            typedlit(Map.empty[String, String]).as("metadata"),
-            lit(batchId).as("batch_id"))
-          .transform(TableOps.withUserBucket)
-          .write.mode(SaveMode.Append).partitionBy("user_bucket")
-          .parquet(s"$basePath/m0_raw")
+        // dual-queue flush 1/2: original messages → m0_raw (an immutable
+        // manifest-committed segment — same table protocol as batch ingest)
+        TableOps.appendBucketed(
+          df.select(col("session_id"), explode(col("messages")).as("m"))
+            .select(col("m.message_id").as("message_id"), col("m.content").as("content"),
+              col("m.role").as("role"), col("m.user_id").as("user_id"),
+              col("session_id"), col("m.round_id").as("round_id"),
+              col("m.sequence_number").as("sequence_number"),
+              col("m.token_count").as("token_count"),
+              col("m.created_at").as("created_at"),
+              // updated_at = created_at at insert (replay-deterministic)
+              col("m.created_at").as("updated_at"),
+              lit("completed").as("processing_status"),
+              // the streaming API shape carries no metadata; write the
+              // empty map so both m0 writers share one schema
+              typedlit(Map.empty[String, String]).as("metadata"),
+              lit(batchId).as("batch_id")),
+          s"$basePath/m0_raw")
         interWriteHook(batchId) // failpoint: crash between the two writes
         // dual-queue flush 2/2: encoded chunk → m1_episodic. created_at
         // is the batch's max message time — deterministic under replay
@@ -193,16 +193,15 @@ object StreamingIngest {
           .withColumn("needs_embedding", lit(false))
           .withColumn("created_at",
             array_max(transform(col("messages"), m => m.getField("created_at"))))
-        encoder.encode(chunks, "content")
-          .select(col("chunk_id"), col("content"), col("chunking_strategy"),
-            col("token_count"), col("embedding"), col("m0_raw_ids"),
-            col("user_id"), col("session_id"), col("needs_embedding"),
-            col("created_at"), col("created_at").as("updated_at"),
-            typedlit(Map.empty[String, String]).as("metadata"),
-            lit(batchId).as("batch_id"))
-          .transform(TableOps.withUserBucket)
-          .write.mode(SaveMode.Append).partitionBy("user_bucket")
-          .parquet(s"$basePath/m1_episodic")
+        TableOps.appendBucketed(
+          encoder.encode(chunks, "content")
+            .select(col("chunk_id"), col("content"), col("chunking_strategy"),
+              col("token_count"), col("embedding"), col("m0_raw_ids"),
+              col("user_id"), col("session_id"), col("needs_embedding"),
+              col("created_at"), col("created_at").as("updated_at"),
+              typedlit(Map.empty[String, String]).as("metadata"),
+              lit(batchId).as("batch_id")),
+          s"$basePath/m1_episodic")
         commitBatch(batch.sparkSession, basePath, batchId)
         df.unpersist()
         ()
@@ -224,14 +223,65 @@ object StreamingIngest {
     fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString), true).close()
   }
 
-  /** Batch ids with a commit marker. The marker set is one tiny file per
-    * micro-batch — at scale a compaction job folds old markers into a
-    * manifest table on the same cadence as parquet compaction. */
+  private val CompactedRe = "_compacted_v(\\d{8})".r
+
+  /** Batch ids with a commit marker: the newest compacted manifest's ids
+    * ∪ any loose per-batch markers written since that compaction. */
   def committedBatchIds(spark: SparkSession, basePath: String): Set[Long] = {
     val dir = commitsDir(basePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).map(_.getPath.getName.toLong).toSet
+    else {
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      val loose = names.filter(_.forall(_.isDigit)).map(_.toLong).toSet
+      val versions = names.collect { case CompactedRe(n) => n.toLong }
+      val compacted =
+        if (versions.isEmpty) Set.empty[Long]
+        else {
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(new org.apache.hadoop.fs.Path(dir,
+              f"_compacted_v${versions.max}%08d")),
+            java.nio.charset.StandardCharsets.UTF_8))
+          try Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).map(_.toLong).toSet
+          finally in.close()
+        }
+      loose ++ compacted
+    }
+  }
+
+  /** Fold the loose per-batch marker files into one versioned manifest
+    * (run on the parquet-compaction cadence; the code's long-stated plan
+    * at this spot). Ordered for crash safety at every step: the new
+    * manifest (old-manifest ids ∪ loose ids) is fully written and
+    * renamed into place BEFORE any loose marker or old manifest is
+    * deleted — a crash mid-compaction can only leave an id recorded in
+    * BOTH places (a union, never a loss). The rename refuses an existing
+    * destination (TableOps' CAS), so racing compactors cannot clobber
+    * each other. Returns the number of ids in the manifest. */
+  def compactCommits(spark: SparkSession, basePath: String): Int = {
+    val dir = commitsDir(basePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val oldVersions = names.collect { case CompactedRe(n) => n.toLong }
+    val all = committedBatchIds(spark, basePath)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8)
+    try out.write(all.toSeq.sorted.mkString("\n")) finally out.close()
+    val next = if (oldVersions.isEmpty) 0L else oldVersions.max + 1
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"_compacted_v$next%08d"))) {
+      fs.delete(tmp, false) // lost a race with another compactor; its
+      return all.size       // manifest covers a superset of our loose ids
+    }
+    // new manifest durable: now safe to drop what it covers
+    names.filter(_.forall(_.isDigit))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    oldVersions.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"_compacted_v$v%08d"), false))
+    all.size
   }
 
   /** Committed view of a streaming-written table: rows of uncommitted
@@ -243,11 +293,12 @@ object StreamingIngest {
     * pass through. The dedup is one hash-shuffle on the primary key,
     * the same cost class as the reference's PK upsert. */
   private def committedView(
-      spark: SparkSession, basePath: String, table: String, idCol: String): DataFrame = {
+      spark: SparkSession, basePath: String, table: String, idCol: String,
+      buckets: Option[Seq[Long]]): DataFrame = {
     // mergeSchema: batch-ingested files carry no batch_id column, so a
     // sampled-footer schema would hide (or fabricate) the column on a
     // mixed batch+streaming table
-    val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/$table")
+    val df = TableOps.read(spark, s"$basePath/$table", buckets, mergeSchema = true)
     if (!df.columns.contains("batch_id")) df
     else {
       import spark.implicits._
@@ -262,13 +313,16 @@ object StreamingIngest {
     }
   }
 
-  /** m0_raw with exactly-once semantics restored on read. */
-  def m0Committed(spark: SparkSession, basePath: String): DataFrame =
-    committedView(spark, basePath, "m0_raw", "message_id")
+  /** m0_raw with exactly-once semantics restored on read; `buckets`
+    * prunes to the named user buckets at manifest-resolution time. */
+  def m0Committed(spark: SparkSession, basePath: String,
+      buckets: Option[Seq[Long]] = None): DataFrame =
+    committedView(spark, basePath, "m0_raw", "message_id", buckets)
 
   /** m1_episodic with exactly-once semantics restored on read. */
-  def m1Committed(spark: SparkSession, basePath: String): DataFrame =
-    committedView(spark, basePath, "m1_episodic", "chunk_id")
+  def m1Committed(spark: SparkSession, basePath: String,
+      buckets: Option[Seq[Long]] = None): DataFrame =
+    committedView(spark, basePath, "m1_episodic", "chunk_id", buckets)
 
   /** Embedding backfill (B7): encode every chunk still flagged
     * `needs_embedding` and rewrite ONLY the user_bucket partitions that
@@ -277,7 +331,7 @@ object StreamingIngest {
     * never read twice or written at all. */
   def embedBackfill(spark: SparkSession, basePath: String, encoder: TextEncoder): Long = {
     val p = s"$basePath/m1_episodic"
-    val all = spark.read.parquet(p)
+    val all = TableOps.read(spark, p, mergeSchema = true)
     // partition-column type inference may read the bucket back as int
     val pendingBuckets = all.filter(col("needs_embedding"))
       .groupBy(col("user_bucket").cast("long").as("user_bucket"))

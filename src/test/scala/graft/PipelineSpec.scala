@@ -83,10 +83,17 @@ class PipelineSpec extends SparkSpec {
       msg("m1", "s1", u1, "r1", 1, "user", "victim message"),
       msg("m2", "s2", u2, "r2", 1, "user", "survivor message")).toDF())
 
-    val survivorDir = new java.io.File(s"$dir/m0_raw/user_bucket=${buckets(u2)}")
-    val before = survivorDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // the survivor bucket's files, wherever the manifest's segments put them
+    def survivorFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/m0_raw"))
+        .filter(_.getPath.contains(s"user_bucket=${buckets(u2)}/"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = survivorFiles()
     engine.deleteUser(u1)
-    val after = survivorDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val after = survivorFiles()
     assert(after == before, "survivor bucket files must be untouched by the delete")
     assert(engine.m0.select("user_id").as[String].collect().toSeq == Seq(u2))
 

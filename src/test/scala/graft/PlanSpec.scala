@@ -140,16 +140,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(user_id,3)"), p.take(2000))
   }
 
-  test("facade query prunes to the tenant's user bucket partitions") {
+  test("facade tenant read prunes to the user's bucket at file-list time") {
+    import graft.pipeline.TableOps
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan").toString
     val engine = new graft.pipeline.MemFuse(spark, dir)
-    engine.ingest(Seq(graft.pipeline.Schemas.Message(
-      "m1", "s1", "u1", "r1", 1, "user", "hello world",
-      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF())
-    val p = engine.m1.filter(org.apache.spark.sql.functions.col("user_id") === "u1")
-      .queryExecution.executedPlan.toString()
-    // partition column present in the scan's partition filters
-    assert(p.contains("user_bucket"), p.take(2000))
+    val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    // a second user hashed to a DIFFERENT bucket, so pruning is observable
+    val u2 = (1 to 40).map(i => s"z$i").find(u =>
+      TableOps.bucketOf(spark, u) != TableOps.bucketOf(spark, "u1")).get
+    engine.ingest(Seq(
+      graft.pipeline.Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "hello world", t),
+      graft.pipeline.Schemas.Message("m2", "s2", u2, "r2", 1, "user", "other tenant", t)
+    ).toDF())
+    val b = TableOps.bucketOf(spark, "u1")
+    // the manifest resolves to ONLY u1's bucket dirs before any job runs —
+    // every root path of the scan is inside user_bucket=<b>
+    val scans = engine.m1ForUser("u1").queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(_.contains(s"user_bucket=$b")),
+      roots.mkString("\n"))
+    // and the full view still sees both tenants
+    assert(engine.m1.select("user_id").distinct().count() == 2)
+    assert(engine.m1ForUser("u1").select("user_id").distinct().count() == 1)
   }
 }

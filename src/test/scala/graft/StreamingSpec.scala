@@ -57,14 +57,14 @@ class StreamingSpec extends SparkSpec {
     try {
       source.addData(msg("m1", "s1", 1, 40), msg("m2", "s1", 2, 40))
       q.processAllAvailable()
-      val m1 = spark.read.parquet(s"$dir/m1_episodic")
+      val m1 = TableOps.read(spark, s"$dir/m1_episodic", mergeSchema = true)
       assert(m1.count() >= 1)
       val row = m1.orderBy("created_at").collect().head
       assert(row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSeq == Seq("m1"))
       assert(row.getAs[scala.collection.Seq[Float]]("embedding").length == Schemas.EmbeddingDim)
       // B2 dual queue: the flushed batch's ORIGINAL message landed in m0
       // with matching lineage and the shared partitioned layout
-      val m0 = spark.read.parquet(s"$dir/m0_raw")
+      val m0 = TableOps.read(spark, s"$dir/m0_raw", mergeSchema = true)
       val m0Ids = m0.select("message_id").as[String].collect().toSet
       assert(m0Ids == row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSet)
       assert(m0.columns.contains("user_bucket"))
@@ -111,7 +111,7 @@ class StreamingSpec extends SparkSpec {
     q1.stop()
 
     // the half-flushed batch is physically in m0 but logically invisible
-    assert(spark.read.parquet(s"$dir/m0_raw").count() == 1)
+    assert(TableOps.read(spark, s"$dir/m0_raw").count() == 1)
     assert(StreamingIngest.m0Committed(spark, dir).count() == 0)
 
     // restart from the SAME checkpoint without the failpoint: the epoch
@@ -121,7 +121,7 @@ class StreamingSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
 
     // physical m0 holds the replay duplicate; the committed view doesn't
-    assert(spark.read.parquet(s"$dir/m0_raw").count() == 2)
+    assert(TableOps.read(spark, s"$dir/m0_raw").count() == 2)
     val m0 = StreamingIngest.m0Committed(spark, dir)
     val m1 = StreamingIngest.m1Committed(spark, dir)
     assert(m0.count() == 1)
@@ -134,6 +134,36 @@ class StreamingSpec extends SparkSpec {
     assert(m0.join(lineage, Seq("message_id"), "left_anti").count() == 0)
   }
 
+  test("commit-marker compaction preserves the committed view exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("compact").toString
+    val source = MemoryStream[Schemas.Message]
+    val q = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
+      maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt")
+    try {
+      source.addData(msg("m1", "s1", 1, 60)) // oversized → flush per batch
+      q.processAllAvailable()
+      source.addData(msg("m2", "s1", 2, 60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idsBefore = StreamingIngest.committedBatchIds(spark, dir)
+    assert(idsBefore.size >= 2)
+    def committedRows =
+      StreamingIngest.m0Committed(spark, dir)
+        .select("message_id").as[String].collect().sorted.toSeq
+    val rowsBefore = committedRows
+    assert(StreamingIngest.compactCommits(spark, dir) == idsBefore.size)
+    // the id set is identical through the manifest, the loose markers gone
+    assert(StreamingIngest.committedBatchIds(spark, dir) == idsBefore)
+    val loose = new java.io.File(s"$dir/_streaming_commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit))
+    assert(loose.isEmpty, "per-batch marker files must be folded away")
+    assert(committedRows == rowsBefore, "committed view unchanged")
+    // idempotent re-compaction
+    assert(StreamingIngest.compactCommits(spark, dir) == idsBefore.size)
+    assert(committedRows == rowsBefore)
+  }
+
   test("embedding backfill encodes rows flagged needs_embedding") {
     val dir = Files.createTempDirectory("backfill").toString
     val pending = Seq(
@@ -144,8 +174,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("chunk_id", "content", "chunking_strategy", "token_count",
         "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
         "created_at", "updated_at")
-    TableOps.withUserBucket(pending)
-      .write.partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
+    TableOps.appendBucketed(pending, s"$dir/m1_episodic")
     // a second user in a DIFFERENT bucket with nothing pending: the
     // backfill must never touch that bucket's files
     val otherUser = (1 to 40).map(i => s"z$i").find(u =>
@@ -157,18 +186,24 @@ class StreamingSpec extends SparkSpec {
       .toDF("chunk_id", "content", "chunking_strategy", "token_count",
         "embedding", "m0_raw_ids", "user_id", "session_id", "needs_embedding",
         "created_at", "updated_at")
-    TableOps.withUserBucket(settled)
-      .write.mode("append").partitionBy("user_bucket").parquet(s"$dir/m1_episodic")
-    val otherDir = new java.io.File(
-      s"$dir/m1_episodic/user_bucket=${TableOps.bucketOf(spark, otherUser)}")
-    val before = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    TableOps.appendBucketed(settled, s"$dir/m1_episodic")
+    // the settled bucket's data files, wherever its segments put them
+    def bucketFiles(bucket: Long): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/m1_episodic"))
+        .filter(_.getPath.contains(s"user_bucket=$bucket/"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val otherBucket = TableOps.bucketOf(spark, otherUser)
+    val before = bucketFiles(otherBucket)
 
     val n = StreamingIngest.embedBackfill(spark, dir, HashingEncoder())
     assert(n == 1)
-    val after = spark.read.parquet(s"$dir/m1_episodic")
+    val after = TableOps.read(spark, s"$dir/m1_episodic")
     assert(after.filter(col("needs_embedding")).count() == 0)
     assert(after.filter(size(col("embedding")) === Schemas.EmbeddingDim).count() == 3)
-    val afterFiles = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val afterFiles = bucketFiles(otherBucket)
     assert(afterFiles == before, "settled bucket must be untouched by backfill")
     // the mutation bumped ONLY the encoded row's updated_at
     val upd = after.select("chunk_id", "created_at", "updated_at").collect()
