@@ -222,9 +222,53 @@ object Oracles {
        |ORDER BY score DESC, id LIMIT 20""".stripMargin
   }
 
+  /** q59: the reference's T3 three-way hybrid — vector ∪ keyword ∪
+    * graph-semantic legs, RRF-fused with per-store weights. The graph
+    * leg reuses q45's md5-sign construction as top-level CTEs (g*
+    * prefixed), cut to the same top-50 as the other legs before
+    * fusion. */
+  private def threeWayRrfSql(topK: Int): String = {
+    val q = graft.pipeline.Md5SignEncoder().encodeOne(SparkEntry.GraphQueryText)
+    val qvals = q.zipWithIndex.collect { case (v, b) if v != 0f =>
+      s"($b, ${v.toDouble}e0)"
+    }.mkString(", ")
+    val q2 = q.map(x => x.toDouble * x.toDouble).sum
+    val qnorm = s"sqrt(${q2}e0)"
+    val w3 = "CASE WHEN store_type = 'vector' THEN 1.0 " +
+      "WHEN store_type = 'keyword' THEN 0.5 " +
+      "WHEN store_type = 'graph' THEN 0.75 ELSE 0.0 END"
+    s"""WITH gnames AS (SELECT p_partkey + 100000 AS id, p_name AS name FROM part),
+       |gvn AS (SELECT id, h % 64 AS bucket,
+       |               CAST(SUM(CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+       |        FROM (SELECT id, CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT) AS h
+       |              FROM (SELECT id, unnest(string_split(name, ' ')) AS t FROM gnames)
+       |              WHERE t <> '')
+       |        GROUP BY id, bucket),
+       |gnrm AS (SELECT id, sqrt(SUM(v * v)) AS nrm FROM gvn GROUP BY id),
+       |gqv(bucket, qval) AS (VALUES $qvals),
+       |gdots AS (SELECT gvn.id, SUM(gvn.v * gqv.qval) AS d
+       |          FROM gvn JOIN gqv ON gqv.bucket = gvn.bucket GROUP BY gvn.id),
+       |gscored AS (
+       |  SELECT n.id,
+       |    ${t6(s"CASE WHEN gnrm.nrm * $qnorm = 0 THEN 0.0 ELSE coalesce(d.d, 0.0) / (gnrm.nrm * $qnorm) END")} AS score
+       |  FROM gnames n JOIN gnrm ON gnrm.id = n.id LEFT JOIN gdots d ON d.id = n.id),
+       |united AS (
+       |  SELECT id, score, 'vector' AS store_type FROM (${vectorScanSql(SparkEntry.KnnQueryId, 50)})
+       |  UNION ALL
+       |  SELECT id, score, 'keyword' AS store_type FROM (${bm25Sql(SparkEntry.Bm25Terms, 50)})
+       |  UNION ALL
+       |  SELECT id, score, 'graph' AS store_type FROM
+       |    (SELECT id, score FROM gscored ORDER BY score DESC, id LIMIT 50))
+       |SELECT id, ${t6(dsum12(s"($w3) / (60.0 + rnk)"))} AS fused_score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY store_type ORDER BY score DESC, id) AS rnk
+       |      FROM united)
+       |GROUP BY id ORDER BY fused_score DESC, id LIMIT $topK""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
     "q45_graph_semantic" -> graphSemanticSql,
+    "q59_fusion_three_way" -> threeWayRrfSql(20),
 
     "q50_token_count_bpe" -> {
       // same regex as TextAnalysis.BpePattern, SQL-quoted ('' escapes ')

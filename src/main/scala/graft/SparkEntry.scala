@@ -25,6 +25,8 @@ object SparkEntry {
   private[graft] val KnnQueryId = 0L
   private[graft] val IvfQueryId = 7L
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
+  private[graft] val ThreeWayWeights =
+    Map("vector" -> 1.0, "keyword" -> 0.5, "graph" -> 0.75)
   private[graft] val RrfK = 60.0 // reference config/retrieval/default.yaml rrf_k
 
   /** documents ∪ an exact copy shifted by +10000 — the corpus for exact
@@ -407,6 +409,19 @@ object SparkEntry {
       Fusion.normalizedWeightedSum(hybridInputs(s, d), FusionWeights, 20)),
 
     "q27_hybrid_query" -> ((s, d) => hybridQuery(s, d)),
+
+    // ---- the reference's T3 THREE-way hybrid (rag/retrieve/hybrid.py:
+    // 279-313): vector ∪ keyword ∪ graph-semantic legs RRF-fused. The
+    // graph leg scores STORED vertex embeddings (q45's cached encode) so
+    // the whole union is scan+rank work — no per-query encoding ----
+    "q59_fusion_three_way" -> ((s, d) => {
+      val graph = GraphOps.semanticQuery(
+        vertexEmbeddingsFor(s, d),
+        pipeline.Md5SignEncoder().encodeOne(GraphQueryText), 50)
+        .select(col("id"), col("score"))
+        .withColumn("store_type", lit("graph"))
+      Fusion.rrf(hybridInputs(s, d).unionByName(graph), RrfK, ThreeWayWeights, 20)
+    }),
 
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),

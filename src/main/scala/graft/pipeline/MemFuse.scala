@@ -227,7 +227,23 @@ class MemFuse(
     * the tenant's chunks; the BM25 corpus statistics are likewise global
     * (standard IR semantics) where the scan path's are tenant-scoped —
     * identical whenever one tenant owns the corpus, documented
-    * approximation otherwise. */
+    * approximation otherwise.
+    *
+    * `sessionId`/`agentId` narrow the retrieval corpus like the
+    * reference's scoped query (api/users.py:206-295,
+    * memory_service.py:1508+): sessionId filters m1 directly; agentId
+    * resolves to the agent's sessions through the catalog (broadcast
+    * semi-join). Knowledge rows are user-level, so a session/agent
+    * scope excludes them.
+    *
+    * With `includeGraph = true` (after [[buildSemanticLayer]]) a THIRD
+    * store joins the fused union — the m2 entity vertices scored over
+    * their STORED embeddings, tagged `store_type = "graph"` (the
+    * reference's T3 three-way hybrid, rag/retrieve/hybrid.py:279-313;
+    * its graph store is warehouse-global, graphml_store.py:611-704, so
+    * this leg is not tenant-scoped). Graph hits hydrate with the entity
+    * name as content and `session_id = "graph"`; their fusion weight is
+    * `weights("graph")`, defaulting to 0.75 between vector and keyword. */
   def query(
       text: String,
       userId: String,
@@ -238,9 +254,22 @@ class MemFuse(
       useIndexes: Boolean = false,
       nProbe: Int = 2,
       indexOversample: Int = 4,
-      includeKnowledge: Boolean = false): DataFrame = {
+      includeKnowledge: Boolean = false,
+      includeGraph: Boolean = false,
+      sessionId: Option[String] = None,
+      agentId: Option[String] = None): DataFrame = {
     val firstStage = 2 * topK
-    val chunks = m1ForUser(userId).filter(col("user_id") === userId)
+    val tenantChunks = m1ForUser(userId).filter(col("user_id") === userId)
+    val chunks = (sessionId, agentId) match {
+      case (Some(sid), _) => tenantChunks.filter(col("session_id") === sid)
+      case (None, Some(aid)) =>
+        val agentSessions = sessions.filter(col("agent_id") === aid)
+          .select(col("session_id").as("__sid"))
+        tenantChunks.join(broadcast(agentSessions),
+          col("session_id") === col("__sid"), "left_semi")
+      case _ => tenantChunks
+    }
+    val scoped = sessionId.isDefined || agentId.isDefined
     val terms = text.split(" ").filter(_.nonEmpty).toSeq
     val qvec = typedLit(encoder.encodeOne(text).toSeq)
 
@@ -250,12 +279,20 @@ class MemFuse(
     val corpusCols = Seq("chunk_id", "content", "embedding", "session_id", "token_count")
     val chunkCorpus = chunks.select(corpusCols.map(col): _*)
     val knCorpus =
-      if (!includeKnowledge) None
+      if (!includeKnowledge || scoped) None
       else Some(knowledge(userId).select(
         col("knowledge_id").as("chunk_id"), col("content"), col("embedding"),
         lit("knowledge").as("session_id"),
         size(tokens(col("content"))).as("token_count")))
     val corpus = knCorpus.fold(chunkCorpus)(chunkCorpus.unionByName(_))
+    // graph leg corpus: m2 entity vertices with their stored embeddings,
+    // hydrating as (entity-name content, session_id = "graph")
+    val graphCorpus =
+      if (!includeGraph) None
+      else Some(TableOps.read(spark, path("m2_vertices")).select(
+        col("id").as("chunk_id"), col("id").as("content"), col("embedding"),
+        lit("graph").as("session_id"),
+        size(tokens(col("id"))).as("token_count")))
 
     val vector =
       (if (useIndexes) {
@@ -290,9 +327,21 @@ class MemFuse(
         .limit(firstStage)
         .withColumn("store_type", lit("keyword"))
 
-    val fused = Fusion.rrf(vector.unionByName(keyword), rrfK, weights, firstStage)
+    val graph = graphCorpus.map(gv =>
+      gv.withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
+        .select(col("chunk_id").as("id"), col("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(firstStage)
+        .withColumn("store_type", lit("graph")))
+
+    val united = graph.foldLeft(vector.unionByName(keyword))(_ unionByName _)
+    val fusionWeights =
+      if (includeGraph && !weights.contains("graph")) weights + ("graph" -> 0.75)
+      else weights
+    val fused = Fusion.rrf(united, rrfK, fusionWeights, firstStage)
+    val hydrationCorpus = graphCorpus.fold(corpus)(corpus.unionByName(_))
     val hydrated = fused
-      .join(corpus, fused("id") === corpus("chunk_id"))
+      .join(hydrationCorpus, fused("id") === hydrationCorpus("chunk_id"))
       .select(col("id"), col("content"), col("fused_score"),
         col("session_id"), col("token_count"))
     reranker.rerank(hydrated, text, topK)

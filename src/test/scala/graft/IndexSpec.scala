@@ -41,6 +41,47 @@ class IndexSpec extends SparkSpec {
     assert(indexed == scan)
   }
 
+  test("three-way hybrid: includeGraph adds the m2 vertex leg to the fusion") {
+    val dir = Files.createTempDirectory("graphleg").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "espresso is coffee", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "latte has milk", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "tea is calming", ts(3))).toDF())
+    engine.buildSemanticLayer() // persists m2 vertices WITH embeddings
+    val twoWay = engine.query("espresso coffee", "u1", topK = 5)
+    assert(!twoWay.collect().exists(_.getAs[String]("session_id") == "graph"),
+      "graph leg must be off by default")
+    val threeWay = engine.query("espresso coffee", "u1", topK = 5, includeGraph = true)
+    val rows = threeWay.collect()
+    assert(rows.exists(_.getAs[String]("session_id") == "graph"),
+      "a matching entity vertex must surface through the graph leg\n" +
+        rows.mkString("\n"))
+    // graph hits hydrate with the entity name as content
+    val g = rows.filter(_.getAs[String]("session_id") == "graph")
+    assert(g.forall(r => r.getAs[String]("content") == r.getAs[String]("id")))
+  }
+
+  test("session and agent scope narrow the query corpus (disjoint results)") {
+    val dir = Files.createTempDirectory("scope").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createAgent("a1", "support bot")
+    engine.createAgent("a2", "sales bot")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u1", "a2")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle tuning notes", ts(1)),
+      Schemas.Message("m2", "s2", "u1", "r2", 1, "user", "spark broadcast join notes", ts(2))).toDF())
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("session_id").as[String].collect().toSet
+    // same corpus, same query — different scopes, disjoint results
+    assert(ids(engine.query("spark notes", "u1", sessionId = Some("s1"))) == Set("s1"))
+    assert(ids(engine.query("spark notes", "u1", sessionId = Some("s2"))) == Set("s2"))
+    assert(ids(engine.query("spark notes", "u1", agentId = Some("a1"))) == Set("s1"))
+    assert(ids(engine.query("spark notes", "u1", agentId = Some("a2"))) == Set("s2"))
+    assert(ids(engine.query("spark notes", "u1")) == Set("s1", "s2"))
+  }
+
   test("query cache: second call is served without recomputation; routing gates on quality") {
     val dir = Files.createTempDirectory("cache").toString
     val engine = new MemFuse(spark, dir)
