@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 class IvfIndex private[pipeline] (
     val centroids: Array[(Int, Array[Double])],
-    val assigned: DataFrame) {
+    val assigned: DataFrame,
+    val fitRows: Long = -1L) {
 
   /** Top-k cosine neighbors of `queryVec`, probing `nProbe` clusters.
     * `excludeId` drops the query's own row BEFORE the limit, so with
@@ -51,8 +52,41 @@ class IvfIndex private[pipeline] (
 
   def nlist: Int = centroids.length
 
+  /** Incremental maintenance (the reference maintains DiskANN per
+    * insert, pgvectorscale_store.py:244-260): assign each NEW vector to
+    * its nearest EXISTING centroid — the k-means assignment step as a
+    * pure expression, ranking by ‖c‖² − 2·x·c which orders identically
+    * to Euclidean distance (‖x‖² is constant per row) — and append to
+    * the cluster-partitioned table. The quantizer is NOT re-fit; returns
+    * the post-append drift ratio — the fraction of the table the
+    * quantizer was never fit on (total − fit-time rows) / total, from
+    * the persisted fit metadata — so the caller can schedule a full
+    * re-fit when it crosses a threshold (the standard IVF maintenance
+    * contract). Handles opened before the update are stale — reload
+    * after. */
+  def addVectors(newVecs: DataFrame, basePath: String): Double = {
+    val spark = newVecs.sparkSession
+    val ranked = centroids.map { case (i, c) =>
+      val c2 = c.map(v => v * v).sum
+      struct(
+        (lit(c2) - lit(2.0) * VectorFunctions.dot(col("embedding"), typedlit(c.toSeq)))
+          .as("d"),
+        lit(i).as("c"))
+    }
+    newVecs
+      .withColumn("cluster", array_min(array(ranked.toIndexedSeq: _*)).getField("c"))
+      .select("vec_id", "embedding", "cluster")
+      .write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$basePath/ivf_assigned")
+    val nNew = newVecs.count()
+    val total = spark.read.parquet(s"$basePath/ivf_assigned").count().toDouble
+    val unfit = if (fitRows >= 0) total - fitRows else nNew.toDouble
+    if (total == 0) 0.0 else math.max(0.0, unfit) / total
+  }
+
   /** Persist the index: assignments partitioned by `cluster` (the probe
-    * is then pure partition pruning) + the centroid table. */
+    * is then pure partition pruning), the centroid table, and the
+    * fit-time row count (the drift baseline for [[addVectors]]). */
   def save(basePath: String): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
@@ -61,6 +95,10 @@ class IvfIndex private[pipeline] (
     centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("cluster", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$basePath/ivf_centroids")
+    val n = if (fitRows >= 0) fitRows
+      else spark.read.parquet(s"$basePath/ivf_assigned").count()
+    Seq(n).toDF("n_fit_rows")
+      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/ivf_meta")
   }
 }
 
@@ -95,7 +133,7 @@ object IvfIndex {
       .select("vec_id", "embedding", "cluster")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }
-    new IvfIndex(centroids, assigned)
+    new IvfIndex(centroids, assigned, fitRows = total)
   }
 
   /** Reopen a saved index — centroids to the driver (tiny), assignments
@@ -106,6 +144,11 @@ object IvfIndex {
       .map(r => (r.getAs[Number]("cluster").intValue(),
         r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
     val assigned = spark.read.parquet(s"$basePath/ivf_assigned")
-    new IvfIndex(centroids, assigned)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$basePath/ivf_meta")
+    val fitRows =
+      if (metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath))
+        spark.read.parquet(metaPath.toString).head().getLong(0)
+      else -1L
+    new IvfIndex(centroids, assigned, fitRows)
   }
 }

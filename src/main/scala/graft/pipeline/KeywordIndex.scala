@@ -35,11 +35,38 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     val docLen = docs.select(
       col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     docLen.write.mode(SaveMode.Overwrite).parquet(p("doclen"))
+    refreshStats(docLen)
+  }
+
+  /** Incremental maintenance (the reference maintains FTS5 on every
+    * insert, store/keyword_store/sqlite_store.py:147+): append the NEW
+    * documents' postings and doc lengths, refresh the single-row corpus
+    * stats. Only the term buckets the new docs actually touch receive
+    * files; no existing posting file is read or rewritten — a full
+    * postings rebuild per ingest batch would not survive a 100 TB ingest
+    * cadence. Document frequencies need no stored update: `bm25` derives
+    * df from the posting slices at query time, and the appended rows
+    * extend them exactly. `doc_id`s must be previously unseen (chunk ids
+    * are content-addressed, so a re-ingest repeats ids only when it
+    * repeats content — same dup semantics as the m1 table itself).
+    * Handles opened before the update are stale by design — reopen, as
+    * after [[build]]. */
+  def addDocuments(docs: DataFrame): Unit = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64)))
+      .write.mode(SaveMode.Append).partitionBy("term_bucket").parquet(p("postings"))
+    val docLen = docs.select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    docLen.write.mode(SaveMode.Append).parquet(p("doclen"))
+    refreshStats(spark.read.parquet(p("doclen")))
+  }
+
+  private def refreshStats(docLen: DataFrame): Unit =
     docLen.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .write.mode(SaveMode.Overwrite).parquet(p("stats"))
-  }
 
   /** BM25 top-k from the index alone (k1/b per the reference defaults). */
   def bm25(queryTerms: Seq[String], topK: Int,

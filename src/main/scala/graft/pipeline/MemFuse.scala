@@ -153,9 +153,37 @@ class MemFuse(
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
         col("created_at"), col("created_at").as("updated_at"), col("metadata"))
+    val hasKw = TableOps.exists(spark, path("index") + "/kw_postings")
+    val hasIvf = TableOps.exists(spark, path("index") + "/ivf_assigned")
+    if (hasKw || hasIvf) m1New.persist()
     TableOps.appendBucketed(m1New, path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
+    // incremental index maintenance (the reference maintains FTS5/DiskANN
+    // per insert): upsert ONLY what this batch touches — new posting rows
+    // in their term buckets, new vectors assigned to existing centroids —
+    // never a full rebuild. The IVF quantizer is re-fit only when the
+    // un-fit fraction crosses the drift threshold.
+    if (hasKw)
+      new KeywordIndex(spark, path("index")).addDocuments(
+        m1New.select(col("chunk_id").as("doc_id"), col("content").as("text")))
+    if (hasIvf) {
+      val idx = openIvf()
+      val drift = idx.addVectors(
+        m1New.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
+      if (drift > IvfRefitDrift)
+        IvfIndex.build(spark,
+          m1.select(col("chunk_id").as("vec_id"), col("embedding")), idx.nlist)
+          .save(path("index"))
+    }
+    if (hasKw || hasIvf) {
+      m1New.unpersist()
+      indexHandles.synchronized { ivfHandle = None; kwHandle = None }
+    }
   }
+
+  /** Re-fit the IVF quantizer once more than this fraction of the table
+    * was assigned to centroids it was never fit on. */
+  private val IvfRefitDrift = 0.5
 
   /** m0/m1 are read through the streaming committed view: on a table a
     * streaming writer ever touched, rows of half-flushed (uncommitted)

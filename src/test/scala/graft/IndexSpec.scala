@@ -41,6 +41,87 @@ class IndexSpec extends SparkSpec {
     assert(indexed == scan)
   }
 
+  test("keyword index incremental add equals a fresh full build") {
+    val docs = Tables.documents(spark, sf())
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val incDir = Files.createTempDirectory("kwinc").toString
+    val inc = new KeywordIndex(spark, incDir)
+    inc.build(half1)
+    inc.addDocuments(half2)
+    val full = new KeywordIndex(spark, Files.createTempDirectory("kwfull").toString)
+    full.build(docs)
+    val terms = Seq("join", "filter", "table", "scan")
+    // reopen after the incremental update (same contract as after build)
+    val incScores = new KeywordIndex(spark, incDir).bm25(terms, 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(incScores == full.bm25(terms, 50).as[(Long, Double)].collect().toSeq)
+    assert(incScores == Retrieval.bm25(docs, terms, 50).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("ivf incremental add: nearest-centroid assignment, probe completeness") {
+    import graft.pipeline.IvfIndex
+    val emb = Tables.embeddings(spark, sf())
+    val dir = Files.createTempDirectory("ivfinc").toString
+    IvfIndex.build(spark, emb.filter(col("vec_id") < 100), nlist = 4).save(dir)
+    val idx = IvfIndex.load(spark, dir)
+    val drift = idx.addVectors(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), dir)
+    assert(drift > 0.3 && drift < 0.4, s"50 unfit of 150 → drift ≈ 1/3, got $drift")
+    val reopened = IvfIndex.load(spark, dir)
+    assert(reopened.assigned.count() == 150)
+    // every appended vector sits in its NEAREST existing centroid
+    val cents = reopened.centroids.toMap
+    reopened.assigned.filter(col("vec_id") >= 100)
+      .select("vec_id", "embedding", "cluster").collect().foreach { r =>
+        val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+        def d2(c: Array[Double]) =
+          c.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum
+        val best = cents.minBy { case (_, c) => d2(c) }._1
+        assert(r.getAs[Number]("cluster").intValue() == best,
+          s"vec ${r.get(0)} assigned ${r.get(2)}, nearest is $best")
+      }
+    // exhaustive probe over the grown index = brute force over all 150
+    val fromIndex = reopened.query(
+      emb.filter(col("vec_id") === SparkEntry.KnnQueryId)
+        .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toArray,
+      topK = 20, nProbe = reopened.nlist, excludeId = Some(SparkEntry.KnnQueryId))
+      .as[(Long, Double)].collect().toSeq
+    val brute = Retrieval.cosineKnn(emb.filter(col("vec_id") < 150),
+      SparkEntry.KnnQueryId, 20).as[(Long, Double)].collect().toSeq
+    assert(fromIndex == brute)
+  }
+
+  test("facade ingest after buildIndexes maintains the indexes incrementally") {
+    val dir = Files.createTempDirectory("incfacade").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3))).toDF())
+    engine.buildIndexes(nlist = 2)
+    def postingFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/index/kw_postings"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val builtFiles = postingFiles()
+    // second ingest: indexes must absorb the new chunk WITHOUT a rebuild
+    engine.ingest(Seq(
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "zanzibar quorum replication", ts(4))).toDF())
+    assert(builtFiles.subsetOf(postingFiles()),
+      "incremental update must append, never rewrite existing posting files")
+    assert(postingFiles().size > builtFiles.size, "new postings appended")
+    // indexed path ≡ scan path on the grown corpus (exhaustive probe),
+    // and the post-build document is reachable through the indexes
+    val scan = engine.query("zanzibar replication", "u1", topK = 3).collect().toSeq
+    val indexed = engine.query("zanzibar replication", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan)
+    assert(indexed.exists(_.getAs[String]("content").contains("zanzibar")))
+  }
+
   test("three-way hybrid: includeGraph adds the m2 vertex leg to the fusion") {
     val dir = Files.createTempDirectory("graphleg").toString
     val engine = new MemFuse(spark, dir)
