@@ -627,6 +627,13 @@ object SparkEntry {
     "x56_facade_query_indexed" -> ((s, d) =>
       facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10,
         useIndexes = true, nProbe = 2)),
+
+    // the model-scoring rerank path, measured against x55's overlap
+    // heuristic on the SAME warehouse: the trained cross-encoder runs
+    // its P-projection + MLP forward per candidate pair — the cost a
+    // real ONNX reranker slot would pay, benched not just spec'd
+    "x57_facade_query_trained_ce" -> ((s, d) =>
+      facadeCeFor(s, d).query(KwQuery, FacadeUser, topK = 10)),
   )
 
   private[graft] val FacadeUser = "bench_user"
@@ -637,9 +644,14 @@ object SparkEntry {
     * vs indexed, on identical corpora. */
   private val facadeCache =
     scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private val facadeDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def facadeDirs(d: String): String =
+    facadeDirCache.getOrElseUpdate(d,
+      java.nio.file.Files.createTempDirectory("graft_facade").toString)
   private def facadeFor(s: SparkSession, d: String): pipeline.MemFuse =
     facadeCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_facade").toString
+      val dir = facadeDirs(d)
       val eng = new pipeline.MemFuse(s, dir)
       eng.ingest(Tables.documents(s, d).select(
         concat(lit("m"), col("doc_id")).as("message_id"),
@@ -652,6 +664,18 @@ object SparkEntry {
         lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
       eng.buildIndexes(nlist = 4)
       eng
+    })
+
+  /** Same warehouse as [[facadeFor]] (tables + indexes shared), with the
+    * shipped TRAINED cross-encoder in the reranker slot instead of the
+    * overlap heuristic — x55 vs x57 isolates the reranker's cost. */
+  private val facadeCeCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private def facadeCeFor(s: SparkSession, d: String): pipeline.MemFuse =
+    facadeCeCache.getOrElseUpdate(d, {
+      facadeFor(s, d) // ensure the shared warehouse is ingested + indexed
+      new pipeline.MemFuse(s, facadeDirs(d),
+        reranker = pipeline.ProjectionCrossEncoder.trained)
     })
 
   def oracleSql: Map[String, String] = Oracles.sql
