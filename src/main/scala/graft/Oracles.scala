@@ -279,6 +279,52 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // q60: the EXACT BPE merge loop replayed in SQL. The shipped merge
+    // table inlines as a list literal (rank = 1-based position); each
+    // recursion step merges the LEFTMOST lowest-ranked adjacent pair of
+    // one piece, exactly TextAnalysis.bpeMergeCount. Whitespace pieces
+    // count 1; one leading space folds into its word (the Ġ convention).
+    // nullif: DuckDB list_position returns 0, not NULL, on a miss.
+    "q60_token_count_bpe_exact" -> {
+      val pat = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      val merges = graft.operators.TextAnalysis.BpeMergeRanks.toSeq
+        .sortBy(_._2).map(_._1)
+      val mergesList = merges
+        .map(m => "'" + m.replace("'", "''") + "'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |pieces AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS piece
+         |  FROM documents WHERE doc_id < 60),
+         |cores AS (
+         |  SELECT doc_id, row_number() OVER () AS pidx,
+         |         CASE WHEN starts_with(piece, ' ') THEN substr(piece, 2)
+         |              ELSE piece END AS core
+         |  FROM pieces WHERE NOT regexp_matches(piece, '^\\s+$$')),
+         |r AS (
+         |  SELECT doc_id, pidx, regexp_extract_all(core, '(?s).') AS syms, 0 AS iter
+         |  FROM cores
+         |  UNION ALL
+         |  SELECT doc_id, pidx,
+         |         syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:],
+         |         iter + 1
+         |  FROM (SELECT doc_id, pidx, syms, iter,
+         |               list_min(ranks) AS best,
+         |               list_position(ranks, list_min(ranks)) AS pos
+         |        FROM (SELECT doc_id, pidx, syms, iter,
+         |                     list_transform(generate_series(1, len(syms) - 1),
+         |                       i -> coalesce(nullif(list_position($mergesList,
+         |                              syms[i] || ' ' || syms[i+1]), 0), 999999)) AS ranks
+         |              FROM r WHERE len(syms) >= 2))
+         |  WHERE best < 999999),
+         |merged AS (SELECT doc_id, pidx, arg_max(len(syms), iter) AS n
+         |           FROM r GROUP BY doc_id, pidx)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens_exact FROM (
+         |  SELECT doc_id, n FROM merged
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS n FROM pieces WHERE regexp_matches(piece, '^\\s+$$'))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // media synthesized from text bytes (all-ASCII corpus → byte and
     // char slicing coincide); frame_len mirrors greatest(int(n/nf), 1)
     "q51_multimodal_frames" ->

@@ -273,6 +273,14 @@ object SparkEntry {
     "q50_token_count_bpe" -> ((s, d) =>
       TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
 
+    // ---- EXACT BPE token counts over the shipped trained merge table
+    // (the committed TrainBpe vocab — the tiktoken-with-vocab-file slot;
+    // q50 stays the vocab-free estimate). Bounded input: the oracle
+    // replays every merge in a recursive CTE ----
+    "q60_token_count_bpe_exact" -> ((s, d) =>
+      TextAnalysis.bpeExactTokenCount(
+        Tables.documents(s, d).filter(col("doc_id") < 60))),
+
     // ---- corpus mixing: deterministic hash-threshold subsample per
     // stratum (reproducible across engines/partitionings, pushes to the
     // scan) + the mixture report a data recipe starts from ----

@@ -114,6 +114,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merge ranks of the SHIPPED BPE vocab (trained from scratch by the
+    * committed `tools/TrainBpe` on public corpus text — the same
+    * resource-file pattern as the trained weight tensors): line i
+    * ("left right") has rank i+1; lower rank = earlier-learned = higher
+    * merge priority. */
+  lazy val BpeMergeRanks: Map[String, Int] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges.txt")
+    require(in != null, "missing resource graft/bpe/merges.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .zipWithIndex.map { case (l, i) => l -> (i + 1) }.toMap
+    finally in.close()
+  }
+
+  /** Exact BPE symbol count of one whitespace-free piece core under a
+    * merge-rank table: start from characters, repeatedly merge the
+    * LEFTMOST occurrence of the lowest-ranked adjacent pair until no
+    * adjacent pair is in the table, return the surviving symbol count.
+    * Deterministic and mirrored verbatim by the q60 DuckDB oracle's
+    * recursive CTE — the cross-engine-checkable BPE variant (merge-all-
+    * occurrences-per-step converges to the same count on non-degenerate
+    * tables but is far harder to express in SQL). Out-of-alphabet cores
+    * simply never match a merge and shatter to characters — byte-level
+    * BPE's behavior for unknown content. */
+  private[graft] def bpeMergeCount(core: String, ranks: Map[String, Int]): Int = {
+    if (core.isEmpty) return 0
+    var syms = core.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse(syms(i) + " " + syms(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else syms = (syms.take(bestPos) :+ (syms(bestPos) + syms(bestPos + 1))) ++
+        syms.drop(bestPos + 2)
+    }
+    syms.length
+  }
+
+  /** A7 token counting, EXACT-merge flavor: the real BPE merge loop over
+    * the shipped vocab, closing the gap q50's pre-tokenizer estimate
+    * leaves (reference utils/token_counter.py:19-110 — tiktoken with a
+    * pretrained vocab; the vocab here is the committed trained table).
+    * Per piece: pure-whitespace → 1 token; otherwise one optional
+    * leading space folds into the word (the GPT-2 'Ġ' convention) and
+    * the core runs [[bpeMergeCount]]. Row-local imperative kernel → a
+    * Scala UDF (the merge loop is genuinely iterative; there is no
+    * native-function spelling), still scan-speed with no shuffle. */
+  def bpeExactTokenCount(docs: DataFrame): DataFrame = {
+    val ranks = BpeMergeRanks
+    // java.util.regex.Pattern is Serializable: compile once, ship in the closure
+    val compiled = java.util.regex.Pattern.compile(BpePattern)
+    val countUdf = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val m = compiled.matcher(text)
+        var total = 0L
+        while (m.find()) {
+          val piece = m.group()
+          total += (if (piece.trim.isEmpty) 1L
+            else {
+              val core = if (piece.startsWith(" ")) piece.substring(1) else piece
+              bpeMergeCount(core, ranks).toLong
+            })
+        }
+        total
+      }
+    }
+    docs.select(col("doc_id"), countUdf(col("text")).as("n_tokens_exact"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram-frequency language ID heuristic: score each candidate language
     * by the share of tokens that hit its marker set; argmax with
     * deterministic tie-break on language name. */

@@ -190,4 +190,40 @@ class OperatorSpec extends SparkSpec {
       .orderBy("frame_idx").select("frame").as[Array[Byte]].collect()
     assert(new String(f0.flatten) == "abcdefghij".take(f0.map(_.length).sum))
   }
+
+  test("bpe merge loop: exact counts under a fixture rank table") {
+    val ranks = Map("a b" -> 1, "ab c" -> 2, "x y" -> 3)
+    assert(TextAnalysis.bpeMergeCount("abcd", ranks) == 2) // [abc, d]
+    assert(TextAnalysis.bpeMergeCount("abcabc", ranks) == 2) // [abc, abc]
+    assert(TextAnalysis.bpeMergeCount("xyxy", ranks) == 2) // leftmost first
+    assert(TextAnalysis.bpeMergeCount("zzz", ranks) == 3) // OOV → chars
+    assert(TextAnalysis.bpeMergeCount("ab", ranks) == 1)
+    assert(TextAnalysis.bpeMergeCount("a", ranks) == 1)
+    // rank priority, not scan order: 'a b' (rank 1) fires before 'x a'
+    assert(TextAnalysis.bpeMergeCount("xabcy",
+      Map("x a" -> 3, "a b" -> 1, "ab c" -> 2)) == 3) // [x, abc, y]
+  }
+
+  test("shipped bpe vocab loads, deterministically compresses real words") {
+    val ranks = TextAnalysis.BpeMergeRanks
+    assert(ranks.nonEmpty)
+    // every trained merge's concatenation tokenizes to ONE symbol
+    val learned = ranks.toSeq.sortBy(_._2).map(_._1.split(" ", 2))
+    learned.take(20).foreach { case Array(a, b) =>
+      assert(TextAnalysis.bpeMergeCount(a + b, ranks) == 1,
+        s"'$a$b' must collapse to its own merge token")
+    }
+  }
+
+  test("bpeExactTokenCount: piece decomposition with the space-folding convention") {
+    val df = Seq((1L, "par par\nrow"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeExactTokenCount(df)
+      .as[(Long, Long)].collect().toMap
+    val ranks = TextAnalysis.BpeMergeRanks
+    // pieces: "par", " par" (space folds into the word), "\n" (1), "row"
+    val expected = 2L * TextAnalysis.bpeMergeCount("par", ranks) +
+      1L + TextAnalysis.bpeMergeCount("row", ranks)
+    assert(got(1L) == expected)
+    assert(got(2L) == 0L)
+  }
 }
