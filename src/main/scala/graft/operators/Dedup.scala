@@ -182,20 +182,29 @@ object Dedup {
     * replacement for a suffix array, and the shuffle key is the gram so
     * hot boilerplate spreads over the partial-aggregation combiners. */
   def sharedPassages(
-      docs: DataFrame, n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame =
+      docs: DataFrame, n: Int = 8, minDocs: Int = 2, topK: Int = 50): DataFrame = {
     // per-doc dedup happens NARROWLY (array_distinct inside the row), so
     // every exploded (doc_id, gram) row is already globally unique and a
     // plain count(*) IS the distinct-doc count — exactly ONE exchange,
     // keyed on the gram, with map-side partial counts absorbing hot
     // boilerplate grams. (A distinct() + countDistinct formulation
-    // shuffles the same pairs twice; PlanSpec pins the single exchange.)
-    shingleArrays(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // shuffles the same pairs twice.) No fan-out repartition either: the
+    // generator pipelines on the scan's own splits (thousands at real
+    // scale), and the extra exchange measured strictly slower at every
+    // SF. PlanSpec pins the single exchange.
+    val toksCol = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(toksCol) - n),
+      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
+    docs
+      .filter(size(toksCol) >= n)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(topK)
+  }
 
   /** Exact n-gram Jaccard similarity for all pairs of the given (pre-
     * filtered, small) docs — the quadratic baseline; LSH (above) is the
