@@ -440,6 +440,27 @@ class MemFuse(
       .orderBy(col("session_id"), col("rank_in_session"))
   }
 
+  /** Storage maintenance pass, run on the compaction cadence (the
+    * reference leans on Postgres autovacuum + its stores' own index
+    * upkeep; a parquet warehouse does this explicitly): fold the
+    * streaming commit markers into their manifest, compact every table
+    * whose manifest references more than `maxSegments` segments, and
+    * vacuum generations beyond `keepVersions`. Readers holding current
+    * snapshots are unaffected (MVCC); only vacuumed-away OLD versions
+    * become unreadable. */
+  def maintain(maxSegments: Int = 8, keepVersions: Int = 2): Unit = {
+    graft.streaming.StreamingIngest.compactCommits(spark, basePath)
+    Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
+      "sessions", "rounds", "api_keys")
+      .filter(t => TableOps.exists(spark, path(t)))
+      .foreach { t =>
+        if (TableOps.segmentCount(spark, path(t)) > maxSegments)
+          TableOps.compact(spark, path(t))
+        TableOps.vacuum(spark, path(t), keepVersions)
+      }
+    clearCache()
+  }
+
   /** A9 store stats counters (the reference's per-store stats surface):
     * row counts per table as ONE union-of-counts job — the eight table
     * scans run as parallel stages of a single action instead of eight

@@ -293,6 +293,27 @@ object TableOps {
       }
     }
 
+  /** Distinct segment dirs referenced by the current snapshot (0 for a
+    * legacy/absent table) — the "needs compaction" signal. */
+  def segmentCount(spark: SparkSession, tablePath: String): Int =
+    currentSnapshot(spark, tablePath)
+      .map(_.entries.map(_.split("/")(0)).distinct.size).getOrElse(0)
+
+  /** Fold a table's accumulated small segments into one generation — the
+    * parquet-compaction job every append-heavy table needs on a cadence.
+    * Just an identity rewrite through the same manifest commit, so
+    * readers stay snapshot-isolated throughout and a racing writer
+    * simply wins or retries like any other commit. Follow with
+    * [[vacuum]] to reclaim the superseded segments. */
+  def compact(spark: SparkSession, tablePath: String): Unit =
+    currentSnapshot(spark, tablePath) match {
+      case None => ()
+      case Some(snap) if snap.bucketed =>
+        snap.entries.map(_.split("=").last.toLong).distinct
+          .foreach(b => rewriteBucket(spark, tablePath, b)(identity))
+      case Some(_) => rewriteTable(spark, tablePath)(identity)
+    }
+
   /** Drop segments no manifest of the newest `keepVersions` references,
     * and manifests older than those — the compaction/GC job. Readers
     * holding a snapshot within the retention window keep working;

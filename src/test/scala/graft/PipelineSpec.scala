@@ -108,6 +108,22 @@ class PipelineSpec extends SparkSpec {
     assert(p.contains("user_bucket"), "tenant partition pruning must survive mutations")
   }
 
+  test("maintain(): compaction + vacuum leave every result identical") {
+    val (engine, dir) = freshEngine()
+    (1 to 5).foreach(i => engine.ingest(Seq(
+      msg(s"m$i", s"s$i", "u1", s"r$i", 1, "user", s"note number $i about spark")).toDF()))
+    val before = engine.query("spark note", "u1", topK = 5)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(TableOps.segmentCount(spark, s"$dir/m0_raw") == 5)
+    engine.maintain(maxSegments = 2, keepVersions = 1)
+    assert(TableOps.segmentCount(spark, s"$dir/m0_raw") == 1, "m0 compacted")
+    assert(TableOps.segmentCount(spark, s"$dir/m1_episodic") == 1, "m1 compacted")
+    val after = engine.query("spark note", "u1", topK = 5)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(after == before, "maintenance must be invisible to queries")
+    assert(engine.m0.count() == 5 && engine.m1.count() == 5)
+  }
+
   test("result cache is invalidated by writes (B5 + cascade delete)") {
     val (engine, _) = freshEngine()
     engine.ingest(Seq(

@@ -106,6 +106,33 @@ class TableOpsSpec extends SparkSpec {
       == Seq(1L, 2L))
   }
 
+  test("compact folds accumulated segments into one; vacuum reclaims the rest") {
+    val dir = tmp("compactt")
+    (1L to 5L).foreach(i => TableOps.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    assert(TableOps.segmentCount(spark, dir) == 5)
+    TableOps.compact(spark, dir)
+    assert(TableOps.segmentCount(spark, dir) == 1)
+    assert(TableOps.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == (1L to 5L), "compaction must not change the data")
+    TableOps.vacuum(spark, dir, keepVersions = 1)
+    val segsOnDisk = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg_"))
+    assert(segsOnDisk == 1)
+    assert(TableOps.read(spark, dir).count() == 5)
+  }
+
+  test("compact on a bucketed table folds per bucket, preserving the committed view") {
+    val dir = tmp("compactb")
+    val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    (1 to 4).foreach(i => TableOps.appendBucketed(
+      Seq((s"m$i", "u1", t)).toDF("message_id", "user_id", "created_at"), dir))
+    assert(TableOps.segmentCount(spark, dir) == 4)
+    TableOps.compact(spark, dir)
+    assert(TableOps.segmentCount(spark, dir) == 1)
+    assert(TableOps.read(spark, dir).select("message_id").as[String]
+      .collect().sorted.toSeq == (1 to 4).map(i => s"m$i"))
+  }
+
   test("empty rewrite result stays readable with the manifest schema") {
     val dir = tmp("empty")
     TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
