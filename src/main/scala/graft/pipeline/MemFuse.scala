@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.functions.TextFunctions.{trunc6, tokens}
 import graft.functions.VectorFunctions
 import graft.operators.{Fusion, Retrieval}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The memory-engine facade: batch ingest → chunk → embed → m1, and the
@@ -76,7 +76,13 @@ class MemFuse(
         col("created_at").as("updated_at"), col("processing_status"),
         col("metadata"))
     TableOps.appendBucketed(m0, path("m0_raw"))
+    appendChunks(valid)
+  }
 
+  /** Chunk → situate → encode → append the m1 rows for a set of VALID
+    * messages, maintaining the side indexes incrementally (shared by
+    * [[ingest]] and the message-mutation re-chunk paths). */
+  private def appendChunks(valid: DataFrame): Unit = {
     // C4 integrated dispatch: every strategy lands on the same m1 shape
     // (user_id, session_id, content, m0_raw_ids, created_at, metadata,
     // disc) — disc is a per-strategy uniqueness discriminator folded
@@ -377,9 +383,12 @@ class MemFuse(
 
   /** Build the persisted side indexes over the current m1 chunks: the
     * term-bucket-partitioned BM25 postings (KeywordIndex) and the
-    * cluster-partitioned IVF vector index. Rebuild after bulk ingest —
-    * the reference maintains its FTS5/DiskANN indexes on the same
-    * schedule. */
+    * cluster-partitioned IVF vector index. Per-batch upkeep is
+    * incremental (see [[ingest]]); a full rebuild is needed only after
+    * quantizer drift or bulk deletes. Index dirs are DERIVED data
+    * rewritten wholesale (plain Overwrite, not the manifest protocol):
+    * a query racing a rebuild should retry against the reopened handle —
+    * the same reopen-after-reindex contract as the reference's FTS5. */
   def buildIndexes(nlist: Int = 4): Unit = {
     new KeywordIndex(spark, path("index"))
       .build(m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
@@ -487,12 +496,71 @@ class MemFuse(
         avg(col("token_count")).as("avg_tokens"))
       .orderBy("session_id", "chunking_strategy")
 
-  /** Session message read (S2): sorted, limited scan. */
+  /** Session message read (S2): sorted, limited scan. When the session
+    * is cataloged, its owner's bucket prunes the file list first (a
+    * one-row catalog point lookup, like the reference's session→user FK
+    * resolution); uncataloged fixtures fall back to the full view. */
   def messagesBySession(
       sessionId: String, limit: Int = 20, ascending: Boolean = true): DataFrame = {
-    val sorted = m0.filter(col("session_id") === sessionId)
+    val owner = sessions.filter(col("session_id") === sessionId)
+      .select("user_id").limit(1).collect().headOption.map(_.getString(0))
+    val base = owner.fold(m0)(m0ForUser)
+    val sorted = base.filter(col("session_id") === sessionId)
     val keys = Seq(col("sequence_number"), col("message_id"))
     sorted.orderBy((if (ascending) keys else keys.map(_.desc)): _*).limit(math.min(limit, 100))
+  }
+
+  // ---------- message mutations (reference update/delete message APIs;
+  // m0_raw.py:156-183 maintains updated_at, the m0→m1 derivation is
+  // re-run for the affected scope) ----------
+
+  /** Update one message's content: rewrite the owner's m0 bucket
+    * (content, token_count, updated_at — created_at never changes), drop
+    * every m1 chunk derived from the affected scope and re-chunk it from
+    * the updated m0. Chunk ids are content-addressed, so the regenerated
+    * chunk gets a new id and a fresh embedding. The affected scope is
+    * the message's ROUND for per-round/per-message chunking strategies
+    * and its whole SESSION for `token_budget` (whose chunks pack across
+    * rounds). Stale index entries for dropped chunk ids are harmless —
+    * indexed hits semi-join back to live chunk ids — and clear on the
+    * next rebuild. */
+  def updateMessage(messageId: String, content: String): Unit =
+    mutateMessage(messageId) { (df, me) =>
+      val t = now()
+      df.withColumn("content", when(me, lit(content)).otherwise(col("content")))
+        .withColumn("token_count",
+          when(me, size(tokens(lit(content)))).otherwise(col("token_count")))
+        .withColumn("updated_at", when(me, lit(t)).otherwise(col("updated_at")))
+    }
+
+  /** Delete one message and re-derive its scope's chunks (the m0→m1
+    * analogue of ON DELETE CASCADE). */
+  def deleteMessage(messageId: String): Unit =
+    mutateMessage(messageId)((df, me) => df.filter(!me))
+
+  private def mutateMessage(messageId: String)(
+      f: (DataFrame, Column) => DataFrame): Unit = {
+    val hit = m0.filter(col("message_id") === messageId)
+      .select("user_id", "session_id", "round_id").limit(1).collect().headOption
+    hit.foreach { r =>
+      val (uid, sid, rid) = (r.getString(0), r.getString(1), r.getString(2))
+      val bucket = TableOps.bucketOf(spark, uid)
+      val scope: Column = // token_budget packs across rounds → session scope
+        if (chunking == "token_budget") col("session_id") === sid
+        else col("session_id") === sid && col("round_id") === rid
+      // lineage ids of the PRE-mutation scope (bounded by one round /
+      // session of a conversation — a point-mutation-sized collect)
+      val preIds = m0.filter(col("user_id") === uid && scope)
+        .select("message_id").collect().map(_.getString(0)).toSeq
+      TableOps.rewriteBucket(spark, path("m0_raw"), bucket)(df =>
+        f(df, col("message_id") === messageId))
+      TableOps.rewriteBucket(spark, path("m1_episodic"), bucket)(df =>
+        df.filter(!arrays_overlap(col("m0_raw_ids"), typedLit(preIds))))
+      clearCache() // the re-chunk below must see the rewritten m0
+      val remaining = m0ForUser(uid).filter(col("user_id") === uid && scope)
+      if (!remaining.isEmpty) appendChunks(remaining)
+      clearCache()
+    }
   }
 
   // ---------- relational catalog (reference postgres.py:167-253):

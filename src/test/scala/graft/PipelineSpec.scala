@@ -108,6 +108,53 @@ class PipelineSpec extends SparkSpec {
     assert(p.contains("user_bucket"), "tenant partition pruning must survive mutations")
   }
 
+  test("updateMessage rewrites m0 in place and re-chunks the round") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "original question"),
+      msg("m2", "s1", "u1", "r1", 2, "assistant", "original answer"),
+      msg("m3", "s1", "u1", "r2", 1, "user", "other round untouched")).toDF())
+    val beforeOther = engine.m1.filter(array_contains(col("m0_raw_ids"), "m3"))
+      .select("chunk_id").as[String].collect().toSeq
+    engine.updateMessage("m2", "corrected answer")
+    val m0 = engine.m0.select("message_id", "content", "created_at", "updated_at")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(m0("m2")._1 == "corrected answer")
+    assert(m0("m2")._3.after(m0("m2")._2), "updated_at bumped")
+    assert(m0("m1")._1 == "original question" && m0("m1")._2 == m0("m1")._3)
+    // the round's chunk regenerated over the corrected content, with
+    // full lineage; the other round's chunk is bit-identical
+    val r1Chunk = engine.m1.filter(array_contains(col("m0_raw_ids"), "m2"))
+    assert(r1Chunk.count() == 1)
+    val row = r1Chunk.collect().head
+    assert(row.getAs[String]("content").contains("corrected answer"))
+    assert(row.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSeq == Seq("m1", "m2"))
+    assert(engine.m1.filter(array_contains(col("m0_raw_ids"), "m3"))
+      .select("chunk_id").as[String].collect().toSeq == beforeOther)
+    // retrieval sees the new content
+    val hits = engine.query("corrected answer", "u1", topK = 2).collect()
+    assert(hits.exists(_.getAs[String]("content").contains("corrected")))
+  }
+
+  test("deleteMessage removes the message and re-derives the round's chunk") {
+    val (engine, _) = freshEngine()
+    engine.ingest(Seq(
+      msg("m1", "s1", "u1", "r1", 1, "user", "keep this line"),
+      msg("m2", "s1", "u1", "r1", 2, "assistant", "drop this line"),
+      msg("m3", "s2", "u1", "r2", 1, "user", "lone round")).toDF())
+    engine.deleteMessage("m2")
+    assert(engine.m0.filter(col("message_id") === "m2").count() == 0)
+    val r1Chunk = engine.m1.filter(array_contains(col("m0_raw_ids"), "m1")).collect()
+    assert(r1Chunk.length == 1)
+    assert(!r1Chunk.head.getAs[String]("content").contains("drop this line"))
+    assert(r1Chunk.head.getAs[scala.collection.Seq[String]]("m0_raw_ids").toSeq == Seq("m1"))
+    // deleting a round's ONLY message removes its chunk entirely
+    engine.deleteMessage("m3")
+    assert(engine.m1.filter(array_contains(col("m0_raw_ids"), "m3")).count() == 0)
+    assert(engine.m0.count() == 1 && engine.m1.count() == 1)
+  }
+
   test("maintain(): compaction + vacuum leave every result identical") {
     val (engine, dir) = freshEngine()
     (1 to 5).foreach(i => engine.ingest(Seq(
