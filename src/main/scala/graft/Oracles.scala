@@ -773,6 +773,22 @@ object Oracles {
          |ORDER BY n_docs DESC, shingle LIMIT 50""".stripMargin
     },
 
+    "q61_decontamination" -> {
+      val toksSql = "string_split(text, ' ')"
+      def grams(where: String) =
+        s"""SELECT DISTINCT doc_id, s FROM (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, len($toksSql) - 7),
+           |                i -> array_to_string($toksSql[i:i+7], ' '))) AS s
+           |  FROM documents WHERE len($toksSql) >= 8 AND $where)""".stripMargin
+      s"""WITH tg AS (${grams("doc_id % 10 != 0")}),
+         |eg AS (SELECT DISTINCT s FROM (${grams("doc_id % 10 = 0")}))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tg JOIN eg USING (s)
+         |GROUP BY doc_id HAVING count(*) >= 1
+         |ORDER BY n_shared DESC, doc_id""".stripMargin
+    },
+
     // q55 is the window-idiom spelling of q52 (rewritten to the heap
     // operator by WindowTopKRewrite): same result, same oracle
     "q55_topk_window_rewrite" ->

@@ -325,6 +325,17 @@ object SparkEntry {
       Dedup.sharedPassages(
         Tables.documents(s, d).select("doc_id", "text"), n = 8)),
 
+    // ---- benchmark decontamination: every 10th doc plays the held-out
+    // eval set; training docs sharing a verbatim 8-gram with it are
+    // flagged with their shared-gram count (broadcast eval grams — the
+    // train side never shuffles by gram) ----
+    "q61_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 8)
+    }),
+
     // ---- the SAME per-key top-k written as the universal window idiom:
     // on a Graft session the WindowTopKRewrite optimizer rule routes it
     // into the bounded-heap operator automatically (plan-guarded) — the

@@ -206,6 +206,34 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Train/eval contamination check (decontamination — the GPT-3 /
+    * Pile-style n-gram overlap filter every pretraining recipe runs):
+    * training docs sharing at least `minShared` distinct word n-grams
+    * with ANY document of the eval/benchmark set, with the shared-gram
+    * count as evidence. The eval side is small by nature, so its
+    * distinct gram set BROADCASTS: at 100 TB the train side stays a
+    * narrow scan (per-doc array_distinct, no corpus shuffle by gram) —
+    * the only shuffle is the per-doc count, keyed on doc_id. */
+  def contamination(
+      train: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, minShared: Int = 1): DataFrame = {
+    def docGrams(docs: DataFrame): DataFrame = {
+      val toksCol = tokens(col("text"))
+      val grams = transform(
+        sequence(lit(0), size(toksCol) - n),
+        i => array_join(slice(toksCol, i + 1, lit(n)), " "))
+      docs.filter(size(toksCol) >= n)
+        .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+    }
+    val evalGrams = docGrams(evalDocs).select("shingle").distinct()
+    docGrams(train)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // input distinct per (doc, gram)
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs of the given (pre-
     * filtered, small) docs — the quadratic baseline; LSH (above) is the
     * scale path. */
