@@ -148,7 +148,10 @@ object StreamingIngest {
     *     primary key (idempotency: replayed rows are identical, any one
     *     survives).
     * `interWriteHook` runs between the two appends — a failpoint for the
-    * crash-recovery spec; production leaves it a no-op. */
+    * crash-recovery spec; production leaves it a no-op. Every
+    * `compactEvery` batches the sink folds the loose commit markers into
+    * their manifest ([[compactCommits]]) so the marker directory stays
+    * O(compactEvery) files regardless of stream lifetime. */
   def start(
       messages: Dataset[Schemas.Message],
       basePath: String,
@@ -157,7 +160,8 @@ object StreamingIngest {
       timeoutMs: Long = 60000L,
       checkpoint: String,
       maxRounds: Int = 5,
-      interWriteHook: Long => Unit = _ => ()): StreamingQuery = {
+      interWriteHook: Long => Unit = _ => (),
+      compactEvery: Long = 64L): StreamingQuery = {
     val batches = sessionBatcher(messages, maxTokens, timeoutMs, maxRounds)
     batches.writeStream
       .outputMode("append")
@@ -203,6 +207,8 @@ object StreamingIngest {
               lit(batchId).as("batch_id")),
           s"$basePath/m1_episodic")
         commitBatch(batch.sparkSession, basePath, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactCommits(batch.sparkSession, basePath)
         df.unpersist()
         ()
       }
