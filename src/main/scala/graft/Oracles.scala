@@ -773,6 +773,37 @@ object Oracles {
          |ORDER BY n_docs DESC, shingle LIMIT 50""".stripMargin
     },
 
+    // q62: the near-dup pairs are q31's jaccard formula over the
+    // three-variant family corpus; the cluster labels are the transitive
+    // closure (min reachable doc id), replayed as a recursive CTE
+    "q62_duplicate_clusters" -> {
+      val corpus =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+          |FROM documents WHERE doc_id < 100""".stripMargin
+      "WITH RECURSIVE " + shinglesSql(corpus).stripPrefix("WITH ") +
+        s""",
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY doc_a, doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+           |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+           |  WHERE jaccard >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+           |SELECT id AS doc_id, min(r) AS cluster_rep
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
     "q61_decontamination" -> {
       val toksSql = "string_split(text, ' ')"
       def grams(where: String) =

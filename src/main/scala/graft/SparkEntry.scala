@@ -45,6 +45,18 @@ object SparkEntry {
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
+  /** Three-variant duplicate families over the first 100 docs: the
+    * original, an exact copy (+10000) and a first-word-dropped near-dup
+    * (+20000) — the corpus for transitive duplicate-cluster resolution. */
+  private def docsWithDupFamilies(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    docs
+      .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
   /** Graph derived from lineitem: supplier --[returnflag, extendedprice]-->
     * part, with part node ids offset by +100000 into a shared id space. */
   private def graphEdges(s: SparkSession, d: String): DataFrame =
@@ -457,6 +469,14 @@ object SparkEntry {
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
         n = 3, threshold = 0.5)),
+
+    // ---- duplicate-cluster resolution: the keep-one-per-group step
+    // after pair mining. Three variants per doc (original, exact copy,
+    // first-word-dropped) so clusters close TRANSITIVELY over the pair
+    // list; every member labels with the family's smallest doc id ----
+    "q62_duplicate_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(docsWithDupFamilies(s, d), n = 3, threshold = 0.5))),
 
     // ---- multimodal binary columns: synthesize media from text bytes,
     // explode into even frame slices — the frame-sampling plumbing is

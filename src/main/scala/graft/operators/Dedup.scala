@@ -234,6 +234,48 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("doc_id"))
   }
 
+  /** Duplicate-CLUSTER resolution over a near-dup pair list — the
+    * "keep one representative per duplicate group" step that follows
+    * MinHash/SimHash/embedding pair mining in every dedup recipe:
+    * connected components by iterated min-label propagation, each doc
+    * labeled with the smallest doc id of its component.
+    *
+    * Shape at scale: per iteration one join keyed on the pair list (the
+    * pair set is tiny relative to the corpus — only near-dup docs appear)
+    * and one min-aggregation; iterations are bounded by component
+    * diameter, and near-dup components are shallow stars around an
+    * original (2–3 hops). The driver loop's per-iteration action is the
+    * convergence check — the same structure as GraphX's connected
+    * components; swap in alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") if components
+    * with large diameters ever appear. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("pid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(prop, col("l.id") === col("pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs of the given (pre-
     * filtered, small) docs — the quadratic baseline; LSH (above) is the
     * scale path. */

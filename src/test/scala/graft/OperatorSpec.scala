@@ -191,6 +191,17 @@ class OperatorSpec extends SparkSpec {
     assert(new String(f0.flatten) == "abcdefghij".take(f0.map(_.length).sum))
   }
 
+  test("duplicate clusters: transitive min-label over the pair list") {
+    // two components, one needing 3-hop transitivity (1-2-3-4), plus an
+    // isolated pair; every member labels with its component's min id
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("bpe merge loop: exact counts under a fixture rank table") {
     val ranks = Map("a b" -> 1, "ab c" -> 2, "x y" -> 3)
     assert(TextAnalysis.bpeMergeCount("abcd", ranks) == 2) // [abc, d]
