@@ -66,6 +66,16 @@ object Demo {
     engine.buildIndexes(nlist = 2)
     engine.query("broadcast join help", "alice", topK = 2, useIndexes = true).show(false)
 
+    println("-- session/agent-scoped retrieval --")
+    engine.query("spark shuffle", "alice", topK = 2, sessionId = Some("s1")).show(false)
+
+    println("-- message update: m0 mutates in place, the round re-chunks --")
+    engine.updateMessage("m2", "size partitions from the shuffle spill metrics and core count")
+    engine.query("shuffle spill metrics", "alice", topK = 1).show(false)
+
+    println("-- storage maintenance: compact segments + vacuum + marker fold --")
+    engine.maintain(maxSegments = 1)
+
     engine.deleteUser("alice")
     println(s"after deleteUser(alice) cascade: m0=${engine.m0.count()} " +
       s"m1=${engine.m1.count()} sessions=${engine.sessions.count()} " +
