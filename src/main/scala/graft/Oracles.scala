@@ -265,8 +265,79 @@ object Oracles {
        |GROUP BY id ORDER BY fused_score DESC, id LIMIT $topK""".stripMargin
   }
 
+  /** Shared scored-corpus CTE chain for the q63/q64 cleaning recipe:
+    * docsWithCopies with per-row lang guess (q16's construction),
+    * trunc6'd quality (q14's) and repetition ratio (q56's), and the
+    * deterministic sample flag (q53's, salt "clean", rate 0.8). */
+  private def cleanScoredCtes: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val markers = LangMarkers(l).map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_intersect(${toks("text")}, $markers)) AS DOUBLE) / len(${toks("text")}) AS s_$l"
+    }.mkString(",\n        ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0.0 THEN '$l'").mkString(" ")
+    val quality =
+      s"""(CAST(len(list_distinct(${toks("text")})) AS DOUBLE)
+         |      / CAST(len(${toks("text")}) AS DOUBLE)) * 0.5
+         |   + (1.0 - (CAST(len(${toks("text")}) - len(${contentToks("text")}) AS DOUBLE)
+         |      / CAST(len(${toks("text")}) AS DOUBLE))) * 0.3
+         |   + least((CAST(length(text) - len(${toks("text")}) + 1 AS DOUBLE)
+         |      / CAST(len(${toks("text")}) AS DOUBLE)) / 8.0, 1.0) * 0.2""".stripMargin
+    val rep =
+      "CASE WHEN len(grams) > 0 THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) ELSE 0.0 END"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+       |ls AS (
+       |  SELECT doc_id, text,
+       |        $scoreCols,
+       |        CASE WHEN len(${toks("text")}) >= 3
+       |          THEN list_transform(generate_series(1, len(${toks("text")}) - 2),
+       |                 i -> array_to_string(${toks("text")}[i:i+2], ' '))
+       |          ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM corpus),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    CASE $cases ELSE 'und' END AS lang_guess,
+       |    ${t6(quality)} AS quality,
+       |    ${t6(rep)} AS rep_ratio,
+       |    (CAST(${md5Long("concat(CAST(doc_id AS VARCHAR), '|clean')")} % 1000000 AS DOUBLE)
+       |       < 0.8e0 * 1000000e0) AS sampled
+       |  FROM (SELECT *, $best AS best FROM ls))""".stripMargin
+  }
+
+  private val CleanPhone = "'[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'"
+  private val CleanEmail = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+  private val CleanPreds =
+    "lang_guess IN ('en', 'fr') AND quality >= 0.3 AND rep_ratio <= 0.2"
+
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
+
+    "q63_clean_corpus" ->
+      s"""WITH ${cleanScoredCtes},
+         |surv AS (
+         |  SELECT doc_id, lang_guess,
+         |         regexp_replace(regexp_replace(text, $CleanPhone, '[PHONE]', 'g'),
+         |                        $CleanEmail, '[EMAIL]', 'g') AS redacted
+         |  FROM scored WHERE $CleanPreds AND sampled),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM surv GROUP BY md5(redacted))
+         |SELECT doc_id, lang_guess, redacted
+         |FROM surv JOIN keep ON doc_id = keep_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q64_clean_report" ->
+      s"""WITH ${cleanScoredCtes}
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN lang_guess IN ('en', 'fr') THEN 1 END) AS BIGINT) AS n_lang,
+         |  CAST(count(CASE WHEN lang_guess IN ('en', 'fr') AND quality >= 0.3 THEN 1 END) AS BIGINT) AS n_quality,
+         |  CAST(count(CASE WHEN $CleanPreds THEN 1 END) AS BIGINT) AS n_repetition,
+         |  CAST(count(CASE WHEN $CleanPreds AND sampled THEN 1 END) AS BIGINT) AS n_sampled,
+         |  CAST(count(DISTINCT CASE WHEN $CleanPreds AND sampled
+         |    THEN md5(regexp_replace(regexp_replace(text, $CleanPhone, '[PHONE]', 'g'),
+         |                            $CleanEmail, '[EMAIL]', 'g')) END) AS BIGINT) AS n_deduped
+         |FROM scored""".stripMargin,
     "q45_graph_semantic" -> graphSemanticSql,
     "q59_fusion_three_way" -> threeWayRrfSql(20),
 

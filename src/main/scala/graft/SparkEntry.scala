@@ -28,6 +28,9 @@ object SparkEntry {
   private[graft] val ThreeWayWeights =
     Map("vector" -> 1.0, "keyword" -> 0.5, "graph" -> 0.75)
   private[graft] val RrfK = 60.0 // reference config/retrieval/default.yaml rrf_k
+  private[graft] val CleanSpec = TextAnalysis.CleanRecipe(
+    langs = Seq("en", "fr"), minQuality = 0.3, maxRepRatio = 0.2,
+    sampleRate = 0.8, salt = "clean")
 
   /** documents ∪ an exact copy shifted by +10000 — the corpus for exact
     * dedup (the synthetic docs have no duplicates of their own). */
@@ -469,6 +472,16 @@ object SparkEntry {
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
         n = 3, threshold = 0.5)),
+
+    // ---- the full corpus-cleaning recipe (C4/Gopher lineage), one scan
+    // pass + one dedup shuffle: language allowlist → quality floor →
+    // repetition ceiling → deterministic sample → PII redaction → exact
+    // dedup; and its one-pass per-stage audit report ----
+    "q63_clean_corpus" -> ((s, d) =>
+      TextAnalysis.cleanCorpus(docsWithCopies(s, d), Oracles.LangMarkers, CleanSpec)),
+
+    "q64_clean_report" -> ((s, d) =>
+      TextAnalysis.cleanReport(docsWithCopies(s, d), Oracles.LangMarkers, CleanSpec)),
 
     // ---- duplicate-cluster resolution: the keep-one-per-group step
     // after pair mining. Three variants per doc (original, exact copy,

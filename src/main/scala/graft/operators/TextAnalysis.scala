@@ -26,6 +26,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The composite quality score of one text column, trunc6'd (shared by
+    * [[qualityScore]] and the cleaning recipe so the filter threshold
+    * compares the exact reported value). */
+  private[graft] def qualityExpr(t: Column): Column = {
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val stopRatio = (size(toks) - size(contentTokens(t))).cast("double") / nTok
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val avgTokLen = (length(t) - size(toks) + 1).cast("double") / nTok
+    trunc6(uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(avgTokLen / 8.0, lit(1.0)) * 0.2)
+  }
+
   /** Quality scoring: length/stopword/uniqueness ratios. A simple,
     * deterministic stand-in for fastText-style quality classifiers. */
   def qualityScore(docs: DataFrame): DataFrame = {
@@ -39,8 +52,7 @@ object TextAnalysis {
       trunc6(stopRatio).as("stop_ratio"),
       trunc6(uniqRatio).as("uniq_ratio"),
       trunc6(avgTokLen).as("avg_token_len"),
-      trunc6((uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-        least(avgTokLen / 8.0, lit(1.0)) * 0.2)).as("quality"))
+      qualityExpr(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -190,6 +202,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The language guess of one text column (argmax marker-hit share,
+    * ties to the alphabetically first language — the exact predicate of
+    * [[languageId]], shared with the cleaning recipe). */
+  private[graft] def langGuessExpr(t: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = tokens(t)
+    val scores: Map[String, Column] = markers.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        lang -> (size(array_intersect(toks, lit(words.toArray))).cast("double") /
+          size(toks))
+    }.toMap
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(scores).reduce((a, b) => greatest(a, b))
+    langs.foldRight(lit("und")) { (l, acc) =>
+      when(scores(l) === best && best > 0d, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** One corpus-cleaning recipe: thresholds compare the SAME trunc6'd
+    * values the standalone operators report, so a recipe replays
+    * exactly from their outputs. */
+  case class CleanRecipe(
+      langs: Seq[String],
+      minQuality: Double,
+      maxRepRatio: Double,
+      sampleRate: Double,
+      salt: String = "clean")
+
+  /** Ordered row-local stage predicates of a recipe: language allowlist,
+    * quality floor, repetition ceiling, deterministic rate sample. */
+  private def stagePreds(
+      markers: Map[String, Seq[String]], recipe: CleanRecipe): Seq[Column] = Seq(
+    langGuessExpr(col("text"), markers).isin(recipe.langs: _*),
+    qualityExpr(col("text")) >= recipe.minQuality,
+    repRatioExpr(col("text")) <= recipe.maxRepRatio,
+    md5Long(concat(col("doc_id").cast("string"), lit("|" + recipe.salt)))
+      .mod(1000000L).cast("double") < recipe.sampleRate * 1000000d)
+
+  private def redactedExpr(t: Column): Column =
+    regexp_replace(regexp_replace(t, PhonePattern, "[PHONE]"),
+      EmailPattern, "[EMAIL]")
+
+  /** The full cleaning pass every pretraining recipe runs (C4/Gopher
+    * lineage): language allowlist → quality floor → repetition ceiling →
+    * deterministic rate sample → PII redaction → exact dedup (smallest
+    * doc id per redacted content wins). Every filter is a row-local
+    * expression, so the whole recipe evaluates in ONE scan pass; the
+    * only shuffle is the dedup's content-hash partition. Returns the
+    * surviving (doc_id, lang_guess, redacted) rows. */
+  def cleanCorpus(
+      docs: DataFrame,
+      markers: Map[String, Seq[String]],
+      recipe: CleanRecipe): DataFrame = {
+    val survivors = docs.filter(stagePreds(markers, recipe).reduce(_ && _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(contentHash(col("redacted"))).orderBy(col("doc_id"))
+    survivors
+      .withColumn("lang_guess", langGuessExpr(col("text"), markers))
+      .withColumn("redacted", redactedExpr(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang_guess"), col("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** The recipe's audit report in ONE aggregation pass: survivors of
+    * each stage prefix (what did each filter cost me) plus the final
+    * post-dedup distinct count — the per-stage drop table every data
+    * recipe publishes. */
+  def cleanReport(
+      docs: DataFrame,
+      markers: Map[String, Seq[String]],
+      recipe: CleanRecipe): DataFrame = {
+    val ps = stagePreds(markers, recipe)
+    val names = Seq("n_lang", "n_quality", "n_repetition", "n_sampled")
+    val prefixCounts = names.zipWithIndex.map { case (name, i) =>
+      count(when(ps.take(i + 1).reduce(_ && _), 1)).as(name)
+    }
+    val tail = prefixCounts :+
+      countDistinct(when(ps.reduce(_ && _), contentHash(redactedExpr(col("text")))))
+        .as("n_deduped")
+    docs.agg(count(lit(1)).as("n_total"), tail: _*)
+  }
+
   /** N-gram-frequency language ID heuristic: score each candidate language
     * by the share of tokens that hit its marker set; argmax with
     * deterministic tie-break on language name. */
@@ -216,18 +311,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private[graft] def gramsExpr(t: Column, n: Int): Column = {
+    val toksCol = tokens(t)
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => array_join(slice(toksCol, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The trunc6'd n-gram repetition ratio of one text column (shared by
+    * [[repetitionRatio]] and the cleaning recipe). */
+  private[graft] def repRatioExpr(t: Column, n: Int = 3): Column = {
+    val grams = gramsExpr(t, n)
+    trunc6(when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0)))
+  }
+
   /** N-gram repetition ratio (the Gopher/C4-style "repetitious text"
     * quality filter): 1 − distinct/total word n-grams per document.
     * Pure narrow projection — the gram list is built by array slicing
     * inside one row, no explode, no shuffle: scan speed at any scale. */
-  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toksCol = tokens(col("text"))
-    val grams = when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        i => array_join(slice(toksCol, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .withColumn("grams", grams)
+      .withColumn("grams", gramsExpr(col("text"), n))
       .select(
         col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
@@ -237,7 +345,6 @@ object TextAnalysis {
             size(col("grams")).cast("double"))
           .otherwise(lit(0.0))).as("rep_ratio"))
       .orderBy("doc_id")
-  }
 
   /** PII patterns redacted by [[redactPii]]: NANP-style phone numbers
     * (the TPC-H c_phone shape) and email addresses. RE2-safe (no
