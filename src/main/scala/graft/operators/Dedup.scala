@@ -64,12 +64,9 @@ object Dedup {
     * shuffle+sort of every token row first.) */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toksCol = tokens(col("text"))
-    // the filter below guarantees size-n >= 0, so the sequence is ascending
-    val grams = transform(
-      sequence(lit(0), size(toksCol) - n),
-      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
     fanOut(docs.filter(size(toksCol) >= n))
-      .select(col("doc_id"), explode(grams).as("shingle"))
+      .select(col("doc_id"),
+        explode(ngramsDistinct(toksCol, n)).as("shingle"))
       .distinct()
   }
 
@@ -78,11 +75,8 @@ object Dedup {
     * with no shuffle at all. */
   def shingleArrays(docs: DataFrame, n: Int): DataFrame = {
     val toksCol = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(0), size(toksCol) - n),
-      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
     fanOut(docs.filter(size(toksCol) >= n))
-      .select(col("doc_id"), array_distinct(grams).as("shingles"))
+      .select(col("doc_id"), ngramsDistinct(toksCol, n).as("shingles"))
   }
 
   /** MinHash signature over per-doc shingle arrays: `numHashes` 32-bit
@@ -193,12 +187,9 @@ object Dedup {
     // scale), and the extra exchange measured strictly slower at every
     // SF. PlanSpec pins the single exchange.
     val toksCol = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(0), size(toksCol) - n),
-      i => array_join(slice(toksCol, i + 1, lit(n)), " "))
     docs
       .filter(size(toksCol) >= n)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+      .select(col("doc_id"), explode(ngramsDistinct(toksCol, n)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -219,11 +210,8 @@ object Dedup {
       n: Int = 8, minShared: Int = 1): DataFrame = {
     def docGrams(docs: DataFrame): DataFrame = {
       val toksCol = tokens(col("text"))
-      val grams = transform(
-        sequence(lit(0), size(toksCol) - n),
-        i => array_join(slice(toksCol, i + 1, lit(n)), " "))
       docs.filter(size(toksCol) >= n)
-        .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+        .select(col("doc_id"), explode(ngramsDistinct(toksCol, n)).as("shingle"))
     }
     val evalGrams = docGrams(evalDocs).select("shingle").distinct()
     docGrams(train)

@@ -202,21 +202,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** The language guess of one text column (argmax marker-hit share,
-    * ties to the alphabetically first language — the exact predicate of
-    * [[languageId]], shared with the cleaning recipe). */
+  /** The language guess of one text column: argmax marker-hit share,
+    * ties to the alphabetically first language, "und" when every score
+    * is zero — the exact semantics of [[languageId]]'s when-chain, but
+    * each score evaluates ONCE: the (score, -rank, lang) structs go
+    * through one `array_max`, whose struct comparison breaks score ties
+    * toward the earliest language (larger -rank = earlier). The
+    * when-chain form re-evaluates every score O(langs²) times, which
+    * dominates the cleaning recipe's scan. */
   private[graft] def langGuessExpr(t: Column, markers: Map[String, Seq[String]]): Column = {
     val toks = tokens(t)
-    val scores: Map[String, Column] = markers.toSeq.sortBy(_._1).map {
-      case (lang, words) =>
-        lang -> (size(array_intersect(toks, lit(words.toArray))).cast("double") /
-          size(toks))
-    }.toMap
     val langs = markers.keys.toSeq.sorted
-    val best = langs.map(scores).reduce((a, b) => greatest(a, b))
-    langs.foldRight(lit("und")) { (l, acc) =>
-      when(scores(l) === best && best > 0d, lit(l)).otherwise(acc)
+    val entries = langs.zipWithIndex.map { case (lang, i) =>
+      struct(
+        (size(array_intersect(toks, lit(markers(lang).toArray))).cast("double") /
+          size(toks)).as("s"),
+        lit(-i).as("nr"),
+        lit(lang).as("l"))
     }
+    val top = array_max(array(entries: _*))
+    when(top.getField("s") > 0d, top.getField("l")).otherwise(lit("und"))
   }
 
   /** One corpus-cleaning recipe: thresholds compare the SAME trunc6'd
@@ -231,7 +236,7 @@ object TextAnalysis {
 
   /** Ordered row-local stage predicates of a recipe: language allowlist,
     * quality floor, repetition ceiling, deterministic rate sample. */
-  private def stagePreds(
+  private[graft] def stagePreds(
       markers: Map[String, Seq[String]], recipe: CleanRecipe): Seq[Column] = Seq(
     langGuessExpr(col("text"), markers).isin(recipe.langs: _*),
     qualityExpr(col("text")) >= recipe.minQuality,
@@ -254,11 +259,25 @@ object TextAnalysis {
       docs: DataFrame,
       markers: Map[String, Seq[String]],
       recipe: CleanRecipe): DataFrame = {
-    val survivors = docs.filter(stagePreds(markers, recipe).reduce(_ && _))
+    // Score once in a PROJECTION, filter on the named columns. The
+    // barrier column (nondeterministic) stops predicate pushdown from
+    // substituting the scoring expressions back into a single monster
+    // filter condition — which blows past codegen size limits and
+    // re-evaluates the tokenization per reference (measured 20× slower
+    // than this two-step plan at sf0.1). The barrier never reaches the
+    // output and the result is bit-identical.
+    val preds = stagePreds(markers, recipe)
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        langGuessExpr(col("text"), markers).as("lang_guess"),
+        preds(1).as("__q"), preds(2).as("__r"), preds(3).as("__s"))
+      .withColumn("__barrier", monotonically_increasing_id())
+    val survivors = scored
+      .filter(col("__s") && col("lang_guess").isin(recipe.langs: _*) &&
+        col("__q") && col("__r"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(contentHash(col("redacted"))).orderBy(col("doc_id"))
     survivors
-      .withColumn("lang_guess", langGuessExpr(col("text"), markers))
       .withColumn("redacted", redactedExpr(col("text")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -274,15 +293,21 @@ object TextAnalysis {
       docs: DataFrame,
       markers: Map[String, Seq[String]],
       recipe: CleanRecipe): DataFrame = {
+    // stage flags evaluate ONCE per row in a projection (barrier blocks
+    // re-substitution into the aggregate — see cleanCorpus); the
+    // aggregation then counts booleans
     val ps = stagePreds(markers, recipe)
-    val names = Seq("n_lang", "n_quality", "n_repetition", "n_sampled")
-    val prefixCounts = names.zipWithIndex.map { case (name, i) =>
-      count(when(ps.take(i + 1).reduce(_ && _), 1)).as(name)
-    }
-    val tail = prefixCounts :+
-      countDistinct(when(ps.reduce(_ && _), contentHash(redactedExpr(col("text")))))
-        .as("n_deduped")
-    docs.agg(count(lit(1)).as("n_total"), tail: _*)
+    val flags = docs
+      .select(ps(0).as("p1"), ps(1).as("p2"), ps(2).as("p3"), ps(3).as("p4"),
+        when(ps.reduce(_ && _), contentHash(redactedExpr(col("text")))).as("h"))
+      .withColumn("__barrier", monotonically_increasing_id())
+    flags.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("p1"), 1)).as("n_lang"),
+      count(when(col("p1") && col("p2"), 1)).as("n_quality"),
+      count(when(col("p1") && col("p2") && col("p3"), 1)).as("n_repetition"),
+      count(when(col("p1") && col("p2") && col("p3") && col("p4"), 1)).as("n_sampled"),
+      countDistinct(col("h")).as("n_deduped"))
   }
 
   /** N-gram-frequency language ID heuristic: score each candidate language
@@ -311,39 +336,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private[graft] def gramsExpr(t: Column, n: Int): Column = {
-    val toksCol = tokens(t)
-    when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        i => array_join(slice(toksCol, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** Total n-gram count — pure arithmetic on the token count (the gram
+    * list itself is never built): len−n+1 when len ≥ n, else 0. */
+  private def nGramsTotal(t: Column, n: Int): Column = {
+    val len = size(tokens(t))
+    when(len >= n, len - n + 1).otherwise(lit(0))
   }
 
   /** The trunc6'd n-gram repetition ratio of one text column (shared by
-    * [[repetitionRatio]] and the cleaning recipe). */
+    * [[repetitionRatio]] and the cleaning recipe): distinct grams from
+    * the compiled [[graft.functions.NGramDistinct]] kernel, total grams
+    * from token arithmetic. */
   private[graft] def repRatioExpr(t: Column, n: Int = 3): Column = {
-    val grams = gramsExpr(t, n)
-    trunc6(when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"))
+    val total = nGramsTotal(t, n)
+    trunc6(when(total > 0,
+      lit(1.0) - size(ngramsDistinct(tokens(t), n)).cast("double") /
+        total.cast("double"))
       .otherwise(lit(0.0)))
   }
 
   /** N-gram repetition ratio (the Gopher/C4-style "repetitious text"
     * quality filter): 1 − distinct/total word n-grams per document.
-    * Pure narrow projection — the gram list is built by array slicing
-    * inside one row, no explode, no shuffle: scan speed at any scale. */
+    * Pure narrow projection, no explode, no shuffle: the distinct-gram
+    * set builds in one compiled loop per row. */
   def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .withColumn("grams", gramsExpr(col("text"), n))
       .select(
         col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-        trunc6(when(size(col("grams")) > 0,
-          lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
-            size(col("grams")).cast("double"))
-          .otherwise(lit(0.0))).as("rep_ratio"))
+        nGramsTotal(col("text"), n).cast("long").as("n_grams"),
+        size(ngramsDistinct(tokens(col("text")), n)).cast("long").as("n_distinct"),
+        repRatioExpr(col("text"), n).as("rep_ratio"))
       .orderBy("doc_id")
 
   /** PII patterns redacted by [[redactPii]]: NANP-style phone numbers
