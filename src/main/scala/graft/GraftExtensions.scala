@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NGramDistinct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions for SQL use, so
@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CaseWhen(
           Seq((EqualTo(denom, Literal(0d)), Literal(0d))),
           Some(Divide(DotProduct(a, b), denom)))
+      }))
+    // ngrams_distinct(tokens, n): distinct space-joined word n-grams in
+    // one compiled loop (the gram kernel behind the dedup operators)
+    ext.injectFunction((
+      new FunctionIdentifier("ngrams_distinct"),
+      new ExpressionInfo(classOf[NGramDistinct].getName, "ngrams_distinct"),
+      (children: Seq[Expression]) => children(1) match {
+        case IntegerLiteral(n) => NGramDistinct(children(0), n)
+        case other => throw new IllegalArgumentException(
+          s"ngrams_distinct: n must be an integer literal, got $other")
       }))
   }
 }

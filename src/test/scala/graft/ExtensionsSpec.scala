@@ -112,4 +112,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
     assert(row.getDouble(2) == 0.0)
   }
+
+  test("ngrams_distinct is callable from SQL; kernel matches the lambda chain") {
+    val row = spark.sql(
+      "SELECT ngrams_distinct(split('a b c a b c', ' '), 2) AS g").collect().head
+    assert(row.getSeq[String](0) == Seq("a b", "b c", "c a"))
+    // value-identical to the array_distinct∘transform∘slice lambda chain
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val lambda = array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => array_join(slice(toks, i + 1, lit(3)), " ")))
+    val mismatches = docs.filter(size(toks) >= 3)
+      .select(graft.functions.TextFunctions.ngramsDistinct(toks, 3).as("k"),
+        lambda.as("l"))
+      .filter(col("k") =!= col("l"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("the SQL-authored window idiom also elides through the heap operator") {
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .createOrReplaceTempView("li_win")
+    val df = spark.sql(
+      """SELECT l_suppkey, l_extendedprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM li_win) WHERE rn <= 2""".stripMargin)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    assert(exec.collect { case t: graft.plans.TopKPerKeyExec => t }.nonEmpty,
+      exec.toString.take(1500))
+    assert(!exec.toString.contains("Window"),
+      "rn unused in the outer select: Window must be elided\n" +
+        exec.toString.take(1500))
+  }
 }
