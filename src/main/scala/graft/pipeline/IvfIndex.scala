@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
 class IvfIndex private[pipeline] (
     val centroids: Array[(Int, Array[Double])],
     val assigned: DataFrame,
-    val fitRows: Long = -1L) {
+    val fitRows: Long = -1L,
+    // the version dir this handle was opened from: incremental adds go
+    // HERE, never to a version committed after open (whose centroids
+    // this handle does not hold)
+    private val srcDir: Option[String] = None) {
 
   /** Top-k cosine neighbors of `queryVec`, probing `nProbe` clusters.
     * `excludeId` drops the query's own row BEFORE the limit, so with
@@ -66,6 +70,7 @@ class IvfIndex private[pipeline] (
     * after. */
   def addVectors(newVecs: DataFrame, basePath: String): Double = {
     val spark = newVecs.sparkSession
+    val vp = srcDir.getOrElse(IvfIndex.resolvedDir(spark, basePath))
     val ranked = centroids.map { case (i, c) =>
       val c2 = c.map(v => v * v).sum
       struct(
@@ -77,28 +82,34 @@ class IvfIndex private[pipeline] (
       .withColumn("cluster", array_min(array(ranked.toIndexedSeq: _*)).getField("c"))
       .select("vec_id", "embedding", "cluster")
       .write.mode(SaveMode.Append).partitionBy("cluster")
-      .parquet(s"$basePath/ivf_assigned")
+      .parquet(s"$vp/ivf_assigned")
     val nNew = newVecs.count()
-    val total = spark.read.parquet(s"$basePath/ivf_assigned").count().toDouble
+    val total = spark.read.parquet(s"$vp/ivf_assigned").count().toDouble
     val unfit = if (fitRows >= 0) total - fitRows else nNew.toDouble
     if (total == 0) 0.0 else math.max(0.0, unfit) / total
   }
 
   /** Persist the index: assignments partitioned by `cluster` (the probe
     * is then pure partition pruning), the centroid table, and the
-    * fit-time row count (the drift baseline for [[addVectors]]). */
+    * fit-time row count (the drift baseline for [[addVectors]]). A save
+    * materializes a fresh VERSION dir and commits it with a pointer CAS
+    * ([[TableOps.commitArtifactDir]]) — a query racing the rebuild keeps
+    * reading its own version's files. */
   def save(basePath: String): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    val name = TableOps.nextArtifactDir(spark, basePath, "ivf")
+    val vp = s"$basePath/$name"
     assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster").parquet(s"$basePath/ivf_assigned")
+      .partitionBy("cluster").parquet(s"$vp/ivf_assigned")
     centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("cluster", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/ivf_centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$vp/ivf_centroids")
     val n = if (fitRows >= 0) fitRows
-      else spark.read.parquet(s"$basePath/ivf_assigned").count()
+      else spark.read.parquet(s"$vp/ivf_assigned").count()
     Seq(n).toDF("n_fit_rows")
-      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/ivf_meta")
+      .write.mode(SaveMode.Overwrite).parquet(s"$vp/ivf_meta")
+    TableOps.commitArtifactDir(spark, basePath, "ivf", name)
   }
 }
 
@@ -136,19 +147,27 @@ object IvfIndex {
     new IvfIndex(centroids, assigned, fitRows = total)
   }
 
+  /** The committed version dir to read (pre-versioning layouts fall back
+    * to the flat base path). */
+  private[pipeline] def resolvedDir(spark: SparkSession, basePath: String): String =
+    TableOps.currentArtifactDir(spark, basePath, "ivf")
+      .map(v => s"$basePath/$v").getOrElse(basePath)
+
   /** Reopen a saved index — centroids to the driver (tiny), assignments
-    * stay a lazy partitioned scan. */
+    * stay a lazy partitioned scan pinned to the version dir committed at
+    * open time (a concurrent rebuild never yanks this handle's files). */
   def load(spark: SparkSession, basePath: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$basePath/ivf_centroids")
+    val vp = resolvedDir(spark, basePath)
+    val centroids = spark.read.parquet(s"$vp/ivf_centroids")
       .collect()
       .map(r => (r.getAs[Number]("cluster").intValue(),
         r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
-    val assigned = spark.read.parquet(s"$basePath/ivf_assigned")
-    val metaPath = new org.apache.hadoop.fs.Path(s"$basePath/ivf_meta")
+    val assigned = spark.read.parquet(s"$vp/ivf_assigned")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$vp/ivf_meta")
     val fitRows =
       if (metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath))
         spark.read.parquet(metaPath.toString).head().getLong(0)
       else -1L
-    new IvfIndex(centroids, assigned, fitRows)
+    new IvfIndex(centroids, assigned, fitRows, srcDir = Some(vp))
   }
 }

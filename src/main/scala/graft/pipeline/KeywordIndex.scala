@@ -17,25 +17,42 @@ import org.apache.spark.sql.functions._
   */
 class KeywordIndex(spark: SparkSession, basePath: String) {
 
-  private def p(t: String) = s"$basePath/kw_$t"
+  // the version dir resolves ONCE, at the handle's first READ, and pins:
+  // the handle holds that snapshot through any concurrent rebuild
+  // (versioned dirs + pointer CAS, TableOps.commitArtifactDir — the old
+  // Overwrite-in-place rebuild could delete files under a racing query).
+  // A handle that read before a rebuild keeps serving the OLD version by
+  // design — reopen to see the new one (the reference's
+  // reopen-after-reindex semantics).
+  @transient private lazy val verDir: Option[String] =
+    TableOps.currentArtifactDir(spark, basePath, "kw")
 
-  // one handle = one file-listing/schema-read per table; a handle opened
-  // before a rebuild is stale by design (callers reopen after build, the
-  // reference's FTS index has the same reopen-after-reindex semantics)
+  private def p(t: String) = verDir match {
+    case Some(v) => s"$basePath/$v/$t"
+    case None    => s"$basePath/kw_$t" // pre-versioning layout
+  }
+
+  // one handle = one file-listing/schema-read per table
   @transient private lazy val postingsDf = spark.read.parquet(p("postings"))
   @transient private lazy val doclenDf = spark.read.parquet(p("doclen"))
   @transient private lazy val statsDf = spark.read.parquet(p("stats"))
 
   def build(docs: DataFrame): Unit = {
+    val name = TableOps.nextArtifactDir(spark, basePath, "kw")
+    def np(t: String) = s"$basePath/$name/$t"
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64)))
-      .write.mode(SaveMode.Overwrite).partitionBy("term_bucket").parquet(p("postings"))
+      .write.mode(SaveMode.Overwrite).partitionBy("term_bucket").parquet(np("postings"))
     // doc length is a narrow projection — no need to re-aggregate the explode
     val docLen = docs.select(
       col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-    docLen.write.mode(SaveMode.Overwrite).parquet(p("doclen"))
-    refreshStats(docLen)
+    docLen.write.mode(SaveMode.Overwrite).parquet(np("doclen"))
+    docLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(np("stats"))
+    TableOps.commitArtifactDir(spark, basePath, "kw", name)
   }
 
   /** Incremental maintenance (the reference maintains FTS5 on every
@@ -50,7 +67,9 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     * are content-addressed, so a re-ingest repeats ids only when it
     * repeats content — same dup semantics as the m1 table itself).
     * Handles opened before the update are stale by design — reopen, as
-    * after [[build]]. */
+    * after [[build]]. The appends land inside the CURRENT version dir
+    * (this handle's snapshot); only the tiny single-row stats file is
+    * rewritten in place — the one sub-ms in-place write left, noted. */
   def addDocuments(docs: DataFrame): Unit = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -59,14 +78,11 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     val docLen = docs.select(
       col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     docLen.write.mode(SaveMode.Append).parquet(p("doclen"))
-    refreshStats(spark.read.parquet(p("doclen")))
-  }
-
-  private def refreshStats(docLen: DataFrame): Unit =
-    docLen.agg(
+    spark.read.parquet(p("doclen")).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .write.mode(SaveMode.Overwrite).parquet(p("stats"))
+  }
 
   /** BM25 top-k from the index alone (k1/b per the reference defaults). */
   def bm25(queryTerms: Seq[String], topK: Int,

@@ -159,8 +159,10 @@ class MemFuse(
         col("token_count"), col("embedding"), col("m0_raw_ids"),
         col("user_id"), col("session_id"), col("needs_embedding"),
         col("created_at"), col("created_at").as("updated_at"), col("metadata"))
-    val hasKw = TableOps.exists(spark, path("index") + "/kw_postings")
-    val hasIvf = TableOps.exists(spark, path("index") + "/ivf_assigned")
+    val hasKw =
+      TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
+    val hasIvf =
+      TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
     if (hasKw || hasIvf) m1New.persist()
     TableOps.appendBucketed(m1New, path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
@@ -467,6 +469,10 @@ class MemFuse(
           TableOps.compact(spark, path(t))
         TableOps.vacuum(spark, path(t), keepVersions)
       }
+    // superseded side-index versions (rebuilds keep the previous version
+    // alive for handles opened before the rebuild)
+    TableOps.vacuumArtifacts(spark, path("index"), "kw", keepVersions)
+    TableOps.vacuumArtifacts(spark, path("index"), "ivf", keepVersions)
     clearCache()
   }
 

@@ -346,6 +346,70 @@ object TableOps {
         .foreach(p => fs.delete(p, false))
     }
 
+  // ---------- versioned artifact dirs (wholesale-rebuilt side indexes) ----------
+
+  /** Side indexes (IVF, keyword postings) are rebuilt WHOLESALE, not
+    * mutated — so instead of per-file manifests they get versioned
+    * DIRECTORIES with a pointer log: a rebuild materializes
+    * `<prefix>_v<N+1>/` completely, then commits it with one rename-CAS
+    * pointer file. Readers resolve the newest committed pointer at
+    * handle-open time and keep their snapshot dir through any concurrent
+    * rebuild (the same MVCC-on-read as the table manifests; the old
+    * Overwrite-in-place rebuild could delete files under a racing
+    * query). [[vacuumArtifacts]] reclaims superseded versions. */
+  private def ptrDir(base: String) = new Path(base, "_ptr")
+  private def artifactRe(prefix: String) = (prefix + "_v(\\d{8})").r
+
+  /** Newest committed version dir name for `prefix`, if any. */
+  def currentArtifactDir(spark: SparkSession, base: String, prefix: String): Option[String] = {
+    val pd = ptrDir(base)
+    val fs = fsOf(spark, pd)
+    if (!fs.exists(pd)) return None
+    val re = artifactRe(prefix)
+    val versions = fs.listStatus(pd).map(_.getPath.getName)
+      .collect { case re(n) => n.toLong }
+    if (versions.isEmpty) None else Some(f"${prefix}_v${versions.max}%08d")
+  }
+
+  /** Name for the next version dir (build into `base/<name>/` first). */
+  def nextArtifactDir(spark: SparkSession, base: String, prefix: String): String = {
+    val next = currentArtifactDir(spark, base, prefix)
+      .map(_.stripPrefix(prefix + "_v").toLong + 1).getOrElse(0L)
+    f"${prefix}_v$next%08d"
+  }
+
+  /** Commit a fully-written version dir: one rename-CAS pointer file.
+    * Returns false if another rebuild won this version (the caller's dir
+    * is then an orphan for vacuum — its data was superseded anyway). */
+  def commitArtifactDir(spark: SparkSession, base: String, prefix: String,
+      name: String): Boolean = {
+    val pd = ptrDir(base)
+    val fs = fsOf(spark, pd)
+    fs.mkdirs(pd)
+    val tmp = new Path(pd, s".tmp_${UUID.randomUUID().toString.take(8)}")
+    fs.create(tmp, true).close()
+    val won = fs.rename(tmp, new Path(pd, name))
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Drop artifact versions older than the newest `keep` (and their
+    * pointer files). */
+  def vacuumArtifacts(spark: SparkSession, base: String, prefix: String,
+      keep: Int = 2): Unit = {
+    val pd = ptrDir(base)
+    val fs = fsOf(spark, pd)
+    if (!fs.exists(pd)) return
+    val re = artifactRe(prefix)
+    val versions = fs.listStatus(pd).map(_.getPath.getName)
+      .collect { case re(n) => n.toLong }.sorted.reverse
+    versions.drop(keep).foreach { v =>
+      val name = f"${prefix}_v$v%08d"
+      fs.delete(new Path(base, name), true)
+      fs.delete(new Path(pd, name), false)
+    }
+  }
+
   // ---------- legacy (pre-manifest) layout fallbacks ----------
 
   /** Round-3 recovery-ordered swap, kept for directories written before

@@ -103,7 +103,9 @@ class IndexSpec extends SparkSpec {
     def postingFiles() = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$dir/index/kw_postings"))
+      val ver = graft.pipeline.TableOps
+        .currentArtifactDir(spark, s"$dir/index", "kw").get
+      walk(new java.io.File(s"$dir/index/$ver/postings"))
         .map(_.getPath).filter(_.endsWith(".parquet")).toSet
     }
     val builtFiles = postingFiles()
@@ -120,6 +122,34 @@ class IndexSpec extends SparkSpec {
       useIndexes = true, nProbe = 2).collect().toSeq
     assert(indexed == scan)
     assert(indexed.exists(_.getAs[String]("content").contains("zanzibar")))
+  }
+
+  test("index rebuild never yanks files from a handle opened before it") {
+    import graft.pipeline.IvfIndex
+    val emb = Tables.embeddings(spark, sf())
+    val dir = Files.createTempDirectory("ivfver").toString
+    IvfIndex.build(spark, emb.filter(col("vec_id") < 50), nlist = 2).save(dir)
+    val held = IvfIndex.load(spark, dir)
+    // full rebuild over different data commits a NEW version
+    IvfIndex.build(spark, emb.filter(col("vec_id") < 100), nlist = 2).save(dir)
+    assert(held.assigned.count() == 50, "pre-rebuild handle keeps its snapshot")
+    assert(IvfIndex.load(spark, dir).assigned.count() == 100, "fresh open sees the rebuild")
+
+    val docs = Tables.documents(spark, sf())
+    val kdir = Files.createTempDirectory("kwver").toString
+    new KeywordIndex(spark, kdir).build(docs.filter(col("doc_id") < 100))
+    val heldKw = new KeywordIndex(spark, kdir)
+    val terms = Seq("join", "filter", "table", "scan")
+    val before = heldKw.bm25(terms, 10).as[(Long, Double)].collect().toSeq
+    new KeywordIndex(spark, kdir).build(docs) // rebuild over the full corpus
+    assert(heldKw.bm25(terms, 10).as[(Long, Double)].collect().toSeq == before,
+      "pre-rebuild keyword handle keeps serving its version")
+    assert(new KeywordIndex(spark, kdir).bm25(terms, 10)
+      .as[(Long, Double)].collect().toSeq ==
+      Retrieval.bm25(docs, terms, 10).as[(Long, Double)].collect().toSeq)
+    // vacuum keeps only the newest version; a fresh handle still works
+    graft.pipeline.TableOps.vacuumArtifacts(spark, kdir, "kw", keep = 1)
+    assert(new KeywordIndex(spark, kdir).bm25(terms, 5).count() == 5)
   }
 
   test("three-way hybrid: includeGraph adds the m2 vertex leg to the fusion") {

@@ -51,8 +51,11 @@ class IvfSpec extends SparkSpec {
     val a = built.query(qvec, 10, nProbe = 2).as[(Long, Double)].collect().toSeq
     val b = loaded.query(qvec, 10, nProbe = 2).as[(Long, Double)].collect().toSeq
     assert(a == b)
-    // persisted layout: one directory per cluster → probes prune files
-    val clusterDirs = new java.io.File(s"$dir/ivf_assigned").listFiles()
+    // persisted layout: one directory per cluster (inside the committed
+    // version dir) → probes prune files
+    val verDir = graft.pipeline.TableOps
+      .currentArtifactDir(spark, dir, "ivf").get
+    val clusterDirs = new java.io.File(s"$dir/$verDir/ivf_assigned").listFiles()
       .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
     assert(clusterDirs.size == 4, clusterDirs.toString)
   }
