@@ -128,6 +128,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(shingle"), p.take(3000))
   }
 
+  test("q63: the recipe's first-wins dedup auto-routes through the heap operator") {
+    val df = SparkEntry.queries("q63_clean_corpus")(spark, sf())
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    // the rn=1 window idiom rewrote into TopKPerKey (k=1 heaps) and the
+    // dead rn elided the Window entirely — composition for free
+    assert(exec.collect { case t: graft.plans.TopKPerKeyExec => t }.nonEmpty,
+      exec.toString.take(2000))
+    assert(!exec.toString.contains("Window"), exec.toString.take(2000))
+  }
+
+  test("q61: the eval gram set broadcasts; the corpus never shuffles by gram") {
+    val p = SparkEntry.queries("q61_decontamination")(spark, sf())
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
