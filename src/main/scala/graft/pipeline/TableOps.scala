@@ -18,14 +18,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    reference: WHERE user_id, pgvectorscale_store.py:594-619).
   *  - Data lives in IMMUTABLE segment dirs (`seg_<id>`), never renamed
   *    or rewritten in place. The current table = the file set named by
-  *    the newest manifest under `_log/`.
-  *  - A commit is one atomic step: write the full new manifest to a
-  *    temp file, then rename it to `v<N+1>`. Hadoop's rename refuses an
-  *    existing destination, so two racing writers cannot both win a
-  *    version — the loser re-reads the fresh snapshot, re-applies its
-  *    mutation and retries (optimistic concurrency; no mutation is ever
-  *    silently lost). Same-JVM writers are additionally serialized per
-  *    table, which keeps the retry loop a cross-process affair only.
+  *    the newest COMMITTED manifest under `_log/`.
+  *  - A commit claims the version name `v<N+1>` with an atomic
+  *    create-if-absent (O_CREAT|O_EXCL on file://, NameNode-atomic
+  *    create(overwrite=false) on HDFS — NOT rename, which on a POSIX
+  *    local FS silently replaces an existing destination and so cannot
+  *    CAS across processes), writes the manifest into the claimed file
+  *    and seals it with a trailing commit marker. Readers ignore
+  *    marker-less (in-flight / crashed-partial) manifests, so the
+  *    claim-then-write is never observed half-done; a crashed writer's
+  *    stale claim is reclaimed by the next writer. Two racing writers
+  *    cannot both win a version — the loser re-reads the fresh
+  *    snapshot, re-applies its mutation and retries (optimistic
+  *    concurrency; no mutation is ever silently lost). Same-JVM writers
+  *    are additionally serialized per table, which keeps the retry loop
+  *    a cross-process affair only.
   *  - Readers resolve the manifest ONCE per DataFrame: a reader racing
   *    a rewrite keeps its snapshot's segments (still on disk until
   *    [[vacuum]]) — it never sees a half-swapped bucket, the failure
@@ -72,13 +79,56 @@ object TableOps {
 
   private val VersionRe = "v(\\d{8})".r
 
-  // same-JVM writers serialize per table; the rename-CAS below guards
-  // cross-process races (reentrant, so a test hook may nest a writer)
+  /** Trailing line sealing a fully-written manifest; readers treat a
+    * manifest without it as in-flight (claim-then-write in progress) or
+    * a crashed writer's partial, and skip it. */
+  private val CommitMark = "#committed"
+
+  /** A marker-less claim older than this is a crashed writer's; the next
+    * writer reclaims the version name. In-JVM the per-table lock makes
+    * this unreachable; it only matters for cross-process crashes. */
+  private val StaleClaimMs = 60000L
+
+  // same-JVM writers serialize per table; the exclusive-create CAS below
+  // guards cross-process races (reentrant, so a test hook may nest a writer)
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(tablePath: String): Object =
     tableLocks.computeIfAbsent(tablePath, _ => new Object)
 
-  /** The latest committed snapshot, or None for a legacy / absent table. */
+  /** Atomic create-if-absent — the compare-and-swap under every commit.
+    * RawLocalFileSystem's rename AND create(overwrite=false) both
+    * check-then-act (File.renameTo on POSIX silently replaces an
+    * existing destination), so on file:// the claim goes through
+    * File.createNewFile, which is O_CREAT|O_EXCL — genuinely atomic.
+    * On HDFS, create(overwrite=false) is atomic at the NameNode. Returns
+    * None when the destination already exists (lost the CAS). */
+  private def exclusiveCreate(fs: FileSystem, dest: Path): Option[java.io.OutputStream] =
+    if (fs.getUri.getScheme == "file") {
+      val f = new java.io.File(fs.makeQualified(dest).toUri.getPath)
+      f.getParentFile.mkdirs()
+      if (f.createNewFile()) Some(new java.io.FileOutputStream(f)) else None
+    } else {
+      try Some(fs.create(dest, false))
+      catch { case _: java.io.IOException => None }
+    }
+
+  /** Parse one manifest iff it is sealed with the commit marker. */
+  private def readManifest(fs: FileSystem, ld: Path, v: Long): Option[Snapshot] = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(ld, f"v$v%08d")), StandardCharsets.UTF_8))
+      try {
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+        if (lines.length < 3 || lines.last != CommitMark) None
+        else Some(Snapshot(v, lines.head == "bucketed=true", lines(1),
+          lines.slice(2, lines.length - 1).filter(_.nonEmpty)))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The latest committed snapshot, or None for a legacy / absent table.
+    * Marker-less manifests (an in-flight claim or a crashed writer's
+    * partial) are skipped in favor of the newest sealed one. */
   private[pipeline] def currentSnapshot(
       spark: SparkSession, tablePath: String): Option[Snapshot] = {
     val ld = logDir(tablePath)
@@ -86,34 +136,39 @@ object TableOps {
     if (!fs.exists(ld)) return None
     val versions = fs.listStatus(ld).map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toLong }
-    if (versions.isEmpty) return None
-    val v = versions.max
-    val in = new BufferedReader(new InputStreamReader(
-      fs.open(new Path(ld, f"v$v%08d")), StandardCharsets.UTF_8))
-    try {
-      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
-      Some(Snapshot(v, lines.head == "bucketed=true", lines(1),
-        lines.drop(2).filter(_.nonEmpty)))
-    } finally in.close()
+      .sorted(Ordering[Long].reverse)
+    versions.iterator.map(readManifest(fs, ld, _)).collectFirst { case Some(s) => s }
   }
 
-  /** One optimistic commit attempt: full manifest to a temp file, then
-    * an atomic rename to `v<version>`. Hadoop rename returns false when
-    * the destination exists — that IS the compare-and-swap; false means
-    * another writer won this version and the caller must re-read. */
+  /** One optimistic commit attempt: claim `v<version>` with an atomic
+    * exclusive create, then write the manifest into the claimed file and
+    * seal it with the commit marker. A failed claim means another writer
+    * holds this version: committed → genuine lost race (caller re-reads
+    * and retries on the next version); in-flight → brief backoff;
+    * crashed-stale → reclaim the name so the caller's retry can win. */
   private def tryCommit(spark: SparkSession, tablePath: String, version: Long,
       bucketed: Boolean, schemaJson: String, entries: Seq[String]): Boolean = {
     val ld = logDir(tablePath)
     val fs = fsOf(spark, ld)
     fs.mkdirs(ld)
-    val tmp = new Path(ld, s".tmp_${UUID.randomUUID().toString.take(8)}")
-    val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
-    try out.write(
-      (s"bucketed=$bucketed" +: schemaJson +: entries).mkString("\n"))
-    finally out.close()
-    val won = fs.rename(tmp, new Path(ld, f"v$version%08d"))
-    if (!won) fs.delete(tmp, false)
-    won
+    val dest = new Path(ld, f"v$version%08d")
+    exclusiveCreate(fs, dest) match {
+      case Some(os) =>
+        val out = new OutputStreamWriter(os, StandardCharsets.UTF_8)
+        try out.write(
+          (s"bucketed=$bucketed" +: schemaJson +: entries :+ CommitMark).mkString("\n"))
+        finally out.close()
+        true
+      case None =>
+        if (readManifest(fs, ld, version).isEmpty) {
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(dest).getModificationTime > StaleClaimMs
+            catch { case _: java.io.IOException => false }
+          if (stale) fs.delete(dest, false) else Thread.sleep(5L)
+        }
+        false
+    }
   }
 
   private def newSegName(): String = s"seg_${UUID.randomUUID().toString.take(8)}"
@@ -135,6 +190,33 @@ object TableOps {
         st.isFile && st.getPath.getName.startsWith("part-") && st.getLen > 0))
       Seq(seg)
     else Seq.empty
+  }
+
+  /** Pre-manifest data at the table root, as manifest entries: bare
+    * `user_bucket=N` partition dirs (bucketed) or root `part-*` files
+    * (unpartitioned). The FIRST manifest over a legacy table must fold
+    * these in — a manifest naming only the new segment would silently
+    * hide every pre-upgrade row from reads. */
+  private def legacyEntries(fs: FileSystem, tablePath: String,
+      bucketed: Boolean): Seq[String] = {
+    val base = new Path(tablePath)
+    if (!fs.exists(base)) return Seq.empty
+    val st = fs.listStatus(base)
+    if (bucketed)
+      st.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("user_bucket=")).sorted.toSeq
+    else
+      st.filter(s => s.isFile && s.getPath.getName.startsWith("part-") && s.getLen > 0)
+        .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Bucket id an entry belongs to: `seg_x/user_bucket=N` (segment
+    * entries) or bare `user_bucket=N` (legacy dirs folded into a
+    * table's first manifest). */
+  private def entryBucket(e: String): Option[Long] = {
+    val leaf = e.split("/").last
+    if (leaf.startsWith("user_bucket=")) Some(leaf.stripPrefix("user_bucket=").toLong)
+    else None
   }
 
   private def emptyOf(spark: SparkSession, schemaJson: String): DataFrame =
@@ -167,8 +249,8 @@ object TableOps {
       case Some(snap) =>
         val chosen = buckets match {
           case Some(bs) =>
-            val wanted = bs.map(b => s"user_bucket=$b").toSet
-            snap.entries.filter(e => wanted.exists(e.endsWith))
+            val wanted = bs.toSet
+            snap.entries.filter(e => entryBucket(e).exists(wanted))
           case None => snap.entries
         }
         val base =
@@ -215,7 +297,12 @@ object TableOps {
       var done = false
       while (!done) {
         val snap = currentSnapshot(spark, tablePath)
-        val entries = snap.fold(Seq.empty[String])(_.entries) ++ newEntries
+        // a table's FIRST manifest folds any legacy (pre-manifest) data
+        // in, so the upgrade-by-append never hides pre-upgrade rows
+        val existing = snap.fold(
+          legacyEntries(fsOf(spark, new Path(tablePath)), tablePath, bucketed))(
+          _.entries)
+        val entries = existing ++ newEntries
         val version = snap.fold(0L)(_.version + 1)
         // keep the newest schema line: appends may widen (e.g. batch_id)
         done = tryCommit(spark, tablePath, version, bucketed, schemaJson, entries)
@@ -241,7 +328,7 @@ object TableOps {
             legacySwapBucket(spark, tablePath, bucket)(f); done = true
           case Some(snap) =>
             val suffix = s"/user_bucket=$bucket"
-            val mine = snap.entries.filter(_.endsWith(suffix))
+            val mine = snap.entries.filter(e => entryBucket(e).contains(bucket))
             if (mine.isEmpty) { done = true } // no data for this bucket
             else {
               val cur = withUserBucket(
@@ -253,7 +340,7 @@ object TableOps {
               next.write.mode(SaveMode.Overwrite).parquet(segPath.toString)
               val hasData = fs.listStatus(segPath).exists(st =>
                 st.isFile && st.getPath.getName.startsWith("part-") && st.getLen > 0)
-              val entries = snap.entries.filterNot(_.endsWith(suffix)) ++
+              val entries = snap.entries.filterNot(e => entryBucket(e).contains(bucket)) ++
                 (if (hasData) Seq(s"$seg$suffix".stripPrefix("/")) else Seq.empty)
               preCommitHook()
               done = tryCommit(spark, tablePath, snap.version + 1,
@@ -324,23 +411,28 @@ object TableOps {
       val ld = logDir(tablePath)
       val fs = fsOf(spark, ld)
       if (!fs.exists(ld)) return
-      val versions = fs.listStatus(ld).map(_.getPath.getName)
-        .collect { case VersionRe(n) => n.toLong }.sorted.reverse
-      if (versions.isEmpty) return
-      val kept = versions.take(keepVersions)
-      val live: Set[String] = kept.flatMap { v =>
-        val in = new BufferedReader(new InputStreamReader(
-          fs.open(new Path(ld, f"v$v%08d")), StandardCharsets.UTF_8))
-        try Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .drop(2).filter(_.nonEmpty).map(_.split("/")(0)).toVector
-        finally in.close()
+      // only SEALED manifests count toward the retention window (and only
+      // they are GC'd) — an in-flight claim neither shields segments nor
+      // gets deleted from under its writer
+      val committed = fs.listStatus(ld).map(_.getPath.getName)
+        .collect { case VersionRe(n) => n.toLong }
+        .sorted(Ordering[Long].reverse)
+        .filter(v => readManifest(fs, ld, v).isDefined)
+      if (committed.isEmpty) return
+      val live: Set[String] = committed.take(keepVersions).flatMap { v =>
+        readManifest(fs, ld, v).get.entries.map(_.split("/")(0))
       }.toSet
       val base = new Path(tablePath)
-      fs.listStatus(base).filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith("seg_"))
+      // reclaim superseded segment dirs AND legacy dirs/files a rewrite
+      // has replaced (bare user_bucket=* dirs, root part-* files)
+      fs.listStatus(base).filter { st =>
+        val n = st.getPath.getName
+        (st.isDirectory && (n.startsWith("seg_") || n.startsWith("user_bucket="))) ||
+          (st.isFile && n.startsWith("part-"))
+      }.map(_.getPath)
         .filterNot(p => live.contains(p.getName))
         .foreach(p => fs.delete(p, true))
-      versions.drop(keepVersions)
+      committed.drop(keepVersions)
         .foreach(v => fs.delete(new Path(ld, f"v$v%08d"), false))
       fs.listStatus(ld).map(_.getPath).filter(_.getName.startsWith(".tmp_"))
         .foreach(p => fs.delete(p, false))
@@ -378,19 +470,20 @@ object TableOps {
     f"${prefix}_v$next%08d"
   }
 
-  /** Commit a fully-written version dir: one rename-CAS pointer file.
-    * Returns false if another rebuild won this version (the caller's dir
-    * is then an orphan for vacuum — its data was superseded anyway). */
+  /** Commit a fully-written version dir: one exclusive-create pointer
+    * file (atomic cross-process, unlike local-FS rename — the pointer is
+    * zero-byte so its existence IS the commit). Returns false if another
+    * rebuild won this version (the caller's dir is then an orphan for
+    * vacuum — its data was superseded anyway). */
   def commitArtifactDir(spark: SparkSession, base: String, prefix: String,
       name: String): Boolean = {
     val pd = ptrDir(base)
     val fs = fsOf(spark, pd)
     fs.mkdirs(pd)
-    val tmp = new Path(pd, s".tmp_${UUID.randomUUID().toString.take(8)}")
-    fs.create(tmp, true).close()
-    val won = fs.rename(tmp, new Path(pd, name))
-    if (!won) fs.delete(tmp, false)
-    won
+    exclusiveCreate(fs, new Path(pd, name)) match {
+      case Some(os) => os.close(); true
+      case None     => false
+    }
   }
 
   /** Drop artifact versions older than the newest `keep` (and their

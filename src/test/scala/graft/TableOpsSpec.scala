@@ -133,6 +133,40 @@ class TableOpsSpec extends SparkSpec {
       .collect().sorted.toSeq == (1 to 4).map(i => s"m$i"))
   }
 
+  test("append to a legacy (pre-manifest) table folds existing data into the first manifest") {
+    // unpartitioned legacy layout: plain part files at the table root
+    val dir = tmp("legacyt")
+    Seq((1L, "old1"), (2L, "old2")).toDF("id", "v")
+      .write.parquet(dir)
+    TableOps.append(Seq((3L, "new")).toDF("id", "v"), dir)
+    assert(TableOps.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L),
+      "pre-upgrade rows must survive the first manifest commit")
+
+    // bucketed legacy layout: bare user_bucket=N partition dirs
+    val bdir = tmp("legacyb")
+    val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    TableOps.withUserBucket(
+      Seq(("m1", "u1", t), ("m2", "u2", t)).toDF("message_id", "user_id", "created_at"))
+      .write.partitionBy("user_bucket").parquet(bdir)
+    TableOps.appendBucketed(
+      Seq(("m3", "u1", t)).toDF("message_id", "user_id", "created_at"), bdir)
+    assert(TableOps.read(spark, bdir).select("message_id").as[String]
+      .collect().sorted.toSeq == Seq("m1", "m2", "m3"))
+    // bucket pruning still reaches the folded legacy dirs
+    val b1 = TableOps.bucketOf(spark, "u1")
+    assert(TableOps.read(spark, bdir, buckets = Some(Seq(b1)))
+      .filter(col("user_id") === "u1").count() == 2)
+    // a bucket rewrite targets the folded legacy entry, and vacuum then
+    // reclaims the replaced legacy dir
+    TableOps.rewriteBucket(spark, bdir, b1)(_.filter(col("message_id") =!= "m1"))
+    assert(TableOps.read(spark, bdir).select("message_id").as[String]
+      .collect().sorted.toSeq == Seq("m2", "m3"))
+    TableOps.vacuum(spark, bdir, keepVersions = 1)
+    assert(TableOps.read(spark, bdir).select("message_id").as[String]
+      .collect().sorted.toSeq == Seq("m2", "m3"), "reads intact after legacy GC")
+  }
+
   test("empty rewrite result stays readable with the manifest schema") {
     val dir = tmp("empty")
     TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
