@@ -84,6 +84,10 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
       .write.mode(SaveMode.Overwrite).parquet(p("stats"))
   }
 
+  /** Documents the index carries (live + tombstoned — the denominator of
+    * MemFuse.indexStaleFraction; shrinks only on rebuild). */
+  def nDocs: Long = statsDf.head().getAs[Long]("n_docs")
+
   /** BM25 top-k from the index alone (k1/b per the reference defaults). */
   def bm25(queryTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -81,8 +81,16 @@ class MemFuse(
 
   /** Chunk → situate → encode → append the m1 rows for a set of VALID
     * messages, maintaining the side indexes incrementally (shared by
-    * [[ingest]] and the message-mutation re-chunk paths). */
-  private def appendChunks(valid: DataFrame): Unit = {
+    * [[ingest]] and the message-mutation re-chunk paths).
+    *
+    * `preIndexedIds`: chunk ids already present in the side indexes —
+    * the mutation paths pass the ids they just dropped from m1, because
+    * chunk ids are content-addressed and unchanged messages regenerate
+    * IDENTICAL ids; re-adding those would double their BM25 df/doclen
+    * join multiplicity and duplicate their IVF candidate rows. Only
+    * genuinely-new ids reach the index maintenance. */
+  private def appendChunks(valid: DataFrame,
+      preIndexedIds: Seq[String] = Seq.empty): Unit = {
     // C4 integrated dispatch: every strategy lands on the same m1 shape
     // (user_id, session_id, content, m0_raw_ids, created_at, metadata,
     // disc) — disc is a per-strategy uniqueness discriminator folded
@@ -171,13 +179,16 @@ class MemFuse(
     // in their term buckets, new vectors assigned to existing centroids —
     // never a full rebuild. The IVF quantizer is re-fit only when the
     // un-fit fraction crosses the drift threshold.
+    val toIndex =
+      if (preIndexedIds.isEmpty) m1New
+      else m1New.filter(!col("chunk_id").isin(preIndexedIds: _*))
     if (hasKw)
       new KeywordIndex(spark, path("index")).addDocuments(
-        m1New.select(col("chunk_id").as("doc_id"), col("content").as("text")))
+        toIndex.select(col("chunk_id").as("doc_id"), col("content").as("text")))
     if (hasIvf) {
       val idx = openIvf()
       val drift = idx.addVectors(
-        m1New.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
+        toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
       if (drift > IvfRefitDrift)
         IvfIndex.build(spark,
           m1.select(col("chunk_id").as("vec_id"), col("embedding")), idx.nlist)
@@ -397,6 +408,9 @@ class MemFuse(
     IvfIndex
       .build(spark, m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
       .save(path("index"))
+    // a full rebuild carries no deleted docs — reset the tombstone log
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
     // drop stale open handles; the next indexed query reopens
     indexHandles.synchronized { ivfHandle = None; kwHandle = None }
   }
@@ -416,6 +430,66 @@ class MemFuse(
     kwHandle.getOrElse {
       val h = new KeywordIndex(spark, path("index")); kwHandle = Some(h); h
     }
+  }
+
+  // ---------- delete-aware index maintenance ----------
+  // The reference deletes per row from FTS5 / its vector stores
+  // (sqlite_store.py:147+); a term-bucketed parquet index can't cheaply
+  // rewrite the posting files one doc at a time, so deletes TOMBSTONE:
+  // stale entries are correctness-inert (every indexed hit semi-joins
+  // back to live chunks) but accumulate under churn, and [[maintain]]
+  // rebuilds the live indexes once [[indexStaleFraction]] crosses its
+  // threshold — amortized O(1) rebuilds instead of per-delete rewrites.
+
+  private def tombstonePath = s"${path("index")}/tombstones"
+
+  private def indexesExist: Boolean =
+    TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined ||
+      TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
+
+  /** Record deleted chunk ids (no-op when no side index exists). The
+    * input frame must be built over the PRE-delete snapshot. */
+  private def tombstone(deadChunkIds: DataFrame): Unit =
+    if (indexesExist)
+      deadChunkIds.select(col("chunk_id").cast("string").as("doc_id"))
+        .write.mode(SaveMode.Append).parquet(tombstonePath)
+
+  private def tombstonesDf: DataFrame =
+    if (TableOps.exists(spark, tombstonePath)) spark.read.parquet(tombstonePath)
+    else emptyDf(new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.StringType))
+
+  /** Fraction of indexed documents whose chunks have been deleted since
+    * the last (re)build — the index-bloat metric deletion churn accrues
+    * against; [[maintain]] rebuilds past `indexStaleThreshold`. */
+  def indexStaleFraction: Double = {
+    if (!indexesExist || !TableOps.exists(spark, tombstonePath)) return 0.0
+    val nDead = tombstonesDf.select("doc_id").distinct().count().toDouble
+    if (nDead == 0) return 0.0
+    val hasKw = TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
+    val nIndexed =
+      if (hasKw) openKw().nDocs.toDouble
+      else openIvf().assigned.count().toDouble
+    if (nIndexed == 0) 0.0 else math.min(1.0, nDead / nIndexed)
+  }
+
+  /** Rebuild whichever side indexes exist from the current (post-delete)
+    * m1 and reset the tombstone log — triggered by [[maintain]]. */
+  private def rebuildStaleIndexes(): Unit = {
+    val hasKw = TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
+    val hasIvf = TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
+    if (hasKw)
+      new KeywordIndex(spark, path("index")).build(
+        m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
+    if (hasIvf) {
+      val nlist = openIvf().nlist
+      IvfIndex.build(spark,
+        m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
+        .save(path("index"))
+    }
+    val p = new org.apache.hadoop.fs.Path(tombstonePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    indexHandles.synchronized { ivfHandle = None; kwHandle = None }
   }
 
   /** J5 session fan-out, collapsed to one job: where the reference loops
@@ -459,7 +533,8 @@ class MemFuse(
     * vacuum generations beyond `keepVersions`. Readers holding current
     * snapshots are unaffected (MVCC); only vacuumed-away OLD versions
     * become unreadable. */
-  def maintain(maxSegments: Int = 8, keepVersions: Int = 2): Unit = {
+  def maintain(maxSegments: Int = 8, keepVersions: Int = 2,
+      indexStaleThreshold: Double = 0.3): Unit = {
     graft.streaming.StreamingIngest.compactCommits(spark, basePath)
     Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
       "sessions", "rounds", "api_keys")
@@ -469,6 +544,11 @@ class MemFuse(
           TableOps.compact(spark, path(t))
         TableOps.vacuum(spark, path(t), keepVersions)
       }
+    // delete-aware index upkeep: once the tombstoned fraction crosses
+    // the threshold, rebuild the live indexes from the current m1 —
+    // bounding index bloat under deletion churn without per-delete
+    // posting-file rewrites
+    if (indexStaleFraction > indexStaleThreshold) rebuildStaleIndexes()
     // superseded side-index versions (rebuilds keep the previous version
     // alive for handles opened before the rebuild)
     TableOps.vacuumArtifacts(spark, path("index"), "kw", keepVersions)
@@ -558,14 +638,35 @@ class MemFuse(
       // session of a conversation — a point-mutation-sized collect)
       val preIds = m0.filter(col("user_id") === uid && scope)
         .select("message_id").collect().map(_.getString(0)).toSeq
+      // chunk ids being dropped — they stay in the side indexes, so the
+      // re-chunk below must NOT re-index ids it merely regenerates
+      val preChunkIds =
+        if (indexesExist)
+          m1ForUser(uid).filter(col("user_id") === uid &&
+            arrays_overlap(col("m0_raw_ids"), typedLit(preIds)))
+            .select("chunk_id").collect().map(_.getString(0)).toSeq
+        else Seq.empty[String]
       TableOps.rewriteBucket(spark, path("m0_raw"), bucket)(df =>
         f(df, col("message_id") === messageId))
       TableOps.rewriteBucket(spark, path("m1_episodic"), bucket)(df =>
         df.filter(!arrays_overlap(col("m0_raw_ids"), typedLit(preIds))))
       clearCache() // the re-chunk below must see the rewritten m0
       val remaining = m0ForUser(uid).filter(col("user_id") === uid && scope)
-      if (!remaining.isEmpty) appendChunks(remaining)
+      if (!remaining.isEmpty) appendChunks(remaining, preIndexedIds = preChunkIds)
       clearCache()
+      // dropped ids that the re-chunk did NOT regenerate are now stale
+      // index entries — tombstone them for maintain()'s rebuild trigger
+      if (preChunkIds.nonEmpty) {
+        val live = m1ForUser(uid)
+          .filter(col("user_id") === uid && col("session_id") === sid)
+          .select("chunk_id").collect().map(_.getString(0)).toSet
+        val dead = preChunkIds.filterNot(live)
+        if (dead.nonEmpty) {
+          import spark.implicits._
+          tombstone(dead.toDF("chunk_id"))
+        }
+        clearCache()
+      }
     }
   }
 
@@ -671,6 +772,10 @@ class MemFuse(
       .select("user_id").collect().headOption.map(_.getString(0))
     owner.foreach { uid =>
       val bucket = TableOps.bucketOf(spark, uid)
+      if (indexesExist) // pre-delete snapshot: tombstone the victim chunks
+        tombstone(m1ForUser(uid).filter(
+          col("user_id") === uid && col("session_id") === sessionId)
+          .select("chunk_id"))
       Seq("m0_raw", "m1_episodic").foreach { t =>
         TableOps.rewriteBucket(spark, path(t), bucket)(
           _.filter(col("session_id") =!= sessionId))
@@ -700,6 +805,9 @@ class MemFuse(
       .distinct().collect().map(_.getLong(0))
     if (buckets.nonEmpty) {
       val victimIds = broadcast(victims.select("session_id"))
+      if (indexesExist) // pre-delete snapshot: tombstone the victim chunks
+        tombstone(m1.join(victimIds, Seq("session_id"), "left_semi")
+          .select("chunk_id"))
       buckets.foreach { bucket =>
         Seq("m0_raw", "m1_episodic").foreach { t =>
           TableOps.rewriteBucket(spark, path(t), bucket)(
@@ -727,6 +835,9 @@ class MemFuse(
     * knowledge. */
   def deleteUser(userId: String): Unit = {
     val bucket = TableOps.bucketOf(spark, userId)
+    if (indexesExist) // pre-delete snapshot: tombstone the victim chunks
+      tombstone(m1ForUser(userId).filter(col("user_id") === userId)
+        .select("chunk_id"))
     Seq("m0_raw", "m1_episodic").foreach { t =>
       TableOps.rewriteBucket(spark, path(t), bucket)(
         _.filter(col("user_id") =!= userId))

@@ -124,6 +124,65 @@ class IndexSpec extends SparkSpec {
     assert(indexed.exists(_.getAs[String]("content").contains("zanzibar")))
   }
 
+  test("deletes tombstone the indexes; indexed ≡ scan with no manual rebuild; maintain() rebuilds past threshold") {
+    val dir = Files.createTempDirectory("idxdel").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u1", "a1")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    engine.buildIndexes(nlist = 2)
+    assert(engine.indexStaleFraction == 0.0)
+    engine.deleteSession("s2")
+    // 2 of the 4 indexed chunks are now dead → stale fraction 0.5
+    assert(engine.indexStaleFraction == 0.5)
+    // NO manual rebuild: the live-chunk semi-join keeps the indexed path
+    // equal to the scan path, deleted content unreachable
+    val scan = engine.query("spark partition", "u1", topK = 3).collect().toSeq
+    val indexed = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan)
+    assert(!indexed.exists(_.getAs[String]("content").contains("pruning")),
+      "deleted session's chunks must not surface through stale index entries")
+    // maintain() crosses the 0.3 default threshold → rebuild + reset
+    engine.maintain()
+    assert(engine.indexStaleFraction == 0.0)
+    assert(engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq == scan,
+      "rebuilt indexes still answer identically")
+  }
+
+  test("message mutation never re-indexes regenerated identical chunks") {
+    // character chunking re-chunks the whole round on update; the
+    // untouched message's chunks regenerate IDENTICAL content-addressed
+    // ids, which must NOT be appended to the postings/doclen/ivf again
+    // (double df + duplicate candidates otherwise)
+    val dir = Files.createTempDirectory("idxmut").toString
+    val engine = new MemFuse(spark, dir, chunking = "character")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r1", 2, "user", "broadcast join strategy details", ts(2))).toDF())
+    engine.buildIndexes(nlist = 2)
+    engine.updateMessage("m1", "adaptive query execution notes")
+    val ver = graft.pipeline.TableOps
+      .currentArtifactDir(spark, s"$dir/index", "kw").get
+    val doclen = spark.read.parquet(s"$dir/index/$ver/doclen")
+    val dups = doclen.groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0, "no doc may carry two doclen rows after a mutation re-chunk")
+    // m1's old chunk id was dropped and not regenerated → tombstoned
+    assert(engine.indexStaleFraction > 0.0)
+    // and the indexed path still equals the scan path on the mutated corpus
+    val scan = engine.query("broadcast join", "u1", topK = 2).collect().toSeq
+    val indexed = engine.query("broadcast join", "u1", topK = 2,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan)
+  }
+
   test("index rebuild never yanks files from a handle opened before it") {
     import graft.pipeline.IvfIndex
     val emb = Tables.embeddings(spark, sf())

@@ -202,6 +202,25 @@ class OperatorSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: star contraction resolves a deep chain in O(log n) rounds") {
+    // a 128-node path is the adversarial shape for label propagation
+    // (needs ~diameter = 127 rounds); alternating large-star/small-star
+    // must close it in logarithmic rounds and label everything with 0
+    val chain = (0L until 127L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labelsDf, rounds) = Dedup.duplicateClustersWithRounds(chain, maxIters = 20)
+    val labels = labelsDf.as[(Long, Long)].collect()
+    assert(labels.length == 128)
+    assert(labels.forall(_._2 == 0L), "every chain member joins component 0")
+    assert(rounds <= 10, s"star contraction should need ~log2(128) rounds, took $rounds")
+  }
+
+  test("duplicate clusters: non-convergence throws instead of returning wrong labels") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClustersWithRounds(chain, maxIters = 1)
+    }
+  }
+
   test("bpe merge loop: exact counts under a fixture rank table") {
     val ranks = Map("a b" -> 1, "ab c" -> 2, "x y" -> 3)
     assert(TextAnalysis.bpeMergeCount("abcd", ranks) == 2) // [abc, d]
