@@ -663,6 +663,26 @@ object Oracles {
          |            FROM ($unitedSql)))
          |GROUP BY id ORDER BY fused_score DESC, id LIMIT 20""".stripMargin,
 
+    // q65: weighted-sum fusion (q25's formula, LIMIT 40) with the K11
+    // recency factor multiplied in — created_at is the deterministic
+    // one-hour-per-doc_id fixture, "now" is the corpus max; float-op
+    // order mirrors EventOps.boostedScore exactly
+    "q65_fusion_boosted" -> {
+      val us = s"(${SparkEntry.FreshBaseEpoch} + doc_id * 3600) * 1000000"
+      val factor = s"1.0 + ${SparkEntry.FreshBoost} * greatest(0.0, " +
+        s"1.0 - CAST(mx.max_us - ($us) AS DOUBLE) / 3.6e9 / 24.0)"
+      s"""WITH fused AS (
+         |  SELECT id, ${t6(dsum12(s"score * ($weightCase)"))} AS fused_score
+         |  FROM ($unitedSql)
+         |  GROUP BY id ORDER BY fused_score DESC, id LIMIT 40)
+         |SELECT id, ${t6(s"fused_score * ($factor)")} AS boosted_score, lang, source
+         |FROM fused
+         |JOIN documents ON fused.id = documents.doc_id
+         |CROSS JOIN (SELECT (${SparkEntry.FreshBaseEpoch} + max(doc_id) * 3600) * 1000000 AS max_us
+         |            FROM documents) mx
+         |ORDER BY boosted_score DESC, id""".stripMargin
+    },
+
     "q27_hybrid_query" ->
       s"""SELECT id, fused_score, lang, source, substr(text, 1, 80) AS preview
          |FROM (${rrfSql(15)}) f JOIN documents ON f.id = documents.doc_id

@@ -25,6 +25,11 @@ object SparkEntry {
   private[graft] val KnnQueryId = 0L
   private[graft] val IvfQueryId = 7L
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
+
+  // q65 freshness-boost fixture: epoch base (2024-06-01) for the
+  // deterministic one-hour-per-doc created_at, and the boost factor
+  private[graft] val FreshBaseEpoch = 1717200000L
+  private[graft] val FreshBoost = 0.5
   private[graft] val ThreeWayWeights =
     Map("vector" -> 1.0, "keyword" -> 0.5, "graph" -> 0.75)
   private[graft] val RrfK = 60.0 // reference config/retrieval/default.yaml rrf_k
@@ -455,6 +460,29 @@ object SparkEntry {
         .select(col("id"), col("score"))
         .withColumn("store_type", lit("graph"))
       Fusion.rrf(hybridInputs(s, d).unionByName(graph), RrfK, ThreeWayWeights, 20)
+    }),
+
+    // ---- the MemFuse.query fusion/freshness knobs, facade-shaped and
+    // oracle-checked: NON-RRF (weighted-sum) fusion with the K11 recency
+    // boost multiplied into the fused scores (reference applies the
+    // boost inside hybrid retrieval, rag/retrieve/hybrid.py:517-562, and
+    // selects the strategy via ScoreFusionStrategy, strategies.py:11-28).
+    // Documents carry a deterministic created_at (one hour per doc id),
+    // so only docs within 24h of the corpus max get boosted — both
+    // branches of the max(0, ...) cutoff are exercised ----
+    "q65_fusion_boosted" -> ((s, d) => {
+      val fused = Fusion.weightedSum(hybridInputs(s, d), FusionWeights, 40)
+      val docs = Tables.documents(s, d).withColumn("created_at",
+        timestamp_seconds(lit(FreshBaseEpoch) + col("doc_id") * 3600L))
+      val maxTs = docs.agg(max(unix_micros(col("created_at"))).as("max_us"))
+      fused.join(docs, fused("id") === docs("doc_id"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("id"),
+          EventOps.boostedScore(col("fused_score"),
+            unix_micros(col("created_at")), col("max_us"), FreshBoost)
+            .as("boosted_score"),
+          col("lang"), col("source"))
+        .orderBy(col("boosted_score").desc, col("id"))
     }),
 
     // ---- dedup family ----

@@ -42,6 +42,19 @@ object EventOps {
       .limit(topK)
   }
 
+  /** K11 applied to retrieval results (the reference applies the recency
+    * boost INSIDE hybrid retrieval, rag/retrieve/hybrid.py:517-562): the
+    * multiplicative factor 1 + boost·max(0, 1 − age_hours/24) on a fused
+    * score, with age measured against `maxUs` — the corpus max
+    * created_at, the deterministic stand-in for wall-clock now. Column
+    * form so the facade and the oracle-checked query share one kernel. */
+  def boostedScore(score: org.apache.spark.sql.Column,
+      createdUs: org.apache.spark.sql.Column,
+      maxUs: org.apache.spark.sql.Column,
+      boost: Double): org.apache.spark.sql.Column =
+    trunc6(score * (lit(1.0) + lit(boost) * greatest(lit(0.0),
+      lit(1.0) - (maxUs - createdUs).cast("double") / 3.6e9 / 24.0)))
+
   /** Sessionize: per user, a new session starts when the gap from the
     * previous event exceeds `gapSeconds`. Returns one row per session.
     * (The reference's RoundBuffer cuts batches on session change /

@@ -291,6 +291,12 @@ class MemFuse(
     * this leg is not tenant-scoped). Graph hits hydrate with the entity
     * name as content and `session_id = "graph"`; their fusion weight is
     * `weights("graph")`, defaulting to 0.75 between vector and keyword. */
+  /** `fusion` selects the rank-fusion strategy (`rrf` | `weighted` |
+    * `normalized` — A1–A3; the reference picks via ScoreFusionStrategy,
+    * rag/fusion/strategies.py:11-28). `freshness` multiplies the fused
+    * scores by the K11 recency factor over chunk `created_at`
+    * (hybrid.py:517-562) before reranking; graph-leg hits carry no
+    * timestamp and pass through unboosted. */
   def query(
       text: String,
       userId: String,
@@ -304,7 +310,9 @@ class MemFuse(
       includeKnowledge: Boolean = false,
       includeGraph: Boolean = false,
       sessionId: Option[String] = None,
-      agentId: Option[String] = None): DataFrame = {
+      agentId: Option[String] = None,
+      fusion: String = "rrf",
+      freshness: Option[Double] = None): DataFrame = {
     val firstStage = 2 * topK
     val tenantChunks = m1ForUser(userId).filter(col("user_id") === userId)
     val chunks = (sessionId, agentId) match {
@@ -323,23 +331,27 @@ class MemFuse(
     // the retrieval corpus: the tenant's chunks, optionally ∪ their
     // knowledge rows (include_knowledge — the reference stores both in
     // one vector store and filters by item type, numpy_store.py:532-546)
-    val corpusCols = Seq("chunk_id", "content", "embedding", "session_id", "token_count")
+    val corpusCols =
+      Seq("chunk_id", "content", "embedding", "session_id", "token_count", "created_at")
     val chunkCorpus = chunks.select(corpusCols.map(col): _*)
     val knCorpus =
       if (!includeKnowledge || scoped) None
       else Some(knowledge(userId).select(
         col("knowledge_id").as("chunk_id"), col("content"), col("embedding"),
         lit("knowledge").as("session_id"),
-        size(tokens(col("content"))).as("token_count")))
+        size(tokens(col("content"))).as("token_count"),
+        col("created_at")))
     val corpus = knCorpus.fold(chunkCorpus)(chunkCorpus.unionByName(_))
     // graph leg corpus: m2 entity vertices with their stored embeddings,
-    // hydrating as (entity-name content, session_id = "graph")
+    // hydrating as (entity-name content, session_id = "graph"); vertices
+    // carry no timestamp → null created_at (never freshness-boosted)
     val graphCorpus =
       if (!includeGraph) None
-      else Some(TableOps.read(spark, path("m2_vertices")).select(
+      else Some(m2Vertices.select(
         col("id").as("chunk_id"), col("id").as("content"), col("embedding"),
         lit("graph").as("session_id"),
-        size(tokens(col("id"))).as("token_count")))
+        size(tokens(col("id"))).as("token_count"),
+        lit(null).cast("timestamp").as("created_at")))
 
     val vector =
       (if (useIndexes) {
@@ -385,13 +397,32 @@ class MemFuse(
     val fusionWeights =
       if (includeGraph && !weights.contains("graph")) weights + ("graph" -> 0.75)
       else weights
-    val fused = Fusion.rrf(united, rrfK, fusionWeights, firstStage)
+    val fused = fusion match {
+      case "rrf"        => Fusion.rrf(united, rrfK, fusionWeights, firstStage)
+      case "weighted"   => Fusion.weightedSum(united, fusionWeights, firstStage)
+      case "normalized" => Fusion.normalizedWeightedSum(united, fusionWeights, firstStage)
+      case other => throw new IllegalArgumentException(
+        s"unknown fusion strategy '$other' (rrf | weighted | normalized)")
+    }
     val hydrationCorpus = graphCorpus.fold(corpus)(corpus.unionByName(_))
     val hydrated = fused
       .join(hydrationCorpus, fused("id") === hydrationCorpus("chunk_id"))
       .select(col("id"), col("content"), col("fused_score"),
-        col("session_id"), col("token_count"))
-    reranker.rerank(hydrated, text, topK)
+        col("session_id"), col("token_count"), col("created_at"))
+    val boosted = freshness match {
+      case Some(b) =>
+        // age against the corpus max created_at (deterministic "now");
+        // null created_at (graph leg) passes through unboosted
+        val maxTs = corpus.agg(max(unix_micros(col("created_at"))).as("max_us"))
+        hydrated.crossJoin(broadcast(maxTs))
+          .withColumn("fused_score", coalesce(
+            graft.operators.EventOps.boostedScore(
+              col("fused_score"), unix_micros(col("created_at")), col("max_us"), b),
+            col("fused_score")))
+          .drop("max_us")
+      case None => hydrated
+    }
+    reranker.rerank(boosted.drop("created_at"), text, topK)
   }
 
   /** Build the persisted side indexes over the current m1 chunks: the
@@ -549,10 +580,12 @@ class MemFuse(
     // bounding index bloat under deletion churn without per-delete
     // posting-file rewrites
     if (indexStaleFraction > indexStaleThreshold) rebuildStaleIndexes()
-    // superseded side-index versions (rebuilds keep the previous version
-    // alive for handles opened before the rebuild)
+    // superseded side-index and derived-layer versions (rebuilds keep
+    // the previous version alive for handles opened before the rebuild)
     TableOps.vacuumArtifacts(spark, path("index"), "kw", keepVersions)
     TableOps.vacuumArtifacts(spark, path("index"), "ivf", keepVersions)
+    TableOps.vacuumArtifacts(spark, path("m2"), "sem", keepVersions)
+    TableOps.vacuumArtifacts(spark, path("episodes"), "ep", keepVersions)
     clearCache()
   }
 
@@ -966,32 +999,62 @@ class MemFuse(
     * persist them (the reference's M2SemanticLayer write path). Facts
     * and vertices are embedded AT BUILD TIME — the reference's graph
     * store keeps per-node embeddings (graphml_store.py:611-704) and
-    * queries must never re-embed a layer (K5). */
+    * queries must never re-embed a layer (K5).
+    *
+    * A rebuild materializes a complete VERSION dir and commits it with
+    * one pointer CAS (TableOps.commitArtifactDir — the kw/ivf pattern):
+    * a query that resolved the layer before the rebuild (the q59-style
+    * graph leg included) keeps reading its own version's files; the old
+    * in-place Overwrite could delete files under a racing reader.
+    * [[maintain]] vacuums superseded versions. */
   def buildSemanticLayer(): Unit = {
+    val name = TableOps.nextArtifactDir(spark, path("m2"), "sem")
+    val vp = s"${path("m2")}/$name"
     val facts = SemanticLayer.extractFacts(m1)
     encoder.encode(facts, "fact_text")
-      .write.mode(SaveMode.Overwrite).parquet(path("m2_facts"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vp/m2_facts")
     val (vertices, edges) = SemanticLayer.extractGraph(facts)
     encoder.encode(vertices, "id")
-      .write.mode(SaveMode.Overwrite).parquet(path("m2_vertices"))
-    edges.write.mode(SaveMode.Overwrite).parquet(path("m2_edges"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$vp/m2_vertices")
+    edges.write.mode(SaveMode.Overwrite).parquet(s"$vp/m2_edges")
+    TableOps.commitArtifactDir(spark, path("m2"), "sem", name)
   }
 
-  def m2Facts: DataFrame = spark.read.parquet(path("m2_facts"))
+  /** Resolve one m2 table in the newest committed layer version (legacy
+    * flat layout as fallback — pre-versioning warehouses). Resolution
+    * happens when the FRAME is built, pinning it to that version. */
+  private def m2Table(table: String): DataFrame =
+    TableOps.currentArtifactDir(spark, path("m2"), "sem") match {
+      case Some(v) => spark.read.parquet(s"${path("m2")}/$v/$table")
+      case None    => spark.read.parquet(path(table))
+    }
+
+  def m2Facts: DataFrame = m2Table("m2_facts")
+  def m2Vertices: DataFrame = m2Table("m2_vertices")
+  def m2Edges: DataFrame = m2Table("m2_edges")
 
   /** H2 episode formation over the current m1 chunks (time-gap
-    * sessionized, extractive summaries) persisted as m1_episodes. */
-  def buildEpisodes(gapSeconds: Long = 3600): Unit =
+    * sessionized, extractive summaries) persisted as m1_episodes —
+    * versioned + pointer-CAS-committed like the semantic layer. */
+  def buildEpisodes(gapSeconds: Long = 3600): Unit = {
+    val name = TableOps.nextArtifactDir(spark, path("episodes"), "ep")
     SemanticLayer.formEpisodes(m1, gapSeconds)
-      .write.mode(SaveMode.Overwrite).parquet(path("m1_episodes"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${path("episodes")}/$name/m1_episodes")
+    TableOps.commitArtifactDir(spark, path("episodes"), "ep", name)
+  }
 
-  def episodes: DataFrame = spark.read.parquet(path("m1_episodes"))
+  def episodes: DataFrame =
+    TableOps.currentArtifactDir(spark, path("episodes"), "ep") match {
+      case Some(v) => spark.read.parquet(s"${path("episodes")}/$v/m1_episodes")
+      case None    => spark.read.parquet(path("m1_episodes"))
+    }
 
   /** K5 graph semantic query: cosine top-k over the persisted vertex
     * embeddings (reference graphml_store.py:611-704). */
   def semanticGraphQuery(text: String, topK: Int = 10): DataFrame =
     graft.operators.GraphOps.semanticQuery(
-      spark.read.parquet(path("m2_vertices")).withColumn("name", col("id")),
+      m2Vertices.withColumn("name", col("id")),
       encoder.encodeOne(text), topK)
 
   /** H7: query every layer (m0 raw, m1 chunks, m2 facts) and union with a

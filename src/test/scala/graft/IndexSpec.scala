@@ -124,6 +124,39 @@ class IndexSpec extends SparkSpec {
     assert(indexed.exists(_.getAs[String]("content").contains("zanzibar")))
   }
 
+  test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {
+    val dir = Files.createTempDirectory("idxknobs").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    engine.buildIndexes(nlist = 2)
+    for (fusion <- Seq("rrf", "weighted", "normalized"); fresh <- Seq(None, Some(1.0))) {
+      val scan = engine.query("spark partition", "u1", topK = 3,
+        fusion = fusion, freshness = fresh).collect().toSeq
+      val indexed = engine.query("spark partition", "u1", topK = 3,
+        useIndexes = true, nProbe = 2, fusion = fusion, freshness = fresh).collect().toSeq
+      assert(indexed == scan, s"fusion=$fusion freshness=$fresh")
+    }
+    // the boost is really multiplied in: same candidates, scaled fused
+    // scores (all chunks are seconds apart → factor ≈ 1 + boost)
+    val plain = engine.query("spark partition", "u1", topK = 3, fusion = "weighted")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("fused_score")).toMap
+    val boosted = engine.query("spark partition", "u1", topK = 3,
+      fusion = "weighted", freshness = Some(1.0)).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("fused_score"))
+    boosted.foreach { case (id, s) =>
+      assert(s >= plain(id), "freshness boost never lowers a fused score")
+    }
+    assert(boosted.exists { case (id, s) => plain(id) > 0.0 && s > plain(id) },
+      "freshness boost must raise every positive fused score")
+    intercept[IllegalArgumentException] {
+      engine.query("q", "u1", fusion = "borda").collect()
+    }
+  }
+
   test("deletes tombstone the indexes; indexed ≡ scan with no manual rebuild; maintain() rebuilds past threshold") {
     val dir = Files.createTempDirectory("idxdel").toString
     val engine = new MemFuse(spark, dir)

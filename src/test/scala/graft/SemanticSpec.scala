@@ -46,6 +46,35 @@ class SemanticSpec extends SparkSpec {
     assert(e.contains(("paris", "the", "is")))
   }
 
+  test("semantic-layer rebuild never yanks files from frames resolved before it") {
+    val engine = engineWithFacts()
+    engine.buildEpisodes()
+    // frames resolved NOW pin the current version dirs (the q59-style
+    // graph leg included)
+    val factsBefore = engine.m2Facts
+    val graphLeg = engine.semanticGraphQuery("spark evaluation", topK = 5)
+    val episodesBefore = engine.episodes
+    val nFacts = factsBefore.count()
+    val nEpisodes = episodesBefore.count()
+    // rebuild both layers: a new version dir is committed, the old one
+    // stays on disk for the pinned frames
+    engine.buildSemanticLayer()
+    engine.buildEpisodes()
+    assert(factsBefore.count() == nFacts, "pinned facts frame still answers")
+    assert(graphLeg.collect().nonEmpty, "pinned graph-leg query still answers")
+    assert(episodesBefore.count() == nEpisodes, "pinned episodes frame still answers")
+    // fresh frames resolve the new committed version
+    assert(engine.m2Facts.count() == nFacts)
+    // vacuum reclaims superseded versions; current reads stay intact
+    val base = factsBefore.inputFiles.head
+      .stripPrefix("file:").replaceAll("/sem_v.*", "")
+    TableOps.vacuumArtifacts(spark, base, "sem", keep = 1)
+    val vers = new java.io.File(base).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("sem_v"))
+    assert(vers == 1, "one committed version survives vacuum")
+    assert(engine.m2Facts.count() == nFacts)
+  }
+
   test("conflict detection flags contradicting objects") {
     val mk = (id: String, s: String, p: String, o: String) =>
       (id, s, p, o, s"$s $p $o")
