@@ -43,10 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("ngrams_distinct"),
       new ExpressionInfo(classOf[NGramDistinct].getName, "ngrams_distinct"),
-      (children: Seq[Expression]) => children(1) match {
-        case IntegerLiteral(n) => NGramDistinct(children(0), n)
-        case other => throw new IllegalArgumentException(
-          s"ngrams_distinct: n must be an integer literal, got $other")
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, IntegerLiteral(n)) => NGramDistinct(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "ngrams_distinct(tokens, n) expects exactly two arguments with " +
+            s"n an integer literal; got ${children.length} argument(s): " +
+            children.map(_.sql).mkString(", "))
       }))
   }
 }

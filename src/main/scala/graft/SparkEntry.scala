@@ -714,7 +714,70 @@ object SparkEntry {
     // real ONNX reranker slot would pay, benched not just spec'd
     "x57_facade_query_trained_ce" -> ((s, d) =>
       facadeCeFor(s, d).query(KwQuery, FacadeUser, topK = 10)),
+
+    // session-scoped retrieval, scan vs indexed, on the shared
+    // warehouse (50 sessions → one session ≈ 2% of the corpus): the
+    // indexed path over-fetches by scope selectivity, so this pair
+    // prices that recall guarantee against the bucket-pruned scan
+    "x58_facade_scoped_scan" -> ((s, d) =>
+      facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10,
+        sessionId = Some("s7"))),
+
+    "x59_facade_scoped_indexed" -> ((s, d) =>
+      facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10,
+        sessionId = Some("s7"), useIndexes = true, nProbe = 2)),
+
+    // one full churn cycle on a dedicated small warehouse: ingest a
+    // session → cascade-delete it (tombstoning the indexes) → maintain
+    // (commit-marker fold, compaction, vacuum, stale-triggered index
+    // rebuild) → query. Prices the maintenance cadence every
+    // deletion-churn deployment pays, instead of only spec'ing it.
+    "x60_facade_churn_maintain" -> ((s, d) => {
+      val eng = churnFacadeFor(s, d)
+      eng.createSession(ChurnSession, FacadeUser, "bench_agent")
+      eng.ingest(Tables.documents(s, d).filter(col("doc_id") < 100).select(
+        concat(lit("cm"), col("doc_id")).as("message_id"),
+        lit(ChurnSession).as("session_id"),
+        lit(FacadeUser).as("user_id"),
+        concat(lit("cr"), col("doc_id")).as("round_id"),
+        lit(1).as("sequence_number"),
+        lit("user").as("role"),
+        col("text").as("content"),
+        lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
+      eng.deleteSession(ChurnSession)
+      eng.maintain(maxSegments = 2, indexStaleThreshold = 0.1)
+      eng.query(KwQuery, FacadeUser, topK = 10, useIndexes = true, nProbe = 2)
+    }),
   )
+
+  private val ChurnSession = "churn_session"
+
+  /** Dedicated churn warehouse for x60 (NOT the shared x55/x56 one — the
+    * churn cycle mutates tables and rebuilds indexes, which would skew
+    * the scan/index pair): 300 docs ingested once, indexed; each bench
+    * pass then runs one ingest→delete→maintain→query cycle that ends at
+    * net-zero rows, so passes stay comparable. */
+  private val churnFacadeCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private def churnFacadeFor(s: SparkSession, d: String): pipeline.MemFuse =
+    churnFacadeCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString
+      val eng = new pipeline.MemFuse(s, dir)
+      eng.createUser(FacadeUser, "Bench User")
+      eng.createAgent("bench_agent", "Bench Agent")
+      eng.ingest(Tables.documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
+        .select(
+          concat(lit("m"), col("doc_id")).as("message_id"),
+          concat(lit("s"), col("doc_id") % 10).as("session_id"),
+          lit(FacadeUser).as("user_id"),
+          concat(lit("r"), col("doc_id")).as("round_id"),
+          lit(1).as("sequence_number"),
+          lit("user").as("role"),
+          col("text").as("content"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
+      eng.buildIndexes(nlist = 4)
+      eng
+    })
 
   private[graft] val FacadeUser = "bench_user"
 

@@ -32,10 +32,22 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     case None    => s"$basePath/kw_$t" // pre-versioning layout
   }
 
+  // incremental stats updates land as tiny versioned dirs committed with
+  // a pointer CAS (never an in-place overwrite a racing read could
+  // half-see); base dir = this handle's version dir
+  private def statsBase: String = verDir match {
+    case Some(v) => s"$basePath/$v"
+    case None    => basePath
+  }
+
   // one handle = one file-listing/schema-read per table
   @transient private lazy val postingsDf = spark.read.parquet(p("postings"))
   @transient private lazy val doclenDf = spark.read.parquet(p("doclen"))
-  @transient private lazy val statsDf = spark.read.parquet(p("stats"))
+  @transient private lazy val statsDf =
+    TableOps.currentArtifactDir(spark, statsBase, "stats_upd") match {
+      case Some(v) => spark.read.parquet(s"$statsBase/$v")
+      case None    => spark.read.parquet(p("stats")) // build-time stats
+    }
 
   def build(docs: DataFrame): Unit = {
     val name = TableOps.nextArtifactDir(spark, basePath, "kw")
@@ -68,8 +80,9 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     * repeats content — same dup semantics as the m1 table itself).
     * Handles opened before the update are stale by design — reopen, as
     * after [[build]]. The appends land inside the CURRENT version dir
-    * (this handle's snapshot); only the tiny single-row stats file is
-    * rewritten in place — the one sub-ms in-place write left, noted. */
+    * (this handle's snapshot); the refreshed corpus stats commit as a
+    * tiny versioned dir with a pointer CAS, so a racing read always
+    * resolves a complete stats file (the last in-place overwrite gone). */
   def addDocuments(docs: DataFrame): Unit = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -78,10 +91,15 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     val docLen = docs.select(
       col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     docLen.write.mode(SaveMode.Append).parquet(p("doclen"))
+    val name = TableOps.nextArtifactDir(spark, statsBase, "stats_upd")
     spark.read.parquet(p("doclen")).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(p("stats"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$statsBase/$name")
+    TableOps.commitArtifactDir(spark, statsBase, "stats_upd", name)
+    // superseded stats generations are micro-dirs; GC all but the newest
+    // two so per-batch adds don't accumulate clutter
+    TableOps.vacuumArtifacts(spark, statsBase, "stats_upd", keep = 2)
   }
 
   /** Documents the index carries (live + tombstoned — the denominator of

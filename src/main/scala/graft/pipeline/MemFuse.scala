@@ -353,13 +353,38 @@ class MemFuse(
         size(tokens(col("id"))).as("token_count"),
         lit(null).cast("timestamp").as("created_at")))
 
+    // index fetch size: the side indexes are table-global and hits are
+    // semi-joined back to the scope, so a SCOPED query must over-fetch
+    // in proportion to the scope's selectivity or a tiny session's docs
+    // never crack the global top-N (recall starvation). Scale by
+    // total/scope doc counts, capped at the whole index — the scope
+    // count is one job over the bucket-pruned chunks (catalog row stats
+    // at warehouse scale).
+    lazy val idxFetch: Int = {
+      val base = indexOversample * firstStage
+      if (!scoped) base
+      else {
+        val scopeN = chunks.count()
+        if (scopeN == 0) base
+        else {
+          val totalN =
+            if (TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined)
+              openKw().nDocs
+            else openIvf().assigned.count()
+          val scale = math.max(1L, math.ceil(totalN.toDouble / scopeN).toLong)
+          math.min(math.min(base.toLong * scale, math.max(totalN, base.toLong)),
+            Int.MaxValue.toLong).toInt
+        }
+      }
+    }
+
     val vector =
       (if (useIndexes) {
         // indexed candidates come from the m1 IVF index; knowledge (a
         // small side table, not IVF-indexed) is scanned and unioned
         val chunkIds = chunks.select(col("chunk_id"))
         val ivfHits = openIvf()
-          .query(encoder.encodeOne(text), indexOversample * firstStage, nProbe)
+          .query(encoder.encodeOne(text), idxFetch, nProbe)
           .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
         knCorpus.fold(ivfHits)(k => ivfHits.unionByName(
           k.withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
@@ -376,7 +401,7 @@ class MemFuse(
     val keyword =
       (if (useIndexes)
         openKw()
-          .bm25(terms, indexOversample * firstStage)
+          .bm25(terms, idxFetch)
           .join(chunks.select(col("chunk_id")), col("id") === col("chunk_id"), "left_semi")
       else
         Retrieval.bm25(

@@ -130,6 +130,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(col("k") =!= col("l"))
       .count()
     assert(mismatches == 0)
+    // wrong arity is a clear signature error, not an IndexOutOfBounds
+    val err = intercept[Exception] {
+      spark.sql("SELECT ngrams_distinct(split('a b', ' '))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("expects exactly two arguments")),
+      s"got: ${messages(err).mkString(" | ")}")
   }
 
   test("the SQL-authored window idiom also elides through the heap operator") {

@@ -59,6 +59,32 @@ class IndexSpec extends SparkSpec {
     assert(incScores == Retrieval.bm25(docs, terms, 50).as[(Long, Double)].collect().toSeq)
   }
 
+  test("corpus stats stay readable while incremental adds commit them") {
+    // stats now commit as versioned dirs behind a pointer CAS — a reader
+    // racing addDocuments always resolves a COMPLETE stats file (the old
+    // in-place overwrite had a window where stats were half-written)
+    val docs = Tables.documents(spark, sf())
+    val dir = Files.createTempDirectory("kwstats").toString
+    new KeywordIndex(spark, dir).build(docs.filter(col("doc_id") < 100))
+    @volatile var failure: Option[Throwable] = None
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      try while (writing) {
+        val n = new KeywordIndex(spark, dir).nDocs
+        assert(n >= 100, s"stats must never regress or vanish, saw $n")
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    (0 until 4).foreach { i =>
+      new KeywordIndex(spark, dir).addDocuments(
+        docs.filter(col("doc_id") >= 100 + i * 25 && col("doc_id") < 125 + i * 25))
+    }
+    writing = false
+    reader.join()
+    assert(failure.isEmpty, s"concurrent stats read failed: ${failure.map(_.getMessage)}")
+    assert(new KeywordIndex(spark, dir).nDocs == 200)
+  }
+
   test("ivf incremental add: nearest-centroid assignment, probe completeness") {
     import graft.pipeline.IvfIndex
     val emb = Tables.embeddings(spark, sf())
@@ -214,6 +240,31 @@ class IndexSpec extends SparkSpec {
     val indexed = engine.query("broadcast join", "u1", topK = 2,
       useIndexes = true, nProbe = 2).collect().toSeq
     assert(indexed == scan)
+  }
+
+  test("scoped indexed queries scale the oversample by scope selectivity (recall)") {
+    val dir = Files.createTempDirectory("idxscope").toString
+    val engine = new MemFuse(spark, dir)
+    // 30 strong-matching s1 messages drown the GLOBAL ranking; s2's two
+    // weak matches must still surface for a query scoped to s2 — with a
+    // fixed global over-fetch (indexOversample = 1 → 4 hits, all s1) the
+    // semi-join back to the scope would return nothing
+    val msgs = (1 to 30).map(i =>
+      Schemas.Message(s"a$i", "s1", "u1", s"ra$i", i, "user",
+        "spark partition tuning spark partition", ts(i))) ++ Seq(
+      Schemas.Message("b1", "s2", "u1", "rb1", 31, "user", "notes about spark", ts(31)),
+      Schemas.Message("b2", "s2", "u1", "rb2", 32, "user", "partition layout sketch", ts(32)))
+    engine.ingest(msgs.toDF())
+    engine.buildIndexes(nlist = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("id")).toSeq
+    val scan = ids(engine.query("spark partition", "u1", topK = 2,
+      sessionId = Some("s2")))
+    val indexed = ids(engine.query("spark partition", "u1", topK = 2,
+      sessionId = Some("s2"), useIndexes = true, nProbe = 2, indexOversample = 1))
+    assert(scan.size == 2)
+    assert(indexed == scan,
+      "scoped indexed retrieval must reach every scope doc the scan path finds")
   }
 
   test("index rebuild never yanks files from a handle opened before it") {
