@@ -11,8 +11,18 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // oracle-checked queries + bench-only x* entries (index/facade paths)
-    val ordered = (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq.sortBy(_._1)
+    // oracle-checked queries + bench-only x* entries (index/facade paths);
+    // SPARK_GRAFT_FILTER (regex, find-anywhere) narrows the set for
+    // isolating one query's cost during iteration
+    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.r)
+    val all = (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+    // x9* entries are SIDE-EFFECTFUL cycles (ingest→delete→maintain):
+    // their heavy I/O + GC churn measurably inflates every other query
+    // when interleaved (verified: untouched queries ran 1.2-1.5× slower
+    // with the churn entry in the pass loop), so they run once, AFTER
+    // the comparative passes
+    val (isolated, ordered) = all.partition(_._1.startsWith("x9"))
     // full-evaluation sink: a count() would let column pruning ELIDE the
     // output projections (a scan-speed text query would be timed as a
     // bare row count — measured 30× under-reporting on q56) — the noop
@@ -38,11 +48,19 @@ object Bench {
     }
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val passes = (1 to nPasses).map(_ => pass())
+    val isoResults = isolated.map { case (name, fn) =>
+      // first run is untimed setup (warehouse build, index bootstrap);
+      // the timed run measures one steady-state cycle
+      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    }
     val results = ordered.indices.map { i =>
       val rs = passes.map(_(i))
       val ok = rs.forall(_._3)
       (rs.head._1, if (ok) rs.map(_._2).min else -1.0, ok)
-    }
+    } ++ isoResults
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (n, _, false) => s"\"" + n + "\"" }

@@ -69,12 +69,21 @@ object Demo {
     println("-- session/agent-scoped retrieval --")
     engine.query("spark shuffle", "alice", topK = 2, sessionId = Some("s1")).show(false)
 
+    println("-- fusion strategy + freshness boost knobs --")
+    engine.query("broadcast join help", "alice", topK = 2,
+      fusion = "weighted", freshness = Some(0.5)).show(false)
+
     println("-- message update: m0 mutates in place, the round re-chunks --")
     engine.updateMessage("m2", "size partitions from the shuffle spill metrics and core count")
     engine.query("shuffle spill metrics", "alice", topK = 1).show(false)
 
-    println("-- storage maintenance: compact segments + vacuum + marker fold --")
-    engine.maintain(maxSegments = 1)
+    println("-- deletes tombstone the side indexes; maintain() rebuilds past threshold --")
+    engine.deleteMessage("m5")
+    println(f"index stale fraction after delete: ${engine.indexStaleFraction}%.2f")
+
+    println("-- storage maintenance: compact segments + vacuum + marker fold + index rebuild --")
+    engine.maintain(maxSegments = 1, indexStaleThreshold = 0.1)
+    println(f"index stale fraction after maintain: ${engine.indexStaleFraction}%.2f")
 
     engine.deleteUser("alice")
     println(s"after deleteUser(alice) cascade: m0=${engine.m0.count()} " +

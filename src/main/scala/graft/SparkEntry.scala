@@ -732,7 +732,7 @@ object SparkEntry {
     // (commit-marker fold, compaction, vacuum, stale-triggered index
     // rebuild) → query. Prices the maintenance cadence every
     // deletion-churn deployment pays, instead of only spec'ing it.
-    "x60_facade_churn_maintain" -> ((s, d) => {
+    "x90_facade_churn_maintain" -> ((s, d) => {
       val eng = churnFacadeFor(s, d)
       eng.createSession(ChurnSession, FacadeUser, "bench_agent")
       eng.ingest(Tables.documents(s, d).filter(col("doc_id") < 100).select(

@@ -175,8 +175,14 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // postings⋈docLen is pinned to a SHUFFLED hash join with the
+    // query-term postings as build side: docLen is one row per corpus
+    // document, and at toy SF the planner would happily put that
+    // corpus-sized projection on a broadcast build side — the exact
+    // inversion that OOMs at 100× (PlanSpec guards it)
     val scored = postings
       .join(broadcast(dfreq), "term")
+      .hint("shuffle_hash")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",

@@ -120,8 +120,12 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
       .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
       .filter(col("term").isin(terms: _*))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // the pruned posting slices build a SHUFFLED hash join against the
+    // corpus-sized doclen table (never a doclen broadcast — see
+    // Retrieval.bm25; same 100 TB inversion)
     val scored = postings
       .join(broadcast(dfreq), "term")
+      .hint("shuffle_hash")
       .join(doclenDf, "doc_id")
       .crossJoin(broadcast(statsDf))
       .withColumn("idf",

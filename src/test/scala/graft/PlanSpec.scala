@@ -50,6 +50,54 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  /** True iff `p` is a BARE corpus scan — only Project/Filter above a
+    * documents.parquet file scan, no aggregate/limit/join that would
+    * shrink it. A bare corpus scan on a broadcast build side is the
+    * inversion that OOMs at 100× (the planner happily does it at toy SF
+    * where the whole corpus is a few MB). */
+  private def bareDocScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case s: FileSourceScanExec => s.toString.contains("documents.parquet")
+      case pr: ProjectExec       => bareDocScan(pr.child)
+      case f: FilterExec         => bareDocScan(f.child)
+      case g: GenerateExec       => bareDocScan(g.child)
+      case _                     => false
+    }
+  }
+
+  private def broadcastBuildSides(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        if (j.buildSide == BuildLeft) j.left else j.right
+    }
+  }
+
+  test("q19: corpus-sized doclen never sits on a broadcast build side") {
+    val df = SparkEntry.queries("q19_bm25")(spark, sf())
+    // df/stats broadcasts are per-query-term tiny aggregates; the
+    // one-row-per-doc doclen projection must stream through a shuffled
+    // hash join instead
+    val bad = broadcastBuildSides(df).filter(bareDocScan)
+    assert(bad.isEmpty, bad.map(_.toString.take(400)).mkString("\n"))
+    assert(df.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
+      df.queryExecution.sparkPlan.toString.take(1500))
+  }
+
+  test("q65: the boost's single-row max-ts frame broadcasts; no cartesian blowup") {
+    val df = SparkEntry.queries("q65_fusion_boosted")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    // the only nested-loop allowed is the 1-row max-ts broadcast; and no
+    // BARE corpus scan may sit on a broadcast build side (the fused
+    // LIMIT-40 frame and the per-term df aggregate are fine — they merely
+    // DERIVE from documents; a raw documents projection is not)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val bad = broadcastBuildSides(df).filter(bareDocScan)
+    assert(bad.isEmpty, bad.map(_.toString.take(400)).mkString("\n"))
+  }
+
   test("q46: indexed BM25 prunes postings partitions by term bucket") {
     val df = SparkEntry.queries("q46_bm25_indexed")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()
