@@ -688,6 +688,34 @@ object Oracles {
          |FROM (${rrfSql(15)}) f JOIN documents ON f.id = documents.doc_id
          |ORDER BY fused_score DESC, id""".stripMargin,
 
+    // q66: corpus-trained unigram negative log-likelihood per doc; the
+    // decimal-widened average keeps the float sum order-independent
+    "q66_unigram_nll" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+         |counts AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+         |tot AS (SELECT SUM(cnt) AS n_total FROM counts)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${t6(davg("-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))"))} AS avg_nll
+         |FROM tk JOIN counts USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q67: per-doc top-3 terms by tf·ln(N/df) — the window twin of the
+    // Spark side's bounded-heap TopKPerKey cut
+    "q67_tfidf_keywords" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term AS keyword,
+         |    ${t6("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))")} AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, keyword, score, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, keyword) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents

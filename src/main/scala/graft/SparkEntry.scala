@@ -485,6 +485,17 @@ object SparkEntry {
         .orderBy(col("boosted_score").desc, col("id"))
     }),
 
+    // ---- CCNet-style LM-quality proxy: mean unigram NLL per document
+    // under the corpus's own distribution (the perplexity-filter slot
+    // of every pretraining recipe; Wenzek et al.) ----
+    "q66_unigram_nll" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+
+    // ---- TF-IDF keyword extraction, per-doc top-3 through the
+    // bounded-heap TopKPerKey operator (no corpus-wide window sort) ----
+    "q67_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), topK = 3)),
+
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
 

@@ -56,6 +56,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style language-model quality proxy (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * filters on KenLM perplexity): score each document by the mean
+    * negative log-probability of its tokens under the corpus's OWN
+    * unigram distribution. The unigram variant keeps the filter's shape
+    * — documents full of rare/garbage tokens score high, templated
+    * boilerplate scores low — while staying deterministic and
+    * engine-exact (the n-gram LM slot swaps in behind the same
+    * signature).
+    *
+    * Scale shape: ONE map-side-combinable token groupBy builds the
+    * unigram table (vocab-sized, ≪ corpus — Spark broadcasts it from
+    * stats or shuffles by term when the vocabulary outgrows that), one
+    * per-doc aggregation scores. The decimal-widened average keeps the
+    * sum order-independent for the oracle. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        -log(col("cnt").cast("double") / col("n_total").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        trunc6(davg(col("nll"))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF keyword extraction: the top `topK` terms of every document
+    * by tf·ln(N/df) — the per-document keyword/tag step of a corpus
+    * indexing pipeline. The per-doc cut routes through the engine's
+    * [[graft.plans.TopKPerKey]] bounded-heap operator (no windowed full
+    * sort of the corpus-sized (doc, term) score table); ranks are then
+    * numbered within the tiny survivor set. */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df is a vocab-sized aggregate (≪ the (doc, term) table) — the
+    // planner broadcasts it from stats; no bare corpus scan ever builds
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        trunc6(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))))
+      .select(col("doc_id"), col("term").as("keyword"), col("score"))
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+      Seq(col("score").desc, col("keyword")), topK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("keyword")))
+        .cast("long"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct content tokens —
     * stable under token reordering and duplication. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -191,6 +191,38 @@ class OperatorSpec extends SparkSpec {
     assert(new String(f0.flatten) == "abcdefghij".take(f0.map(_.length).sum))
   }
 
+  test("unigram NLL: rare-token docs score higher than boilerplate") {
+    // 3 docs sharing "the cat sat"; one appends a hapax token — its mean
+    // NLL must exceed the all-common docs'
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat zyzzyva"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._3 == got(1)._3, "identical docs score identically")
+    assert(got(2)._3 > got(0)._3, "the hapax-bearing doc is more surprising")
+    // hand-check doc 1: p(the)=p(cat)=p(sat)=3/10 → NLL = ln(10/3)
+    val expect = math.floor(-math.log(3.0 / 10.0) * 1e6) / 1e6
+    assert(math.abs(got(0)._3 - expect) < 1e-9)
+  }
+
+  test("tfidf keywords: distinctive terms beat shared terms, heap cut = window cut") {
+    val docs = Seq(
+      (1L, "spark spark shuffle common"), (2L, "duck pond common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, topK = 2)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    // doc 1's top keyword is its doubled distinctive term
+    assert(got.filter(_._1 == 1L).head._2 == "spark")
+    assert(got.filter(_._1 == 2L).map(_._2).toSet == Set("duck", "pond"))
+    // 'common' appears in every doc → idf = ln(1) = 0 everywhere
+    assert(got.filter(_._2 == "common").forall(_._3 == 0.0))
+    // ranks are 1-based and dense per doc (doc 3 has one distinct term)
+    assert(got.groupBy(_._1).values.forall(g =>
+      g.map(_._4).sorted == (1L to g.length).toSeq))
+  }
+
   test("duplicate clusters: transitive min-label over the pair list") {
     // two components, one needing 3-hop transitivity (1-2-3-4), plus an
     // isolated pair; every member labels with its component's min id

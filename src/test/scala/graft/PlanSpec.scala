@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q67: the per-doc keyword cut runs through the heap operator, window only on survivors") {
+    val df = SparkEntry.queries("q67_tfidf_keywords")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    // the Window that numbers ranks must sit ABOVE the heap cut (tiny
+    // survivor set), never below it on the corpus-sized score table
+    val windowIdx = p.indexOf("Window")
+    val heapIdx = p.indexOf("TopKPerKey")
+    assert(windowIdx >= 0 && heapIdx > windowIdx,
+      s"window@$windowIdx heap@$heapIdx\n" + p.take(2000))
+  }
+
   test("q19: corpus-sized doclen never sits on a broadcast build side") {
     val df = SparkEntry.queries("q19_bm25")(spark, sf())
     // df/stats broadcasts are per-query-term tiny aggregates; the
