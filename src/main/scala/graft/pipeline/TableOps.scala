@@ -86,8 +86,10 @@ object TableOps {
 
   /** A marker-less claim older than this is a crashed writer's; the next
     * writer reclaims the version name. In-JVM the per-table lock makes
-    * this unreachable; it only matters for cross-process crashes. */
-  private val StaleClaimMs = 60000L
+    * this unreachable; it only matters for cross-process crashes.
+    * (System-property override is a test hook for the reclaim path.) */
+  private def StaleClaimMs: Long =
+    sys.props.get("graft.staleClaimMs").map(_.toLong).getOrElse(60000L)
 
   // same-JVM writers serialize per table; the exclusive-create CAS below
   // guards cross-process races (reentrant, so a test hook may nest a writer)

@@ -167,6 +167,26 @@ class TableOpsSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq("m2", "m3"), "reads intact after legacy GC")
   }
 
+  test("readers skip an unsealed manifest; writers reclaim a crashed writer's stale claim") {
+    val dir = tmp("claim")
+    TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a writer that claimed v00000001 and died mid-write: the
+    // file exists but carries no commit marker
+    val orphan = new java.io.File(s"$dir/_log/v00000001")
+    java.nio.file.Files.writeString(orphan.toPath, "bucketed=false\n{}\nseg_garbage")
+    // readers must keep answering from the last SEALED manifest
+    assert(TableOps.read(spark, dir).select("id").as[Long].collect().toSeq == Seq(1L))
+    // a new writer reclaims the stale claim (test hook: stale after 0ms)
+    System.setProperty("graft.staleClaimMs", "0")
+    try TableOps.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    finally System.clearProperty("graft.staleClaimMs")
+    assert(TableOps.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "both the old row and the reclaimed append are visible")
+    // and the reclaimed version is now sealed
+    val manifest = java.nio.file.Files.readString(orphan.toPath)
+    assert(manifest.endsWith("#committed"))
+  }
+
   test("empty rewrite result stays readable with the manifest schema") {
     val dir = tmp("empty")
     TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
