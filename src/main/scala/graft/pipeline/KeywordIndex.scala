@@ -103,8 +103,10 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
   }
 
   /** Documents the index carries (live + tombstoned — the denominator of
-    * MemFuse.indexStaleFraction; shrinks only on rebuild). */
-  def nDocs: Long = statsDf.head().getAs[Long]("n_docs")
+    * MemFuse.indexStaleFraction; shrinks only on rebuild). Cached per
+    * handle like the file listings: scoped queries consult it per query
+    * and must not pay a stats job each time. */
+  @transient lazy val nDocs: Long = statsDf.head().getAs[Long]("n_docs")
 
   /** BM25 top-k from the index alone (k1/b per the reference defaults). */
   def bm25(queryTerms: Seq[String], topK: Int,

@@ -267,6 +267,50 @@ class IndexSpec extends SparkSpec {
       "scoped indexed retrieval must reach every scope doc the scan path finds")
   }
 
+  test("facade queries never fail under concurrent ingest, delete and maintenance") {
+    // end-to-end MVCC: a reader thread alternating scan/indexed hybrid
+    // queries while the writer ingests, cascade-deletes a session and
+    // runs maintain() (compaction + vacuum + stale-index rebuild). Every
+    // read must answer from SOME committed snapshot — no exceptions, no
+    // half-swapped state; afterwards indexed ≡ scan on the final corpus.
+    val dir = Files.createTempDirectory("idxchaos").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    (1 to 3).foreach(i => engine.createSession(s"s$i", "u1", "a1"))
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s2", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s3", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3))).toDF())
+    engine.buildIndexes(nlist = 2)
+    @volatile var failure: Option[Throwable] = None
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      try {
+        var i = 0
+        while (writing) {
+          engine.query("spark partition", "u1", topK = 2,
+            useIndexes = i % 2 == 0, nProbe = 2).collect()
+          i += 1
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    (4 to 6).foreach { i =>
+      engine.ingest(Seq(Schemas.Message(s"m$i", s"s${(i % 2) + 1}", "u1", s"r$i",
+        i, "user", s"spark adaptive execution notes batch $i", ts(i))).toDF())
+    }
+    engine.deleteSession("s3")
+    engine.maintain(indexStaleThreshold = 0.01)
+    writing = false
+    reader.join()
+    assert(failure.isEmpty, s"concurrent query failed: ${failure.map(_.toString)}")
+    val scan = engine.query("spark partition", "u1", topK = 3).collect().toSeq
+    val indexed = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan)
+  }
+
   test("index rebuild never yanks files from a handle opened before it") {
     import graft.pipeline.IvfIndex
     val emb = Tables.embeddings(spark, sf())
