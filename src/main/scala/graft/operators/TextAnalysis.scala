@@ -107,12 +107,18 @@ object TextAnalysis {
         trunc6(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))))
       .select(col("doc_id"), col("term").as("keyword"), col("score"))
-    graft.plans.TopKPerKey(scored, Seq("doc_id"),
-      Seq(col("score").desc, col("keyword")), topK)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("keyword")))
-        .cast("long"))
-      .orderBy("doc_id", "rank")
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("keyword"))
+    val heapRegistered = docs.sparkSession.sessionState.planner.strategies
+      .exists(_ eq graft.plans.TopKPerKeyStrategy)
+    val cut = // plain sessions (no GraftExtensions) fall back to the window idiom
+      if (heapRegistered)
+        graft.plans.TopKPerKey(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("keyword")), topK)
+          .withColumn("rank", row_number().over(w).cast("long"))
+      else
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+    cut.orderBy("doc_id", "rank")
   }
 
   /** Document fingerprint: md5 over the sorted distinct content tokens —

@@ -504,11 +504,15 @@ class MemFuse(
       TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
 
   /** Record deleted chunk ids (no-op when no side index exists). The
-    * input frame must be built over the PRE-delete snapshot. */
+    * input frame must be built over the PRE-delete snapshot. Writes are
+    * serialized: two concurrent parquet Appends to one dir race on the
+    * shared _temporary staging (committer v1 deletes it wholesale). */
+  @transient private lazy val tombstoneLock = new Object
   private def tombstone(deadChunkIds: DataFrame): Unit =
-    if (indexesExist)
+    if (indexesExist) tombstoneLock.synchronized {
       deadChunkIds.select(col("chunk_id").cast("string").as("doc_id"))
         .write.mode(SaveMode.Append).parquet(tombstonePath)
+    }
 
   private def tombstonesDf: DataFrame =
     if (TableOps.exists(spark, tombstonePath)) spark.read.parquet(tombstonePath)

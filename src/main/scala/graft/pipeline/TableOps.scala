@@ -327,7 +327,7 @@ object TableOps {
       while (!done) {
         currentSnapshot(spark, tablePath) match {
           case None =>
-            legacySwapBucket(spark, tablePath, bucket)(f); done = true
+            done = !sealLegacy(spark, tablePath, bucketed = true)
           case Some(snap) =>
             val suffix = s"/user_bucket=$bucket"
             val mine = snap.entries.filter(e => entryBucket(e).contains(bucket))
@@ -363,7 +363,7 @@ object TableOps {
       while (!done) {
         currentSnapshot(spark, tablePath) match {
           case None =>
-            legacySwapTable(spark, tablePath)(f); done = true
+            done = !sealLegacy(spark, tablePath, bucketed = false)
           case Some(snap) =>
             val cur =
               if (snap.entries.isEmpty) emptyOf(spark, snap.schemaJson)
@@ -505,39 +505,24 @@ object TableOps {
     }
   }
 
-  // ---------- legacy (pre-manifest) layout fallbacks ----------
+  // ---------- legacy (pre-manifest) layout upgrade ----------
 
-  /** Round-3 recovery-ordered swap, kept for directories written before
-    * the manifest log existed (plain `partitionBy` output read straight
-    * by path). New writers never produce this layout. */
-  private def legacySwapBucket(spark: SparkSession, tablePath: String, bucket: Long)(
-      f: DataFrame => DataFrame): Unit = {
-    val base = new Path(tablePath)
-    val fs = fsOf(spark, base)
-    val partDir = new Path(base, s"user_bucket=$bucket")
-    if (!fs.exists(partDir)) return
-    val cur = spark.read.parquet(tablePath).filter(col("user_bucket") === bucket)
-    val next = f(cur).drop("user_bucket")
-    val aside = new Path(tablePath + s"_rw$bucket")
-    val old = new Path(tablePath + s"_oldrw$bucket")
-    next.write.mode(SaveMode.Overwrite).parquet(aside.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(partDir, old)
-    fs.rename(aside, partDir)
-    fs.delete(old, true)
-  }
-
-  private def legacySwapTable(spark: SparkSession, tablePath: String)(
-      f: DataFrame => DataFrame): Unit = {
-    val base = new Path(tablePath)
-    val fs = fsOf(spark, base)
-    if (!fs.exists(base)) return
-    val aside = new Path(tablePath + "_tmp")
-    val old = new Path(tablePath + "_old")
-    f(spark.read.parquet(tablePath)).write.mode(SaveMode.Overwrite).parquet(aside.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(base, old)
-    fs.rename(aside, base)
-    fs.delete(old, true)
+  /** Upgrade-on-first-write: seal a legacy (pre-manifest) directory's
+    * data into manifest v0, so the caller's retry loop proceeds down the
+    * MVCC rewrite path. This replaced the round-3 in-place legacy swap —
+    * which could still yank files from a racing reader; now even the
+    * FIRST mutation of a pre-manifest table is snapshot-isolated, and
+    * vacuum later reclaims the folded legacy dirs once rewrites
+    * supersede them. Returns true if there is legacy data to mutate
+    * (manifest now committed by us or a racing upgrader), false for an
+    * absent/empty table (the mutation is a no-op). */
+  private def sealLegacy(spark: SparkSession, tablePath: String,
+      bucketed: Boolean): Boolean = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val legacy = legacyEntries(fs, tablePath, bucketed)
+    if (legacy.isEmpty) return false
+    val schema = readDirs(spark, tablePath, legacy, mergeSchema = true).schema.json
+    tryCommit(spark, tablePath, 0L, bucketed, schema, legacy)
+    true // a lost race means another upgrader committed v0 — just as good
   }
 }

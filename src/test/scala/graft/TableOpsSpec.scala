@@ -167,6 +167,31 @@ class TableOpsSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq("m2", "m3"), "reads intact after legacy GC")
   }
 
+  test("first MUTATION of a legacy table seals it into a manifest (no in-place swap)") {
+    // rewrite-before-any-append: the legacy dir is sealed as v0 and the
+    // mutation runs down the MVCC path — a reader holding the pre-seal
+    // frame keeps answering (the old in-place swap deleted its files)
+    val dir = tmp("legacymut")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(dir)
+    val preSeal = spark.read.parquet(dir)
+    TableOps.rewriteTable(spark, dir)(_.filter(col("id") =!= 2L))
+    assert(preSeal.count() == 3, "pre-upgrade reader keeps its snapshot")
+    assert(TableOps.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    assert(new java.io.File(s"$dir/_log").exists(), "manifest log created by the upgrade")
+
+    // bucketed twin through the facade-shaped layout
+    val bdir = tmp("legacymutb")
+    val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    TableOps.withUserBucket(
+      Seq(("m1", "u1", t), ("m2", "u1", t)).toDF("message_id", "user_id", "created_at"))
+      .write.partitionBy("user_bucket").parquet(bdir)
+    TableOps.rewriteBucket(spark, bdir, TableOps.bucketOf(spark, "u1"))(
+      _.filter(col("message_id") =!= "m1"))
+    assert(TableOps.read(spark, bdir).select("message_id").as[String]
+      .collect().toSeq == Seq("m2"))
+  }
+
   test("readers skip an unsealed manifest; writers reclaim a crashed writer's stale claim") {
     val dir = tmp("claim")
     TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
