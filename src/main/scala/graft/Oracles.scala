@@ -716,6 +716,18 @@ object Oracles {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // q68: the windowed cumsum twin of the two-phase prefix-sum sharding
+    // (shard = floor(start_offset / target); start = cum − own tokens)
+    "q68_token_shards" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 20000.0) AS BIGINT) AS shard
+        |FROM (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents

@@ -496,6 +496,13 @@ object SparkEntry {
     "q67_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, d), topK = 3)),
 
+    // ---- token-balanced contiguous export sharding: two-phase
+    // distributed prefix sum (per-partition sums → driver prefix scan →
+    // offset-seeded running totals) — the scalable stand-in for the
+    // single-partition window cumsum Spark would otherwise plan ----
+    "q68_token_shards" -> ((s, d) =>
+      TextAnalysis.shardByTokens(Tables.documents(s, d), targetTokens = 20000L)),
+
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
 

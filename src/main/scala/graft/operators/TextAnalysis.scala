@@ -121,6 +121,49 @@ object TextAnalysis {
     cut.orderBy("doc_id", "rank")
   }
 
+  /** Token-balanced contiguous sharding for corpus export: assign each
+    * document (in doc_id order) to shard ⌊start_offset / target⌋, where
+    * start_offset is the running token total of all earlier docs — the
+    * "write N roughly-equal training shards" step of every corpus
+    * export, with deterministic, order-stable assignments.
+    *
+    * A naive `sum() OVER (ORDER BY doc_id)` collapses to ONE partition
+    * (Spark's unpartitioned window); this is the scalable two-phase
+    * prefix sum instead: range-partition by doc_id, per-partition token
+    * sums to the driver (one long per partition), prefix-scan there,
+    * then a per-row running total seeded by the partition's offset. The
+    * sorted RDD is locally checkpointed between the two phases — a
+    * recomputation could re-sample range boundaries and silently shift
+    * every offset, so losing the blocks must FAIL the job, not corrupt
+    * the assignment. */
+  def shardByTokens(docs: DataFrame, targetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .rdd
+      .localCheckpoint()
+    val partSums = sized
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    sized
+      .mapPartitionsWithIndex { case (i, it) =>
+        var cum = offsets.value(i)
+        it.map { case (id, n) =>
+          val start = cum; cum += n; (id, n, start / targetTokens)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct content tokens —
     * stable under token reordering and duplication. */
   def fingerprint(docs: DataFrame): DataFrame =

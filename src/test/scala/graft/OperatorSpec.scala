@@ -223,6 +223,28 @@ class OperatorSpec extends SparkSpec {
       g.map(_._4).sorted == (1L to g.length).toSeq))
   }
 
+  test("token sharding: matches a local prefix sum; contiguous and balanced") {
+    val docs = Tables.documents(spark, sf())
+    val target = 500L
+    val got = TextAnalysis.shardByTokens(docs, target)
+      .as[(Long, Long, Long)].collect().toSeq
+    // local reference: running token total in doc_id order
+    val local = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val expect = local.map { case (id, n) =>
+      val s = cum / target; cum += n; (id, n, s)
+    }.toSeq
+    assert(got == expect, "distributed two-phase prefix sum ≡ local scan")
+    // shards are contiguous in doc order and nondecreasing
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    // balance: a shard overshoots the target by at most its last doc
+    got.groupBy(_._3).values.foreach { g =>
+      assert(g.map(_._2).sum <= target + g.map(_._2).max)
+    }
+  }
+
   test("duplicate clusters: transitive min-label over the pair list") {
     // two components, one needing 3-hop transitivity (1-2-3-4), plus an
     // isolated pair; every member labels with its component's min id
