@@ -734,6 +734,33 @@ object Oracles {
         |      UNION ALL SELECT doc_id + 10000, text FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    // q69: passage dedup + reassembly — the window twin of the Spark
+    // side's heap-k=1 first-occurrence cut (passage = 20-token window;
+    // DuckDB list slice is 1-based end-inclusive and caps at the end)
+    "q69_paragraph_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |                UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |p AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks) - 1) // 20)) AS pos
+        |      FROM tk),
+        |paras AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        array_to_string(toks[(pos * 20 + 1):(pos * 20 + 20)], ' ') AS para
+        |      FROM p),
+        |keep AS (SELECT doc_id, pos, para, row_number() OVER (
+        |          PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |      FROM paras),
+        |tot AS (SELECT doc_id,
+        |          CAST((len(toks) - 1) // 20 + 1 AS BIGINT) AS n_paras FROM tk),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(para, ' ' ORDER BY pos) AS new_text
+        |      FROM keep WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_paras,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       coalesce(r.new_text, '') AS new_text
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q29_minhash_lsh" -> {
       val sigCols = (0 until 8).map { i =>
         s"list_min(list_transform(m${i / 4}, m -> CAST(concat('0x', substr(m, ${(i % 4) * 8 + 1}, 8)) AS BIGINT))) AS mh$i"

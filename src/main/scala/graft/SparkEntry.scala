@@ -506,6 +506,13 @@ object SparkEntry {
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
 
+    // ---- passage-level dedup with reassembly (RefinedWeb/CCNet): drop
+    // every 20-token passage duplicated anywhere in the corpus (first
+    // occurrence wins), rebuild documents from the survivors — the cut
+    // runs through the bounded-heap TopKPerKey operator with k=1 ----
+    "q69_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(docsWithCopies(s, d), paraTokens = 20)),
+
     "q29_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docsWithNearDups(s, d),
         shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)),

@@ -177,6 +177,43 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("paragraph dedup: first occurrence wins, docs reassemble in order") {
+    // paraTokens=3 → passages are 3-token windows. doc 1 owns passages
+    // A B; doc 2 repeats A (dropped) then contributes C; doc 3 is a full
+    // copy of doc 1 (everything dropped, n_kept = 0); doc 4 repeats its
+    // own first passage within itself (second occurrence dropped).
+    val pA = "a1 a2 a3"; val pB = "b1 b2 b3"; val pC = "c1 c2 c3"
+    val docs = Seq(
+      (1L, s"$pA $pB"), (2L, s"$pA $pC"), (3L, s"$pA $pB"),
+      (4L, s"$pA $pA"))
+      .toDF("doc_id", "text")
+    // doc 4's repeats of pA lose to doc 1's (smaller doc_id)
+    val got = Dedup.paragraphDedup(docs, paraTokens = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, s"$pA $pB"),
+      (2L, 2L, 1L, pC),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 0L, "")))
+    // distributed heap-k=1 cut ≡ an independent local reference over
+    // real corpus text with injected copies
+    val real = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = real.unionByName(
+      real.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val viaSpark = Dedup.paragraphDedup(corpus)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val local = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expect = local.map { case (id, text) =>
+      val paras = text.split(" ").grouped(20).map(_.mkString(" ")).toSeq
+      val kept = paras.filter(seen.add) // first occurrence wins, in-doc too
+      (id, paras.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toSeq
+    assert(viaSpark == expect, "distributed cut ≡ local first-occurrence scan")
+    // every +10000 copy is fully duplicate
+    assert(viaSpark.filter(_._1 >= 10000).forall(_._3 == 0L))
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val docs = Seq((0L, "abcdefghij"), (1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.synthesize(docs, "doc_id", "text")
