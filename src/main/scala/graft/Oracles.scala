@@ -71,6 +71,86 @@ object Oracles {
        |  WHERE e.vec_id != $qid)
        |ORDER BY score DESC, id LIMIT $topK""".stripMargin
 
+  /** The PQ pipeline (q70/q71) as a WITH-clause prefix ending in
+    * `codes` (vec_id, sub, code) and `lut` (sub, code, d): md5-ordered
+    * sample, seed codebook from the first ksub rows, `PqIters` unrolled
+    * Lloyd steps with decimal-widened centroid means, corpus encode
+    * against the final codebook, query LUT. Every distance is the same
+    * ‖x‖²−2x·c+‖c‖² float form as the Spark side, so codes and
+    * distances are bit-identical. */
+  private lazy val pqPipelineSql: String = {
+    val m = SparkEntry.PqM; val ksub = SparkEntry.PqKsub
+    val iters = SparkEntry.PqIters; val sampleRows = SparkEntry.PqSample
+    val dsub = 64 / m
+    val qid = SparkEntry.KnnQueryId
+    def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
+    def dist(xx: String, x: String, c: String) =
+      s"($xx - 2.0 * list_dot_product($x, $c)) + list_dot_product($c, $c)"
+    val iterBlocks = (1 to iters).map { t =>
+      s"""asg$t AS (
+         |  SELECT s.vec_id, s.sub, c.code, s.subvec,
+         |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
+         |  FROM srx s JOIN cb${t - 1} c USING (sub)),
+         |best$t AS (
+         |  SELECT vec_id, sub, code, subvec FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM asg$t)
+         |  WHERE rn = 1),
+         |mean$t AS (
+         |  SELECT sub, code, pos, ${davg("v")} AS mv
+         |  FROM (SELECT sub, code, unnest(subvec) AS v,
+         |               generate_subscripts(subvec, 1) AS pos FROM best$t)
+         |  GROUP BY sub, code, pos),
+         |cent$t AS (SELECT sub, code, list(mv ORDER BY pos) AS centroid
+         |           FROM mean$t GROUP BY sub, code),
+         |cb$t AS (SELECT c.sub, c.code, coalesce(n.centroid, c.centroid) AS centroid
+         |         FROM cb${t - 1} c LEFT JOIN cent$t n
+         |           ON n.sub = c.sub AND n.code = c.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH unit AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      v -> CASE WHEN nrm = 0 THEN 0.0 ELSE v / nrm END) AS uvec,
+       |    md5(concat('pq|', CAST(vec_id AS VARCHAR))) AS mh
+       |  FROM (SELECT vec_id, embedding,
+       |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                CAST(embedding AS DOUBLE[]))) AS nrm
+       |        FROM embeddings)),
+       |sample AS (SELECT vec_id, uvec FROM unit ORDER BY mh, vec_id LIMIT $sampleRows),
+       |srx AS (
+       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
+       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
+       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM sample))),
+       |seeds AS (SELECT vec_id, uvec,
+       |            row_number() OVER (ORDER BY mh, vec_id) - 1 AS code
+       |          FROM unit ORDER BY mh, vec_id LIMIT $ksub),
+       |cb0 AS (SELECT sub, CAST(code AS INT) AS code, ${sv("uvec", "sub")} AS centroid
+       |        FROM (SELECT code, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM seeds)),
+       |$iterBlocks,
+       |csrx AS (
+       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
+       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
+       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM unit))),
+       |casg AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
+       |  FROM csrx s JOIN cb$iters c USING (sub)),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM casg)
+       |  WHERE rn = 1),
+       |qs AS (SELECT sub, ${sv("uvec", "sub")} AS qsub
+       |       FROM (SELECT uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |             FROM (SELECT uvec FROM unit WHERE vec_id = $qid))),
+       |lut AS (SELECT c.sub, c.code,
+       |          ${dist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
+       |        FROM cb$iters c JOIN qs q USING (sub))""".stripMargin
+  }
+
   /** The keyword-store scan: BM25(k1=1.2, b=0.75) over whitespace tokens. */
   private def bm25Sql(terms: Seq[String], topK: Int): String = {
     val termList = terms.map(t => s"'$t'").mkString("(", ",", ")")
@@ -608,6 +688,34 @@ object Oracles {
          |  WHERE e.label = q.label AND e.vec_id != ${SparkEntry.IvfQueryId})
          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
 
+    // q70: the full PQ pipeline replayed in SQL (see pqPipelineSql) —
+    // pure ADC ranking from the codes
+    "q70_knn_pq" ->
+      s"""$pqPipelineSql
+         |SELECT vec_id AS id, ${t6(dsum12("d"))} AS adc_dist
+         |FROM codes JOIN lut USING (sub, code)
+         |WHERE vec_id != ${SparkEntry.KnnQueryId}
+         |GROUP BY vec_id
+         |ORDER BY adc_dist, id LIMIT 20""".stripMargin,
+
+    // q71: ADC top-(20×4) candidates exact-rescored with raw cosine
+    // (FAISS refine) — only the candidate ids fetch full vectors
+    "q71_knn_pq_rescored" ->
+      s"""$pqPipelineSql,
+         |cand AS (
+         |  SELECT vec_id, ${t6(dsum12("d"))} AS adc_dist
+         |  FROM codes JOIN lut USING (sub, code)
+         |  WHERE vec_id != ${SparkEntry.KnnQueryId}
+         |  GROUP BY vec_id
+         |  ORDER BY adc_dist, vec_id LIMIT ${20 * SparkEntry.PqOversample})
+         |SELECT a.vec_id AS id,
+         |       ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |FROM cand a
+         |JOIN embeddings e ON e.vec_id = a.vec_id,
+         |     (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |      WHERE vec_id = ${SparkEntry.KnnQueryId}) q
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
     "q41_knn_lsh" -> {
       def bucket(e: String) = lshBucketSql(e)
       s"""SELECT id, score FROM (
@@ -727,6 +835,42 @@ object Oracles {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // q72: the HLL sketch replayed exactly — same md5 slices, the same
+    // generated trailing-zeros CASE chain, the same exact-integer
+    // harmonic sum (every 2^(53−ρ) term is a BIGINT), the same α·m²
+    // constant and linear-counting branch
+    "q72_hll_distinct" -> {
+      val b = 6; val m = 1 << b; val alpha = 0.709
+      val rhoCase = (1 to 52).map { k =>
+        s"WHEN body % ${1L << k} = ${1L << (k - 1)} THEN $k"
+      }.mkString("CASE ", " ", " ELSE 53 END")
+      s"""WITH hs AS (
+         |  SELECT lang,
+         |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % $m AS register,
+         |    $rhoCase AS r
+         |  FROM (SELECT lang, md5(concat('hll|', text)) AS h,
+         |          CAST(concat('0x', substr(md5(concat('hll|', text)), 9, 13)) AS BIGINT) AS body
+         |        FROM documents)),
+         |sk AS (SELECT lang, register, max(r) AS max_rho
+         |       FROM hs GROUP BY lang, register),
+         |ag AS (SELECT lang,
+         |         CAST(SUM(CAST(power(2.0, 53 - max_rho) AS BIGINT)) AS BIGINT)
+         |           AS present_scaled,
+         |         count(*) AS n_present
+         |       FROM sk GROUP BY lang)
+         |SELECT lang,
+         |  ${t6(s"CASE WHEN rawE <= ${2.5 * m} AND zeros > 0 " +
+             s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE)) " +
+             "ELSE rawE END")} AS est_distinct
+         |FROM (
+         |  SELECT lang, $m - n_present AS zeros,
+         |    (${alpha * m * m} * power(2.0, 53)) /
+         |      CAST(present_scaled + ($m - n_present) *
+         |           CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) AS rawE
+         |  FROM ag)
+         |ORDER BY lang""".stripMargin
+    },
 
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

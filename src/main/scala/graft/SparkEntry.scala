@@ -24,6 +24,15 @@ object SparkEntry {
   private[graft] val GraphQueryText = "cold bolt red gear"
   private[graft] val KnnQueryId = 0L
   private[graft] val IvfQueryId = 7L
+  // q70/q71 product-quantization shape: 64-d → 16 subspaces × 16 codes
+  // (16 bytes/vector — measured the recall sweet spot at this dim: 4-d
+  // subspaces quantize much tighter than 8-d ones at equal ksub),
+  // 2 Lloyd refinement steps over a 256-row md5-chosen sample
+  private[graft] val PqM = 16
+  private[graft] val PqKsub = 16
+  private[graft] val PqIters = 2
+  private[graft] val PqSample = 256
+  private[graft] val PqOversample = 4
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
 
   // q65 freshness-boost fixture: epoch base (2024-06-01) for the
@@ -99,6 +108,16 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
       pipeline.IvfIndex.build(s, Tables.embeddings(s, d), nlist = 8).save(dir)
       pipeline.IvfIndex.load(s, dir)
+    })
+
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.PqIndex]
+  private def pqIndexFor(s: SparkSession, d: String): pipeline.PqIndex =
+    pqIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      pipeline.PqIndex.build(Tables.embeddings(s, d),
+        m = PqM, ksub = PqKsub, iters = PqIters, sampleRows = PqSample).save(dir)
+      pipeline.PqIndex.load(s, dir)
     })
 
   private val ivfQueryVecCache =
@@ -417,6 +436,29 @@ object SparkEntry {
     "q41_knn_lsh" -> ((s, d) =>
       Retrieval.cosineKnnLsh(Tables.embeddings(s, d), KnnQueryId, 10)),
 
+    // ---- product quantization (K2's memory side at 100 TB: 16
+    // subspaces × 16 codes = 16 bytes/vector, 16× compression): train
+    // codebooks on an md5-chosen sample with decimal-widened Lloyd
+    // means, encode the corpus against the broadcast codebook, rank by
+    // asymmetric distance (m LUT lookups per vector, no decode). The
+    // query reads the PERSISTED codes (built+saved once per dataset,
+    // like q46/q47's indexes — build cost lives in the index
+    // lifecycle, not the per-query scan); training is deterministic,
+    // so the oracle replays train+encode+ADC from the raw table in SQL
+    // and still hash-matches ----
+    "q70_knn_pq" -> ((s, d) =>
+      pqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
+        excludeId = Some(KnnQueryId))),
+
+    // ---- PQ + exact rescore (FAISS refine): ADC ranks the compressed
+    // corpus, only topK×4 full vectors are fetched by id for exact
+    // cosine — the recall-recovery step of every PQ deployment ----
+    "q71_knn_pq_rescored" -> ((s, d) =>
+      pqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
+        excludeId = Some(KnnQueryId),
+        rescoreFrom = Some(Tables.embeddings(s, d)),
+        oversample = PqOversample)),
+
     // exact quadratic near-dup BASELINE: input capped like q31's pair
     // corpus so the all-pairs join stays bounded at every SF — the
     // uncapped corpus goes through q49's LSH-bucketed path instead
@@ -502,6 +544,14 @@ object SparkEntry {
     // single-partition window cumsum Spark would otherwise plan ----
     "q68_token_shards" -> ((s, d) =>
       TextAnalysis.shardByTokens(Tables.documents(s, d), targetTokens = 20000L)),
+
+    // ---- mergeable HLL cardinality sketch (corpus profiling without a
+    // corpus-sized distinct shuffle): distinct documents per language,
+    // 64 registers, exact-integer harmonic sum — deterministic in any
+    // engine, unlike approx_count_distinct's private sketch ----
+    "q72_hll_distinct" -> ((s, d) =>
+      operators.Sketches.hllDistinct(
+        Tables.documents(s, d), Seq("lang"), col("text"))),
 
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
@@ -725,6 +775,7 @@ object SparkEntry {
     "x47_ivf_probe2" -> ((s, d) =>
       ivfIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20, nProbe = 2,
         excludeId = Some(KnnQueryId))),
+
 
     "x55_facade_query_scan" -> ((s, d) =>
       facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10)),

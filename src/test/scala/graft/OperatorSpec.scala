@@ -177,6 +177,35 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("hll sketch: shard-mergeable, estimates within the error bound") {
+    import graft.operators.Sketches
+    // two overlapping shards, 2000 true distincts (σ ≈ 1.04/√64 = 13%)
+    val a = (0 until 1200).map(i => ("s", s"v$i")).toDF("g", "v")
+    val b = (800 until 2000).map(i => ("s", s"v$i")).toDF("g", "v")
+    val whole = a.unionByName(b)
+    val est = Sketches.hllDistinct(whole, Seq("g"), col("v"))
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 2000) / 2000 < 0.3, s"estimate $est vs exact 2000")
+    // the defining property: shard sketches max-merge to EXACTLY the
+    // whole-corpus sketch — no raw-data repass
+    val merged = Sketches.hllEstimate(
+      Sketches.hllSketch(a, Seq("g"), col("v"))
+        .unionByName(Sketches.hllSketch(b, Seq("g"), col("v")))
+        .groupBy("g", "register").agg(max("max_rho").as("max_rho")),
+      Seq("g")).select("est_distinct").as[Double].head()
+    assert(merged == est, s"merged $merged != whole $est")
+    // real corpus, per-group: every language's estimate lands in-bound
+    val docs = Tables.documents(spark, sf())
+    val ests = Sketches.hllDistinct(docs, Seq("lang"), col("text"))
+      .as[(String, Double)].collect().toMap
+    val exacts = docs.groupBy("lang").agg(countDistinct("text").as("n"))
+      .as[(String, Long)].collect().toMap
+    exacts.foreach { case (lang, n) =>
+      val e = ests(lang)
+      assert(math.abs(e - n) / n < 0.35, s"$lang: est $e vs exact $n")
+    }
+  }
+
   test("paragraph dedup: first occurrence wins, docs reassemble in order") {
     // paraTokens=3 → passages are 3-token windows. doc 1 owns passages
     // A B; doc 2 repeats A (dropped) then contributes C; doc 3 is a full
