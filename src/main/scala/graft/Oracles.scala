@@ -30,6 +30,14 @@ object Oracles {
     s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
   private def davg(x: String) =
     s"CAST(${dsum(x)} / COUNT($x) AS DOUBLE)"
+  /** The scaled-long exact sum (TextFunctions.xsum): floor part and
+    * half-up-rounded 8-decimal frac part summed as integers — same
+    * semantics as dsum, no decimal casts, nonnegative inputs only. */
+  private def xsum(x: String) =
+    s"(CAST(SUM(CAST(floor($x) AS BIGINT)) AS DOUBLE) + " +
+      s"CAST(SUM(CAST(floor((($x) - floor($x)) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)"
+  private def xavg(x: String) =
+    s"CAST(${xsum(x)} / COUNT($x) AS DOUBLE)"
   private def toks(x: String) = s"string_split($x, ' ')"
   private def contentToks(x: String) =
     s"list_filter(${toks(x)}, t -> NOT list_contains($stop, t))"
@@ -525,19 +533,19 @@ object Oracles {
         |ORDER BY event_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dsum("l_quantity")} AS sum_qty,
-         |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-         |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-         |  ${davg("l_quantity")} AS avg_qty,
-         |  ${davg("l_extendedprice")} AS avg_price,
-         |  ${davg("l_discount")} AS avg_disc,
+         |  ${xsum("l_quantity")} AS sum_qty,
+         |  ${xsum("l_extendedprice")} AS sum_base_price,
+         |  ${xsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${xsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${xavg("l_quantity")} AS avg_qty,
+         |  ${xavg("l_extendedprice")} AS avg_price,
+         |  ${xavg("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_top_revenue_orders" ->
-      s"""SELECT o_orderkey, ${t6(dsum("l_extendedprice * (1.0 - l_discount)"))} AS revenue,
+      s"""SELECT o_orderkey, ${t6(xsum("l_extendedprice * (1.0 - l_discount)"))} AS revenue,
          |  CAST(o_orderdate AS DATE) AS o_orderdate
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -563,14 +571,14 @@ object Oracles {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q06_revenue_filter" ->
-      s"""SELECT ${t6(dsum("l_extendedprice * l_discount"))} AS revenue FROM lineitem
+      s"""SELECT ${t6(xsum("l_extendedprice * l_discount"))} AS revenue FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
 
     "q07_customer_spend" ->
       s"""SELECT c_custkey, c_name, n_orders, total_spent
-         |FROM (SELECT o_custkey, count(*) AS n_orders, ${dsum("o_totalprice")} AS total_spent
+         |FROM (SELECT o_custkey, count(*) AS n_orders, ${xsum("o_totalprice")} AS total_spent
          |      FROM orders GROUP BY o_custkey) o
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
@@ -877,6 +885,33 @@ object Oracles {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 10000, text FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // q73: the explicit percentile_cont replay — integer rank picks, one
+    // shared interpolation formula (the builtin quantile_cont would land
+    // ulps off the Spark builtin exactly on the trunc6 grid)
+    "q73_length_quantiles" -> {
+      val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+      val pickCols = ps.map { case (name, p) =>
+        s"""min(CASE WHEN rank = floor($p * (cnt - 1)) + 1 THEN v END) AS lo_$name,
+           |   min(CASE WHEN rank = least(floor($p * (cnt - 1)) + 2, cnt) THEN v END) AS hi_$name""".stripMargin
+      }.mkString(",\n   ")
+      val outCols = ps.map { case (name, p) =>
+        t6(s"lo_$name + ($p * (cnt - 1) - floor($p * (cnt - 1))) * (hi_$name - lo_$name)") +
+          s" AS $name"
+      }.mkString(",\n  ")
+      s"""WITH tok AS (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
+         |             FROM documents),
+         |ranked AS (SELECT lang, v, row_number() OVER (
+         |             PARTITION BY lang ORDER BY v) AS rank FROM tok),
+         |counts AS (SELECT lang, count(*) AS cnt FROM tok GROUP BY lang),
+         |j AS (SELECT ranked.lang, v, rank, cnt FROM ranked JOIN counts USING (lang)),
+         |ag AS (SELECT lang, max(cnt) AS cnt,
+         |   $pickCols
+         |   FROM j GROUP BY lang)
+         |SELECT lang,
+         |  $outCols
+         |FROM ag ORDER BY lang""".stripMargin
+    },
 
     // q69: passage dedup + reassembly — the window twin of the Spark
     // side's heap-k=1 first-occurrence cut (passage = 20-token window;

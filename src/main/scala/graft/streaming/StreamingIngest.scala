@@ -367,4 +367,20 @@ object StreamingIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup — the unbounded-stream twin of
+    * [[graft.operators.Dedup.exact]]: rows whose content hash was
+    * already emitted inside the watermark horizon are dropped, and the
+    * dedup state is BOUNDED by that horizon (Spark evicts hashes older
+    * than the watermark), which is what makes exact dedup feasible on
+    * an endless ingest feed at all. A duplicate arriving later than the
+    * horizon re-emits — the batch-side dedup (q28/q69) is the
+    * full-history backstop, this is the ingest-time fast filter. */
+  def streamingDedup(
+      docs: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        graft.functions.TextFunctions.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -177,6 +177,27 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("length quantiles: explicit interpolation ≡ the builtin percentile") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf())
+    val ours = TextAnalysis.lengthQuantiles(docs)
+      .as[(String, Double, Double, Double)].collect()
+    assert(ours.nonEmpty)
+    val builtin = docs
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("double").as("v"))
+      .groupBy("lang")
+      .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .as[(String, Seq[Double])].collect().toMap
+    ours.foreach { case (lang, p50, p90, p99) =>
+      val b = builtin(lang)
+      // same percentile_cont semantics; ours is trunc6'd
+      assert(math.abs(p50 - b(0)) < 2e-6, s"$lang p50 $p50 vs ${b(0)}")
+      assert(math.abs(p90 - b(1)) < 2e-6, s"$lang p90 $p90 vs ${b(1)}")
+      assert(math.abs(p99 - b(2)) < 2e-6, s"$lang p99 $p99 vs ${b(2)}")
+    }
+  }
+
   test("hll sketch: shard-mergeable, estimates within the error bound") {
     import graft.operators.Sketches
     // two overlapping shards, 2000 true distincts (σ ≈ 1.04/√64 = 13%)

@@ -229,4 +229,28 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-horizon duplicates, within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamingIngest.streamingDedup(
+      source.toDS().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: an in-batch duplicate
+      source.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(2), "beta"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate inside the horizon + a new doc
+      source.addData((4L, ts(30), "beta"), (5L, ts(31), "gamma"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      // first occurrence of each content survives; 2 (in-batch) and
+      // 4 (cross-batch, within the 10-minute horizon) are dropped
+      assert(kept.map(_._2) == Set("alpha", "beta", "gamma"))
+      assert(kept.map(_._1) == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }
