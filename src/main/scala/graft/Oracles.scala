@@ -967,6 +967,67 @@ object Oracles {
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // q74: incremental dedup — exact hash join, then NEW-vs-CORPUS band
+    // candidates only (same minhash machinery as q29, two corpora);
+    // best match = highest trunc6'd Jaccard, ties to smallest corpus id
+    "q74_incremental_dedup" -> {
+      val sigCols = (0 until 8).map { i =>
+        s"list_min(list_transform(m${i / 4}, m -> CAST(concat('0x', substr(m, ${(i % 4) * 8 + 1}, 8)) AS BIGINT))) AS mh$i"
+      }.mkString(",\n         ")
+      def bandSel(src: String) = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, concat_ws('|', mh${b * 2}, mh${b * 2 + 1}) AS bkey FROM $src"
+      }.mkString("\n  UNION ALL ")
+      def sigChain(tag: String, src: String) =
+        s"""sharr$tag AS (SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(${toks("text")}) - 2),
+           |        i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS shingles
+           |  FROM $src WHERE len(${toks("text")}) >= 3),
+           |shm$tag AS (SELECT doc_id, shingles,
+           |         list_transform(shingles, s -> md5(concat('mh0|', s))) AS m0,
+           |         list_transform(shingles, s -> md5(concat('mh1|', s))) AS m1 FROM sharr$tag),
+           |sig$tag AS (SELECT doc_id, $sigCols FROM shm$tag),
+           |bands$tag AS (${bandSel(s"sig$tag")})""".stripMargin
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |batch AS (
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text FROM documents WHERE doc_id >= 300 AND doc_id < 400),
+         |exact AS (
+         |  SELECT b.doc_id, 'exact_dup' AS status, min(c.doc_id) AS match_id,
+         |         1.0 AS jaccard
+         |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+         |  GROUP BY b.doc_id),
+         |rest AS (SELECT doc_id, text FROM batch
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+         |${sigChain("N", "rest")},
+         |${sigChain("O", "corpus")},
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |         FROM bandsN x JOIN bandsO y
+         |           ON x.band = y.band AND x.bkey = y.bkey),
+         |ver AS (
+         |  SELECT new_id, old_id,
+         |    ${t6("CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))")} AS jaccard
+         |  FROM cand JOIN sharrN a ON a.doc_id = new_id
+         |            JOIN sharrO b ON b.doc_id = old_id),
+         |near AS (
+         |  SELECT new_id AS doc_id, 'near_dup' AS status, old_id AS match_id, jaccard
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY new_id ORDER BY jaccard DESC, old_id) AS rn
+         |        FROM ver WHERE jaccard >= 0.5)
+         |  WHERE rn = 1),
+         |uniq AS (
+         |  SELECT doc_id, 'unique' AS status, CAST(-1 AS BIGINT) AS match_id,
+         |         0.0 AS jaccard
+         |  FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near))
+         |SELECT doc_id, status, match_id, jaccard FROM exact
+         |UNION ALL SELECT doc_id, status, match_id, jaccard FROM near
+         |UNION ALL SELECT doc_id, status, match_id, jaccard FROM uniq
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q30_simhash" ->
       s"""WITH tok AS (SELECT doc_id, ${md5Long("t")} AS h
          |            FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM documents)),

@@ -576,6 +576,24 @@ object SparkEntry {
       Dedup.minhashLsh(docsWithNearDups(s, d),
         shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)),
 
+    // ---- incremental dedup (the daily-ingest flow): a new batch of 50
+    // exact copies + 50 near-dups + 100 genuinely-new docs deduped
+    // against a 300-doc corpus — exact hash join, then new-vs-corpus
+    // band candidates only (cost ∝ batch, never corpus × corpus) ----
+    "q74_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, corpus,
+        shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)
+    }),
+
     "q30_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), bits = 16)),
 

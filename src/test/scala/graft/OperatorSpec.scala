@@ -177,6 +177,39 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("incremental dedup classifies a batch against the corpus") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    val out = Dedup.incrementalDedup(batch, corpus)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.length == 200)
+    val byStatus = out.groupBy(_._2)
+    // every exact copy resolves to ITS source doc with jaccard 1
+    assert(byStatus("exact_dup").forall(r =>
+      r._3 == r._1 - 10000 && r._4 == 1.0))
+    assert(byStatus("exact_dup").map(_._1).toSet ==
+      (0L until 50L).map(_ + 10000).toSet)
+    // every near-dup (first word dropped) finds a corpus match above
+    // the threshold — overwhelmingly its own source
+    assert(byStatus("near_dup").forall(r => r._3 >= 0 && r._3 < 300 && r._4 >= 0.5))
+    assert(byStatus("near_dup").count(r => r._3 == r._1 - 20000) >= 45)
+    // new docs pass through untouched — except the handful that are
+    // GENUINE coincidental near-dups of corpus docs (the small synthetic
+    // vocab makes some short docs collide above 0.5 Jaccard; flagging
+    // them is correct behavior)
+    val uniques = byStatus("unique").map(_._1).toSet
+    assert(uniques.subsetOf((300L until 400L).map(_ + 30000).toSet))
+    assert(uniques.size >= 90, s"only ${uniques.size} uniques")
+    assert(byStatus("unique").forall(r => r._3 == -1L && r._4 == 0.0))
+  }
+
   test("length quantiles: explicit interpolation ≡ the builtin percentile") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf())
