@@ -171,6 +171,31 @@ class PlanSpec extends SparkSpec {
       "rn is referenced: Window must survive\n" + exec.toString.take(1500))
   }
 
+  test("q69: the passage cut is the two-phase heap around ONE hash exchange") {
+    val p = plan("q69_paragraph_dedup")
+    assert(p.contains("TopKPerKey"), p.take(3000))
+    // no Window and no Sort anywhere in the first-occurrence cut (the
+    // only Sort allowed is the final presentation orderBy)
+    assert(!p.contains("Window"), p.take(3000))
+    // the cut's exchange is keyed on the passage hash
+    assert(p.contains("Exchange hashpartitioning(phash"), p.take(3000))
+  }
+
+  test("q70: ADC scans codes against a BROADCAST lut; one exchange to aggregate") {
+    val p = plan("q70_knn_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the m-rows-per-vector code table must never shuffle by (sub, code)
+    assert(!p.contains("Exchange hashpartitioning(sub"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q74: incremental near-dup candidates come from a band equi-join, no nested loop") {
+    val p = plan("q74_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("bkey"), p.take(3000))
+  }
+
   test("q58: shared passages shuffle exactly once, keyed on the gram") {
     import org.apache.spark.sql.functions._
     // 64 input partitions ≥ defaultParallelism, so the conditional
