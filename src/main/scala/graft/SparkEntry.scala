@@ -811,6 +811,12 @@ object SparkEntry {
       facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10,
         useIndexes = true, nProbe = 2)),
 
+    // the PQ-backed twin of x56: ADC over 16-byte codes + exact rescore
+    // of the oversampled candidates, on an identical warehouse
+    "x60_facade_query_pq" -> ((s, d) =>
+      facadePqFor(s, d).query(KwQuery, FacadeUser, topK = 10,
+        useIndexes = true)),
+
     // the model-scoring rerank path, measured against x55's overlap
     // heuristic on the SAME warehouse: the trained cross-encoder runs
     // its P-projection + MLP forward per candidate pair — the cost a
@@ -895,20 +901,37 @@ object SparkEntry {
   private def facadeDirs(d: String): String =
     facadeDirCache.getOrElseUpdate(d,
       java.nio.file.Files.createTempDirectory("graft_facade").toString)
+  private def facadeMessages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("m"), col("doc_id")).as("message_id"),
+      concat(lit("s"), col("doc_id") % 50).as("session_id"),
+      lit(FacadeUser).as("user_id"),
+      concat(lit("r"), col("doc_id")).as("round_id"),
+      lit(1).as("sequence_number"),
+      lit("user").as("role"),
+      col("text").as("content"),
+      lit("2024-06-01 00:00:00").cast("timestamp").as("created_at"))
   private def facadeFor(s: SparkSession, d: String): pipeline.MemFuse =
     facadeCache.getOrElseUpdate(d, {
       val dir = facadeDirs(d)
       val eng = new pipeline.MemFuse(s, dir)
-      eng.ingest(Tables.documents(s, d).select(
-        concat(lit("m"), col("doc_id")).as("message_id"),
-        concat(lit("s"), col("doc_id") % 50).as("session_id"),
-        lit(FacadeUser).as("user_id"),
-        concat(lit("r"), col("doc_id")).as("round_id"),
-        lit(1).as("sequence_number"),
-        lit("user").as("role"),
-        col("text").as("content"),
-        lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
+      eng.ingest(facadeMessages(s, d))
       eng.buildIndexes(nlist = 4)
+      eng
+    })
+
+  /** A SEPARATE warehouse with the PQ vector backend (pq and ivf
+    * artifacts in one index dir would silently flip x56's backend —
+    * the query path prefers pq when present). x56 vs x60 prices the
+    * two backends on identical corpora and the identical fused query. */
+  private val facadePqCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private def facadePqFor(s: SparkSession, d: String): pipeline.MemFuse =
+    facadePqCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_facade_pq").toString
+      val eng = new pipeline.MemFuse(s, dir)
+      eng.ingest(facadeMessages(s, d))
+      eng.buildIndexes(vectorIndex = "pq")
       eng
     })
 

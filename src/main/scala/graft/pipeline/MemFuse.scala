@@ -171,7 +171,8 @@ class MemFuse(
       TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
     val hasIvf =
       TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
-    if (hasKw || hasIvf) m1New.persist()
+    val hasPq = hasPqIndex
+    if (hasKw || hasIvf || hasPq) m1New.persist()
     TableOps.appendBucketed(m1New, path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
     // incremental index maintenance (the reference maintains FTS5/DiskANN
@@ -194,9 +195,19 @@ class MemFuse(
           m1.select(col("chunk_id").as("vec_id"), col("embedding")), idx.nlist)
           .save(path("index"))
     }
-    if (hasKw || hasIvf) {
+    if (hasPq) {
+      // same incremental contract as IVF: encode the batch against the
+      // EXISTING codebook, re-train past the drift threshold
+      val idx = openPq()
+      val drift = idx.addVectors(
+        toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
+      if (drift > IvfRefitDrift)
+        PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
+          .save(path("index"))
+    }
+    if (hasKw || hasIvf || hasPq) {
       m1New.unpersist()
-      indexHandles.synchronized { ivfHandle = None; kwHandle = None }
+      indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
     }
   }
 
@@ -370,6 +381,7 @@ class MemFuse(
           val totalN =
             if (TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined)
               openKw().nDocs
+            else if (hasPqIndex) openPq().nVectors
             else openIvf().assigned.count()
           val scale = math.max(1L, math.ceil(totalN.toDouble / scopeN).toLong)
           math.min(math.min(base.toLong * scale, math.max(totalN, base.toLong)),
@@ -380,13 +392,21 @@ class MemFuse(
 
     val vector =
       (if (useIndexes) {
-        // indexed candidates come from the m1 IVF index; knowledge (a
-        // small side table, not IVF-indexed) is scanned and unioned
+        // indexed candidates come from the m1 vector index — IVF probe
+        // or PQ ADC + exact rescore (rescored scores are the same
+        // trunc6'd cosines as the scan path, so fusion semantics don't
+        // depend on the backend); knowledge (a small side table, not
+        // vector-indexed) is scanned and unioned
         val chunkIds = chunks.select(col("chunk_id"))
-        val ivfHits = openIvf()
-          .query(encoder.encodeOne(text), idxFetch, nProbe)
-          .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
-        knCorpus.fold(ivfHits)(k => ivfHits.unionByName(
+        val qArr = encoder.encodeOne(text)
+        val vecHits =
+          (if (hasPqIndex)
+            openPq().query(qArr, idxFetch,
+              rescoreFrom = Some(m1.select(col("chunk_id").as("vec_id"),
+                col("embedding"))))
+          else openIvf().query(qArr, idxFetch, nProbe))
+            .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
+        knCorpus.fold(vecHits)(k => vecHits.unionByName(
           k.withColumn("score", trunc6(VectorFunctions.cosine(col("embedding"), qvec)))
             .select(col("chunk_id").as("id"), col("score"))))
       } else
@@ -451,24 +471,32 @@ class MemFuse(
   }
 
   /** Build the persisted side indexes over the current m1 chunks: the
-    * term-bucket-partitioned BM25 postings (KeywordIndex) and the
-    * cluster-partitioned IVF vector index. Per-batch upkeep is
-    * incremental (see [[ingest]]); a full rebuild is needed only after
-    * quantizer drift or bulk deletes. Index dirs are DERIVED data
-    * rewritten wholesale (plain Overwrite, not the manifest protocol):
-    * a query racing a rebuild should retry against the reopened handle —
-    * the same reopen-after-reindex contract as the reference's FTS5. */
-  def buildIndexes(nlist: Int = 4): Unit = {
+    * term-bucket-partitioned BM25 postings (KeywordIndex) and ONE of
+    * the two vector backends — the cluster-partitioned IVF index
+    * (default) or the product-quantized code table (`vectorIndex =
+    * "pq"`, 16 bytes/vector + exact rescore; the reference similarly
+    * selects among pluggable vector stores, store/vector_store/).
+    * Per-batch upkeep is incremental (see [[ingest]]); a full rebuild
+    * is needed only after quantizer drift or bulk deletes. Index dirs
+    * are DERIVED data rewritten wholesale (plain Overwrite, not the
+    * manifest protocol): a query racing a rebuild should retry against
+    * the reopened handle — the same reopen-after-reindex contract as
+    * the reference's FTS5. */
+  def buildIndexes(nlist: Int = 4, vectorIndex: String = "ivf"): Unit = {
     new KeywordIndex(spark, path("index"))
       .build(m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
-    IvfIndex
-      .build(spark, m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
-      .save(path("index"))
+    val vecs = m1.select(col("chunk_id").as("vec_id"), col("embedding"))
+    vectorIndex match {
+      case "ivf" => IvfIndex.build(spark, vecs, nlist).save(path("index"))
+      case "pq" => PqIndex.build(vecs).save(path("index"))
+      case other => throw new IllegalArgumentException(
+        s"vectorIndex must be ivf|pq, got $other")
+    }
     // a full rebuild carries no deleted docs — reset the tombstone log
     val tp = new org.apache.hadoop.fs.Path(tombstonePath)
     tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
     // drop stale open handles; the next indexed query reopens
-    indexHandles.synchronized { ivfHandle = None; kwHandle = None }
+    indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
   }
 
   // open index handles, held like the reference holds its FTS/DiskANN
@@ -477,6 +505,7 @@ class MemFuse(
   @transient private object indexHandles
   @transient private var ivfHandle: Option[IvfIndex] = None
   @transient private var kwHandle: Option[KeywordIndex] = None
+  @transient private var pqHandle: Option[PqIndex] = None
   private def openIvf(): IvfIndex = indexHandles.synchronized {
     ivfHandle.getOrElse {
       val h = IvfIndex.load(spark, path("index")); ivfHandle = Some(h); h
@@ -487,6 +516,13 @@ class MemFuse(
       val h = new KeywordIndex(spark, path("index")); kwHandle = Some(h); h
     }
   }
+  private def openPq(): PqIndex = indexHandles.synchronized {
+    pqHandle.getOrElse {
+      val h = PqIndex.load(spark, path("index")); pqHandle = Some(h); h
+    }
+  }
+  private def hasPqIndex: Boolean =
+    TableOps.currentArtifactDir(spark, path("index"), "pq").isDefined
 
   // ---------- delete-aware index maintenance ----------
   // The reference deletes per row from FTS5 / its vector stores
@@ -501,7 +537,8 @@ class MemFuse(
 
   private def indexesExist: Boolean =
     TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined ||
-      TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
+      TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined ||
+      hasPqIndex
 
   /** Record deleted chunk ids (no-op when no side index exists). The
     * input frame must be built over the PRE-delete snapshot. Writes are
@@ -529,6 +566,7 @@ class MemFuse(
     val hasKw = TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
     val nIndexed =
       if (hasKw) openKw().nDocs.toDouble
+      else if (hasPqIndex) openPq().nVectors.toDouble
       else openIvf().assigned.count().toDouble
     if (nIndexed == 0) 0.0 else math.min(1.0, nDead / nIndexed)
   }
@@ -547,9 +585,12 @@ class MemFuse(
         m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
         .save(path("index"))
     }
+    if (hasPqIndex)
+      PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
+        .save(path("index"))
     val p = new org.apache.hadoop.fs.Path(tombstonePath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    indexHandles.synchronized { ivfHandle = None; kwHandle = None }
+    indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
   }
 
   /** J5 session fan-out, collapsed to one job: where the reference loops

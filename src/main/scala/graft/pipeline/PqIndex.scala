@@ -262,6 +262,10 @@ class PqIndex private[pipeline] (
 
   def ksub: Int = codebook.count(_._1 == 0)
 
+  /** Vectors currently encoded in the table (one job over the compact
+    * codes — m small rows per vector). */
+  def nVectors: Long = codes.select("vec_id").distinct().count()
+
   /** Top-k ADC neighbors of `queryVec` (see [[PqIndex.adcTopK]]); pass
     * `rescoreFrom = Some(rawEmbeddings)` for the exact-rescored variant
     * ([[PqIndex.adcTopKRescored]]). */

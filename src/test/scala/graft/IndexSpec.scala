@@ -150,6 +150,48 @@ class IndexSpec extends SparkSpec {
     assert(indexed.exists(_.getAs[String]("content").contains("zanzibar")))
   }
 
+  test("pq vector backend: indexed ≡ scan, incremental ingest, delete + maintain") {
+    val dir = Files.createTempDirectory("pqfacade").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u1", "a1")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    // the PQ backend instead of IVF: ADC candidates + exact rescore
+    // return the same trunc6'd cosines as the scan path, so at this
+    // oversample the whole pipeline is value-identical
+    engine.buildIndexes(vectorIndex = "pq")
+    val scan = engine.query("spark partition", "u1", topK = 3).collect().toSeq
+    val indexed = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true).collect().toSeq
+    assert(indexed == scan, "pq-indexed path must equal the scan path")
+    // incremental ingest: the new chunk encodes against the EXISTING
+    // codebook and is reachable with no rebuild
+    engine.ingest(Seq(
+      Schemas.Message("m5", "s1", "u1", "r5", 5, "user", "zanzibar quorum replication", ts(5))).toDF())
+    val grown = engine.query("zanzibar replication", "u1", topK = 3,
+      useIndexes = true).collect().toSeq
+    assert(grown.exists(_.getAs[String]("content").contains("zanzibar")))
+    // deletes tombstone; live-chunk semi-join hides stale entries;
+    // maintain() rebuilds the PQ table past the threshold
+    engine.deleteSession("s2")
+    assert(engine.indexStaleFraction > 0.3)
+    val afterDel = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true).collect().toSeq
+    assert(!afterDel.exists(_.getAs[String]("content").contains("pruning")),
+      "deleted session's chunks must not surface through stale PQ codes")
+    engine.maintain()
+    assert(engine.indexStaleFraction == 0.0)
+    assert(engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true).collect().toSeq == afterDel,
+      "rebuilt pq index still answers identically")
+  }
+
   test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {
     val dir = Files.createTempDirectory("idxknobs").toString
     val engine = new MemFuse(spark, dir)
