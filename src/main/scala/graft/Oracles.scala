@@ -886,6 +886,43 @@ object Oracles {
         |      UNION ALL SELECT doc_id + 10000, text FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    // q75: sequence packing — the windowed-cumsum twin of the two-phase
+    // prefix-sum shard assignment (q68's formula), packs reassembled
+    // with an ordered string_agg
+    "q75_pack_sequences" ->
+      """SELECT seq_id, n_docs,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, text
+        |FROM (
+        |  SELECT seq_id, count(*) AS n_docs,
+        |         string_agg(text, ' ' ORDER BY doc_id) AS text
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(floor(CAST(cum - n AS DOUBLE) / 2048.0) AS BIGINT) AS seq_id
+        |    FROM (
+        |      SELECT doc_id, text, len(string_split(text, ' ')) AS n,
+        |             SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM documents))
+        |  GROUP BY seq_id)
+        |ORDER BY seq_id""".stripMargin,
+
+    // q76: temperature mixing — rate_i = trunc6(n_i^(α−1) / max_j) and
+    // the same md5-threshold predicate as q53 (salt prefix 'mix|');
+    // α−1 is embedded at full double precision so both engines raise
+    // to the identical exponent
+    "q76_temperature_mix" -> {
+      val exp = (0.7 - 1.0).toString
+      s"""WITH counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+         |                FROM documents GROUP BY lang),
+         |w AS (SELECT lang, power(n, $exp) AS w FROM counts),
+         |rates AS (SELECT lang, ${t6("w / (SELECT max(w) FROM w)")} AS rate FROM w)
+         |SELECT doc_id, lang, rate
+         |FROM documents JOIN rates USING (lang)
+         |WHERE CAST(${md5Long("concat('mix|', CAST(doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
+         |      < rate * 1000000e0
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // q73: the explicit percentile_cont replay — integer rank picks, one
     // shared interpolation formula (the builtin quantile_cont would land
     // ulps off the Spark builtin exactly on the trunc6 grid)

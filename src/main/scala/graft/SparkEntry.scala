@@ -562,6 +562,17 @@ object SparkEntry {
     "q73_length_quantiles" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(Tables.documents(s, d))),
 
+    // ---- sequence packing: the cleaned corpus concatenated into
+    // ~2048-token training rows via the distributed prefix sum ----
+    "q75_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), seqTokens = 2048L)),
+
+    // ---- temperature-weighted mixing (α = 0.7): keep-rates make the
+    // expected mixture follow n^α shares, biggest stratum at 1.0; the
+    // keep decision is the md5-threshold row predicate ----
+    "q76_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(Tables.documents(s, d), "lang", alpha = 0.7)),
+
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
 

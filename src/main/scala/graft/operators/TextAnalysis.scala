@@ -206,6 +206,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing for pretraining export: concatenate documents (in
+    * doc_id order) into contiguous ~`seqTokens`-token training
+    * sequences — the step that turns a cleaned corpus into the packed
+    * rows a trainer actually consumes. Built on [[shardByTokens]]'s
+    * two-phase distributed prefix sum (never a single-partition window
+    * cumsum), then one groupBy keyed on the sequence id reassembles
+    * each pack in order. Returns (seq_id, n_docs, n_tokens, text). */
+  def packSequences(docs: DataFrame, seqTokens: Long): DataFrame = {
+    val shards = shardByTokens(docs, seqTokens)
+      .select(col("doc_id"), col("shard").as("seq_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(shards, "doc_id")
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text"))).as("text"))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select("seq_id", "n_docs", "n_tokens", "text")
+      .orderBy("seq_id")
+  }
+
+  /** Temperature-weighted corpus mixing (the GPT-3/PaLM-style α-scaled
+    * multinomial over sources): each stratum's keep-rate makes the
+    * EXPECTED mixture follow n_i^α shares — α < 1 up-weights rare
+    * sources — normalized so the RAREST stratum's rate is 1.0 (rare
+    * data survives whole, common data down-samples; no replication).
+    * Rates derive from one stratum
+    * count aggregation; the keep decision is the same md5-threshold
+    * row predicate as [[stratifiedSample]] (reproducible across
+    * engines, partitionings and cluster sizes, pushes to the scan).
+    * Returns the kept rows with their stratum rate attached. */
+  def temperatureMix(
+      docs: DataFrame,
+      strataCol: String,
+      alpha: Double,
+      salt: String = "mix"): DataFrame = {
+    // rate_i ∝ n_i^(α−1), normalized to max 1 — then expected kept
+    // count n_i·rate_i ∝ n_i^α, the temperature-scaled share
+    val counts = docs.groupBy(strataCol)
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", pow(col("n"), lit(alpha - 1.0)))
+    val maxW = counts.agg(max(col("w")).as("max_w"))
+    val rates = counts.crossJoin(broadcast(maxW))
+      .select(col(strataCol), trunc6(col("w") / col("max_w")).as("rate"))
+    val keyCol = md5LongSalted(col("doc_id").cast("string"), salt)
+      .mod(1000000L).cast("double")
+    docs.join(broadcast(rates), strataCol)
+      .filter(keyCol < col("rate") * 1000000d)
+      .select(col("doc_id"), col(strataCol), col("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct content tokens —
     * stable under token reordering and duplication. */
   def fingerprint(docs: DataFrame): DataFrame =

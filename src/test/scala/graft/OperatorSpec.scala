@@ -177,6 +177,52 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("sequence packing: corpus reassembles in order, packs near budget") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf())
+    val packs = TextAnalysis.packSequences(docs, seqTokens = 500L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // packs, concatenated in seq order, ARE the corpus in doc order
+    val repacked = packs.sortBy(_._1).map(_._4).mkString(" ")
+    val original = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2).mkString(" ")
+    assert(repacked == original, "packing must preserve every token in order")
+    // contiguous assignment bounds every non-final pack within one
+    // document's length of the budget on either side (a doc straddling
+    // the boundary shifts the next pack's start past the line)
+    val maxDoc = docs
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[Long].collect().max
+    val lens = packs.sortBy(_._1).map(_._3)
+    assert(lens.init.forall(l => l >= 500L - maxDoc && l <= 500L + maxDoc),
+      s"non-final packs stay within one doc of the budget (maxDoc=$maxDoc)")
+    assert(packs.map(_._2).sum == docs.count())
+  }
+
+  test("temperature mix: rarest stratum kept whole, rates follow n^(alpha-1) shares") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf())
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val out = TextAnalysis.temperatureMix(docs, "lang", alpha = 0.7)
+      .as[(Long, String, Double)].collect().toSeq
+    val rates = out.map(r => r._2 -> r._3).toMap
+    val nMin = counts.values.min
+    counts.foreach { case (lang, n) =>
+      val expect = math.floor(math.pow(n.toDouble, -0.3) /
+        math.pow(nMin.toDouble, -0.3) * 1e6) / 1e6
+      assert(math.abs(rates(lang) - expect) < 1e-9, s"$lang rate")
+    }
+    // the rarest stratum survives whole; kept fractions track the rates
+    val rarest = counts.minBy(_._2)._1
+    assert(rates(rarest) == 1.0)
+    val keptByLang = out.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    counts.foreach { case (lang, n) =>
+      val frac = keptByLang.getOrElse(lang, 0.0) / n
+      assert(math.abs(frac - rates(lang)) < 0.2, s"$lang kept $frac vs rate ${rates(lang)}")
+    }
+  }
+
   test("incremental dedup classifies a batch against the corpus") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") < 300)
