@@ -86,9 +86,12 @@ object Oracles {
     * against the final codebook, query LUT. Every distance is the same
     * ‖x‖²−2x·c+‖c‖² float form as the Spark side, so codes and
     * distances are bit-identical. */
-  private lazy val pqPipelineSql: String = {
-    val m = SparkEntry.PqM; val ksub = SparkEntry.PqKsub
-    val iters = SparkEntry.PqIters; val sampleRows = SparkEntry.PqSample
+  private lazy val pqPipelineSql: String =
+    pqPipelineSqlFor(SparkEntry.PqM, SparkEntry.PqKsub,
+      SparkEntry.PqIters, SparkEntry.PqSample, withLut = true)
+
+  private def pqPipelineSqlFor(
+      m: Int, ksub: Int, iters: Int, sampleRows: Int, withLut: Boolean): String = {
     val dsub = 64 / m
     val qid = SparkEntry.KnnQueryId
     def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
@@ -150,13 +153,14 @@ object Oracles {
        |  SELECT vec_id, sub, code FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM casg)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin + (if (!withLut) "" else
+      s""",
        |qs AS (SELECT sub, ${sv("uvec", "sub")} AS qsub
        |       FROM (SELECT uvec, unnest(generate_series(0, ${m - 1})) AS sub
        |             FROM (SELECT uvec FROM unit WHERE vec_id = $qid))),
        |lut AS (SELECT c.sub, c.code,
        |          ${dist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
-       |        FROM cb$iters c JOIN qs q USING (sub))""".stripMargin
+       |        FROM cb$iters c JOIN qs q USING (sub))""".stripMargin)
   }
 
   /** The keyword-store scan: BM25(k1=1.2, b=0.75) over whitespace tokens. */
@@ -723,6 +727,25 @@ object Oracles {
          |     (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
          |      WHERE vec_id = ${SparkEntry.KnnQueryId}) q
          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+    // q77/q78: the k-means clustering replay — the PQ pipeline with ONE
+    // full-vector subspace; q78 adds the md5-ordered per-cluster cut
+    "q77_kmeans_clusters" ->
+      s"""${pqPipelineSqlFor(1, 8, 2, 256, withLut = false)}
+         |SELECT vec_id, CAST(code AS BIGINT) AS cluster FROM codes
+         |ORDER BY vec_id""".stripMargin,
+
+    "q78_diverse_sample" ->
+      s"""${pqPipelineSqlFor(1, 8, 2, 256, withLut = false)},
+         |picked AS (
+         |  SELECT vec_id, CAST(code AS BIGINT) AS cluster,
+         |         ${md5Long("concat('div|', CAST(vec_id AS VARCHAR))")} AS pick
+         |  FROM codes)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY pick, vec_id) AS rn
+         |  FROM picked)
+         |WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
 
     "q41_knn_lsh" -> {
       def bucket(e: String) = lshBucketSql(e)

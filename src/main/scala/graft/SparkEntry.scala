@@ -462,6 +462,16 @@ object SparkEntry {
         rescoreFrom = Some(Tables.embeddings(s, d)),
         oversample = PqOversample)),
 
+    // ---- document clustering (SemDeDup-style curation primitive):
+    // the same SQL-replayable k-means with one full-vector subspace ----
+    "q77_kmeans_clusters" -> ((s, d) =>
+      Retrieval.kmeansClusters(Tables.embeddings(s, d), k = 8)),
+
+    // ---- cluster-balanced diversity sampling: ≤10 vectors per
+    // cluster in md5 order, cut through the bounded-heap operator ----
+    "q78_diverse_sample" -> ((s, d) =>
+      Retrieval.diverseSample(Tables.embeddings(s, d), k = 8, perCluster = 10)),
+
     // exact quadratic near-dup BASELINE: input capped like q31's pair
     // corpus so the all-pairs join stays bounded at every SF — the
     // uncapped corpus goes through q49's LSH-bucketed path instead

@@ -62,6 +62,49 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Document clustering over the embedding column — the corpus-curation
+    * primitive behind cluster-based diversity balancing and semantic
+    * dedup (SemDeDup-style recipes). Runs the same deterministic,
+    * SQL-replayable k-means as [[graft.pipeline.PqIndex]] with ONE
+    * subspace spanning the full vector (md5-ordered seed rows, Lloyd
+    * means through decimal-widened sums), so the oracle replays
+    * training and assignment exactly. Returns (vec_id, cluster). */
+  def kmeansClusters(
+      embeddings: DataFrame, k: Int, iters: Int = 2,
+      sampleRows: Int = 256): DataFrame = {
+    val cb = graft.pipeline.PqIndex.trainCodebooks(
+      embeddings, m = 1, ksub = k, iters = iters, sampleRows = sampleRows)
+    graft.pipeline.PqIndex.encode(embeddings, cb.toSeq, m = 1)
+      .select(col("vec_id"), col("code").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-balanced diversity sampling: up to `perCluster` vectors
+    * per k-means cluster, picked in md5 order (a reproducible
+    * pseudo-random draw) — the "keep a spread, not the head" sampling
+    * step of diversity-aware curation. The per-cluster cut runs through
+    * the bounded-heap TopKPerKey operator on extended sessions. */
+  def diverseSample(
+      embeddings: DataFrame, k: Int, perCluster: Int,
+      iters: Int = 2, salt: String = "div"): DataFrame = {
+    import graft.functions.TextFunctions.md5LongSalted
+    val clustered = kmeansClusters(embeddings, k, iters)
+      .withColumn("pick", md5LongSalted(col("vec_id").cast("string"), salt))
+    val heapRegistered = embeddings.sparkSession.sessionState.planner.strategies
+      .exists(_ eq graft.plans.TopKPerKeyStrategy)
+    val cut =
+      if (heapRegistered)
+        graft.plans.TopKPerKey(clustered, Seq("cluster"),
+          Seq(col("pick"), col("vec_id")), perCluster)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("cluster").orderBy(col("pick"), col("vec_id"))
+        clustered.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= perCluster).drop("rn")
+      }
+    cut.select("vec_id", "cluster").orderBy("vec_id")
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

@@ -177,6 +177,32 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("kmeans clusters: identical vectors co-cluster; diverse sample caps per cluster") {
+    import graft.operators.Retrieval
+    val emb = Tables.embeddings(spark, sf())
+    val withCopies = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val clusters = Retrieval.kmeansClusters(withCopies, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == emb.count() + 10)
+    assert(clusters.values.forall(c => c >= 0 && c < 8))
+    // an identical vector must quantize to the identical cluster
+    (0L until 10L).foreach(i =>
+      assert(clusters(i) == clusters(i + 10000), s"copy of $i split clusters"))
+    // diversity sampling: at most perCluster rows per cluster, all
+    // drawn from the corpus, covering every non-empty cluster
+    val sample = Retrieval.diverseSample(emb.select("vec_id", "embedding"),
+      k = 8, perCluster = 5).as[(Long, Long)].collect().toSeq
+    val perC = sample.groupBy(_._2).view.mapValues(_.size)
+    assert(perC.values.forall(_ <= 5))
+    val fullSizes = Retrieval.kmeansClusters(emb.select("vec_id", "embedding"), 8)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.size)
+    fullSizes.foreach { case (c, n) =>
+      assert(perC.getOrElse(c, 0) == math.min(5, n), s"cluster $c under-sampled")
+    }
+  }
+
   test("sequence packing: corpus reassembles in order, packs near budget") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sf())
