@@ -70,7 +70,10 @@ class IvfIndex private[pipeline] (
     * after. */
   def addVectors(newVecs: DataFrame, basePath: String): Double = {
     val spark = newVecs.sparkSession
-    val vp = srcDir.getOrElse(IvfIndex.resolvedDir(spark, basePath))
+    // same guard as PqIndex.addVectors: a built-but-never-loaded handle
+    // would append into a version dir its own scan never reads
+    val vp = srcDir.getOrElse(throw new IllegalStateException(
+      "addVectors requires a handle opened with IvfIndex.load (save first, then load)"))
     val ranked = centroids.map { case (i, c) =>
       val c2 = c.map(v => v * v).sum
       struct(

@@ -190,10 +190,12 @@ class MemFuse(
       val idx = openIvf()
       val drift = idx.addVectors(
         toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
-      if (drift > IvfRefitDrift)
+      if (drift > IvfRefitDrift) {
         IvfIndex.build(spark,
           m1.select(col("chunk_id").as("vec_id"), col("embedding")), idx.nlist)
           .save(path("index"))
+        resetTombstones() // full rebuild from live m1 carries no dead docs
+      }
     }
     if (hasPq) {
       // same incremental contract as IVF: encode the batch against the
@@ -201,9 +203,11 @@ class MemFuse(
       val idx = openPq()
       val drift = idx.addVectors(
         toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
-      if (drift > IvfRefitDrift)
+      if (drift > IvfRefitDrift) {
         PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
           .save(path("index"))
+        resetTombstones()
+      }
     }
     if (hasKw || hasIvf || hasPq) {
       m1New.unpersist()
@@ -486,15 +490,20 @@ class MemFuse(
     new KeywordIndex(spark, path("index"))
       .build(m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
     val vecs = m1.select(col("chunk_id").as("vec_id"), col("embedding"))
+    // the chosen backend SUPERSEDES the other: retire the other
+    // family's pointers so an explicit switch actually takes effect
+    // (the query path would otherwise keep preferring a leftover pq)
     vectorIndex match {
-      case "ivf" => IvfIndex.build(spark, vecs, nlist).save(path("index"))
-      case "pq" => PqIndex.build(vecs).save(path("index"))
+      case "ivf" =>
+        IvfIndex.build(spark, vecs, nlist).save(path("index"))
+        TableOps.dropArtifactPointers(spark, path("index"), "pq")
+      case "pq" =>
+        PqIndex.build(vecs).save(path("index"))
+        TableOps.dropArtifactPointers(spark, path("index"), "ivf")
       case other => throw new IllegalArgumentException(
         s"vectorIndex must be ivf|pq, got $other")
     }
-    // a full rebuild carries no deleted docs — reset the tombstone log
-    val tp = new org.apache.hadoop.fs.Path(tombstonePath)
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    resetTombstones() // a full rebuild carries no deleted docs
     // drop stale open handles; the next indexed query reopens
     indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
   }
@@ -534,6 +543,15 @@ class MemFuse(
   // threshold — amortized O(1) rebuilds instead of per-delete rewrites.
 
   private def tombstonePath = s"${path("index")}/tombstones"
+
+  /** Any FULL index rebuild from live m1 carries no deleted docs — the
+    * tombstone log must reset with it, or indexStaleFraction keeps
+    * reporting dead ids the fresh index never contained (and the next
+    * maintain() performs a pointless second rebuild). */
+  private def resetTombstones(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   private def indexesExist: Boolean =
     TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined ||
@@ -588,8 +606,7 @@ class MemFuse(
     if (hasPqIndex)
       PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
         .save(path("index"))
-    val p = new org.apache.hadoop.fs.Path(tombstonePath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    resetTombstones()
     indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
   }
 

@@ -262,9 +262,11 @@ class PqIndex private[pipeline] (
 
   def ksub: Int = codebook.count(_._1 == 0)
 
-  /** Vectors currently encoded in the table (one job over the compact
-    * codes — m small rows per vector). */
-  def nVectors: Long = codes.select("vec_id").distinct().count()
+  /** Vectors currently encoded in the table — counted ONCE per handle
+    * (the codes scan is pinned to this handle's version dir, so the
+    * number can't change underneath it; same convention as
+    * KeywordIndex.nDocs). */
+  @transient lazy val nVectors: Long = codes.select("vec_id").distinct().count()
 
   /** Top-k ADC neighbors of `queryVec` (see [[PqIndex.adcTopK]]); pass
     * `rescoreFrom = Some(rawEmbeddings)` for the exact-rescored variant
@@ -287,7 +289,11 @@ class PqIndex private[pipeline] (
     * caller schedules a re-train past a threshold. */
   def addVectors(newVecs: DataFrame, basePath: String): Double = {
     val spark = newVecs.sparkSession
-    val vp = srcDir.getOrElse(PqIndex.resolvedDir(spark, basePath))
+    // a built-but-never-loaded handle has no version dir of its own —
+    // appending into whatever dir happens to be committed would write
+    // files this handle's codes scan never reads and skew the drift
+    val vp = srcDir.getOrElse(throw new IllegalStateException(
+      "addVectors requires a handle opened with PqIndex.load (save first, then load)"))
     PqIndex.encode(newVecs, codebook.toSeq, m, dim)
       .write.mode(SaveMode.Append).parquet(s"$vp/pq_codes")
     val nNew = newVecs.count()

@@ -488,6 +488,21 @@ object TableOps {
     }
   }
 
+  /** Retire an artifact family: delete every pointer file for `prefix`
+    * so `currentArtifactDir` resolves to None (new opens see no such
+    * artifact). Version DIRS are left on disk for readers pinned at
+    * open — they become orphans for a later manual cleanup, exactly
+    * like a version superseded by a rebuild. */
+  def dropArtifactPointers(spark: SparkSession, base: String, prefix: String): Unit = {
+    val pd = ptrDir(base)
+    val fs = fsOf(spark, pd)
+    if (!fs.exists(pd)) return
+    val re = artifactRe(prefix)
+    fs.listStatus(pd).map(_.getPath)
+      .filter(p => re.findFirstIn(p.getName).contains(p.getName))
+      .foreach(fs.delete(_, false))
+  }
+
   /** Drop artifact versions older than the newest `keep` (and their
     * pointer files). */
   def vacuumArtifacts(spark: SparkSession, base: String, prefix: String,

@@ -190,6 +190,15 @@ class IndexSpec extends SparkSpec {
     assert(engine.query("spark partition", "u1", topK = 3,
       useIndexes = true).collect().toSeq == afterDel,
       "rebuilt pq index still answers identically")
+    // switching back to IVF retires the pq artifact — the explicit
+    // backend choice takes effect instead of a leftover pq winning
+    engine.buildIndexes(nlist = 2, vectorIndex = "ivf")
+    assert(graft.pipeline.TableOps
+      .currentArtifactDir(spark, s"$dir/index", "pq").isEmpty,
+      "pq pointers must be retired by an ivf build")
+    assert(engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq == afterDel,
+      "ivf backend answers identically after the switch")
   }
 
   test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {
