@@ -419,6 +419,44 @@ object Oracles {
          |FROM surv JOIN keep ON doc_id = keep_id
          |ORDER BY doc_id""".stripMargin,
 
+    // q79: the composed export pipeline — q63's clean chain, q76's
+    // temperature mix (over the guessed language), q75's pack; one
+    // long CTE chain, each block the already-proven oracle fragment
+    "q79_training_export" ->
+      s"""WITH ${cleanScoredCtes},
+         |surv AS (
+         |  SELECT doc_id, lang_guess,
+         |         regexp_replace(regexp_replace(text, $CleanPhone, '[PHONE]', 'g'),
+         |                        $CleanEmail, '[EMAIL]', 'g') AS redacted
+         |  FROM scored WHERE $CleanPreds AND sampled),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM surv GROUP BY md5(redacted)),
+         |cleaned AS (SELECT doc_id, lang_guess, redacted
+         |            FROM surv JOIN keep ON doc_id = keep_id),
+         |mcounts AS (SELECT lang_guess, CAST(count(*) AS DOUBLE) AS n
+         |            FROM cleaned GROUP BY lang_guess),
+         |mw AS (SELECT lang_guess, power(n, ${(0.7 - 1.0).toString}) AS w FROM mcounts),
+         |mrates AS (SELECT lang_guess, ${t6("w / (SELECT max(w) FROM mw)")} AS rate
+         |           FROM mw),
+         |mixed AS (
+         |  SELECT doc_id, redacted FROM cleaned JOIN mrates USING (lang_guess)
+         |  WHERE CAST(${md5Long("concat('mix|', CAST(doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
+         |        < rate * 1000000e0),
+         |psized AS (
+         |  SELECT doc_id, redacted AS text, len(string_split(redacted, ' ')) AS n,
+         |         SUM(len(string_split(redacted, ' '))) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM mixed),
+         |packs AS (
+         |  SELECT doc_id, text,
+         |         CAST(floor(CAST(cum - n AS DOUBLE) / 1024.0) AS BIGINT) AS seq_id
+         |  FROM psized)
+         |SELECT seq_id, n_docs,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, text
+         |FROM (SELECT seq_id, count(*) AS n_docs,
+         |             string_agg(text, ' ' ORDER BY doc_id) AS text
+         |      FROM packs GROUP BY seq_id)
+         |ORDER BY seq_id""".stripMargin,
+
     "q64_clean_report" ->
       s"""WITH ${cleanScoredCtes}
          |SELECT CAST(count(*) AS BIGINT) AS n_total,

@@ -581,7 +581,16 @@ object SparkEntry {
     // expected mixture follow n^α shares, biggest stratum at 1.0; the
     // keep decision is the md5-threshold row predicate ----
     "q76_temperature_mix" -> ((s, d) =>
-      TextAnalysis.temperatureMix(Tables.documents(s, d), "lang", alpha = 0.7)),
+      TextAnalysis.temperatureMix(Tables.documents(s, d), "lang", alpha = 0.7)
+        .select("doc_id", "lang", "rate")),
+
+    // ---- the whole export pipeline as ONE plan: clean (q63's recipe)
+    // → temperature mix (α = 0.7 over the guessed language) → pack
+    // into ~1024-token training rows. Every stage is the already-
+    // oracle-checked operator; the composition is what a user ships ----
+    "q79_training_export" -> ((s, d) =>
+      TextAnalysis.trainingExport(docsWithCopies(s, d),
+        Oracles.LangMarkers, CleanSpec, alpha = 0.7, seqTokens = 1024L)),
 
     // ---- dedup family ----
     "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),

@@ -253,10 +253,32 @@ object TextAnalysis {
       .select(col(strataCol), trunc6(col("w") / col("max_w")).as("rate"))
     val keyCol = md5LongSalted(col("doc_id").cast("string"), salt)
       .mod(1000000L).cast("double")
+    // pass every input column through (plus the stratum's rate) so the
+    // mix composes into pipelines — the registered query projects
     docs.join(broadcast(rates), strataCol)
       .filter(keyCol < col("rate") * 1000000d)
-      .select(col("doc_id"), col(strataCol), col("rate"))
+      .select(docs.columns.map(col) :+ col("rate"): _*)
       .orderBy("doc_id")
+  }
+
+  /** The full training-export pipeline in one plan — what a user runs
+    * to turn raw documents into trainer-ready rows: [[cleanCorpus]]
+    * (lang/quality/repetition filters, deterministic sample, PII
+    * redaction, first-wins dedup) → [[temperatureMix]] (α-scaled
+    * source balancing) → [[packSequences]] (contiguous ~seqTokens
+    * training rows). Each stage is the already-oracle-checked operator;
+    * the composition stays one DAG — one scoring scan, one dedup
+    * exchange, one broadcast mix join, the prefix-sum pack. */
+  def trainingExport(
+      docs: DataFrame,
+      markers: Map[String, Seq[String]],
+      recipe: CleanRecipe,
+      alpha: Double,
+      seqTokens: Long,
+      mixSalt: String = "mix"): DataFrame = {
+    val cleaned = cleanCorpus(docs, markers, recipe)
+    val mixed = temperatureMix(cleaned, "lang_guess", alpha, mixSalt)
+    packSequences(mixed.select(col("doc_id"), col("redacted").as("text")), seqTokens)
   }
 
   /** Document fingerprint: md5 over the sorted distinct content tokens —

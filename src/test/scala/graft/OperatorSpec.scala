@@ -231,6 +231,7 @@ class OperatorSpec extends SparkSpec {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val out = TextAnalysis.temperatureMix(docs, "lang", alpha = 0.7)
+      .select("doc_id", "lang", "rate")
       .as[(Long, String, Double)].collect().toSeq
     val rates = out.map(r => r._2 -> r._3).toMap
     val nMin = counts.values.min
