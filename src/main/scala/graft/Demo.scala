@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.{MemFuse, Schemas}
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 
 /** Usage example for the library surface: batch ingest → hybrid query →
@@ -125,6 +125,27 @@ object Demo {
     val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
       .select("embedding").as[Seq[Float]].collect().head.toArray
     ivf.query(qv, topK = 5, nProbe = 2).show(false)
+
+    println("-- PQ: 16-byte codes + ADC, exact rescore recovers recall --")
+    val pq = graft.pipeline.PqIndex.build(emb)
+    pq.query(qv, topK = 5, excludeId = Some(0L)).show(false)
+    pq.query(qv, topK = 5, excludeId = Some(0L),
+      rescoreFrom = Some(emb)).show(false)
+
+    println("-- training-data pipeline: clean -> mix -> pack, one call --")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    TextAnalysis.trainingExport(corpus, Oracles.LangMarkers,
+      TextAnalysis.CleanRecipe(langs = Seq("en", "fr"), minQuality = 0.3,
+        maxRepRatio = 0.2, sampleRate = 0.8, salt = "clean"),
+      alpha = 0.7, seqTokens = 1024L)
+      .selectExpr("seq_id", "n_docs", "n_tokens", "substring(text, 1, 60) AS preview")
+      .show(5, truncate = false)
+
+    println("-- incremental dedup: today's batch against the corpus --")
+    val batch = corpus.filter($"doc_id" < 20)
+      .select(($"doc_id" + 9000).as("doc_id"), $"text")
+    Dedup.incrementalDedup(batch, corpus).groupBy("status").count().show(false)
 
     spark.stop()
   }

@@ -212,6 +212,25 @@ class TableOpsSpec extends SparkSpec {
     assert(manifest.endsWith("#committed"))
   }
 
+  test("dropArtifactPointers retires one family, leaves others resolvable") {
+    val base = java.nio.file.Files.createTempDirectory("artdrop").toString
+    def commit(prefix: String): Unit = {
+      val name = TableOps.nextArtifactDir(spark, base, prefix)
+      new java.io.File(s"$base/$name").mkdirs()
+      assert(TableOps.commitArtifactDir(spark, base, prefix, name))
+    }
+    commit("pq"); commit("pq"); commit("ivf")
+    assert(TableOps.currentArtifactDir(spark, base, "pq").contains("pq_v00000001"))
+    TableOps.dropArtifactPointers(spark, base, "pq")
+    assert(TableOps.currentArtifactDir(spark, base, "pq").isEmpty,
+      "every pq pointer must be gone")
+    assert(TableOps.currentArtifactDir(spark, base, "ivf").isDefined,
+      "other families must keep resolving")
+    // the family can be rebuilt from scratch afterwards
+    commit("pq")
+    assert(TableOps.currentArtifactDir(spark, base, "pq").isDefined)
+  }
+
   test("empty rewrite result stays readable with the manifest schema") {
     val dir = tmp("empty")
     TableOps.append(Seq((1L, "a")).toDF("id", "v"), dir)
