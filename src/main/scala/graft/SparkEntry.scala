@@ -847,6 +847,14 @@ object SparkEntry {
       facadePqFor(s, d).query(KwQuery, FacadeUser, topK = 10,
         useIndexes = true)),
 
+    // the codegen'd array-ADC twin of q70: the compressed scan is ONE
+    // per-row PqAdc projection feeding TakeOrdered — no code explode,
+    // no LUT join, no aggregation exchange; prices the fast path
+    // against q70's decimal-exact row form on the same saved index
+    "x61_knn_pq_fast" -> ((s, d) =>
+      pqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
+        excludeId = Some(KnnQueryId), fast = true)),
+
     // the model-scoring rerank path, measured against x55's overlap
     // heuristic on the SAME warehouse: the trained cross-encoder runs
     // its P-projection + MLP forward per candidate pair — the cost a

@@ -36,6 +36,78 @@ object VectorFunctions {
   /** Cosine mapped to [0, 1] as (s+1)/2 — the buffer-retrieval convention
     * (reference: rag/retrieve/buffer.py:311-326). */
   def cosine01(a: Column, b: Column): Column = (cosine(a, b) + lit(1d)) / lit(2d)
+
+  /** ADC distance of a PQ code array against a flattened LUT (see
+    * [[graft.pipeline.PqIndex]]): Σ_s lut[s·ksub + codes[s]]. */
+  def pqAdc(codes: Column, lut: Array[Double], ksub: Int): Column =
+    columnOf(PqAdc(expressionOf(codes), lut, ksub))
+}
+
+/** Asymmetric-distance lookup for product-quantized vectors: one double
+  * per row from `m` LUT loads — the whole ADC scan becomes a per-row
+  * codegen'd expression feeding TakeOrdered directly, with no code
+  * explode and no aggregation exchange (the row-layout twin in
+  * [[graft.pipeline.PqIndex.adcTopK]] pays both, and stays as the
+  * oracle-checked reference semantics). Accumulates in subspace order —
+  * same additions as a fixed-order SQL sum. Out-of-range codes (never
+  * produced by the encoder) yield null via the bounds check. */
+case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // always nullable (out-of-range code → null) even over a non-null
+  // child — keeps ev.isNull a real variable in the generated code
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs array<int> codes, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = a.getInt(s)
+      val i = s * ksub + c
+      if (c < 0 || c >= ksub || i >= lut.length) return null
+      acc += lut(i)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $c = $a.getInt($s);
+         |  if ($c < 0 || $c >= $ksub || $s * $ksub + $c >= $lutRef.length) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $lutRef[$s * $ksub + $c];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Σ a(i)·b(i) with each element widened to Double before multiply.

@@ -405,9 +405,12 @@ class MemFuse(
         val qArr = encoder.encodeOne(text)
         val vecHits =
           (if (hasPqIndex)
+            // fast=true: candidates from the codegen'd array scan (no
+            // explode, no exchange); exact rescore makes the returned
+            // scores backend-identical either way
             openPq().query(qArr, idxFetch,
               rescoreFrom = Some(m1.select(col("chunk_id").as("vec_id"),
-                col("embedding"))))
+                col("embedding"))), fast = true)
           else openIvf().query(qArr, idxFetch, nProbe))
             .join(chunkIds, col("id") === col("chunk_id"), "left_semi")
         knCorpus.fold(vecHits)(k => vecHits.unionByName(

@@ -132,9 +132,8 @@ object PqIndex {
   }
 
   /** Encode a corpus against a trained codebook: (vec_id, sub, code) —
-    * the row layout of the stored code table (m rows per vector; the
-    * array layout is a groupBy away). One narrow pass + the broadcast
-    * codebook join. */
+    * the row layout (m rows per vector; [[encodeArrays]] is the compact
+    * stored form). One narrow pass + the broadcast codebook join. */
   def encode(
       embeddings: DataFrame,
       cb: Seq[(Int, Int, Array[Double])],
@@ -142,6 +141,34 @@ object PqIndex {
       dim: Int = Schemas.EmbeddingDim): DataFrame = {
     val unit = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("uvec"))
     assign(subRows(unit, m, dim), cb).select("vec_id", "sub", "code")
+  }
+
+  /** The compact code-table layout: ONE row per vector with its m codes
+    * in subspace order — what the index stores and what the codegen'd
+    * [[graft.functions.PqAdc]] expression scans. */
+  def encodeArrays(
+      embeddings: DataFrame,
+      cb: Seq[(Int, Int, Array[Double])],
+      m: Int = 8,
+      dim: Int = Schemas.EmbeddingDim): DataFrame =
+    encode(embeddings, cb, m, dim)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Row layout back out of the array layout: (vec_id, sub, code) via
+    * posexplode — narrow (no shuffle), so the decimal-exact
+    * [[adcTopK]] semantics cost nothing extra to derive from storage. */
+  def explodeCodes(codesArr: DataFrame): DataFrame =
+    codesArr.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+
+  /** The LUT flattened to subspace-major order for [[graft.functions.PqAdc]]:
+    * flat(s·ksub + c) = d(s, c). */
+  def flatLut(lut: Seq[(Int, Int, Double)], ksub: Int): Array[Double] = {
+    val a = new Array[Double](lut.size)
+    lut.foreach { case (s, c, d) => a(s * ksub + c) = d }
+    a
   }
 
   /** ADC lookup table for a (raw, un-normalized) query vector: exact
@@ -188,11 +215,49 @@ object PqIndex {
       .limit(topK)
   }
 
+  /** Top-k by ADC over the ARRAY-layout code table via the codegen'd
+    * [[graft.functions.PqAdc]] expression: the whole scan is one
+    * per-row lookup-sum feeding TakeOrdered directly — no code explode,
+    * no join, no aggregation exchange. Accumulates in Double in
+    * subspace order instead of [[adcTopK]]'s decimal-widened sum, so
+    * the 6th truncated decimal can differ within ~1e-12 of a boundary;
+    * the row path stays the oracle-parity form, this is the scan you
+    * run at 100 TB (and always under exact rescore in the facade). */
+  def adcTopKArrays(
+      codesArr: DataFrame,
+      lut: Seq[(Int, Int, Double)],
+      ksub: Int,
+      topK: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val flat = flatLut(lut, ksub)
+    val filtered = excludeId.fold(codesArr)(id => codesArr.filter(col("vec_id") =!= id))
+    filtered
+      .select(col("vec_id").as("id"),
+        trunc6(VectorFunctions.pqAdc(col("codes"), flat, ksub)).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(topK)
+  }
+
+  /** Exact-rescore step shared by both candidate paths (FAISS's refine):
+    * only the candidate ids are fetched — by id, a tiny semi-join at
+    * any scale — and scored with full-precision cosine. */
+  private def rescore(
+      cand: DataFrame,
+      embeddings: DataFrame,
+      queryVec: Array[Float],
+      topK: Int): DataFrame =
+    cand.join(embeddings, cand("id") === embeddings("vec_id"))
+      .withColumn("score",
+        trunc6(VectorFunctions.cosine(col("embedding"), typedlit(queryVec.toSeq))))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+
   /** ADC top-(k·oversample) candidates, exact-rescored against the raw
     * vectors (FAISS's refine step): the compressed scan ranks the whole
     * corpus from codes alone, then only `topK × oversample` full
-    * vectors are fetched — by id, a tiny semi-join at any scale — for
-    * exact cosine. Recovers most of the recall ADC alone gives up. */
+    * vectors are fetched for exact cosine. Recovers most of the recall
+    * ADC alone gives up. */
   def adcTopKRescored(
       codes: DataFrame,
       lut: Seq[(Int, Int, Double)],
@@ -200,16 +265,9 @@ object PqIndex {
       queryVec: Array[Float],
       topK: Int,
       oversample: Int = 4,
-      excludeId: Option[Long] = None): DataFrame = {
-    val cand = adcTopK(codes, lut, topK * oversample, excludeId)
-      .select(col("id"))
-    cand.join(embeddings, cand("id") === embeddings("vec_id"))
-      .withColumn("score",
-        trunc6(VectorFunctions.cosine(col("embedding"), typedlit(queryVec.toSeq))))
-      .select(col("id"), col("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
-  }
+      excludeId: Option[Long] = None): DataFrame =
+    rescore(adcTopK(codes, lut, topK * oversample, excludeId).select(col("id")),
+      embeddings, queryVec, topK)
 
   /** Train + encode in one call — the build step of the index
     * lifecycle. */
@@ -221,8 +279,8 @@ object PqIndex {
       sampleRows: Int = 256,
       dim: Int = Schemas.EmbeddingDim): PqIndex = {
     val cb = trainCodebooks(embeddings, m, ksub, iters, sampleRows, dim)
-    val codes = encode(embeddings, cb.toSeq, m, dim)
-    new PqIndex(cb, codes, m, dim, fitRows = embeddings.count())
+    val codesArr = encodeArrays(embeddings, cb.toSeq, m, dim)
+    new PqIndex(cb, codesArr, m, dim, fitRows = embeddings.count())
   }
 
   private[pipeline] def resolvedDir(spark: SparkSession, basePath: String): String =
@@ -249,12 +307,17 @@ object PqIndex {
 
 /** A persisted PQ index handle: codebook on the driver (m×ksub — tiny),
   * codes a lazy scan pinned to the version dir committed at open time.
-  * Same versioned-artifact lifecycle as [[IvfIndex]]/[[KeywordIndex]]:
-  * save materializes a fresh version dir and pointer-CAS commits it, so
-  * a query racing a rebuild keeps its own files. */
+  * Stored layout is the compact array form (ONE row per vector, m small
+  * ints — the 64× compression is realized on disk); the m-rows-per-
+  * vector layout the decimal-exact [[PqIndex.adcTopK]] consumes is
+  * derived by a narrow posexplode, so both query forms read one file
+  * set. Same versioned-artifact lifecycle as [[IvfIndex]]/
+  * [[KeywordIndex]]: save materializes a fresh version dir and
+  * pointer-CAS commits it, so a query racing a rebuild keeps its own
+  * files. */
 class PqIndex private[pipeline] (
     val codebook: Array[(Int, Int, Array[Double])],
-    val codes: DataFrame,
+    val codesArr: DataFrame,
     val m: Int,
     val dim: Int,
     val fitRows: Long = -1L,
@@ -262,24 +325,34 @@ class PqIndex private[pipeline] (
 
   def ksub: Int = codebook.count(_._1 == 0)
 
+  /** Row-layout view (vec_id, sub, code) — oracle-parity query form. */
+  def codes: DataFrame = PqIndex.explodeCodes(codesArr)
+
   /** Vectors currently encoded in the table — counted ONCE per handle
     * (the codes scan is pinned to this handle's version dir, so the
     * number can't change underneath it; same convention as
-    * KeywordIndex.nDocs). */
-  @transient lazy val nVectors: Long = codes.select("vec_id").distinct().count()
+    * KeywordIndex.nDocs). One row per vector: a plain count. */
+  @transient lazy val nVectors: Long = codesArr.count()
 
   /** Top-k ADC neighbors of `queryVec` (see [[PqIndex.adcTopK]]); pass
     * `rescoreFrom = Some(rawEmbeddings)` for the exact-rescored variant
-    * ([[PqIndex.adcTopKRescored]]). */
+    * ([[PqIndex.adcTopKRescored]]). `fast = true` routes candidate
+    * generation through the codegen'd array scan
+    * ([[PqIndex.adcTopKArrays]] — no explode, no exchange); the default
+    * keeps the decimal-exact row path the oracle mirrors. */
   def query(queryVec: Array[Float], topK: Int,
       excludeId: Option[Long] = None,
       rescoreFrom: Option[DataFrame] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4,
+      fast: Boolean = false): DataFrame = {
     val lut = PqIndex.adcLut(queryVec, codebook.toSeq, m, dim)
+    def cand(k: Int): DataFrame =
+      if (fast) PqIndex.adcTopKArrays(codesArr, lut, ksub, k, excludeId)
+      else PqIndex.adcTopK(codes, lut, k, excludeId)
     rescoreFrom match {
-      case Some(raw) => PqIndex.adcTopKRescored(
-        codes, lut, raw, queryVec, topK, oversample, excludeId)
-      case None => PqIndex.adcTopK(codes, lut, topK, excludeId)
+      case Some(raw) => PqIndex.rescore(
+        cand(topK * oversample).select(col("id")), raw, queryVec, topK)
+      case None => cand(topK)
     }
   }
 
@@ -294,10 +367,10 @@ class PqIndex private[pipeline] (
     // files this handle's codes scan never reads and skew the drift
     val vp = srcDir.getOrElse(throw new IllegalStateException(
       "addVectors requires a handle opened with PqIndex.load (save first, then load)"))
-    PqIndex.encode(newVecs, codebook.toSeq, m, dim)
+    PqIndex.encodeArrays(newVecs, codebook.toSeq, m, dim)
       .write.mode(SaveMode.Append).parquet(s"$vp/pq_codes")
     val nNew = newVecs.count()
-    val total = spark.read.parquet(s"$vp/pq_codes").count().toDouble / m
+    val total = spark.read.parquet(s"$vp/pq_codes").count().toDouble
     val unfit = if (fitRows >= 0) total - fitRows else nNew.toDouble
     if (total == 0) 0.0 else math.max(0.0, unfit) / total
   }
@@ -305,15 +378,15 @@ class PqIndex private[pipeline] (
   /** Persist codes + codebook + fit metadata into a fresh version dir,
     * committed with the pointer CAS. */
   def save(basePath: String): Unit = {
-    val spark = codes.sparkSession
+    val spark = codesArr.sparkSession
     import spark.implicits._
     val name = TableOps.nextArtifactDir(spark, basePath, "pq")
     val vp = s"$basePath/$name"
-    codes.write.mode(SaveMode.Overwrite).parquet(s"$vp/pq_codes")
+    codesArr.write.mode(SaveMode.Overwrite).parquet(s"$vp/pq_codes")
     codebook.toSeq.map { case (s, c, v) => (s, c, v.toSeq) }
       .toDF("sub", "code", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$vp/pq_codebook")
-    val n = if (fitRows >= 0) fitRows else codes.select("vec_id").distinct().count()
+    val n = if (fitRows >= 0) fitRows else codesArr.count()
     Seq((n, m, dim)).toDF("n_fit_rows", "m", "dim")
       .write.mode(SaveMode.Overwrite).parquet(s"$vp/pq_meta")
     TableOps.commitArtifactDir(spark, basePath, "pq", name)

@@ -42,6 +42,41 @@ class PqSpec extends SparkSpec {
     assert(rescored.contains(exact.head), "rescore must recover the exact top-1")
   }
 
+  test("pq fast path: codegen'd array ADC matches the row-layout ranking, scan has no exchange") {
+    val emb = Tables.embeddings(spark, sf())
+    val idx = PqIndex.build(emb, m = 16, ksub = 16, iters = 2, sampleRows = 256)
+    val q = qvec(emb)
+    val lut = PqIndex.adcLut(q, idx.codebook.toSeq, m = 16)
+
+    val row = PqIndex.adcTopK(idx.codes, lut, 20, excludeId = Some(0L)).collect()
+    val fast = PqIndex.adcTopKArrays(idx.codesArr, lut, ksub = 16, 20,
+      excludeId = Some(0L)).collect()
+    assert(row.map(_.getLong(0)).toSeq == fast.map(_.getLong(0)).toSeq,
+      "array fast path must rank exactly like the decimal row path")
+    row.zip(fast).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9,
+        s"adc_dist drift: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+    }
+
+    // over a LOADED index the fast scan is one projected parquet pass
+    // feeding TakeOrdered — no shuffle exchange, no join, no aggregate
+    val dir = java.nio.file.Files.createTempDirectory("pqfast").toString
+    idx.save(dir)
+    val loaded = PqIndex.load(spark, dir)
+    assert(loaded.query(q, 20, excludeId = Some(0L), fast = true)
+      .collect().map(_.getLong(0)).toSeq == row.map(_.getLong(0)).toSeq)
+    val plan = loaded.query(q, 20, fast = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"fast ADC scan must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"fast ADC scan must not aggregate:\n$plan")
+
+    // rescored queries return backend-identical results either way
+    val slow = idx.query(q, 10, rescoreFrom = Some(emb)).collect().toSeq
+    val fastQ = idx.query(q, 10, rescoreFrom = Some(emb), fast = true).collect().toSeq
+    assert(slow == fastQ, "exact rescore must erase the candidate-path difference")
+  }
+
   test("pq index: save/load answers identically; incremental adds encode new vectors") {
     val emb = Tables.embeddings(spark, sf())
     val old = emb.filter(col("vec_id") < 400)
