@@ -193,7 +193,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q74_incremental_dedup")
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(p.contains("bkey"), p.take(3000))
+    // the candidate stage itself (eagerly checkpointed inside q74, so
+    // its plan is no longer visible in the final query's): new×old
+    // pairing must be an equi-join keyed on (band, bkey)
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 8)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 9).map(i => lit(s"w$i")): _*).as("text"))
+    val sh = graft.operators.Dedup.shingleArrays(docs, 3)
+    def bands(idc: String) = graft.operators.Dedup.bandRows(
+      graft.operators.Dedup.minhashSignature(sh, 8), idc, 4, 2)
+    val cand = bands("new_id").join(bands("old_id"), Seq("band", "bkey"))
+      .select("new_id", "old_id").distinct()
+      .queryExecution.executedPlan.toString()
+    assert(cand.contains("bkey"), cand.take(3000))
+    assert(!cand.contains("CartesianProduct") &&
+      !cand.contains("BroadcastNestedLoopJoin"), cand.take(3000))
   }
 
   test("q58: shared passages shuffle exactly once, keyed on the gram") {
