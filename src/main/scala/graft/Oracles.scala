@@ -90,77 +90,159 @@ object Oracles {
     pqPipelineSqlFor(SparkEntry.PqM, SparkEntry.PqKsub,
       SparkEntry.PqIters, SparkEntry.PqSample, withLut = true)
 
+  /** ‖x‖² − 2·x·c + ‖c‖² — the one distance form every quantizer stage
+    * uses (same parenthesization as the Spark/driver code). */
+  private def pqDist(xx: String, x: String, c: String) =
+    s"($xx - 2.0 * list_dot_product($x, $c)) + list_dot_product($c, $c)"
+
+  /** L2-normalized embeddings as a (vec_id, uvec) SELECT body — the
+    * corpus input of every quantizer pipeline (PqIndex.unitVec). */
+  private val unitFromEmbeddingsSql =
+    """SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CASE WHEN nrm = 0 THEN 0.0 ELSE v / nrm END) AS uvec
+      |  FROM (SELECT vec_id, embedding,
+      |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                CAST(embedding AS DOUBLE[]))) AS nrm
+      |        FROM embeddings)""".stripMargin
+
+  /** One full Lloyd train+encode chain as CTE definitions (no leading
+    * WITH) — the SQL twin of [[graft.pipeline.PqIndex.trainCodebooksOn]]
+    * + encodeOn over `srcSql` (any SELECT yielding (vec_id, uvec)),
+    * with CTE names prefixed `p` so two chains (IVF-PQ's coarse +
+    * residual stages) compose in one query. Ends at `${p}codes`
+    * (vec_id, sub, code); the final codebook is `${p}cb$iters`. */
+  private def lloydChainSql(
+      p: String, srcSql: String, salt: String,
+      m: Int, ksub: Int, iters: Int, sampleRows: Int): String = {
+    val dsub = 64 / m
+    def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
+    val dist = pqDist(_, _, _)
+    val iterBlocks = (1 to iters).map { t =>
+      s"""${p}asg$t AS (
+         |  SELECT s.vec_id, s.sub, c.code, s.subvec,
+         |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
+         |  FROM ${p}srx s JOIN ${p}cb${t - 1} c USING (sub)),
+         |${p}best$t AS (
+         |  SELECT vec_id, sub, code, subvec FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM ${p}asg$t)
+         |  WHERE rn = 1),
+         |${p}mean$t AS (
+         |  SELECT sub, code, pos, ${davg("v")} AS mv
+         |  FROM (SELECT sub, code, unnest(subvec) AS v,
+         |               generate_subscripts(subvec, 1) AS pos FROM ${p}best$t)
+         |  GROUP BY sub, code, pos),
+         |${p}cent$t AS (SELECT sub, code, list(mv ORDER BY pos) AS centroid
+         |           FROM ${p}mean$t GROUP BY sub, code),
+         |${p}cb$t AS (SELECT c.sub, c.code, coalesce(n.centroid, c.centroid) AS centroid
+         |         FROM ${p}cb${t - 1} c LEFT JOIN ${p}cent$t n
+         |           ON n.sub = c.sub AND n.code = c.code)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}unit AS (
+       |  SELECT vec_id, uvec,
+       |         md5(concat('$salt|', CAST(vec_id AS VARCHAR))) AS mh
+       |  FROM ($srcSql)),
+       |${p}sample AS (SELECT vec_id, uvec FROM ${p}unit ORDER BY mh, vec_id LIMIT $sampleRows),
+       |${p}srx AS (
+       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
+       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
+       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM ${p}sample))),
+       |${p}seeds AS (SELECT vec_id, uvec,
+       |            row_number() OVER (ORDER BY mh, vec_id) - 1 AS code
+       |          FROM ${p}unit ORDER BY mh, vec_id LIMIT $ksub),
+       |${p}cb0 AS (SELECT sub, CAST(code AS INT) AS code, ${sv("uvec", "sub")} AS centroid
+       |        FROM (SELECT code, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM ${p}seeds)),
+       |$iterBlocks,
+       |${p}csrx AS (
+       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
+       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
+       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |              FROM ${p}unit))),
+       |${p}casg AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
+       |  FROM ${p}csrx s JOIN ${p}cb$iters c USING (sub)),
+       |${p}codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM ${p}casg)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   private def pqPipelineSqlFor(
       m: Int, ksub: Int, iters: Int, sampleRows: Int, withLut: Boolean): String = {
     val dsub = 64 / m
     val qid = SparkEntry.KnnQueryId
     def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
-    def dist(xx: String, x: String, c: String) =
-      s"($xx - 2.0 * list_dot_product($x, $c)) + list_dot_product($c, $c)"
-    val iterBlocks = (1 to iters).map { t =>
-      s"""asg$t AS (
-         |  SELECT s.vec_id, s.sub, c.code, s.subvec,
-         |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
-         |  FROM srx s JOIN cb${t - 1} c USING (sub)),
-         |best$t AS (
-         |  SELECT vec_id, sub, code, subvec FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM asg$t)
-         |  WHERE rn = 1),
-         |mean$t AS (
-         |  SELECT sub, code, pos, ${davg("v")} AS mv
-         |  FROM (SELECT sub, code, unnest(subvec) AS v,
-         |               generate_subscripts(subvec, 1) AS pos FROM best$t)
-         |  GROUP BY sub, code, pos),
-         |cent$t AS (SELECT sub, code, list(mv ORDER BY pos) AS centroid
-         |           FROM mean$t GROUP BY sub, code),
-         |cb$t AS (SELECT c.sub, c.code, coalesce(n.centroid, c.centroid) AS centroid
-         |         FROM cb${t - 1} c LEFT JOIN cent$t n
-         |           ON n.sub = c.sub AND n.code = c.code)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH unit AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      v -> CASE WHEN nrm = 0 THEN 0.0 ELSE v / nrm END) AS uvec,
-       |    md5(concat('pq|', CAST(vec_id AS VARCHAR))) AS mh
-       |  FROM (SELECT vec_id, embedding,
-       |          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                                CAST(embedding AS DOUBLE[]))) AS nrm
-       |        FROM embeddings)),
-       |sample AS (SELECT vec_id, uvec FROM unit ORDER BY mh, vec_id LIMIT $sampleRows),
-       |srx AS (
-       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
-       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
-       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
-       |              FROM sample))),
-       |seeds AS (SELECT vec_id, uvec,
-       |            row_number() OVER (ORDER BY mh, vec_id) - 1 AS code
-       |          FROM unit ORDER BY mh, vec_id LIMIT $ksub),
-       |cb0 AS (SELECT sub, CAST(code AS INT) AS code, ${sv("uvec", "sub")} AS centroid
-       |        FROM (SELECT code, uvec, unnest(generate_series(0, ${m - 1})) AS sub
-       |              FROM seeds)),
-       |$iterBlocks,
-       |csrx AS (
-       |  SELECT vec_id, sub, subvec, list_dot_product(subvec, subvec) AS xx
-       |  FROM (SELECT vec_id, sub, ${sv("uvec", "sub")} AS subvec
-       |        FROM (SELECT vec_id, uvec, unnest(generate_series(0, ${m - 1})) AS sub
-       |              FROM unit))),
-       |casg AS (
-       |  SELECT s.vec_id, s.sub, c.code,
-       |         ${dist("s.xx", "s.subvec", "c.centroid")} AS d
-       |  FROM csrx s JOIN cb$iters c USING (sub)),
-       |codes AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM casg)
-       |  WHERE rn = 1)""".stripMargin + (if (!withLut) "" else
-      s""",
-       |qs AS (SELECT sub, ${sv("uvec", "sub")} AS qsub
-       |       FROM (SELECT uvec, unnest(generate_series(0, ${m - 1})) AS sub
-       |             FROM (SELECT uvec FROM unit WHERE vec_id = $qid))),
-       |lut AS (SELECT c.sub, c.code,
-       |          ${dist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
-       |        FROM cb$iters c JOIN qs q USING (sub))""".stripMargin)
+    "WITH " +
+      lloydChainSql("", unitFromEmbeddingsSql, "pq", m, ksub, iters, sampleRows) +
+      (if (!withLut) "" else
+        s""",
+         |qs AS (SELECT sub, ${sv("uvec", "sub")} AS qsub
+         |       FROM (SELECT uvec, unnest(generate_series(0, ${m - 1})) AS sub
+         |             FROM (SELECT uvec FROM unit WHERE vec_id = $qid))),
+         |lut AS (SELECT c.sub, c.code,
+         |          ${pqDist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
+         |        FROM cb$iters c JOIN qs q USING (sub))""".stripMargin)
+  }
+
+  /** The IVF-PQ replay (q80): coarse chain (salt 'pq', one full-vector
+    * subspace, nlist codes — identical to IvfPq.train's coarse stage),
+    * residual chain (salt 'ivfpq') over (uvec − coarse centroid), then
+    * the query side — rank cells by the same distance form, keep
+    * `nProbe`, build a PER-CELL LUT from the query's residual against
+    * that cell, ADC-sum over the probed cells only. Mirrors
+    * [[graft.pipeline.IvfPq.adcTopK]] op-for-op. */
+  private def ivfPqSql(
+      nlist: Int, m: Int, ksub: Int, iters: Int, sampleRows: Int,
+      nProbe: Int, topK: Int): String = {
+    val dsub = 64 / m
+    val qid = SparkEntry.KnnQueryId
+    def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
+    val coarse =
+      lloydChainSql("c", unitFromEmbeddingsSql, "pq", 1, nlist, iters, sampleRows)
+    val resSrc =
+      s"""SELECT u.vec_id,
+         |    list_transform(generate_series(1, 64),
+         |      i -> u.uvec[i] - cb.centroid[i]) AS uvec
+         |  FROM cunit u
+         |  JOIN ccodes k ON k.vec_id = u.vec_id
+         |  JOIN ccb$iters cb ON cb.code = k.code""".stripMargin
+    val resid = lloydChainSql("r", resSrc, "ivfpq", m, ksub, iters, sampleRows)
+    s"""WITH $coarse,
+       |$resid,
+       |qv AS (SELECT uvec FROM cunit WHERE vec_id = $qid),
+       |probed AS (
+       |  SELECT cb.code AS cluster, cb.centroid
+       |  FROM ccb$iters cb, qv q
+       |  ORDER BY ${pqDist("list_dot_product(q.uvec, q.uvec)", "q.uvec", "cb.centroid")},
+       |           cb.code
+       |  LIMIT $nProbe),
+       |qres AS (
+       |  SELECT p.cluster,
+       |         list_transform(generate_series(1, 64),
+       |           i -> q.uvec[i] - p.centroid[i]) AS uvec
+       |  FROM probed p, qv q),
+       |qsub AS (
+       |  SELECT cluster, sub, ${sv("uvec", "sub")} AS qsub
+       |  FROM (SELECT cluster, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+       |        FROM qres)),
+       |lut AS (
+       |  SELECT q.cluster, c.sub, c.code,
+       |         ${pqDist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
+       |  FROM rcb$iters c JOIN qsub q USING (sub)),
+       |jc AS (
+       |  SELECT r.vec_id, k.code AS cluster, r.sub, r.code
+       |  FROM rcodes r JOIN ccodes k ON k.vec_id = r.vec_id)
+       |SELECT vec_id AS id, ${t6(dsum12("d"))} AS adc_dist
+       |FROM jc j JOIN lut l
+       |  ON j.cluster = l.cluster AND j.sub = l.sub AND j.code = l.code
+       |WHERE j.vec_id != $qid
+       |GROUP BY vec_id
+       |ORDER BY adc_dist, id LIMIT $topK""".stripMargin
   }
 
   /** The keyword-store scan: BM25(k1=1.2, b=0.75) over whitespace tokens. */
@@ -762,6 +844,26 @@ object Oracles {
          |       ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
          |FROM cand a
          |JOIN embeddings e ON e.vec_id = a.vec_id,
+         |     (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |      WHERE vec_id = ${SparkEntry.KnnQueryId}) q
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+    // q80: the full IVF-PQ build+probe+scan replay — coarse cells,
+    // residual codebooks, per-cell LUTs, ADC over the probed cells only
+    "q80_knn_ivfpq" ->
+      ivfPqSql(SparkEntry.IvfPqNlist, SparkEntry.IvfPqM, SparkEntry.IvfPqKsub,
+        SparkEntry.PqIters, SparkEntry.PqSample,
+        SparkEntry.IvfPqNProbe, 20),
+
+    // q81: IVF-PQ ADC top-(20×4) candidates exact-rescored with raw
+    // cosine (FAISS refine), same shape as q71
+    "q81_knn_ivfpq_rescored" ->
+      s"""SELECT a.id,
+         |       ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |FROM (${ivfPqSql(SparkEntry.IvfPqNlist, SparkEntry.IvfPqM,
+             SparkEntry.IvfPqKsub, SparkEntry.PqIters, SparkEntry.PqSample,
+             SparkEntry.IvfPqNProbe, 20 * SparkEntry.PqOversample)}) a
+         |JOIN embeddings e ON e.vec_id = a.id,
          |     (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
          |      WHERE vec_id = ${SparkEntry.KnnQueryId}) q
          |ORDER BY score DESC, id LIMIT 20""".stripMargin,

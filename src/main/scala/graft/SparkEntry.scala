@@ -33,6 +33,12 @@ object SparkEntry {
   private[graft] val PqIters = 2
   private[graft] val PqSample = 256
   private[graft] val PqOversample = 4
+  // q80/q81 IVF-PQ shape: 8 coarse cells, residuals at 8 subspaces ×
+  // 16 codes, 2 of 8 cells probed
+  private[graft] val IvfPqNlist = 8
+  private[graft] val IvfPqM = 8
+  private[graft] val IvfPqKsub = 16
+  private[graft] val IvfPqNProbe = 2
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
 
   // q65 freshness-boost fixture: epoch base (2024-06-01) for the
@@ -118,6 +124,17 @@ object SparkEntry {
       pipeline.PqIndex.build(Tables.embeddings(s, d),
         m = PqM, ksub = PqKsub, iters = PqIters, sampleRows = PqSample).save(dir)
       pipeline.PqIndex.load(s, dir)
+    })
+
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.IvfPqIndex]
+  private def ivfPqIndexFor(s: SparkSession, d: String): pipeline.IvfPqIndex =
+    ivfPqIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+      pipeline.IvfPq.build(Tables.embeddings(s, d), nlist = IvfPqNlist,
+        m = IvfPqM, ksub = IvfPqKsub, iters = PqIters, sampleRows = PqSample)
+        .save(dir)
+      pipeline.IvfPq.load(s, dir)
     })
 
   private val ivfQueryVecCache =
@@ -459,6 +476,25 @@ object SparkEntry {
     "q71_knn_pq_rescored" -> ((s, d) =>
       pqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
         excludeId = Some(KnnQueryId),
+        rescoreFrom = Some(Tables.embeddings(s, d)),
+        oversample = PqOversample)),
+
+    // ---- IVF-PQ (IVFADC, Jégou et al. §IV / FAISS IndexIVFPQ): the
+    // canonical billion-scale composition — coarse k-means cells with
+    // PQ-encoded RESIDUALS, probe 2 of 8 cells, per-cell ADC from the
+    // query's own residual. The persisted code table is partitioned by
+    // cluster, so the probe is pure partition pruning; both training
+    // stages are the deterministic md5-sampled Lloyd pipeline, so the
+    // oracle replays the whole build+probe+scan in SQL and
+    // hash-matches the lossy ranking itself ----
+    "q80_knn_ivfpq" -> ((s, d) =>
+      ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
+        nProbe = IvfPqNProbe, excludeId = Some(KnnQueryId))),
+
+    // ---- IVF-PQ + exact rescore (FAISS refine) over the probed cells ----
+    "q81_knn_ivfpq_rescored" -> ((s, d) =>
+      ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20,
+        nProbe = IvfPqNProbe, excludeId = Some(KnnQueryId),
         rescoreFrom = Some(Tables.embeddings(s, d)),
         oversample = PqOversample)),
 

@@ -95,9 +95,25 @@ object PqIndex {
       ksub: Int = 16,
       iters: Int = 2,
       sampleRows: Int = 256,
-      dim: Int = Schemas.EmbeddingDim): Array[(Int, Int, Array[Double])] = {
-    val unit = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("uvec"))
-      .withColumn("mh", md5(concat(lit("pq|"), col("vec_id").cast("string"))))
+      dim: Int = Schemas.EmbeddingDim): Array[(Int, Int, Array[Double])] =
+    trainCodebooksOn(
+      embeddings.select(col("vec_id"), unitVec(col("embedding")).as("uvec")),
+      m, ksub, iters, sampleRows, dim)
+
+  /** [[trainCodebooks]] over a PREPARED (vec_id, uvec) frame — no
+    * normalization applied, so residual vectors (IVF-PQ) train as-is.
+    * `salt` decorrelates the md5 sample/seed order between pipelines
+    * that share vec_ids (coarse vs residual stages). */
+  def trainCodebooksOn(
+      unitIn: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      sampleRows: Int,
+      dim: Int = Schemas.EmbeddingDim,
+      salt: String = "pq"): Array[(Int, Int, Array[Double])] = {
+    val unit = unitIn.select(col("vec_id"), col("uvec"))
+      .withColumn("mh", md5(concat(lit(s"$salt|"), col("vec_id").cast("string"))))
     val sample = unit.orderBy(col("mh"), col("vec_id")).limit(sampleRows)
     val sr = subRows(sample, m, dim).persist()
     try {
@@ -138,10 +154,20 @@ object PqIndex {
       embeddings: DataFrame,
       cb: Seq[(Int, Int, Array[Double])],
       m: Int = 8,
-      dim: Int = Schemas.EmbeddingDim): DataFrame = {
-    val unit = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("uvec"))
-    assign(subRows(unit, m, dim), cb).select("vec_id", "sub", "code")
-  }
+      dim: Int = Schemas.EmbeddingDim): DataFrame =
+    encodeOn(
+      embeddings.select(col("vec_id"), unitVec(col("embedding")).as("uvec")),
+      cb, m, dim)
+
+  /** [[encode]] over a PREPARED (vec_id, uvec) frame (no
+    * normalization) — the residual-encode step of IVF-PQ. */
+  def encodeOn(
+      unit: DataFrame,
+      cb: Seq[(Int, Int, Array[Double])],
+      m: Int = 8,
+      dim: Int = Schemas.EmbeddingDim): DataFrame =
+    assign(subRows(unit.select(col("vec_id"), col("uvec")), m, dim), cb)
+      .select("vec_id", "sub", "code")
 
   /** The compact code-table layout: ONE row per vector with its m codes
     * in subspace order — what the index stores and what the codegen'd
@@ -180,14 +206,24 @@ object PqIndex {
       cb: Seq[(Int, Int, Array[Double])],
       m: Int,
       dim: Int = Schemas.EmbeddingDim): Seq[(Int, Int, Double)] = {
-    val dsub = dim / m
     var qn = 0.0
     var qi = 0
     while (qi < queryVec.length) {
       qn += queryVec(qi).toDouble * queryVec(qi).toDouble; qi += 1
     }
     val nrm = math.sqrt(qn)
-    val q = queryVec.map(v => if (nrm == 0.0) 0.0 else v.toDouble / nrm)
+    adcLutRaw(queryVec.map(v => if (nrm == 0.0) 0.0 else v.toDouble / nrm),
+      cb, m, dim)
+  }
+
+  /** [[adcLut]] over an already-prepared double query vector (no
+    * normalization) — the per-cluster residual LUTs of IVF-PQ. */
+  def adcLutRaw(
+      q: Array[Double],
+      cb: Seq[(Int, Int, Array[Double])],
+      m: Int,
+      dim: Int = Schemas.EmbeddingDim): Seq[(Int, Int, Double)] = {
+    val dsub = dim / m
     cb.map { case (s, c, cent) =>
       val qs = java.util.Arrays.copyOfRange(q, s * dsub, s * dsub + dsub)
       (s, c, (dotLocal(qs, qs) - 2.0 * dotLocal(qs, cent)) + dotLocal(cent, cent))
@@ -241,7 +277,7 @@ object PqIndex {
   /** Exact-rescore step shared by both candidate paths (FAISS's refine):
     * only the candidate ids are fetched — by id, a tiny semi-join at
     * any scale — and scored with full-precision cosine. */
-  private def rescore(
+  private[pipeline] def rescore(
       cand: DataFrame,
       embeddings: DataFrame,
       queryVec: Array[Float],
