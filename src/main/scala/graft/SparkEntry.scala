@@ -883,6 +883,13 @@ object SparkEntry {
       facadePqFor(s, d).query(KwQuery, FacadeUser, topK = 10,
         useIndexes = true)),
 
+    // the IVF-PQ-backed twin of x56/x60: residual-ADC over 2 of 8
+    // probed cells (partition pruning) + exact rescore, on an
+    // identical warehouse
+    "x62_facade_query_ivfpq" -> ((s, d) =>
+      facadeIvfPqFor(s, d).query(KwQuery, FacadeUser, topK = 10,
+        useIndexes = true, nProbe = 2)),
+
     // the codegen'd array-ADC twin of q70: the compressed scan is ONE
     // per-row PqAdc projection feeding TakeOrdered — no code explode,
     // no LUT join, no aggregation exchange; prices the fast path
@@ -1006,6 +1013,21 @@ object SparkEntry {
       val eng = new pipeline.MemFuse(s, dir)
       eng.ingest(facadeMessages(s, d))
       eng.buildIndexes(vectorIndex = "pq")
+      eng
+    })
+
+  /** A third warehouse with the IVF-PQ backend (same isolation argument
+    * as [[facadePqFor]]): x56 vs x60 vs x62 prices cluster-partitioned
+    * full vectors vs compressed global codes vs compressed probed
+    * cells on identical corpora and the identical fused query. */
+  private val facadeIvfPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
+  private def facadeIvfPqFor(s: SparkSession, d: String): pipeline.MemFuse =
+    facadeIvfPqCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_facade_ivfpq").toString
+      val eng = new pipeline.MemFuse(s, dir)
+      eng.ingest(facadeMessages(s, d))
+      eng.buildIndexes(nlist = 8, vectorIndex = "ivfpq")
       eng
     })
 

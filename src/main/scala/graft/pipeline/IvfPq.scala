@@ -183,7 +183,8 @@ object IvfPq {
       sampleRows: Int = 256,
       dim: Int = Schemas.EmbeddingDim): IvfPqIndex = {
     val model = train(embeddings, nlist, m, ksub, iters, sampleRows, dim)
-    new IvfPqIndex(model, encodeArrays(embeddings, model))
+    new IvfPqIndex(model, encodeArrays(embeddings, model),
+      fitRows = embeddings.count())
   }
 
   /** Reopen a saved index: both codebooks to the driver, codes a lazy
@@ -203,7 +204,9 @@ object IvfPq {
       m = meta.getAs[Number]("m").intValue(),
       ksub = meta.getAs[Number]("ksub").intValue(),
       dim = meta.getAs[Number]("dim").intValue())
-    new IvfPqIndex(model, spark.read.parquet(s"$vp/ivfpq_codes"))
+    new IvfPqIndex(model, spark.read.parquet(s"$vp/ivfpq_codes"),
+      fitRows = meta.getAs[Number]("n_fit_rows").longValue(),
+      srcDir = Some(vp))
   }
 }
 
@@ -213,11 +216,36 @@ object IvfPq {
   * (partition pruning does the inverted-list seek). */
 class IvfPqIndex private[pipeline] (
     val model: IvfPq.Model,
-    val codesArr: DataFrame) {
+    val codesArr: DataFrame,
+    val fitRows: Long = -1L,
+    private val srcDir: Option[String] = None) {
 
   /** Row-layout view (vec_id, cluster, sub, code) — the query form. */
   def codes: DataFrame = codesArr.select(col("vec_id"), col("cluster"),
     posexplode(col("codes")).as(Seq("sub", "code")))
+
+  /** Vectors currently encoded — counted ONCE per handle (the scan is
+    * pinned to this handle's version dir; KeywordIndex.nDocs
+    * convention). */
+  @transient lazy val nVectors: Long = codesArr.count()
+
+  /** Encode NEW vectors with the EXISTING quantizers (coarse cell +
+    * residual codes) and append into the cluster partitions — the
+    * incremental-add contract shared with IvfIndex/PqIndex. Returns
+    * the drift ratio (fraction the quantizers were never fit on); the
+    * caller schedules a re-train past a threshold. */
+  def addVectors(newVecs: DataFrame, basePath: String): Double = {
+    val spark = newVecs.sparkSession
+    val vp = srcDir.getOrElse(throw new IllegalStateException(
+      "addVectors requires a handle opened with IvfPq.load (save first, then load)"))
+    IvfPq.encodeArrays(newVecs, model)
+      .write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$vp/ivfpq_codes")
+    val nNew = newVecs.count()
+    val total = spark.read.parquet(s"$vp/ivfpq_codes").count().toDouble
+    val unfit = if (fitRows >= 0) total - fitRows else nNew.toDouble
+    if (total == 0) 0.0 else math.max(0.0, unfit) / total
+  }
 
   def query(queryVec: Array[Float], topK: Int,
       nProbe: Int = 2,
@@ -245,8 +273,9 @@ class IvfPqIndex private[pipeline] (
         .write.mode(SaveMode.Overwrite).parquet(s"$vp/$sub")
     writeCb(model.coarse, "ivfpq_coarse")
     writeCb(model.pq, "ivfpq_codebook")
-    Seq((model.nlist, model.m, model.ksub, model.dim))
-      .toDF("nlist", "m", "ksub", "dim")
+    val n = if (fitRows >= 0) fitRows else codesArr.count()
+    Seq((model.nlist, model.m, model.ksub, model.dim, n))
+      .toDF("nlist", "m", "ksub", "dim", "n_fit_rows")
       .write.mode(SaveMode.Overwrite).parquet(s"$vp/ivfpq_meta")
     TableOps.commitArtifactDir(spark, basePath, "ivfpq", name)
   }

@@ -172,7 +172,8 @@ class MemFuse(
     val hasIvf =
       TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined
     val hasPq = hasPqIndex
-    if (hasKw || hasIvf || hasPq) m1New.persist()
+    val hasIvfPq = hasIvfPqIndex
+    if (hasKw || hasIvf || hasPq || hasIvfPq) m1New.persist()
     TableOps.appendBucketed(m1New, path("m1_episodic"))
     clearCache() // B5 cache: any write invalidates cached query results
     // incremental index maintenance (the reference maintains FTS5/DiskANN
@@ -209,9 +210,21 @@ class MemFuse(
         resetTombstones()
       }
     }
-    if (hasKw || hasIvf || hasPq) {
+    if (hasIvfPq) {
+      val idx = openIvfPq()
+      val drift = idx.addVectors(
+        toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
+      if (drift > IvfRefitDrift) {
+        IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+          nlist = idx.model.nlist).save(path("index"))
+        resetTombstones()
+      }
+    }
+    if (hasKw || hasIvf || hasPq || hasIvfPq) {
       m1New.unpersist()
-      indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
+      indexHandles.synchronized {
+        ivfHandle = None; kwHandle = None; pqHandle = None; ivfPqHandle = None
+      }
     }
   }
 
@@ -385,6 +398,7 @@ class MemFuse(
           val totalN =
             if (TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined)
               openKw().nDocs
+            else if (hasIvfPqIndex) openIvfPq().nVectors
             else if (hasPqIndex) openPq().nVectors
             else openIvf().assigned.count()
           val scale = math.max(1L, math.ceil(totalN.toDouble / scopeN).toLong)
@@ -404,7 +418,13 @@ class MemFuse(
         val chunkIds = chunks.select(col("chunk_id"))
         val qArr = encoder.encodeOne(text)
         val vecHits =
-          (if (hasPqIndex)
+          (if (hasIvfPqIndex)
+            // probed-cell ADC candidates + exact rescore — like pq,
+            // the rescore returns the scan path's trunc6 cosines
+            openIvfPq().query(qArr, idxFetch, nProbe,
+              rescoreFrom = Some(m1.select(col("chunk_id").as("vec_id"),
+                col("embedding"))))
+          else if (hasPqIndex)
             // fast=true: candidates from the codegen'd array scan (no
             // explode, no exchange); exact rescore makes the returned
             // scores backend-identical either way
@@ -479,10 +499,13 @@ class MemFuse(
 
   /** Build the persisted side indexes over the current m1 chunks: the
     * term-bucket-partitioned BM25 postings (KeywordIndex) and ONE of
-    * the two vector backends — the cluster-partitioned IVF index
-    * (default) or the product-quantized code table (`vectorIndex =
-    * "pq"`, 16 bytes/vector + exact rescore; the reference similarly
-    * selects among pluggable vector stores, store/vector_store/).
+    * the three vector backends — the cluster-partitioned IVF index
+    * (default), the product-quantized code table (`vectorIndex =
+    * "pq"`, 16 bytes/vector + exact rescore), or IVF-PQ
+    * (`"ivfpq"`, coarse cells + residual codes: partition-pruned
+    * probes AND compressed rows — the billion-vector layout; the
+    * reference similarly selects among pluggable vector stores,
+    * store/vector_store/).
     * Per-batch upkeep is incremental (see [[ingest]]); a full rebuild
     * is needed only after quantizer drift or bulk deletes. Index dirs
     * are DERIVED data rewritten wholesale (plain Overwrite, not the
@@ -493,22 +516,30 @@ class MemFuse(
     new KeywordIndex(spark, path("index"))
       .build(m1.select(col("chunk_id").as("doc_id"), col("content").as("text")))
     val vecs = m1.select(col("chunk_id").as("vec_id"), col("embedding"))
-    // the chosen backend SUPERSEDES the other: retire the other
-    // family's pointers so an explicit switch actually takes effect
+    // the chosen backend SUPERSEDES the others: retire the other
+    // families' pointers so an explicit switch actually takes effect
     // (the query path would otherwise keep preferring a leftover pq)
     vectorIndex match {
       case "ivf" =>
         IvfIndex.build(spark, vecs, nlist).save(path("index"))
         TableOps.dropArtifactPointers(spark, path("index"), "pq")
+        TableOps.dropArtifactPointers(spark, path("index"), "ivfpq")
       case "pq" =>
         PqIndex.build(vecs).save(path("index"))
         TableOps.dropArtifactPointers(spark, path("index"), "ivf")
+        TableOps.dropArtifactPointers(spark, path("index"), "ivfpq")
+      case "ivfpq" =>
+        IvfPq.build(vecs, nlist = nlist).save(path("index"))
+        TableOps.dropArtifactPointers(spark, path("index"), "ivf")
+        TableOps.dropArtifactPointers(spark, path("index"), "pq")
       case other => throw new IllegalArgumentException(
-        s"vectorIndex must be ivf|pq, got $other")
+        s"vectorIndex must be ivf|pq|ivfpq, got $other")
     }
     resetTombstones() // a full rebuild carries no deleted docs
     // drop stale open handles; the next indexed query reopens
-    indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
+    indexHandles.synchronized {
+      ivfHandle = None; kwHandle = None; pqHandle = None; ivfPqHandle = None
+    }
   }
 
   // open index handles, held like the reference holds its FTS/DiskANN
@@ -533,8 +564,16 @@ class MemFuse(
       val h = PqIndex.load(spark, path("index")); pqHandle = Some(h); h
     }
   }
+  @transient private var ivfPqHandle: Option[IvfPqIndex] = None
+  private def openIvfPq(): IvfPqIndex = indexHandles.synchronized {
+    ivfPqHandle.getOrElse {
+      val h = IvfPq.load(spark, path("index")); ivfPqHandle = Some(h); h
+    }
+  }
   private def hasPqIndex: Boolean =
     TableOps.currentArtifactDir(spark, path("index"), "pq").isDefined
+  private def hasIvfPqIndex: Boolean =
+    TableOps.currentArtifactDir(spark, path("index"), "ivfpq").isDefined
 
   // ---------- delete-aware index maintenance ----------
   // The reference deletes per row from FTS5 / its vector stores
@@ -559,7 +598,7 @@ class MemFuse(
   private def indexesExist: Boolean =
     TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined ||
       TableOps.currentArtifactDir(spark, path("index"), "ivf").isDefined ||
-      hasPqIndex
+      hasPqIndex || hasIvfPqIndex
 
   /** Record deleted chunk ids (no-op when no side index exists). The
     * input frame must be built over the PRE-delete snapshot. Writes are
@@ -587,6 +626,7 @@ class MemFuse(
     val hasKw = TableOps.currentArtifactDir(spark, path("index"), "kw").isDefined
     val nIndexed =
       if (hasKw) openKw().nDocs.toDouble
+      else if (hasIvfPqIndex) openIvfPq().nVectors.toDouble
       else if (hasPqIndex) openPq().nVectors.toDouble
       else openIvf().assigned.count().toDouble
     if (nIndexed == 0) 0.0 else math.min(1.0, nDead / nIndexed)
@@ -609,8 +649,13 @@ class MemFuse(
     if (hasPqIndex)
       PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
         .save(path("index"))
+    if (hasIvfPqIndex)
+      IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+        nlist = openIvfPq().model.nlist).save(path("index"))
     resetTombstones()
-    indexHandles.synchronized { ivfHandle = None; kwHandle = None; pqHandle = None }
+    indexHandles.synchronized {
+      ivfHandle = None; kwHandle = None; pqHandle = None; ivfPqHandle = None
+    }
   }
 
   /** J5 session fan-out, collapsed to one job: where the reference loops

@@ -201,6 +201,57 @@ class IndexSpec extends SparkSpec {
       "ivf backend answers identically after the switch")
   }
 
+  test("ivfpq vector backend: indexed ≡ scan, incremental ingest, delete + maintain, switch retires") {
+    val dir = Files.createTempDirectory("ivfpqfacade").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u1", "a1")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    // 2 coarse cells, nProbe=2 → exhaustive probe: residual-ADC
+    // candidates + exact rescore return the scan path's trunc6 cosines,
+    // so the whole pipeline is value-identical (same contract the ivf
+    // backend's exhaustive-probe test pins)
+    engine.buildIndexes(nlist = 2, vectorIndex = "ivfpq")
+    val scan = engine.query("spark partition", "u1", topK = 3).collect().toSeq
+    val indexed = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(indexed == scan, "ivfpq-indexed path must equal the scan path")
+    // incremental ingest: the new chunk coarse-assigns + residual-encodes
+    // against the EXISTING quantizers and is reachable with no rebuild
+    engine.ingest(Seq(
+      Schemas.Message("m5", "s1", "u1", "r5", 5, "user", "zanzibar quorum replication", ts(5))).toDF())
+    val grown = engine.query("zanzibar replication", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(grown.exists(_.getAs[String]("content").contains("zanzibar")))
+    // deletes tombstone; live-chunk semi-join hides stale entries;
+    // maintain() rebuilds the code table past the threshold
+    engine.deleteSession("s2")
+    assert(engine.indexStaleFraction > 0.3)
+    val afterDel = engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq
+    assert(!afterDel.exists(_.getAs[String]("content").contains("pruning")),
+      "deleted session's chunks must not surface through stale ivfpq codes")
+    engine.maintain()
+    assert(engine.indexStaleFraction == 0.0)
+    assert(engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true, nProbe = 2).collect().toSeq == afterDel,
+      "rebuilt ivfpq index still answers identically")
+    // switching to pq retires the ivfpq artifact
+    engine.buildIndexes(vectorIndex = "pq")
+    assert(graft.pipeline.TableOps
+      .currentArtifactDir(spark, s"$dir/index", "ivfpq").isEmpty,
+      "ivfpq pointers must be retired by a pq build")
+    assert(engine.query("spark partition", "u1", topK = 3,
+      useIndexes = true).collect().toSeq == afterDel,
+      "pq backend answers identically after the switch")
+  }
+
   test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {
     val dir = Files.createTempDirectory("idxknobs").toString
     val engine = new MemFuse(spark, dir)
