@@ -254,10 +254,13 @@ object TextAnalysis {
     val keyCol = md5LongSalted(col("doc_id").cast("string"), salt)
       .mod(1000000L).cast("double")
     // pass every input column through (plus the stratum's rate) so the
-    // mix composes into pipelines — the registered query projects
-    docs.join(broadcast(rates), strataCol)
-      .filter(keyCol < col("rate") * 1000000d)
-      .select(docs.columns.map(col) :+ col("rate"): _*)
+    // mix composes into pipelines — the registered query projects. An
+    // input "rate" column (e.g. a re-mix of this operator's own output)
+    // is superseded, not duplicated into an ambiguous pair.
+    docs.join(broadcast(rates.withColumnRenamed("rate", "__mix_rate")), strataCol)
+      .filter(keyCol < col("__mix_rate") * 1000000d)
+      .select(docs.columns.filterNot(_ == "rate").map(col)
+        :+ col("__mix_rate").as("rate"): _*)
       .orderBy("doc_id")
   }
 

@@ -47,12 +47,13 @@ object IvfPq {
   /** (vec_id, cluster, uvec = unit − centroid): each vector's coarse
     * cell and residual. One narrow pass + two broadcast joins. */
   private def residuals(
-      unit: DataFrame, coarse: Seq[(Int, Int, Array[Double])]): DataFrame = {
+      unit: DataFrame, coarse: Seq[(Int, Int, Array[Double])],
+      dim: Int): DataFrame = {
     val spark = unit.sparkSession
     import spark.implicits._
     val cents = coarse.map { case (_, c, v) => (c, v.toSeq) }
       .toDF("cluster", "centroid")
-    val assigned = PqIndex.encodeOn(unit, coarse, m = 1)
+    val assigned = PqIndex.encodeOn(unit, coarse, m = 1, dim)
       .select(col("vec_id"), col("code").as("cluster"))
     unit.join(assigned, "vec_id")
       .join(broadcast(cents), "cluster")
@@ -75,7 +76,7 @@ object IvfPq {
       dim: Int = Schemas.EmbeddingDim): Model = {
     val unit = unitFrame(embeddings)
     val coarse = PqIndex.trainCodebooksOn(unit, 1, nlist, iters, sampleRows, dim)
-    val res = residuals(unit, coarse.toSeq)
+    val res = residuals(unit, coarse.toSeq, dim)
     val pq = PqIndex.trainCodebooksOn(res.select("vec_id", "uvec"),
       m, ksub, iters, sampleRows, dim, salt = "ivfpq")
     Model(coarse, pq, nlist, m, ksub, dim)
@@ -87,7 +88,7 @@ object IvfPq {
     * vectors). The residual frame feeds both the encode and the
     * cluster column; pin it once rather than re-deriving per branch. */
   def encode(embeddings: DataFrame, model: Model): DataFrame = {
-    val res = residuals(unitFrame(embeddings), model.coarse.toSeq)
+    val res = residuals(unitFrame(embeddings), model.coarse.toSeq, model.dim)
       .localCheckpoint(true)
     PqIndex.encodeOn(res.select("vec_id", "uvec"), model.pq.toSeq,
       model.m, model.dim)

@@ -205,8 +205,11 @@ class MemFuse(
       val drift = idx.addVectors(
         toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
       if (drift > IvfRefitDrift) {
-        PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
-          .save(path("index"))
+        // re-train with the INDEX'S OWN geometry (m/ksub/dim), not the
+        // defaults — a drift rebuild must never silently change code
+        // size or recall characteristics
+        PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+          m = idx.m, ksub = idx.ksub, dim = idx.dim).save(path("index"))
         resetTombstones()
       }
     }
@@ -216,7 +219,8 @@ class MemFuse(
         toIndex.select(col("chunk_id").as("vec_id"), col("embedding")), path("index"))
       if (drift > IvfRefitDrift) {
         IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
-          nlist = idx.model.nlist).save(path("index"))
+          nlist = idx.model.nlist, m = idx.model.m, ksub = idx.model.ksub,
+          dim = idx.model.dim).save(path("index"))
         resetTombstones()
       }
     }
@@ -646,12 +650,17 @@ class MemFuse(
         m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
         .save(path("index"))
     }
-    if (hasPqIndex)
-      PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")))
-        .save(path("index"))
-    if (hasIvfPqIndex)
+    if (hasPqIndex) {
+      val idx = openPq()
+      PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+        m = idx.m, ksub = idx.ksub, dim = idx.dim).save(path("index"))
+    }
+    if (hasIvfPqIndex) {
+      val model = openIvfPq().model
       IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
-        nlist = openIvfPq().model.nlist).save(path("index"))
+        nlist = model.nlist, m = model.m, ksub = model.ksub, dim = model.dim)
+        .save(path("index"))
+    }
     resetTombstones()
     indexHandles.synchronized {
       ivfHandle = None; kwHandle = None; pqHandle = None; ivfPqHandle = None

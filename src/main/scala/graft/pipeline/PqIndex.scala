@@ -270,6 +270,10 @@ object PqIndex {
     filtered
       .select(col("vec_id").as("id"),
         trunc6(VectorFunctions.pqAdc(col("codes"), flat, ksub)).as("adc_dist"))
+      // PqAdc returns null on an out-of-range code (corrupt stored row);
+      // ascending sort is NULLS FIRST, so an unfiltered null would rank
+      // as the best match of every query
+      .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist"), col("id"))
       .limit(topK)
   }

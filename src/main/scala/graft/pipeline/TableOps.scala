@@ -465,10 +465,23 @@ object TableOps {
     if (versions.isEmpty) None else Some(f"${prefix}_v${versions.max}%08d")
   }
 
-  /** Name for the next version dir (build into `base/<name>/` first). */
+  /** Name for the next version dir (build into `base/<name>/` first).
+    * Versions advance past any existing version DIRECTORY, not just the
+    * newest pointer: after [[dropArtifactPointers]] retires a family,
+    * its orphan dirs (possibly still scanned by readers pinned at open)
+    * stay on disk, and a later re-build of the same family must never
+    * Overwrite into one of them. */
   def nextArtifactDir(spark: SparkSession, base: String, prefix: String): String = {
-    val next = currentArtifactDir(spark, base, prefix)
-      .map(_.stripPrefix(prefix + "_v").toLong + 1).getOrElse(0L)
+    val re = artifactRe(prefix)
+    val bp = new Path(base)
+    val fs = fsOf(spark, bp)
+    val dirMax =
+      if (!fs.exists(bp)) None
+      else fs.listStatus(bp).map(_.getPath.getName)
+        .collect { case re(n) => n.toLong }.maxOption
+    val ptrMax = currentArtifactDir(spark, base, prefix)
+      .map(_.stripPrefix(prefix + "_v").toLong)
+    val next = (dirMax ++ ptrMax).maxOption.map(_ + 1).getOrElse(0L)
     f"${prefix}_v$next%08d"
   }
 

@@ -195,16 +195,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     // the candidate stage itself (eagerly checkpointed inside q74, so
     // its plan is no longer visible in the final query's): new×old
-    // pairing must be an equi-join keyed on (band, bkey)
+    // pairing must be an equi-join keyed on (band, bkey) — inspected
+    // through the SAME method incrementalDedup calls
     import org.apache.spark.sql.functions._
     val docs = spark.range(0, 8)
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 to 9).map(i => lit(s"w$i")): _*).as("text"))
     val sh = graft.operators.Dedup.shingleArrays(docs, 3)
-    def bands(idc: String) = graft.operators.Dedup.bandRows(
-      graft.operators.Dedup.minhashSignature(sh, 8), idc, 4, 2)
-    val cand = bands("new_id").join(bands("old_id"), Seq("band", "bkey"))
-      .select("new_id", "old_id").distinct()
+    val cand = graft.operators.Dedup.incrementalCandidates(sh, sh, 4, 2)
       .queryExecution.executedPlan.toString()
     assert(cand.contains("bkey"), cand.take(3000))
     assert(!cand.contains("CartesianProduct") &&

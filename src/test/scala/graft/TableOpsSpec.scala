@@ -226,9 +226,11 @@ class TableOpsSpec extends SparkSpec {
       "every pq pointer must be gone")
     assert(TableOps.currentArtifactDir(spark, base, "ivf").isDefined,
       "other families must keep resolving")
-    // the family can be rebuilt from scratch afterwards
+    // the family can be rebuilt afterwards — into a FRESH version dir,
+    // never back into an orphan a reader pinned at open may still scan
     commit("pq")
-    assert(TableOps.currentArtifactDir(spark, base, "pq").isDefined)
+    assert(TableOps.currentArtifactDir(spark, base, "pq").contains("pq_v00000002"),
+      "a re-build after retirement must advance past the orphan dirs")
   }
 
   test("empty rewrite result stays readable with the manifest schema") {
