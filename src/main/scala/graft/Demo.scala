@@ -132,6 +132,11 @@ object Demo {
     pq.query(qv, topK = 5, excludeId = Some(0L),
       rescoreFrom = Some(emb)).show(false)
 
+    println("-- IVF-PQ: coarse cells + residual codes, probe 2 of 8 --")
+    val ivfpq = graft.pipeline.IvfPq.build(emb, nlist = 8)
+    ivfpq.query(qv, topK = 5, nProbe = 2, excludeId = Some(0L),
+      rescoreFrom = Some(emb)).show(false)
+
     println("-- training-data pipeline: clean -> mix -> pack, one call --")
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")

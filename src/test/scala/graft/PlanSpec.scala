@@ -189,6 +189,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q80: IVF-PQ probe prunes code partitions; per-cell lut broadcasts; one aggregate exchange") {
+    val p = plan("q80_knn_ivfpq")
+    // the nProbe cell filter must reach the cluster-partitioned scan as
+    // a partition filter — the probe IS partition pruning
+    assert(p.contains("PartitionFilters") && p.contains("cluster"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // codes must never shuffle by the join key; the only exchange is
+    // the per-vector aggregation
+    assert(!p.contains("Exchange hashpartitioning(cluster"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(sub"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q74: incremental near-dup candidates come from a band equi-join, no nested loop") {
     val p = plan("q74_incremental_dedup")
     assert(!p.contains("CartesianProduct"), p.take(3000))
