@@ -108,6 +108,11 @@ class KeywordIndex(spark: SparkSession, basePath: String) {
     * and must not pay a stats job each time. */
   @transient lazy val nDocs: Long = statsDf.head().getAs[Long]("n_docs")
 
+  /** Ids of the documents currently in the index (one row per doc) —
+    * the anti-join side of idempotent incremental absorption
+    * ([[IndexUpkeep]]). */
+  def indexedDocIds: DataFrame = doclenDf.select("doc_id")
+
   /** BM25 top-k from the index alone (k1/b per the reference defaults). */
   def bm25(queryTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{Schemas, TableOps, TextEncoder}
+import graft.pipeline.{IndexUpkeep, Schemas, TableOps, TextEncoder}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -197,18 +197,27 @@ object StreamingIngest {
           .withColumn("needs_embedding", lit(false))
           .withColumn("created_at",
             array_max(transform(col("messages"), m => m.getField("created_at"))))
-        TableOps.appendBucketed(
-          encoder.encode(chunks, "content")
-            .select(col("chunk_id"), col("content"), col("chunking_strategy"),
-              col("token_count"), col("embedding"), col("m0_raw_ids"),
-              col("user_id"), col("session_id"), col("needs_embedding"),
-              col("created_at"), col("created_at").as("updated_at"),
-              typedlit(Map.empty[String, String]).as("metadata"),
-              lit(batchId).as("batch_id")),
-          s"$basePath/m1_episodic")
+        val m1Rows = encoder.encode(chunks, "content")
+          .select(col("chunk_id"), col("content"), col("chunking_strategy"),
+            col("token_count"), col("embedding"), col("m0_raw_ids"),
+            col("user_id"), col("session_id"), col("needs_embedding"),
+            col("created_at"), col("created_at").as("updated_at"),
+            typedlit(Map.empty[String, String]).as("metadata"),
+            lit(batchId).as("batch_id"))
+          .persist() // feeds the m1 append AND the index absorption
+        TableOps.appendBucketed(m1Rows, s"$basePath/m1_episodic")
         commitBatch(batch.sparkSession, basePath, batchId)
+        // per-insert index maintenance, the reference's contract for
+        // EVERY write path: absorb the batch into whatever side indexes
+        // exist (idempotent — replayed or re-sent ids anti-join away,
+        // see IndexUpkeep). After the marker: an indexed-but-uncommitted
+        // id would be harmless (live-chunk semi-join), but a committed-
+        // but-unindexed one is only a recall gap maintain() closes.
+        IndexUpkeep.absorbBatch(batch.sparkSession, basePath,
+          m1Rows.select("chunk_id", "content", "embedding"))
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactCommits(batch.sparkSession, basePath)
+        m1Rows.unpersist()
         df.unpersist()
         ()
       }
