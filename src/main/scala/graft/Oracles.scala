@@ -1402,6 +1402,55 @@ object Oracles {
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     },
 
+    "q82_canonical_per_cluster" -> {
+      val corpus =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+          |FROM documents WHERE doc_id < 100""".stripMargin
+      "WITH RECURSIVE " + shinglesSql(corpus).stripPrefix("WITH ") +
+        s""",
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY doc_a, doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+           |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+           |  WHERE jaccard >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+           |labels AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+           |qual AS (SELECT doc_id,
+           |    ${t6("uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 + least(avg_token_len / 8.0, 1.0) * 0.2")} AS quality
+           |  FROM (SELECT doc_id,
+           |          CAST(len(${toks("text")}) - len(${contentToks("text")}) AS DOUBLE)
+           |            / CAST(len(${toks("text")}) AS DOUBLE) AS stop_ratio,
+           |          CAST(len(list_distinct(${toks("text")})) AS DOUBLE)
+           |            / CAST(len(${toks("text")}) AS DOUBLE) AS uniq_ratio,
+           |          CAST(length(text) - len(${toks("text")}) + 1 AS DOUBLE)
+           |            / CAST(len(${toks("text")}) AS DOUBLE) AS avg_token_len
+           |        FROM corpus)),
+           |clustered AS (SELECT q.doc_id, coalesce(l.cluster_rep, q.doc_id) AS cluster_rep,
+           |                     q.quality
+           |              FROM qual q LEFT JOIN labels l USING (doc_id)),
+           |winner AS (SELECT cluster_rep, doc_id AS canonical_id FROM (
+           |    SELECT cluster_rep, doc_id,
+           |           row_number() OVER (PARTITION BY cluster_rep
+           |                              ORDER BY quality DESC, doc_id) AS rn
+           |    FROM clustered) WHERE rn = 1)
+           |SELECT c.doc_id, c.cluster_rep, w.canonical_id,
+           |       CAST(c.doc_id = w.canonical_id AS INT) AS keep
+           |FROM clustered c JOIN winner w USING (cluster_rep)
+           |ORDER BY doc_id""".stripMargin
+    },
+
     "q61_decontamination" -> {
       val toksSql = "string_split(text, ' ')"
       def grams(where: String) =

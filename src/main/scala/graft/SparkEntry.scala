@@ -687,6 +687,20 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.ngramJaccardPairs(docsWithDupFamilies(s, d), n = 3, threshold = 0.5))),
 
+    // ---- canonical selection: after cluster resolution, KEEP exactly
+    // one member per cluster — the highest-quality copy (doc_id breaks
+    // exact-copy ties). Per-cluster argmax rides the bounded-heap
+    // TopKPerKey operator with k=1; singletons keep themselves ----
+    "q82_canonical_per_cluster" -> ((s, d) => {
+      val corpus = docsWithDupFamilies(s, d)
+      Dedup.canonicalPerCluster(
+        corpus.select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("quality")),
+        Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)),
+        "quality")
+    }),
+
     // ---- multimodal binary columns: synthesize media from text bytes,
     // explode into even frame slices — the frame-sampling plumbing is
     // pure expressions (binary substring) and oracle-checked; only the

@@ -468,6 +468,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("canonical per cluster: argmax quality, id tie-break, singletons keep themselves") {
+    // cluster {1,2,3}: 3 has the best score; cluster {10,11}: scores tie
+    // so the smaller id wins; 99 is in no pair and keeps itself
+    val docs = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (10L, 0.4), (11L, 0.4),
+      (99L, 0.1)).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_rep")
+    val got = Dedup.canonicalPerCluster(docs, labels, "quality")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 0), (2L, 1L, 3L, 0), (3L, 1L, 3L, 1),
+      (10L, 10L, 10L, 1), (11L, 10L, 10L, 0), (99L, 99L, 99L, 1)))
+    // exactly one keeper per cluster
+    assert(got.groupBy(_._2).values.forall(_.count(_._4 == 1) == 1))
+  }
+
   test("bpe merge loop: exact counts under a fixture rank table") {
     val ranks = Map("a b" -> 1, "ab c" -> 2, "x y" -> 3)
     assert(TextAnalysis.bpeMergeCount("abcd", ranks) == 2) // [abc, d]
