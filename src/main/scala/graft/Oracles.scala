@@ -553,6 +553,25 @@ object Oracles {
     "q45_graph_semantic" -> graphSemanticSql,
     "q59_fusion_three_way" -> threeWayRrfSql(20),
 
+    // q84: round-0 BPE pair statistics — same pre-tokenizer as q50, one
+    // leading space stripped, letter/number cores only, adjacent char
+    // pairs weighted by occurrence. Ties at the top-k edge break on the
+    // pair string (total order).
+    "q84_bpe_pair_stats" -> {
+      val pat = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      s"""WITH cores AS (
+         |  SELECT CASE WHEN piece LIKE ' %' THEN substr(piece, 2) ELSE piece END AS core
+         |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS piece FROM documents)),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(core) - 1),
+         |                i -> substr(core, i, 2))) AS pair
+         |  FROM cores
+         |  WHERE regexp_full_match(core, '[\\p{L}\\p{N}]+') AND length(core) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
+    },
+
     "q50_token_count_bpe" -> {
       // same regex as TextAnalysis.BpePattern, SQL-quoted ('' escapes ')
       val pat = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
@@ -1464,6 +1483,25 @@ object Oracles {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM tg JOIN eg USING (s)
          |GROUP BY doc_id HAVING count(*) >= 1
+         |ORDER BY n_shared DESC, doc_id""".stripMargin
+    },
+
+    // q83 is the Bloom-prefiltered spelling of q61's exact check (the
+    // exact survivor join erases the filter's false positives), so the
+    // oracle is the same overlap SQL at the q83 params (6-grams, >= 2)
+    "q83_decontamination_bloom" -> {
+      val toksSql = "string_split(text, ' ')"
+      def grams(where: String) =
+        s"""SELECT DISTINCT doc_id, s FROM (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, len($toksSql) - 5),
+           |                i -> array_to_string($toksSql[i:i+5], ' '))) AS s
+           |  FROM documents WHERE len($toksSql) >= 6 AND $where)""".stripMargin
+      s"""WITH tg AS (${grams("doc_id % 10 != 0")}),
+         |eg AS (SELECT DISTINCT s FROM (${grams("doc_id % 10 = 0")}))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tg JOIN eg USING (s)
+         |GROUP BY doc_id HAVING count(*) >= 2
          |ORDER BY n_shared DESC, doc_id""".stripMargin
     },
 

@@ -340,6 +340,14 @@ object SparkEntry {
       TextAnalysis.bpeExactTokenCount(
         Tables.documents(s, d).filter(col("doc_id") < 60))),
 
+    // ---- BPE TRAINING-side statistics: the weighted adjacent char-pair
+    // counts round 0 of the trainer maximizes (TextAnalysis.bpeTrain is
+    // the full distributed trainer, spec-pinned merge-for-merge to the
+    // committed local TrainBpe; its per-round argmax is not SQL-
+    // expressible, so the oracle checks this round-0 aggregation) ----
+    "q84_bpe_pair_stats" -> ((s, d) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, d), topK = 40)),
+
     // ---- corpus mixing: deterministic hash-threshold subsample per
     // stratum (reproducible across engines/partitionings, pushes to the
     // scan) + the mixture report a data recipe starts from ----
@@ -393,6 +401,17 @@ object SparkEntry {
       Dedup.contamination(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), n = 8)
+    }),
+
+    // ---- decontamination's big-eval-suite scale path: a Bloom filter
+    // over the eval grams prunes the train side map-side before any
+    // exchange, and the exact survivor join keeps the result EXACT —
+    // same oracle shape as q61, tighter params (n=6, >=2 shared) ----
+    "q83_decontamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 6, minShared = 2)
     }),
 
     // ---- the SAME per-key top-k written as the universal window idiom:

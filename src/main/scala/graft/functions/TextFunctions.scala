@@ -118,6 +118,13 @@ object TextFunctions {
   /** Exact average built from xsum / count — the fast [[davg]]. */
   def xavg(c: Column): Column =
     (xsum(c) / count(c)).cast(DoubleType)
+
+  /** Membership probe of a string column against a pre-built Bloom
+    * filter (serialized `org.apache.spark.util.sketch.BloomFilter`
+    * bytes). May return false positives, never false negatives — pair
+    * with an exact join on the survivors when exactness is required. */
+  def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
+    columnOf(BloomMightContain(expressionOf(c), bloomBytes))
 }
 
 /** Distinct word n-grams of a `array<string>` column in one compiled
@@ -151,6 +158,31 @@ case class NGramDistinct(child: Expression, n: Int)
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `mightContain` probe against a Bloom filter shipped as serialized
+  * bytes inside the expression tree (task binaries are torrent-broadcast
+  * by Spark, so the filter crosses the wire once per executor, not per
+  * task). The filter deserializes lazily once per JVM/expression instance;
+  * the per-row probe is a couple of hash-and-bit-test operations on the
+  * raw UTF-8 bytes — no String allocation. CodegenFallback costs one
+  * virtual call per row, negligible next to the probe itself. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.BooleanType
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -435,6 +435,105 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merge every non-overlapping (a, b) adjacency left to right — the
+    * BPE training-side vocab update, shared by the local and distributed
+    * trainers. */
+  private[graft] def mergeAdjacent(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Round-0 BPE pair statistics: the weighted adjacent CHARACTER-pair
+    * counts over the corpus's pre-tokenized word cores — the aggregation
+    * a BPE trainer's first round maximizes, useful on its own as a
+    * corpus-composition diagnostic. One scan (piece regex + char-pair
+    * expansion are row-local) and ONE pair-keyed exchange with map-side
+    * partial counts; top-k cuts through TakeOrdered. Ties break on the
+    * pair string for a total order. */
+  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("piece"))
+      .select(regexp_replace(col("piece"), "^ ", "").as("core"))
+      .filter(col("core").rlike("^[\\p{L}\\p{N}]+$") && length(col("core")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(core) - 1), i -> substring(core, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  /** Distributed BPE training (Sennrich et al. 2016) — the corpus-scale
+    * twin of the committed local trainer (`graft.tools.TrainBpe`, which
+    * collects text to the driver and fit the SHIPPED merge table): here
+    * the weighted word vocab stays a DataFrame, so the vocab can be
+    * billions of distinct cores. Merge-for-merge identical to the local
+    * trainer on the same corpus (OperatorSpec pins 30 rounds).
+    *
+    * Cost shape: one corpus scan + one word-keyed exchange build the
+    * vocab, and every training round is ONE job over that (far smaller)
+    * vocab table — adjacent-pair expansion is row-local, the pair count
+    * map-side-combines, and the argmax is a sorted limit(1) (count desc,
+    * then pair string asc ≡ (left, right) lexicographic, since symbols
+    * never contain spaces and ' ' sorts below every letter/digit). The
+    * vocab update (replay pending merges per word) is a narrow map with
+    * no job of its own; lineage is cut by an eager localCheckpoint every
+    * `checkpointEvery` rounds (dropping the old generation's reference
+    * lets the ContextCleaner reclaim its blocks). Stops early when no
+    * pair reaches `minPairFreq` — same stop rule as the local trainer. */
+  def bpeTrain(
+      docs: DataFrame, numMerges: Int, minPairFreq: Long = 2,
+      checkpointEvery: Int = 20): Seq[(String, String)] = {
+    var base = docs
+      .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("piece"))
+      .select(regexp_replace(col("piece"), "^ ", "").as("core"))
+      .filter(col("core").rlike("^[\\p{L}\\p{N}]+$"))
+      .groupBy("core").agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(core)), i -> substring(core, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint()
+    def applyPending(p: Seq[(String, String)]) = udf { syms: Seq[String] =>
+      p.foldLeft(syms) { case (s, (a, b)) => mergeAdjacent(s, a, b) }
+    }
+    var pending = Vector.empty[(String, String)]
+    val learned = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val symsNow =
+        if (pending.isEmpty) col("syms") else applyPending(pending)(col("syms"))
+      val best = base
+        .select(symsNow.as("s"), col("freq"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat_ws(' ', element_at(s, i), element_at(s, i + 1)))")).as("pair"),
+          col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .filter(col("cnt") >= minPairFreq)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        pending :+= ((a, b))
+        learned += ((a, b))
+        round += 1
+        if (pending.size >= checkpointEvery) {
+          base = base.withColumn("syms", applyPending(pending)(col("syms")))
+            .localCheckpoint()
+          pending = Vector.empty
+        }
+      }
+    }
+    learned.result()
+  }
+
   /** The language guess of one text column: argmax marker-hit share,
     * ties to the alphabetically first language, "und" when every score
     * is zero — the exact semantics of [[languageId]]'s when-chain, but

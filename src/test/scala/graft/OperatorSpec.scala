@@ -468,6 +468,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe pair stats: hand-checked weighted char-pair counts") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    // cores: aa×3, ab×2 → pairs: "aa"×3, "ab"×2
+    val got = TextAnalysis.bpePairStats(docs, 10).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa", 3L), ("ab", 2L)))
+  }
+
+  test("distributed bpe trainer: merge-for-merge identical to the local trainer") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    // local reference: same pre-tokenization, collected to the driver
+    val pieceRe = TextAnalysis.BpePattern.r
+    val coreRe = "^[\\p{L}\\p{N}]+$".r
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- docs.select("text").as[String].collect();
+         piece <- pieceRe.findAllIn(t)) {
+      val core = if (piece.startsWith(" ")) piece.substring(1) else piece
+      if (coreRe.findFirstIn(core).isDefined) freq(core) += 1
+    }
+    val local = graft.tools.TrainBpe.train(freq, 30)
+    assert(local.size == 30) // the corpus genuinely supports 30 merges
+    // checkpointEvery=12 exercises the lineage-cut path mid-run
+    val dist = TextAnalysis.bpeTrain(docs, 30, checkpointEvery = 12)
+    assert(dist == local)
+  }
+
+  test("bloom might-contain: filter members always hit (no false negatives)") {
+    import graft.functions.TextFunctions.bloomMightContain
+    val grams = Seq("a b", "c d", "e f", "g h").toDF("s")
+    val bf = grams.stat.bloomFilter("s", 4, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    // every member probes true — a hash-scheme mismatch between the
+    // aggregate builder and the expression probe would fail here
+    assert(grams.filter(bloomMightContain(col("s"), bytes)).count() == 4)
+  }
+
+  test("bloom contamination: result identical to the broadcast-exact path") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Dedup.contamination(train, ev, n = 6, minShared = 2)
+      .as[(Long, Long)].collect().toSeq
+    val bloomed = Dedup.contaminationBloom(train, ev, n = 6, minShared = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(exact.nonEmpty) // the corpus genuinely overlaps at these params
+    assert(bloomed == exact) // false positives die in the verify join
+  }
+
   test("canonical per cluster: argmax quality, id tie-break, singletons keep themselves") {
     // cluster {1,2,3}: 3 has the best score; cluster {10,11}: scores tie
     // so the smaller id wins; 99 is in no pair and keeps itself

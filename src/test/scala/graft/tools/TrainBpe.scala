@@ -31,16 +31,37 @@ object TrainBpe {
 
   /** Merge every non-overlapping occurrence of `pair`, left to right
     * (the training-side vocab update; inference replays merges by rank,
-    * which need not mirror this exactly — only the rank table ships). */
-  private def mergeAll(syms: Vector[String], pair: (String, String)): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while (i < syms.length) {
-      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
-        out += syms(i) + syms(i + 1); i += 2
-      } else { out += syms(i); i += 1 }
+    * which need not mirror this exactly — only the rank table ships).
+    * Delegates to the engine-shared
+    * [[graft.operators.TextAnalysis.mergeAdjacent]] so the local and
+    * distributed trainers provably share one update rule. */
+  private def mergeAll(syms: Vector[String], pair: (String, String)): Vector[String] =
+    graft.operators.TextAnalysis.mergeAdjacent(syms, pair._1, pair._2).toVector
+
+  /** The classic local merge loop over a weighted word-core vocab —
+    * callable from specs so `TextAnalysis.bpeTrain` (the distributed
+    * twin) can be pinned merge-for-merge against it. */
+  def train(freq: collection.Map[String, Long], numMerges: Int): Vector[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      freq.toSeq.groupBy(_._1.map(_.toString).toVector)
+        .map { case (syms, ws) => syms -> ws.map(_._2).sum }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val pairCounts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) += f
+      val candidates = pairCounts.filter(_._2 >= 2)
+      if (candidates.isEmpty) round = numMerges
+      else {
+        val best = candidates.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.toSeq.map { case (syms, f) => mergeAll(syms, best) -> f }
+          .groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).sum }
+        round += 1
+      }
     }
-    out.result()
+    merges.toVector
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,25 +80,7 @@ object TrainBpe {
     }
     println(s"[train-bpe] ${texts.length} docs, ${freq.size} distinct word cores")
 
-    var vocab: Map[Vector[String], Long] =
-      freq.toSeq.groupBy(_._1.map(_.toString).toVector)
-        .map { case (syms, ws) => syms -> ws.map(_._2).sum }
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
-    while (round < NumMerges) {
-      val pairCounts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
-        pairCounts((syms(i), syms(i + 1))) += f
-      val candidates = pairCounts.filter(_._2 >= 2)
-      if (candidates.isEmpty) round = NumMerges
-      else {
-        val best = candidates.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        vocab = vocab.toSeq.map { case (syms, f) => mergeAll(syms, best) -> f }
-          .groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).sum }
-        round += 1
-      }
-    }
+    val merges = train(freq, NumMerges)
     println(s"[train-bpe] ${merges.length} merges learned")
 
     // sanity: the merge table must genuinely compress — the weighted
