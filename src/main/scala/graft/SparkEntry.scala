@@ -903,6 +903,17 @@ object SparkEntry {
         excludeId = Some(KnnQueryId))),
 
 
+    // q61's decontamination at ITS params (n=8, >=1) through the Bloom
+    // prefilter path — the true head-to-head for the big-eval-suite
+    // scale plan (q83 runs tighter params, so this pair is the honest
+    // comparison; results are identical by construction)
+    "x63_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 8)
+    }),
+
     "x55_facade_query_scan" -> ((s, d) =>
       facadeFor(s, d).query(KwQuery, FacadeUser, topK = 10)),
 

@@ -260,6 +260,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q83: the bloom probe filters the train grams BELOW the verify join") {
+    val plan = SparkEntry.queries("q83_decontamination_bloom")(spark, sf())
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, plan.toString.take(2000))
+    // the probe expression lives in the join's train-side subtree — the
+    // map-side cut happens before any exchange ships a gram
+    assert(joins.exists(_.children.exists(
+      _.toString.contains("bloommightcontain"))), plan.toString.take(3000))
+  }
+
   test("q20: top-k runs as TakeOrderedAndProject with pruned columns") {
     val p = plan("q20_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
