@@ -997,6 +997,35 @@ object Oracles {
          |FROM tk JOIN counts USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q85: interpolated bigram NLL — the (prev, term) expansion as a
+    // struct list, the same two vocab joins, and the λ-mix spelled with
+    // CAST(... AS DOUBLE) literals so both engines mix the SAME doubles
+    // (DuckDB's bare 0.2 is a DECIMAL whose double cast differs from
+    // Spark's 1.0 − 0.8 in the last ulp)
+    "q85_bigram_nll" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, p.term AS term, p.prev AS prev FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+         |           i -> struct_pack(term := t[i],
+         |                prev := CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END))) AS p
+         |    FROM (SELECT doc_id, ${toks("text")} AS t FROM documents))),
+         |uni AS (SELECT term, count(*) AS u_cnt FROM pos GROUP BY term),
+         |tot AS (SELECT SUM(u_cnt) AS n_total FROM uni),
+         |bi AS (SELECT prev, term, count(*) AS b_cnt FROM pos
+         |       WHERE prev IS NOT NULL GROUP BY prev, term)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${t6(davg(
+             "-ln(CASE WHEN prev IS NULL " +
+               "THEN CAST(u_cnt AS DOUBLE) / CAST(n_total AS DOUBLE) " +
+               "ELSE CAST(0.8 AS DOUBLE) * (CAST(coalesce(b_cnt, 0) AS DOUBLE) / CAST(p_cnt AS DOUBLE)) " +
+               "+ (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * (CAST(u_cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) END)"))} AS avg_nll
+         |FROM pos
+         |LEFT JOIN bi USING (prev, term)
+         |JOIN uni USING (term)
+         |LEFT JOIN (SELECT term AS prev, u_cnt AS p_cnt FROM uni) up USING (prev)
+         |CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q67: per-doc top-3 terms by tf·ln(N/df) — the window twin of the
     // Spark side's bounded-heap TopKPerKey cut
     "q67_tfidf_keywords" ->
@@ -1025,6 +1054,30 @@ object Oracles {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // q86: the same windowed cumsum gives every doc's global token START;
+    // each doc expands to the blocks it overlaps (integer // division),
+    // per-block token spans summed. The window twin of the Spark side's
+    // two-phase prefix sum + row-local block expansion.
+    "q86_block_pack" ->
+      """SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (
+        |  SELECT doc_id, block_id,
+        |         least(start + n_tokens, (block_id + 1) * 2048)
+        |           - greatest(start, block_id * 2048) AS toks
+        |  FROM (
+        |    SELECT doc_id, n_tokens, start,
+        |           unnest(generate_series(start // 2048,
+        |                  (start + n_tokens - 1) // 2048)) AS block_id
+        |    FROM (
+        |      SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start FROM (
+        |        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |               SUM(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM documents))))
+        |GROUP BY block_id ORDER BY block_id""".stripMargin,
 
     // q72: the HLL sketch replayed exactly — same md5 slices, the same
     // generated trailing-zeros CASE chain, the same exact-integer

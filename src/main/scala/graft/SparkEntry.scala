@@ -601,6 +601,12 @@ object SparkEntry {
     "q66_unigram_nll" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d))),
 
+    // ---- the next rung of the perplexity-filter ladder: interpolated
+    // BIGRAM NLL (λ·p(w|prev) + (1−λ)·p(w)) under the corpus's own
+    // counts — row-local pair expansion, vocab-sized count tables ----
+    "q85_bigram_nll" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+
     // ---- TF-IDF keyword extraction, per-doc top-3 through the
     // bounded-heap TopKPerKey operator (no corpus-wide window sort) ----
     "q67_tfidf_keywords" -> ((s, d) =>
@@ -612,6 +618,13 @@ object SparkEntry {
     // single-partition window cumsum Spark would otherwise plan ----
     "q68_token_shards" -> ((s, d) =>
       TextAnalysis.shardByTokens(Tables.documents(s, d), targetTokens = 20000L)),
+
+    // ---- GPT-style fixed-block packing: the corpus's token stream cut
+    // every 2048, documents SPLITTING across block boundaries (q75
+    // packs whole docs; this is what next-token pretraining consumes).
+    // Prefix-sum offsets + row-local block expansion, one exchange ----
+    "q86_block_pack" -> ((s, d) =>
+      TextAnalysis.packBlocks(Tables.documents(s, d), blockTokens = 2048L)),
 
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,

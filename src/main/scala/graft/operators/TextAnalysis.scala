@@ -128,6 +128,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM language-model scoring — the next rung of the
+    * CCNet perplexity-filter ladder above [[unigramLogProb]]: per
+    * position, p = λ·p(w|prev) + (1−λ)·p(w), with the pure unigram at
+    * the document start; score = mean −ln p. The model is the corpus's
+    * own counts, so like q66 the whole thing is engine-exact and a real
+    * n-gram LM drops into the same signature.
+    *
+    * Scale shape: the (prev, term) pair expansion is ROW-LOCAL (one
+    * compiled transform, no self-join on position); unigram and bigram
+    * tables are vocab-sized map-side-combinable groupBys (≪ corpus,
+    * broadcast from stats when small enough); scoring is the per-
+    * position frame joined against those two tables plus one per-doc
+    * aggregation. Decimal-widened averaging keeps the oracle exact. */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(t, (w, i) -> struct(w AS term, " +
+          "CASE WHEN i = 0 THEN NULL ELSE t[i - 1] END AS prev))")).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.prev").as("prev"))
+    val uni = pos.groupBy("term").agg(count(lit(1)).as("u_cnt"))
+    val total = uni.agg(sum(col("u_cnt")).as("n_total"))
+    val bi = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("b_cnt"))
+    val uniPrev = uni.select(col("term").as("prev"), col("u_cnt").as("p_cnt"))
+    pos
+      .join(bi, Seq("prev", "term"), "left")
+      .join(uni, "term")
+      .join(uniPrev, Seq("prev"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p_uni",
+        col("u_cnt").cast("double") / col("n_total").cast("double"))
+      .withColumn("nll", -log(when(col("prev").isNull, col("p_uni"))
+        .otherwise(
+          lit(lambda) * (coalesce(col("b_cnt"), lit(0L)).cast("double") /
+            col("p_cnt").cast("double")) +
+            lit(1.0 - lambda) * col("p_uni"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        trunc6(davg(col("nll"))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top `topK` terms of every document
     * by tf·ln(N/df) — the per-document keyword/tag step of a corpus
     * indexing pipeline. The per-doc cut routes through the engine's
@@ -178,7 +221,18 @@ object TextAnalysis {
     * recomputation could re-sample range boundaries and silently shift
     * every offset, so losing the blocks must FAIL the job, not corrupt
     * the assignment. */
-  def shardByTokens(docs: DataFrame, targetTokens: Long): DataFrame = {
+  def shardByTokens(docs: DataFrame, targetTokens: Long): DataFrame =
+    tokenStartOffsets(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        // integer `div` — exact long floor division, as the pre-refactor
+        // RDD code's JVM `/` was
+        expr(s"start div $targetTokens").as("shard"))
+      .orderBy("doc_id")
+
+  /** The two-phase distributed prefix sum shared by [[shardByTokens]]
+    * and [[packBlocks]]: every document's global token START offset in
+    * doc_id order — (doc_id, n_tokens, start). */
+  private def tokenStartOffsets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sized = docs
@@ -199,12 +253,42 @@ object TextAnalysis {
       .mapPartitionsWithIndex { case (i, it) =>
         var cum = offsets.value(i)
         it.map { case (id, n) =>
-          val start = cum; cum += n; (id, n, start / targetTokens)
+          val start = cum; cum += n; (id, n, start)
         }
       }
-      .toDF("doc_id", "n_tokens", "shard")
-      .orderBy("doc_id")
+      .toDF("doc_id", "n_tokens", "start")
   }
+
+  /** GPT-style FIXED-BLOCK packing: conceptually concatenate the whole
+    * corpus's tokens in doc_id order and cut every `blockTokens` —
+    * documents SPLIT across block boundaries (the complement of
+    * [[packSequences]], which packs whole documents to a budget; block
+    * packing is what next-token pretraining actually consumes). Returns
+    * one row per block: (block_id, n_docs spanned, n_tokens — full
+    * except the final remainder, first_doc, last_doc).
+    *
+    * Scale shape: start offsets via the two-phase prefix sum, then each
+    * doc expands ROW-LOCALLY to the (few) blocks it overlaps and one
+    * block-keyed aggregation summarizes — no corpus-wide window, no
+    * single-partition cumsum. */
+  def packBlocks(docs: DataFrame, blockTokens: Long): DataFrame =
+    tokenStartOffsets(docs)
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        // integer `div`, never double-divide-then-truncate: at 100 TB
+        // token offsets a double quotient can round across the boundary
+        explode(sequence(
+          expr(s"start div $blockTokens"),
+          expr(s"(start + n_tokens - 1) div $blockTokens")))
+          .as("block_id"))
+      .withColumn("toks_in_block",
+        least(col("start") + col("n_tokens"), (col("block_id") + 1) * blockTokens) -
+          greatest(col("start"), col("block_id") * blockTokens))
+      .groupBy("block_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("toks_in_block")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("block_id")
 
   /** Sequence packing for pretraining export: concatenate documents (in
     * doc_id order) into contiguous ~`seqTokens`-token training

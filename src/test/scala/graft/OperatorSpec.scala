@@ -468,6 +468,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bigram nll: hand-computed interpolated scores on a fixture") {
+    val docs = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    // uni: a=1 b=3, total=4; bi: (a,b)=1 (b,b)=1
+    val lam = 0.8
+    val pUniB = 3.0 / 4.0
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    val exp1 = t6((-math.log(1.0 / 4.0) + -math.log(lam * (1.0 / 1.0) + (1.0 - lam) * pUniB)) / 2)
+    val exp2 = t6((-math.log(pUniB) + -math.log(lam * (1.0 / 3.0) + (1.0 - lam) * pUniB)) / 2)
+    val got = TextAnalysis.bigramLogProb(docs).as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.map(_._2) == Seq(2L, 2L))
+    assert(math.abs(got(0)._3 - exp1) < 2e-6, s"${got(0)._3} vs $exp1")
+    assert(math.abs(got(1)._3 - exp2) < 2e-6, s"${got(1)._3} vs $exp2")
+  }
+
+  test("block pack: docs split across fixed block boundaries, spans sum exactly") {
+    val docs = Seq((1L, "t t t"), (2L, "t t"), (3L, "t t t t"), (4L, "t"))
+      .toDF("doc_id", "text")
+    // starts: 0,3,5,9; blocks of 4 → b0={d1:3,d2:1} b1={d2:1,d3:3}
+    // b2={d3:1,d4:1} (doc3's 4th token, global position 8, lands in b2)
+    val got = TextAnalysis.packBlocks(docs, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 4L, 1L, 2L), (1L, 2L, 4L, 2L, 3L), (2L, 2L, 2L, 3L, 4L)))
+    // every block but the last is exactly full, and totals are conserved
+    assert(got.init.forall(_._3 == 4L))
+    assert(got.map(_._3).sum == 10L)
+  }
+
   test("bpe pair stats: hand-checked weighted char-pair counts") {
     val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
     // cores: aa×3, ab×2 → pairs: "aa"×3, "ab"×2
