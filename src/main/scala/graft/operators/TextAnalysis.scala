@@ -660,7 +660,7 @@ object TextAnalysis {
     md5Long(concat(col("doc_id").cast("string"), lit("|" + recipe.salt)))
       .mod(1000000L).cast("double") < recipe.sampleRate * 1000000d)
 
-  private def redactedExpr(t: Column): Column =
+  private[graft] def redactedExpr(t: Column): Column =
     regexp_replace(regexp_replace(t, PhonePattern, "[PHONE]"),
       EmailPattern, "[EMAIL]")
 

@@ -392,4 +392,45 @@ object StreamingIngest {
         graft.functions.TextFunctions.contentHash(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** The cleaning recipe ON THE INGEST STREAM — every stage of
+    * [[graft.operators.TextAnalysis.cleanCorpus]] that is row-local
+    * (language allowlist, quality floor, repetition ceiling,
+    * deterministic sample, PII redaction) applied as the rows arrive,
+    * then the watermark-bounded exact dedup. Identical predicates and
+    * identical trunc6'd scores as the batch recipe, so a row kept here
+    * is exactly a row the batch recipe would keep (the only semantic
+    * delta is dedup's winner: batch keeps the smallest doc_id per
+    * content, a stream keeps the first ARRIVAL inside the horizon — the
+    * batch recipe remains the full-history backstop).
+    *
+    * The scoring expressions are projected once behind a streaming-safe
+    * pushdown barrier (a nondeterministic identity UDF — batch
+    * cleanCorpus uses monotonically_increasing_id, which streaming
+    * plans reject): without it the optimizer substitutes the scoring
+    * into one monster filter that breaks whole-stage codegen and
+    * re-evaluates the tokenization per reference (measured 20× slower
+    * on the batch side). */
+  def streamingClean(
+      docs: DataFrame,
+      markers: Map[String, Seq[String]],
+      recipe: graft.operators.TextAnalysis.CleanRecipe,
+      tsCol: String, watermark: String): DataFrame = {
+    import graft.operators.TextAnalysis.{langGuessExpr, redactedExpr, stagePreds}
+    val preds = stagePreds(markers, recipe)
+    val barrier = udf((i: Long) => i).asNondeterministic()
+    docs
+      .select(col("*"),
+        langGuessExpr(col("text"), markers).as("lang_guess"),
+        preds(1).as("__q"), preds(2).as("__r"), preds(3).as("__s"))
+      .withColumn("__barrier", barrier(lit(0L)))
+      .filter(col("__s") && col("lang_guess").isin(recipe.langs: _*) &&
+        col("__q") && col("__r"))
+      .withColumn("redacted", redactedExpr(col("text")))
+      .withColumn("content_hash",
+        graft.functions.TextFunctions.contentHash(col("redacted")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("lang_guess"), col("redacted"), col(tsCol))
+  }
 }

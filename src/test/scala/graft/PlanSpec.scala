@@ -260,6 +260,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q86: block packing never plans a single-partition window cumsum") {
+    val plan = SparkEntry.queries("q86_block_pack")(spark, sf())
+      .queryExecution.executedPlan.toString()
+    // the prefix sum is the two-phase mapPartitions form; a Window over
+    // ORDER BY doc_id would collapse the corpus to one partition
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+
   test("q83: the bloom probe filters the train grams BELOW the verify join") {
     val plan = SparkEntry.queries("q83_decontamination_bloom")(spark, sf())
       .queryExecution.executedPlan match {

@@ -291,4 +291,43 @@ class StreamingSpec extends SparkSpec {
       assert(kept.map(_._1) == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("streaming clean: stream-kept rows == batch cleanCorpus on the same data") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"))
+    val recipe = TextAnalysis.CleanRecipe(
+      langs = Seq("en"), minQuality = 0.1, maxRepRatio = 0.6, sampleRate = 1.0)
+    val rows = Seq(
+      (1L, "the quick brown fox and the lazy dog of the farm"), // kept
+      (2L, "der hund und das haus und der baum und das auto"), // lang-dropped
+      (3L, "call me at 55-555-123-4567 about the offer and the price of it"), // kept, redacted
+      (4L, "the quick brown fox and the lazy dog of the farm"), // dup of 1
+      (5L, "a a a a a a a a a a a a a a a a a a a a the and of")) // repetition-dropped
+    // batch reference on the identical rows
+    val batch = TextAnalysis.cleanCorpus(
+      rows.toDF("doc_id", "text"), markers, recipe)
+      .as[(Long, String, String)].collect().toSeq
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cleaned = StreamingIngest.streamingClean(
+      source.toDS().toDF("doc_id", "ts", "text"), markers, recipe,
+      "ts", "10 minutes")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("clean_out").start()
+    try {
+      // arrival in doc_id order so the stream's first-arrival dedup
+      // winner coincides with batch's smallest-doc_id winner
+      source.addData(rows.map { case (id, t) => (id, ts(id.toInt), t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clean_out")
+        .select("doc_id", "lang_guess", "redacted")
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Seq(1L, 3L))
+      assert(streamed.find(_._1 == 3L).get._3.contains("[PHONE]"))
+    } finally q.stop()
+  }
 }
