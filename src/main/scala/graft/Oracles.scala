@@ -1079,6 +1079,29 @@ object Oracles {
         |        FROM documents))))
         |GROUP BY block_id ORDER BY block_id""".stripMargin,
 
+    // q87: q86 after the seeded md5 shuffle — the window's ORDER BY is
+    // the same engine-portable 52-bit md5 key (doc_id breaks ties)
+    "q87_block_pack_shuffled" ->
+      s"""SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM (
+         |  SELECT doc_id, block_id,
+         |         least(start + n_tokens, (block_id + 1) * 1024)
+         |           - greatest(start, block_id * 1024) AS toks
+         |  FROM (
+         |    SELECT doc_id, n_tokens, start,
+         |           unnest(generate_series(start // 1024,
+         |                  (start + n_tokens - 1) // 1024)) AS block_id
+         |    FROM (
+         |      SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start FROM (
+         |        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |               SUM(len(string_split(text, ' '))) OVER (
+         |                 ORDER BY ${md5Long("concat('epoch0|', CAST(doc_id AS VARCHAR))")}, doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM documents))))
+         |GROUP BY block_id ORDER BY block_id""".stripMargin,
+
     // q72: the HLL sketch replayed exactly — same md5 slices, the same
     // generated trailing-zeros CASE chain, the same exact-integer
     // harmonic sum (every 2^(53−ρ) term is a BIGINT), the same α·m²

@@ -626,6 +626,14 @@ object SparkEntry {
     "q86_block_pack" -> ((s, d) =>
       TextAnalysis.packBlocks(Tables.documents(s, d), blockTokens = 2048L)),
 
+    // ---- the same packer after a SEEDED GLOBAL SHUFFLE (md5 order) —
+    // real pretraining packs shuffled, since adjacent source docs
+    // correlate; the permutation is engine-reproducible so the oracle
+    // replays it ----
+    "q87_block_pack_shuffled" -> ((s, d) =>
+      TextAnalysis.packBlocksShuffled(Tables.documents(s, d),
+        blockTokens = 1024L, seed = "epoch0")),
+
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,
     // 64 registers, exact-integer harmonic sum — deterministic in any

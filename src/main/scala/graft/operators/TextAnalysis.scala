@@ -230,17 +230,20 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** The two-phase distributed prefix sum shared by [[shardByTokens]]
-    * and [[packBlocks]]: every document's global token START offset in
-    * doc_id order — (doc_id, n_tokens, start). */
-  private def tokenStartOffsets(docs: DataFrame): DataFrame = {
+    * and the block packers: every document's global token START offset
+    * in `orderKey` order (doc_id when None; doc_id always breaks ties)
+    * — (doc_id, n_tokens, start). */
+  private def tokenStartOffsets(
+      docs: DataFrame, orderKey: Option[Column] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sized = docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        orderKey.getOrElse(col("doc_id")).cast("long").as("okey"))
+      .repartitionByRange(col("okey"), col("doc_id"))
+      .sortWithinPartitions("okey", "doc_id")
+      .as[(Long, Long, Long)]
       .rdd
       .localCheckpoint()
     val partSums = sized
@@ -252,7 +255,7 @@ object TextAnalysis {
     sized
       .mapPartitionsWithIndex { case (i, it) =>
         var cum = offsets.value(i)
-        it.map { case (id, n) =>
+        it.map { case (id, n, _) =>
           val start = cum; cum += n; (id, n, start)
         }
       }
@@ -272,7 +275,26 @@ object TextAnalysis {
     * block-keyed aggregation summarizes — no corpus-wide window, no
     * single-partition cumsum. */
   def packBlocks(docs: DataFrame, blockTokens: Long): DataFrame =
-    tokenStartOffsets(docs)
+    blocksFromOffsets(tokenStartOffsets(docs), blockTokens)
+
+  /** [[packBlocks]] in deterministically SHUFFLED document order — real
+    * pretraining packs the token stream after a seeded global shuffle,
+    * not in source order (adjacent source docs correlate). The order is
+    * the md5 of "seed|doc_id" (doc_id breaks the vanishing-probability
+    * hash ties), so the permutation is reproducible across engines,
+    * partitionings and cluster sizes; at scale the shuffle is the range
+    * exchange the prefix sum already pays, so ordering costs nothing
+    * extra. */
+  def packBlocksShuffled(
+      docs: DataFrame, blockTokens: Long, seed: String): DataFrame =
+    blocksFromOffsets(
+      tokenStartOffsets(docs,
+        Some(md5LongSalted(col("doc_id").cast("string"), seed))),
+      blockTokens)
+
+  private def blocksFromOffsets(
+      offsets: DataFrame, blockTokens: Long): DataFrame =
+    offsets
       .select(col("doc_id"), col("n_tokens"), col("start"),
         // integer `div`, never double-divide-then-truncate: at 100 TB
         // token offsets a double quotient can round across the boundary

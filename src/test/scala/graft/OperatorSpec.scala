@@ -496,6 +496,21 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._3).sum == 10L)
   }
 
+  test("shuffled block pack: seeded permutation is deterministic, conserves tokens") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text").filter(col("doc_id") < 60)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val plain = run(TextAnalysis.packBlocks(docs, 512))
+    val shuf = run(TextAnalysis.packBlocksShuffled(docs, 512, "epoch0"))
+    val shuf2 = run(TextAnalysis.packBlocksShuffled(docs, 512, "epoch0"))
+    assert(shuf == shuf2) // same seed → bit-identical packing
+    assert(shuf != plain) // the permutation genuinely reorders the stream
+    assert(shuf.map(_._3).sum == plain.map(_._3).sum) // token conservation
+    assert(shuf.init.forall(_._3 == 512L)) // full blocks except the tail
+    // a different seed is a different permutation
+    assert(run(TextAnalysis.packBlocksShuffled(docs, 512, "epoch1")) != shuf)
+  }
+
   test("bpe pair stats: hand-checked weighted char-pair counts") {
     val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
     // cores: aa×3, ab×2 → pairs: "aa"×3, "ab"×2
