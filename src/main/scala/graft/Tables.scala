@@ -20,17 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * raw long under `spark.sql.legacy.parquet.nanosAsLong`. Normalize to
-    * microsecond timestamps here (integer ns/1000 — the same truncation
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP). */
+  /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS)
+    * (readable only as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and, in current testdata,
+    * TIMESTAMP(MICROS). Branch on the read schema so both normalize to a
+    * session-zone microsecond timestamp — with the UTC session this makes
+    * NTZ-vs-instant a wall-clock no-op, matching DuckDB's view of the file. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // harmless for MICROS files; required before schema inference for the
+    // legacy NANOS layout (the read itself throws without it)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions._
-    // integer div, not `/` — `/` widens to double and a ns epoch (~1.7e18)
-    // exceeds the 53-bit double mantissa
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case LongType =>
+        // legacy nanos-as-long layout: integer div, not `/` — `/` widens to
+        // double and a ns epoch (~1.7e18) exceeds the 53-bit double mantissa
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
