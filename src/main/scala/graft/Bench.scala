@@ -79,11 +79,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // also to a file: the driver's log tail truncates long lines, which
-    // cost round-over-round comparability (BENCH_r04 lost q01-q10)
+    // also to files: the driver's log tail truncates long lines, which
+    // cost round-over-round comparability (BENCH_r04 lost q01-q10).
+    // BENCH_LATEST.json is the COMMITTED sibling — target/ is gitignored
+    // and wiped by clean, so the repo-root copy is the durable per-query
+    // record each round's comparison reads.
+    val bytes = (line + "\n").getBytes("UTF-8")
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
     spark.stop()
   }
 }

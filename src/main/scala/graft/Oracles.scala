@@ -760,6 +760,61 @@ object Oracles {
       s"""SELECT event_id, $tsUs AS ts_us, event_type, value FROM events
          |WHERE user_id = 3 ORDER BY ts_us, event_id LIMIT 20""".stripMargin,
 
+    // DuckDB's native ASOF LEFT JOIN is the independent check of the
+    // Spark union-window formulation (same >= tie rule: a click at the
+    // purchase's own instant matches)
+    "q90_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, $tsUs AS ts_us, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT user_id, $tsUs AS ts_us, max(value) AS click_value
+         |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.event_id, p.ts_us, p.value, c.click_value,
+         |       c.ts_us AS click_ts_us
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+         |ORDER BY p.event_id""".stripMargin,
+
+    "q91_range_join" ->
+      s"""WITH v AS (SELECT event_id AS view_id, user_id, $tsUs AS ts_us
+         |           FROM events WHERE event_type = 'view'),
+         |     e AS (SELECT event_id AS error_id, user_id, $tsUs AS ws
+         |           FROM events WHERE event_type = 'error')
+         |SELECT v.view_id, e.error_id, v.ts_us - e.ws AS lag_us
+         |FROM v JOIN e ON v.user_id = e.user_id
+         |  AND v.ts_us >= e.ws AND v.ts_us < e.ws + 3600000000
+         |ORDER BY view_id, error_id""".stripMargin,
+
+    // trailing-24h RANGE frame over epoch-µs; the sum runs over half-up
+    // 8-decimal scaled longs (xsum trick) so it is order-independent
+    "q92_rolling_window" ->
+      s"""SELECT event_id, user_id, ts_us, n_trailing, sum_trailing FROM (
+         |  SELECT event_id, user_id, $tsUs AS ts_us,
+         |    count(*) OVER w AS n_trailing,
+         |    CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1e8
+         |      AS sum_trailing
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs
+         |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+         |ORDER BY event_id""".stripMargin,
+
+    "q93_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
+         |       WHERE event_type = 'click' GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2
+         |       WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT s1.user_id, t1, t2, t3,
+         |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+         |ORDER BY s1.user_id""".stripMargin,
+
     "q13_token_stats" ->
       s"""SELECT doc_id, len(${toks("text")}) AS n_tokens,
          |  len(list_distinct(${toks("text")})) AS n_distinct,
@@ -784,6 +839,31 @@ object Oracles {
     "q15_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(${tokenSet("text")}), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Gopher rule battery: every signal replayed with DuckDB list
+    // functions over the same single-space split
+    "q88_gopher_quality" ->
+      s"""WITH w AS (SELECT doc_id, ${toks("text")} AS words FROM documents),
+         |b AS (SELECT doc_id, words, len(words) AS n_words,
+         |        CASE WHEN len(words) >= 2
+         |             THEN list_transform(range(1, len(words)),
+         |                    i -> concat(words[i], ' ', words[i + 1]))
+         |             ELSE CAST([] AS VARCHAR[]) END AS bigrams
+         |      FROM w),
+         |m AS (SELECT doc_id,
+         |        CAST(n_words AS BIGINT) AS n_words,
+         |        ${t6("CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / n_words")} AS mean_word_len,
+         |        ${t6("1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words")} AS dup_word_frac,
+         |        CASE WHEN n_words >= 2 THEN
+         |          ${t6("CAST(list_max(list_transform(list_distinct(bigrams), bg -> len(list_filter(bigrams, x -> x = bg)))) AS DOUBLE) / (n_words - 1)")}
+         |        ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+         |        CAST(len(list_filter(['the','be','to','of','and','that','have','with','a','in'],
+         |          s -> list_contains(words, s))) AS BIGINT) AS stop_hits
+         |      FROM b)
+         |SELECT doc_id, n_words, mean_word_len, dup_word_frac, top_bigram_frac, stop_hits,
+         |  (n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.10 AND stop_hits >= 1) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q16_lang_id" -> {
       val langs = LangMarkers.keys.toSeq.sorted
@@ -905,6 +985,23 @@ object Oracles {
          |    PARTITION BY cluster ORDER BY pick, vec_id) AS rn
          |  FROM picked)
          |WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+
+    // q89 SemDeDup: the q77 clustering replay + within-cluster pairwise
+    // cosine — an item is dropped iff some lower-id cluster-mate exceeds
+    // the trunc6'd threshold (the one-pass, non-transitive rule)
+    "q89_semantic_dedup" ->
+      s"""${pqPipelineSqlFor(1, 8, 2, 256, withLut = false)},
+         |labeled AS (
+         |  SELECT c.vec_id, CAST(c.code AS BIGINT) AS cluster,
+         |         CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM labeled a JOIN labeled b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${t6(cosine("a.emb", "b.emb"))} >= 0.5)
+         |SELECT l.vec_id, l.cluster, d.vec_id IS NULL AS keep
+         |FROM labeled l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+         |ORDER BY l.vec_id""".stripMargin,
 
     "q41_knn_lsh" -> {
       def bucket(e: String) = lshBucketSql(e)

@@ -331,12 +331,66 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_type"), col("value"))),
 
+    // as-of join: each purchase picks up the latest click of the same
+    // user at-or-before it — the union-window formulation (one shuffle
+    // on user_id, no theta-join); clicks pre-aggregate to one row per
+    // (user, instant) so the match is deterministic
+    "q90_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("click_value"))
+        .withColumn("click_ts_us", col("ts_us"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts_us",
+          Seq("click_value", "click_ts_us"))
+        .select(col("event_id"), col("ts_us"), col("value"),
+          col("click_value"), col("click_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // range join: views landing inside the hour after an error of the
+    // same user, via bin-bucketed interval join (shuffle |views| + ≤2×
+    // |errors|, never the cross product)
+    "q91_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts_us").as("w_start"),
+          (col("ts_us") + 3600000000L).as("w_end"))
+      Joins.rangeJoin(views, errors, Seq("user_id"), "ts_us",
+          "w_start", "w_end", binWidth = 3600000000L)
+        .select(col("view_id"), col("error_id"),
+          (col("ts_us") - col("w_start")).as("lag_us"))
+        .orderBy("view_id", "error_id")
+    }),
+
+    // trailing-24h rolling count + exact scaled-long sum per event
+    "q92_rolling_window" -> ((s, d) =>
+      EventOps.rollingWindow(Tables.events(s, d))),
+
+    // 3-step ordered conversion funnel (view → click → purchase)
+    "q93_funnel" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+
     // ---- documents: text analysis ----
     "q13_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))),
 
     "q14_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))),
+
+    // the Gopher rule battery: row-local structural signals + keep flag
+    "q88_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d))),
+
+    // SemDeDup: k-means clusters + within-cluster cosine-threshold drop
+    // (k matches the q77 clustering so the oracle reuses its replay)
+    "q89_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), k = 8, threshold = 0.5)),
 
     "q15_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -1005,23 +1059,35 @@ object SparkEntry {
     // (commit-marker fold, compaction, vacuum, stale-triggered index
     // rebuild) → query. Prices the maintenance cadence every
     // deletion-churn deployment pays, instead of only spec'ing it.
-    "x90_facade_churn_maintain" -> ((s, d) => {
-      val eng = churnFacadeFor(s, d)
-      eng.createSession(ChurnSession, FacadeUser, "bench_agent")
-      eng.ingest(Tables.documents(s, d).filter(col("doc_id") < 100).select(
-        concat(lit("cm"), col("doc_id")).as("message_id"),
-        lit(ChurnSession).as("session_id"),
-        lit(FacadeUser).as("user_id"),
-        concat(lit("cr"), col("doc_id")).as("round_id"),
-        lit(1).as("sequence_number"),
-        lit("user").as("role"),
-        col("text").as("content"),
-        lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
-      eng.deleteSession(ChurnSession)
-      eng.maintain(maxSegments = 2, indexStaleThreshold = 0.1)
-      eng.query(KwQuery, FacadeUser, topK = 10, useIndexes = true, nProbe = 2)
-    }),
+    "x90_facade_churn_maintain" -> ((s, d) => churnCycle(s, d, "ivf")),
+    // the same cycle on the OTHER vector backends: the tombstone /
+    // stale-rebuild lifecycle is backend-specific machinery (PQ re-
+    // encodes against its codebook, IVF-PQ against residual codebooks),
+    // so each backend's maintenance cost is priced, not just spec'd
+    "x91_facade_churn_pq" -> ((s, d) => churnCycle(s, d, "pq")),
+    "x92_facade_churn_ivfpq" -> ((s, d) => churnCycle(s, d, "ivfpq")),
   )
+
+  /** One full churn cycle (ingest a session → cascade-delete it →
+    * maintain with a low stale threshold → indexed query) on the
+    * dedicated churn warehouse for `backend`. Ends at net-zero rows, so
+    * bench passes stay comparable. */
+  private def churnCycle(s: SparkSession, d: String, backend: String): DataFrame = {
+    val eng = churnFacadeFor(s, d, backend)
+    eng.createSession(ChurnSession, FacadeUser, "bench_agent")
+    eng.ingest(Tables.documents(s, d).filter(col("doc_id") < 100).select(
+      concat(lit("cm"), col("doc_id")).as("message_id"),
+      lit(ChurnSession).as("session_id"),
+      lit(FacadeUser).as("user_id"),
+      concat(lit("cr"), col("doc_id")).as("round_id"),
+      lit(1).as("sequence_number"),
+      lit("user").as("role"),
+      col("text").as("content"),
+      lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
+    eng.deleteSession(ChurnSession)
+    eng.maintain(maxSegments = 2, indexStaleThreshold = 0.1)
+    eng.query(KwQuery, FacadeUser, topK = 10, useIndexes = true, nProbe = 2)
+  }
 
   private val ChurnSession = "churn_session"
 
@@ -1032,8 +1098,9 @@ object SparkEntry {
     * net-zero rows, so passes stay comparable. */
   private val churnFacadeCache =
     scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
-  private def churnFacadeFor(s: SparkSession, d: String): pipeline.MemFuse =
-    churnFacadeCache.getOrElseUpdate(d, {
+  private def churnFacadeFor(s: SparkSession, d: String,
+      backend: String): pipeline.MemFuse =
+    churnFacadeCache.getOrElseUpdate(s"$d#$backend", {
       val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString
       val eng = new pipeline.MemFuse(s, dir)
       eng.createUser(FacadeUser, "Bench User")
@@ -1048,7 +1115,7 @@ object SparkEntry {
           lit("user").as("role"),
           col("text").as("content"),
           lit("2024-06-01 00:00:00").cast("timestamp").as("created_at")))
-      eng.buildIndexes(nlist = 4)
+      eng.buildIndexes(nlist = 4, vectorIndex = backend)
       eng
     })
 

@@ -79,6 +79,64 @@ object EventOps {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Rolling event-time aggregate: for every event, the count and exact
+    * sum of `value` over the trailing `windowUs` microseconds of the
+    * same user (inclusive frame ends at the event itself). One shuffle
+    * on user_id; the RANGE frame is a linear two-pointer pass per
+    * partition — at 100 TB the events table is date-partitioned and the
+    * window co-partitions by user, same as [[sessionize]].
+    *
+    * The windowed sum runs over half-up-rounded 8-decimal scaled longs
+    * (the xsum trick): integer accumulation is order-independent and
+    * engine-exact where a running double sum drifts in the last ulps. */
+  def rollingWindow(events: DataFrame,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("v8", floor(col("value") * 1e8 + 0.5).cast("long"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing",
+        (sum(col("v8")).over(w).cast("double") / 1e8).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_trailing"), col("sum_trailing"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Ordered funnel: per user, the first `steps.head` event, then the
+    * first `steps(1)` event strictly after it, and so on — the classic
+    * product-analytics conversion funnel (a restricted
+    * MATCH_RECOGNIZE). Each step is one co-partitioned aggregation +
+    * join on user_id: step frames are |users|-sized, so the whole
+    * funnel is `steps.length` small hash joins against one events scan
+    * — never a per-user loop or a sequence self-join. Returns one row
+    * per user reaching step 1, with each step's first-completion time
+    * (epoch µs, null once the chain breaks) and the depth reached. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evts = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val first = evts.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        // first occurrence of this step STRICTLY after the prior step's
+        // completion; users whose chain already broke stay null
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val nxt = evts.filter(col("event_type") === step)
+          .join(acc.select(col("user_id"), col(prev).as("_prev")), "user_id")
+          .filter(col("_prev").isNotNull && col("ts_us") > col("_prev"))
+          .groupBy("user_id").agg(min("ts_us").as(cur))
+        acc.join(nxt, Seq("user_id"), "left_outer")
+    }
+    val depth = (1 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    chained.withColumn("depth", depth.cast("long")).orderBy("user_id")
+  }
+
   /** A8 buffer quality: avg(score)×0.6 + recency_ratio×0.4 per user,
     * recency = share of events within `recentHours` of the corpus max ts
     * (reference: buffer/query_buffer.py:217-255). */

@@ -806,6 +806,79 @@ object TextAnalysis {
         repRatioExpr(col("text"), n).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1): per-document structural signals and a keep
+    * decision. Every signal is row-local (split + higher-order array
+    * functions inside whole-stage codegen) — the whole battery is a
+    * scan-speed projection with NO shuffle, which is what lets it run
+    * first in a 100 TB cleaning pipeline, ahead of anything that
+    * exchanges data.
+    *
+    * Signals (document-local forms of the published rules):
+    *  - `n_words`, bounds [minWords, maxWords]
+    *  - `mean_word_len`, bounds [minMeanWordLen, maxMeanWordLen]
+    *  - `dup_word_frac` = 1 − distinct/total words (repetition),
+    *    bound ≤ maxDupWordFrac
+    *  - `top_bigram_frac` = occurrences of the most frequent adjacent
+    *    word pair / (n_words − 1), bound ≤ maxTopBigramFrac
+    *  - `stop_hits` = how many of the 10 Gopher stop words appear,
+    *    bound ≥ minStopHits
+    */
+  final case class GopherRules(
+      minWords: Int = 25, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.10,
+      minStopHits: Int = 1)
+
+  /** The Gopher rule paper's stop-word list ("the, be, to, of, and,
+    * that, have, with" + the articles the synthetic corpus carries). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  def gopherQuality(docs: DataFrame,
+      rules: GopherRules = GopherRules()): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    // adjacent word pairs; guarded so a 1-word doc yields an empty array
+    // (sequence(1, 0) would generate a DESCENDING range, not empty)
+    val bigrams = when(nWords >= 2,
+      transform(sequence(lit(1), nWords - 1), i =>
+        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // mode count of the bigram array, row-locally: for each DISTINCT
+    // bigram count its occurrences, take the max. O(d·n) per row on
+    // ~100-word documents — still scan-speed, and it never leaves the row
+    // (the explode+groupBy alternative keys a shuffle by (doc, gram))
+    val topBigramCount = when(nWords >= 2,
+      array_max(transform(array_distinct(col("_bigrams")), b =>
+        size(filter(col("_bigrams"), x => x === b))))).otherwise(lit(0))
+    val meanLen = trunc6(aggregate(words, lit(0), (acc, w) => acc + length(w))
+      .cast("double") / nWords)
+    val dupFrac = trunc6(lit(1.0) -
+      size(array_distinct(words)).cast("double") / nWords)
+    val stopHits = size(filter(
+      typedlit(GopherStopWords), s => array_contains(words, s))).cast("long")
+    docs
+      .withColumn("_bigrams", bigrams)
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        dupFrac.as("dup_word_frac"),
+        when(nWords >= 2,
+          trunc6(topBigramCount.cast("double") / (nWords - 1)))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(rules.minWords, rules.maxWords) &&
+          col("mean_word_len").between(rules.minMeanWordLen, rules.maxMeanWordLen) &&
+          col("dup_word_frac") <= rules.maxDupWordFrac &&
+          col("top_bigram_frac") <= rules.maxTopBigramFrac &&
+          col("stop_hits") >= rules.minStopHits)
+      .orderBy("doc_id")
+  }
+
   /** PII patterns redacted by [[redactPii]]: NANP-style phone numbers
     * (the TPC-H c_phone shape) and email addresses. RE2-safe (no
     * lookaround), so the same patterns run in Spark, DuckDB and the

@@ -610,4 +610,99 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == expected)
     assert(got(2L) == 0L)
   }
+
+  test("asof join: latest at-or-before match per key, unmatched stays null") {
+    val left = Seq(("u1", 10L, "p1"), ("u1", 20L, "p2"), ("u2", 5L, "p3"))
+      .toDF("user_id", "ts_us", "pid")
+    val right = Seq(("u1", 10L, "a"), ("u1", 15L, "b"), ("u2", 50L, "x"))
+      .toDF("user_id", "ts_us", "rv")
+    val got = Joins.asofJoin(left, right, Seq("user_id"), "ts_us", Seq("rv"))
+      .select("pid", "rv").as[(String, Option[String])].collect().toMap
+    // equal instants match (>= rule); u2's only right row is in the future
+    assert(got == Map("p1" -> Some("a"), "p2" -> Some("b"), "p3" -> None))
+  }
+
+  test("range join: half-open containment, bin-spanning intervals, no dup pairs") {
+    val points = Seq(("u1", 5L, 100L), ("u1", 10L, 101L), ("u1", 25L, 102L),
+      ("u2", 5L, 103L)).toDF("user_id", "pt", "point_id")
+    val intervals = Seq(("u1", 0L, 10L, 200L), ("u1", 10L, 20L, 201L),
+      // long interval spanning 3 bins: must match each point exactly once
+      ("u1", 3L, 28L, 202L)).toDF("user_id", "s", "e", "iv_id")
+    val got = Joins.rangeJoin(points, intervals, Seq("user_id"),
+        "pt", "s", "e", binWidth = 10L)
+      .select("point_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    // pt=5 ∈ [0,10) and [3,28); pt=10 ∈ [10,20) (half-open: NOT [0,10))
+    // and [3,28); pt=25 ∈ [3,28) only; u2's point matches nothing
+    assert(got == Seq((100L, 200L), (100L, 202L), (101L, 201L),
+      (101L, 202L), (102L, 202L)))
+  }
+
+  test("rolling window: trailing count and exact scaled-long sum") {
+    def t(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + sec * 1000L)
+    val ev = Seq((1L, 7L, t(0), 1.5), (2L, 7L, t(5), 2.25), (3L, 7L, t(11), 4.0),
+      (4L, 8L, t(5), 10.0)).toDF("event_id", "user_id", "ts", "value")
+    // 10-second trailing window: event 3 sees only events at t=5..11
+    val got = EventOps.rollingWindow(ev, windowUs = 10000000L)
+      .select("event_id", "n_trailing", "sum_trailing")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(got(1L) == ((1L, 1.5)))
+    assert(got(2L) == ((2L, 3.75)))
+    assert(got(3L) == ((2L, 6.25))) // event 1 aged out
+    assert(got(4L) == ((1L, 10.0))) // other user unaffected
+  }
+
+  test("funnel: strict ordering, broken chains stop, non-starters absent") {
+    def t(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(1), "view"), (2L, 1L, t(2), "click"), (3L, 1L, t(3), "purchase"),
+      // user 2: purchase BEFORE the view → chain stops at click
+      (4L, 2L, t(4), "purchase"), (5L, 2L, t(5), "view"), (6L, 2L, t(6), "click"),
+      // user 3 never views → no funnel row at all
+      (7L, 3L, t(7), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("gopher rules: repetitive and short docs fail, varied prose passes") {
+    // 43 words, 43 distinct (dup frac 0, every bigram unique), 3 stop hits
+    val good = "the " + (1 to 40).map(i => s"word$i").mkString(" ") + " of and"
+    val spam = Seq.fill(60)("spam").mkString(" ")
+    val short = "the tiny of doc"
+    val df = Seq((1L, good), (2L, spam), (3L, short), (4L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherQuality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("keep")) // dup_word_frac ≈ 0.98
+    assert(rows(2L).getAs[Double]("dup_word_frac") > 0.9)
+    assert(!rows(3L).getAs[Boolean]("keep")) // under minWords
+    // hand-checked mode count: bigrams of "a b a b a b" = [ab,ba,ab,ba,ab]
+    // → top bigram 3 of 5
+    assert(math.abs(rows(4L).getAs[Double]("top_bigram_frac") - 0.6) < 1e-9)
+    assert(rows(1L).getAs[Long]("stop_hits") >= 3L)
+  }
+
+  test("semantic dedup: within-cluster near-dups drop, lowest id survives") {
+    val base = Array.fill(8)(0f)
+    def vec(hot: Int, v: Float) = { val a = base.clone(); a(hot) = v; a }
+    val emb = Seq(
+      (0L, vec(0, 1f)), (10L, vec(0, 2f)),  // same direction: cos = 1
+      (20L, vec(1, 1f)),                     // orthogonal: kept
+      (30L, vec(0, 1.01f)))                  // near-dup of 0 too
+      .toDF("vec_id", "embedding")
+    // k=1 pins every vector into one cluster: the test isolates the
+    // pairwise drop rule (co-clustering of identical vectors is pinned
+    // by the kmeans test above)
+    val got = Dedup.semanticDedup(emb, k = 1, threshold = 0.9)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(0L), "lowest id in the near-dup family survives")
+    assert(!got(10L) && !got(30L), "same-direction vectors drop")
+    assert(got(20L), "orthogonal vector survives")
+    assert(got.size == 4, "every input row is present with a keep flag")
+  }
 }

@@ -86,6 +86,42 @@ class StreamingSpec extends SparkSpec {
     assert(ivf2.assigned.count() == nVec0, "re-absorption must not duplicate vectors")
   }
 
+  // the same per-insert maintenance contract on the OTHER vector
+  // backends: a streamed chunk must be reachable through a pq / ivfpq
+  // index with no rebuild, and re-absorption must not duplicate codes
+  for (backend <- Seq("pq", "ivfpq"))
+    test(s"streamed chunks reach the $backend-backed index; absorption idempotent") {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = Files.createTempDirectory(s"streamidx_$backend").toString
+      val engine = new graft.pipeline.MemFuse(spark, dir)
+      engine.ingest(Seq(
+        Schemas.Message("b1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+        Schemas.Message("b2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2))).toDF())
+      engine.buildIndexes(nlist = 2, vectorIndex = backend)
+      val source = MemoryStream[Schemas.Message]
+      val q = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
+        maxTokens = 2, timeoutMs = 0, checkpoint = s"$dir/ckpt")
+      try {
+        source.addData(Schemas.Message("m9", "s1", "u1", "r9", 9, "user",
+          "zanzibar quorum replication", ts(9)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val hit = engine.query("zanzibar replication", "u1", topK = 3,
+        useIndexes = true, nProbe = 2).collect()
+      assert(hit.exists(_.getAs[String]("content").contains("zanzibar")),
+        s"streamed chunk must be $backend-index-reachable: ${hit.mkString(";")}")
+      val m1 = TableOps.read(spark, s"$dir/m1_episodic", mergeSchema = true)
+        .select(col("chunk_id"), col("content"), col("embedding"))
+      def nCodes() = backend match {
+        case "pq" => graft.pipeline.PqIndex.load(spark, s"$dir/index").codesArr.count()
+        case _    => graft.pipeline.IvfPq.load(spark, s"$dir/index").codesArr.count()
+      }
+      val n0 = nCodes()
+      assert(n0 == 3, s"all three chunks coded in the $backend index, got $n0")
+      graft.pipeline.IndexUpkeep.absorbBatch(spark, dir, m1)
+      assert(nCodes() == n0, "re-absorption must not duplicate code rows")
+    }
+
   test("streaming ingest flushes the dual queue: m0 originals AND m1 chunks") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream").toString
