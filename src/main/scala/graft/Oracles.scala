@@ -1203,6 +1203,85 @@ object Oracles {
     // generated trailing-zeros CASE chain, the same exact-integer
     // harmonic sum (every 2^(53−ρ) term is a BIGINT), the same α·m²
     // constant and linear-counting branch
+    // q94: cohort retention triangle — integer epoch-day division on
+    // both sides (`div` / `//`), so no date/tz semantics are in play
+    "q94_retention_cohorts" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, CAST($tsUs // 86400000000 AS BIGINT) AS day
+         |  FROM events),
+         |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM act JOIN coh USING (user_id)
+         |GROUP BY cohort_day, day_offset
+         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // q95: count–min sketch replayed — the same salted-md5 bucket per
+    // (depth, term) builds the counter table and probes it; est is the
+    // min over the 4 depth rows, an upper bound on the exact count
+    "q95_cms_heavy_hitters" -> {
+      val bucket = (t: String) =>
+        s"${md5Long(s"concat('cms', d.depth, '|', $t)")} % 256"
+      s"""WITH tk AS (SELECT unnest(${toks("text")}) AS term FROM documents),
+         |dep AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+         |ex AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+         |top AS (SELECT term, cnt FROM ex ORDER BY cnt DESC, term LIMIT 20),
+         |sk AS (
+         |  SELECT d.depth, ${bucket("term")} AS bucket, count(*) AS c
+         |  FROM tk CROSS JOIN dep d GROUP BY 1, 2),
+         |pe AS (
+         |  SELECT t.term, t.cnt, d.depth, ${bucket("t.term")} AS bucket
+         |  FROM top t CROSS JOIN dep d)
+         |SELECT term, cnt, min(coalesce(c, 0)) AS est
+         |FROM pe LEFT JOIN sk USING (depth, bucket)
+         |GROUP BY term, cnt
+         |ORDER BY cnt DESC, term""".stripMargin
+    },
+
+    // q96: DSIR — hashed-unigram (+1/+B smoothed) log importance ratio
+    // of every non-target doc toward the en target slice
+    "q96_dsir_weights" -> {
+      val b = 4096
+      s"""WITH tk AS (
+         |  SELECT doc_id, is_target,
+         |         ${md5Long("concat('dsir|', term)")} % $b AS bucket
+         |  FROM (SELECT doc_id, (lang = 'en') AS is_target,
+         |               unnest(${toks("text")}) AS term FROM documents)),
+         |tc AS (SELECT bucket, count(*) AS t_cnt FROM tk WHERE is_target GROUP BY bucket),
+         |tt AS (SELECT SUM(t_cnt) AS t_total FROM tc),
+         |rc AS (SELECT bucket, count(*) AS r_cnt FROM tk WHERE NOT is_target GROUP BY bucket),
+         |rt AS (SELECT SUM(r_cnt) AS r_total FROM rc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${t6(davg(
+             s"ln(CAST(coalesce(t_cnt, 0) + 1 AS DOUBLE) / CAST(t_total + $b AS DOUBLE)) " +
+               s"- ln(CAST(coalesce(r_cnt, 0) + 1 AS DOUBLE) / CAST(r_total + $b AS DOUBLE))"))} AS avg_log_ratio
+         |FROM tk LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+         |     CROSS JOIN tt CROSS JOIN rt
+         |WHERE NOT is_target
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // q97: 8-bit scalar quantization — per-dim min/max training, the
+    // encode→reconstruct round trip, and the reconstructed-vs-full-
+    // precision cosine ranking, all replayed (the lossy ranking itself
+    // must hash-match, like q70/q80)
+    "q97_sq8_knn" ->
+      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pos AS (SELECT unnest(list_transform(generate_series(1, len(e)),
+         |               i -> struct_pack(d := i, v := e[i]))) AS p FROM ex),
+         |st AS (SELECT p.d AS d, min(p.v) AS mn, max(p.v) AS mx FROM pos GROUP BY 1),
+         |sa AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+         |rec AS (SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+         |    CASE WHEN mxs[i] = mns[i] THEN mns[i]
+         |         ELSE mns[i] + floor((e[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)
+         |              / 255.0 * (mxs[i] - mns[i]) END) AS r
+         |  FROM ex CROSS JOIN sa),
+         |q AS (SELECT e AS qv FROM ex WHERE vec_id = 7)
+         |SELECT vec_id AS id, ${t6(cosine("r", "qv"))} AS score
+         |FROM rec CROSS JOIN q
+         |WHERE vec_id != 7
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
     "q72_hll_distinct" -> {
       val b = 6; val m = 1 << b; val alpha = 0.709
       val rhoCase = (1 to 52).map { k =>

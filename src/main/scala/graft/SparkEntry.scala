@@ -703,6 +703,34 @@ object SparkEntry {
       TextAnalysis.packBlocksShuffled(Tables.documents(s, d),
         blockTokens = 1024L, seed = "epoch0")),
 
+    // ---- cohort retention triangle: users bucketed by first-active
+    // epoch day, distinct-active counts per (cohort, day offset) ----
+    "q94_retention_cohorts" -> ((s, d) =>
+      EventOps.retentionCohorts(Tables.events(s, d))),
+
+    // ---- count–min sketch heavy hitters: the exact top-20 terms with
+    // their CMS upper-bound estimates from a 4×256 md5-hashed counter
+    // table (mergeable per shard; est ≥ cnt always) ----
+    "q95_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+      val sketch = Sketches.cmsSketch(toks, col("term"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+      Sketches.cmsEstimate(sketch, top)
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+
+    // ---- DSIR data selection: non-English docs scored by the hashed-
+    // unigram log importance ratio toward the English target slice ----
+    "q96_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d), col("lang") === "en")),
+
+    // ---- 8-bit scalar-quantized KNN: reconstructed-vector cosine
+    // ranking vs the full-precision query (asymmetric distance) ----
+    "q97_sq8_knn" -> ((s, d) =>
+      Retrieval.sq8TopK(Tables.embeddings(s, d), queryId = IvfQueryId, topK = 10)),
+
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,
     // 64 registers, exact-integer harmonic sum — deterministic in any

@@ -137,6 +137,30 @@ object EventOps {
     chained.withColumn("depth", depth.cast("long")).orderBy("user_id")
   }
 
+  /** Cohort retention triangle: users bucketed by first-active day
+    * (their cohort), then for each (cohort_day, day_offset) the number
+    * of cohort members active that day — the classic product-analytics
+    * retention report. Day arithmetic is integer epoch-day `div` (exact
+    * at any offset, engine-portable; no date/tz semantics involved).
+    *
+    * Scale shape: the raw stream first collapses to the DISTINCT
+    * (user, day) activity grid (map-side combinable, ≪ events), the
+    * cohort table is one user-keyed min (users-sized), and the join
+    * back is user-co-partitioned with the grid — after which each user
+    * contributes at most one row per (cohort, offset) cell, so the
+    * final rollup is a plain count, not a count-distinct expand. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** A8 buffer quality: avg(score)×0.6 + recency_ratio×0.4 per user,
     * recency = share of events within `recentHours` of the corpus max ts
     * (reference: buffer/query_buffer.py:217-255). */

@@ -105,6 +105,55 @@ object Retrieval {
     cut.select("vec_id", "cluster").orderBy("vec_id")
   }
 
+  /** Per-dimension scalar-quantization training stats (dim, mn, mx):
+    * one row-local posexplode + map-side-combinable groupBy — the
+    * 8-bit-scalar-quantizer analogue of FAISS `ScalarQuantizer`
+    * training. The result is dim-sized (64 rows), a bounded scalar
+    * collect like the PQ codebooks. */
+  def sq8Stats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  /** 8-bit scalar-quantized cosine top-k: every corpus vector is
+    * encoded per dimension to `floor((v−mn)/(mx−mn)·255 + 0.5)` — 4×
+    * smaller than float32 on disk — and search ranks the RECONSTRUCTED
+    * vectors against the full-precision query (the asymmetric-distance
+    * trick: only the stored side pays the quantization error). The
+    * encode→reconstruct round trip is one row-local `transform` against
+    * the broadcast dim stats, so the scan stays codegen'd and
+    * exchange-free up to the TakeOrdered cut; like q70/q80 the LOSSY
+    * ranking itself is deterministic and replays exactly in SQL. */
+  def sq8TopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      topK: Int): DataFrame = {
+    val stats = sq8Stats(embeddings).orderBy("dim").collect()
+    val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    // recon_d = mn + floor((v−mn)/(mx−mn)·255 + 0.5)/255·(mx−mn); flat
+    // dimensions (mx = mn) carry no information and reconstruct to mn
+    val recon = transform(col("embedding").cast("array<double>"), (v, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, mn).otherwise(
+        mn + floor((v - mn) / (mx - mn) * lit(255.0) + lit(0.5)) /
+          lit(255.0) * (mx - mn))
+    })
+    val q = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("qvec"))
+    embeddings
+      .select(col("vec_id"), recon.as("rvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("score", trunc6(VectorFunctions.cosine(col("rvec"), col("qvec"))))
+      .select(col("vec_id").as("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

