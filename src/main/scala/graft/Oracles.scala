@@ -1203,6 +1203,53 @@ object Oracles {
     // generated trailing-zeros CASE chain, the same exact-integer
     // harmonic sum (every 2^(53−ρ) term is a BIGINT), the same α·m²
     // constant and linear-counting branch
+    // q98: per-label centroid cosine — decimal-widened per-dim means
+    // (the Lloyd-mean arithmetic), then the same guarded cosine
+    "q98_centroid_outliers" ->
+      s"""WITH ex AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pos AS (SELECT label, unnest(list_transform(generate_series(1, len(e)),
+         |               i -> struct_pack(d := i, v := e[i]))) AS p FROM ex),
+         |cent AS (SELECT label, p.d AS d, ${davg("p.v")} AS c FROM pos GROUP BY label, p.d),
+         |ca AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       ${t6(cosine("e", "cv"))} AS centroid_sim
+         |FROM ex JOIN ca USING (label)
+         |ORDER BY vec_id""".stripMargin,
+
+    // q99: PageRank over the symmetrized q31 near-dup pair graph — 5
+    // unrolled iterations, the (1−d) subtraction and every division
+    // spelled in DOUBLE, per-vertex contribution sums decimal-widened
+    "q99_pagerank" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT v, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_v
+           |            + CAST(0.85 AS DOUBLE) * s AS rank
+           |  FROM (SELECT ed.dst AS v, ${dsum12("r.rank / ed.outdeg")} AS s
+           |        FROM ed JOIN r${i - 1} r ON r.v = ed.src
+           |        GROUP BY ed.dst) CROSS JOIN nv)""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM ed0 GROUP BY src),
+         |nv AS (SELECT count(*) AS n_v FROM deg),
+         |ed AS (SELECT ed0.src, ed0.dst, deg.outdeg FROM ed0 JOIN deg USING (src)),
+         |r0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / n_v AS rank FROM deg CROSS JOIN nv),
+         |$iters
+         |SELECT v AS doc_id, ${t6("rank")} AS rank FROM r5 ORDER BY doc_id""".stripMargin
+    },
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -806,6 +806,27 @@ object SparkEntry {
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
         n = 3, threshold = 0.5)),
 
+    // ---- per-label centroid-similarity outlier scoring: every vector
+    // cosine-scored against its own class centroid (decimal-widened
+    // means; the scan is row-local against literal centroids) ----
+    "q98_centroid_outliers" -> ((s, d) =>
+      Retrieval.centroidOutliers(Tables.embeddings(s, d))),
+
+    // ---- PageRank over the near-dup doc graph (q31's pairs,
+    // symmetrized): 5 iterations, d = 0.85, per-vertex sums decimal-
+    // widened so the iteration replays exactly in SQL ----
+    "q99_pagerank" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        n = 3, threshold = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      GraphOps.pageRank(edges, iters = 5)
+        .select(col("v").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the full corpus-cleaning recipe (C4/Gopher lineage), one scan
     // pass + one dedup shuffle: language allowlist → quality floor →
     // repetition ceiling → deterministic sample → PII redaction → exact

@@ -59,6 +59,45 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** PageRank (Page et al. 1999) over an edge list, fixed iteration
+    * count: rank' = (1−d)/N + d·Σ_in rank/outdeg. The vertex set is the
+    * edge list's src side (pass a symmetrized list for undirected
+    * graphs — then every vertex has in- and out-edges and there is no
+    * dangling mass to redistribute).
+    *
+    * Scale shape: each iteration is ONE src-keyed join (ranks are
+    * |V|-sized against the |E|-sized edge list) + one dst-keyed
+    * aggregation — the standard distributed formulation; with edges
+    * pre-partitioned by src the join side of every iteration reuses one
+    * partitioning. Per-vertex contribution sums run decimal-widened
+    * ([[graft.functions.TextFunctions.dsum12]]) so the result is
+    * addition-order-free and replays exactly in SQL — a plain double
+    * sum would drift with partitioning. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nv = deg.agg(count(lit(1)).as("n_v"))
+    val ed = e.join(deg, "src")
+    var ranks = deg.select(col("src").as("v"))
+      .crossJoin(broadcast(nv))
+      .select(col("v"), (lit(1.0) / col("n_v")).as("rank"))
+    for (_ <- 1 to iters) {
+      // (1−d) computed IN the plan (1.0 − 0.85), not as a Scala
+      // constant: both engines must subtract the same doubles
+      ranks = ed.join(ranks.select(col("v").as("src"), col("rank")), "src")
+        .select(col("dst").as("v"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("v").agg(dsum12(col("c")).as("s"))
+        .crossJoin(broadcast(nv))
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / col("n_v") +
+            lit(damping) * col("s")).as("rank"))
+    }
+    ranks.select(col("v"), trunc6(col("rank")).as("rank")).orderBy("v")
+  }
+
   /** 2-hop neighborhood with multiplied edge weights — iterated join,
     * frontier stays distributed. */
   def twoHop(edges: DataFrame, srcId: Long, topK: Int): DataFrame = {

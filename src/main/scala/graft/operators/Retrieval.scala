@@ -154,6 +154,33 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Per-label centroid-similarity scoring — the embedding-curation
+    * outlier filter (low cosine to your own class centroid ⇒ likely
+    * mislabeled / off-distribution, the CLIP-score-shaped gate of
+    * image-text curation pipelines). Centroids are decimal-widened
+    * per-dimension means (engine-exact, the Lloyd-mean arithmetic), a
+    * labels×dim table — a bounded collect like the PQ codebooks — so
+    * the scoring scan is row-local against literal centroid vectors:
+    * exchange-free, codegen'd, embarrassingly parallel at 100 TB. */
+  def centroidOutliers(embeddings: DataFrame): DataFrame = {
+    val pos = embeddings.select(col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+    val cent = pos.groupBy("label", "dim")
+      .agg(graft.functions.TextFunctions.davg(col("v")).as("c"))
+      .orderBy("label", "dim").collect()
+    val byLabel = cent.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+    val centCol = byLabel.tail.foldLeft(
+      when(col("label") === byLabel.head._1, typedlit(byLabel.head._2))) {
+      case (acc, (l, arr)) => acc.when(col("label") === l, typedlit(arr))
+    }
+    embeddings.select(col("vec_id"), col("label").cast("long").as("label"),
+      trunc6(VectorFunctions.cosine(
+        col("embedding").cast("array<double>"), centCol)).as("centroid_sim"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

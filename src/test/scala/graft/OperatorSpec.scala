@@ -706,6 +706,34 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 4, "every input row is present with a keep flag")
   }
 
+  test("pagerank: symmetric path graph — center outranks ends, mass conserved") {
+    // a—b—c symmetrized: b receives from both ends every iteration
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == got(3L), "symmetric ends must tie exactly")
+    assert(got(2L) > got(1L), "the center vertex dominates")
+    assert(math.abs(got.values.sum - 1.0) < 1e-5, "rank mass conserved")
+  }
+
+  test("centroid outliers: off-class vector scores far below its class") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0f, 0f, 1f), 0), // mislabeled: orthogonal to class 0
+      (3L, Array(0f, 1f, 0f), 1),
+      (4L, Array(0.1f, 0.9f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.centroidOutliers(emb)
+      .select("vec_id", "centroid_sim").as[(Long, Double)].collect().toMap
+    assert(got.size == 5)
+    assert(got(2L) < 0.5, s"outlier must score low, got ${got(2L)}")
+    assert(got(0L) > 0.8 && got(1L) > 0.8, "inliers hug the centroid")
+    assert(got(3L) > 0.9 && got(4L) > 0.9)
+  }
+
   test("retention cohorts: hand-checked triangle") {
     // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
     // u3 returns day 2 — two events the same user-day collapse
