@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: `row_number() OVER (...) <= k` filters route
     // into the heap operator automatically (graft.plans.WindowTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // optimizer rewrite: pure band joins (point BETWEEN lo AND hi, no
+    // equi key) become bin-bucketed equi-joins instead of a nested-loop
+    // cross product — gated on spark.graft.rangeJoin.binWidth
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

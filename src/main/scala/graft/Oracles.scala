@@ -1250,6 +1250,37 @@ object Oracles {
          |SELECT v AS doc_id, ${t6("rank")} AS rank FROM r5 ORDER BY doc_id""".stripMargin
     },
 
+    // q100: Efraimidis–Spirakis weighted sample — the ln(u)/w key with
+    // every division pinned to DOUBLE (a bare decimal literal would
+    // divide in DECIMAL)
+    "q100_weighted_sample" ->
+      s"""SELECT doc_id, sample_key FROM (
+         |  SELECT doc_id, ${t6(
+             s"ln(CAST(${md5Long("concat('ws0|', CAST(doc_id AS VARCHAR))")} + 1 AS DOUBLE) " +
+               "/ CAST(4503599627370497.0 AS DOUBLE)) / CAST(n_chars AS DOUBLE)")} AS sample_key
+         |  FROM documents WHERE n_chars > 0)
+         |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // q101: ROLLUP pricing report — subtotal rows carry NULL keys, so
+    // the ordering pins NULLS FIRST to match Spark's asc_nulls_first
+    "q101_rollup_report" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |       ${xsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // q102: per-nation spend quartiles via ntile(4), total tie-break
+    "q102_spend_quartiles" ->
+      s"""WITH spend AS (
+         |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         |         ${xsum("o_totalprice")} AS spend
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT c_custkey, c_nationkey, spend,
+         |       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+         |            ORDER BY spend DESC, c_custkey) AS BIGINT) AS quartile
+         |FROM spend ORDER BY c_custkey""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

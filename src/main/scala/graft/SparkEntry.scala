@@ -731,6 +731,39 @@ object SparkEntry {
     "q97_sq8_knn" -> ((s, d) =>
       Retrieval.sq8TopK(Tables.embeddings(s, d), queryId = IvfQueryId, topK = 10)),
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis):
+    // 50 docs drawn ∝ n_chars via the deterministic ln(u)/w key ----
+    "q100_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(Tables.documents(s, d), "doc_id",
+        col("n_chars"), k = 50)),
+
+    // ---- ROLLUP report: pricing summary at (flag, status), per-flag
+    // subtotals and the grand total in one pass (partial aggregation
+    // handles all three grouping sets in a single shuffle) ----
+    "q101_rollup_report" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- per-nation customer spend quartiles: users-sized aggregate,
+    // then ntile(4) co-partitioned by nation ----
+    "q102_spend_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(xsum(col("o_totalprice")).as("spend"))
+      spend.withColumn("quartile",
+        ntile(4).over(Window.partitionBy("c_nationkey")
+          .orderBy(col("spend").desc, col("c_custkey"))).cast("long"))
+        .select(col("c_custkey"), col("c_nationkey"), col("spend"), col("quartile"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,
     // 64 registers, exact-integer harmonic sum — deterministic in any

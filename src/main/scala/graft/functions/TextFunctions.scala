@@ -36,6 +36,11 @@ object TextFunctions {
   def ngramsDistinct(toks: Column, n: Int): Column =
     columnOf(NGramDistinct(expressionOf(toks), n))
 
+  /** Max occurrences of any single word n-gram (the Gopher top-bigram
+    * kernel) — one compiled hash-count pass; see [[NGramModeCount]]. */
+  def ngramModeCount(toks: Column, n: Int): Column =
+    columnOf(NGramModeCount(expressionOf(toks), n))
+
   /** Tokens with stop words removed (order-preserving, keeps duplicates). */
   def contentTokens(c: Column): Column =
     filter(tokens(c), t => !t.isin(StopWords: _*))
@@ -157,6 +162,47 @@ case class NGramDistinct(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mode count of word n-grams — max occurrences of any single n-gram —
+  * in ONE compiled hash-counting pass over the token array (the kernel
+  * of Gopher's top-bigram repetition rule). The declarative
+  * formulations are catastrophically slower per row: an index-based
+  * `transform(sequence, i -> element_at(toks, i))` re-evaluates the
+  * tokenization PER ELEMENT (CSE cannot reach inside lambda bodies —
+  * measured 8.6 s for q88 at sf0.1), and even the sort+run-length HOF
+  * fold interprets per element with struct state (~1.6 s); this evals
+  * the whole row in one tight loop (0.3 s, scan-speed). */
+case class NGramModeCount(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val parts = new Array[UTF8String](n)
+    var best = 0
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val key = UTF8String.concatWs(space, parts.toIndexedSeq: _*)
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

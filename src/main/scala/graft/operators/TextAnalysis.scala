@@ -219,6 +219,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws a
+    * deterministic md5-derived uniform u ∈ (0, 1) and the k rows with
+    * the LARGEST u^(1/w) win — here ranked by the monotone-equivalent
+    * ln(u)/w, which avoids pow's cross-engine rounding. Inclusion
+    * probability is proportional to weight, the sample is reproducible
+    * under any partitioning (the draw depends only on the id), and the
+    * cut is a TakeOrdered heap — one row-local scan, no shuffle beyond
+    * the top-k merge. Zero/negative weights are excluded (ES requires
+    * w > 0). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, salt: String = "ws0"): DataFrame = {
+    // 52-bit md5 slice + 1 over 2^52 + 1: u ∈ (0, 1), never 0 or 1
+    val u = (conv(substring(
+      md5(concat(lit(s"$salt|"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4503599627370497.0)
+    df.filter(weight > 0)
+      .select(col(idCol), trunc6(log(u) / weight.cast("double")).as("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** TF-IDF keyword extraction: the top `topK` terms of every document
     * by tf·ln(N/df) — the per-document keyword/tag step of a corpus
     * indexing pipeline. The per-doc cut routes through the engine's
@@ -888,27 +910,24 @@ object TextAnalysis {
       rules: GopherRules = GopherRules()): DataFrame = {
     val words = split(col("text"), " ")
     val nWords = size(words)
-    // adjacent word pairs; guarded so a 1-word doc yields an empty array
-    // (sequence(1, 0) would generate a DESCENDING range, not empty)
-    val bigrams = when(nWords >= 2,
-      transform(sequence(lit(1), nWords - 1), i =>
-        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // mode count of the bigram array, row-locally: for each DISTINCT
-    // bigram count its occurrences, take the max. O(d·n) per row on
-    // ~100-word documents — still scan-speed, and it never leaves the row
-    // (the explode+groupBy alternative keys a shuffle by (doc, gram))
-    val topBigramCount = when(nWords >= 2,
-      array_max(transform(array_distinct(col("_bigrams")), b =>
-        size(filter(col("_bigrams"), x => x === b))))).otherwise(lit(0))
-    val meanLen = trunc6(aggregate(words, lit(0), (acc, w) => acc + length(w))
-      .cast("double") / nWords)
+    // mode count of the adjacent-word bigrams through the compiled
+    // NGramModeCount kernel — one hash-count loop per row. The
+    // declarative forms are row-locally correct but interpret per
+    // element (see the expression's scaladoc for the measured cliff)
+    val topBigramCount = ngramModeCount(words, 2)
+    // Σ word lengths ≡ len(text) − (nWords − 1): splitting on a single
+    // char partitions the string exactly, so the per-element aggregate
+    // lambda (interpreted) collapses to codegen'd integer arithmetic
+    val meanLen = trunc6(
+      (length(col("text")) - (nWords - 1)).cast("double") / nWords)
     val dupFrac = trunc6(lit(1.0) -
       size(array_distinct(words)).cast("double") / nWords)
-    val stopHits = size(filter(
-      typedlit(GopherStopWords), s => array_contains(words, s))).cast("long")
+    // distinct stop words present — array_intersect is a codegen'd
+    // collection op where the filter(array_contains) lambda re-splits
+    // the text once PER STOP WORD (lambda bodies defeat CSE)
+    val stopHits = size(array_intersect(
+      typedlit(GopherStopWords), words)).cast("long")
     docs
-      .withColumn("_bigrams", bigrams)
       .select(
         col("doc_id"),
         nWords.cast("long").as("n_words"),

@@ -377,6 +377,25 @@ object StreamingIngest {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Event-time SESSION windows on the stream — the native Structured
+    * Streaming twin of the batch [[graft.operators.EventOps.sessionize]]
+    * gap-based cut: `session_window` merges events of one user into a
+    * window that extends `gap` past each event and closes when the gap
+    * passes; the watermark both bounds the session state AND finalizes
+    * closed sessions (append mode emits a session only once it can no
+    * longer grow). One row per (user, session): count + exact sum. */
+  def sessionWindowStats(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.TextFunctions.dsum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Streaming exact dedup — the unbounded-stream twin of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was
     * already emitted inside the watermark horizon are dropped, and the

@@ -734,6 +734,21 @@ class OperatorSpec extends SparkSpec {
     assert(got(3L) > 0.9 && got(4L) > 0.9)
   }
 
+  test("weighted sample: weight-proportional, partition-invariant") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 100L else 1L))
+      .toDF("doc_id", "n_chars")
+    val got = TextAnalysis.weightedSample(df, "doc_id", col("n_chars"), k = 50)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.length == 50)
+    // heavy ids carry ~92% of the total mass — they must dominate
+    val heavy = got.count(_ <= 100L)
+    assert(heavy >= 35, s"heavy group underrepresented: $heavy of 50")
+    // the draw depends only on the id, never the partitioning
+    val re = TextAnalysis.weightedSample(df.repartition(7), "doc_id",
+      col("n_chars"), k = 50).select("doc_id").as[Long].collect().toSeq
+    assert(re == got)
+  }
+
   test("retention cohorts: hand-checked triangle") {
     // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
     // u3 returns day 2 — two events the same user-day collapse

@@ -324,4 +324,33 @@ class PlanSpec extends SparkSpec {
     assert(engine.m1.select("user_id").distinct().count() == 2)
     assert(engine.m1ForUser("u1").select("user_id").distinct().count() == 1)
   }
+
+  test("pure band join rewrites to a binned equi-join, no nested loop, same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0L until 500L).map(i => (i, i * 97 % 10000)).toDF("pid", "ts")
+    val ivs = (0L until 60L).map(i => (i, i * 160L, i * 160L + 200L))
+      .toDF("iid", "s", "e")
+    def run() = pts.join(ivs, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    // disabled (default): Spark has no equi key — nested loop
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    val naive = run()
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val expect = naive.collect().toSeq
+    // enabled: binned equi-join, no nested loop anywhere, same result
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "256")
+    try {
+      val opt = run()
+      val p = opt.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop"), p.take(1500))
+      assert(p.contains("_graft_pbin"), p.take(1500))
+      assert(opt.collect().toSeq == expect)
+      // an equi-keyed band join is left alone (hash join + post-filter)
+      val keyed = pts.withColumn("k", col("pid") % 7)
+        .join(ivs.withColumn("k", col("iid") % 7),
+          Seq("k")).filter(col("ts") >= col("s") && col("ts") < col("e"))
+      assert(!keyed.queryExecution.executedPlan.toString.contains("_graft_pbin"))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
 }

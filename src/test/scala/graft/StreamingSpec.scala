@@ -304,6 +304,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows on the stream: gap merges, close, finalize once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StreamingIngest.sessionWindowStats(
+      source.toDS().toDF("user_id", "ts", "value"),
+      gap = "30 seconds", watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // u1: two events 10 s apart (one session), then a 100 s gap
+      // (new session); u2: one event — interleaved arrival order
+      source.addData((1L, ts(0), 1.0), (2L, ts(5), 5.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      source.addData((1L, ts(110), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close + emit every session
+      source.addData((9L, ts(500), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "n_events", "session_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 2L, 3.0)), s"merged first session: $out")
+      assert(out.contains((1L, 1L, 4.0)), "the post-gap event is its own session")
+      assert(out.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, within and across batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)

@@ -244,4 +244,35 @@ class TableOpsSpec extends SparkSpec {
     TableOps.append(Seq((9L, "z")).toDF("id", "v"), dir)
     assert(TableOps.read(spark, dir).count() == 1)
   }
+
+  test("z-order layout: every key dimension clusters; a plain sort only clusters its leader") {
+    import graft.pipeline.Layout
+    // two independent uniform keys — the adversarial case for a
+    // single-column sort (the second key is full-range in every file)
+    val rows = (0 until 4096).map { i =>
+      val a = (i * 2654435761L) % 4096 // Knuth-hash order: decorrelated
+      (a, i.toLong, s"r$i")
+    }
+    val df = rows.toDF("a", "b", "payload")
+    val zDir = Files.createTempDirectory("zord").toString + "/z"
+    val sDir = Files.createTempDirectory("zord").toString + "/s"
+    Layout.writeZOrdered(df, zDir, Seq("a", "b"), nFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(sDir)
+    def meanSpans(dir: String): (Double, Double) = {
+      val sp = Layout.fileSpans(spark.read.parquet(dir), Seq("a", "b"))
+        .agg(avg("span_a"), avg("span_b")).head()
+      (sp.getDouble(0), sp.getDouble(1))
+    }
+    val (za, zb) = meanSpans(zDir)
+    val (sa, sb) = meanSpans(sDir)
+    // the sort is perfect on its leader and hopeless on the other key
+    assert(sa < 0.15, s"sorted layout must cluster its leading key, $sa")
+    assert(sb > 0.8, s"sorted layout leaves the second key full-range, $sb")
+    // z-order spends the budget across BOTH dims: each file spans a
+    // fraction of each key's range (16 files ≈ 4×4 grid → ~1/4 + slack)
+    assert(za < 0.5 && zb < 0.5, s"z-order must cluster both keys: $za / $zb")
+    // round trip is lossless
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
 }
