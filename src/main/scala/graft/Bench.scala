@@ -88,7 +88,10 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, bytes)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
+    // only a FULL run may replace the committed record — a filtered
+    // iteration run would silently shrink it to the filtered subset
+    if (filter.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"), bytes)
     spark.stop()
   }
 }
