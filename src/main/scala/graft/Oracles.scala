@@ -1281,6 +1281,29 @@ object Oracles {
          |            ORDER BY spend DESC, c_custkey) AS BIGINT) AS quartile
          |FROM spend ORDER BY c_custkey""".stripMargin,
 
+    // q103: exact Pearson correlation — the moment formula over the
+    // same decimal-widened sums, every factor CAST-pinned to DOUBLE
+    "q103_price_correlation" ->
+      s"""SELECT l_returnflag, n, ${t6(
+           "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+             "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")} AS corr_qty_price
+         |FROM (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |         ${dsum12("l_quantity * l_extendedprice")} AS sxy,
+         |         ${dsum("l_quantity")} AS sx, ${dsum("l_extendedprice")} AS sy,
+         |         ${dsum12("l_quantity * l_quantity")} AS sxx,
+         |         ${dsum12("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // q104: fixed-width value histogram — floor of a pinned double
+    // division bins row-locally
+    "q104_value_histogram" ->
+      s"""SELECT CAST(floor(value / CAST(50.0 AS DOUBLE)) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n, ${xsum("value")} AS bin_sum
+         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

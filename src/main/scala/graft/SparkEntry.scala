@@ -764,6 +764,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- exact Pearson correlation per group: the textbook moment
+    // formula over decimal-widened sums — engine-exact where the
+    // built-in corr's running doubles drift with partitioning ----
+    "q103_price_correlation" -> ((s, d) => {
+      val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum12(x * y).as("sxy"), dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum12(x * x).as("sxx"), dsum12(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          trunc6((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- fixed-width histogram of the event value distribution:
+    // row-local binning, one map-side-combinable groupBy ----
+    "q104_value_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / lit(50.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), xsum(col("value")).as("bin_sum"))
+        .orderBy("bin")),
+
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,
     // 64 registers, exact-integer harmonic sum — deterministic in any

@@ -332,6 +332,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dim table joins per micro-batch, late dim rows invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val source = MemoryStream[(Long, Double)]
+    val enriched = source.toDS().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      source.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(out == Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("basic")),
+        (3L, 30.0, None)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates, within and across batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
