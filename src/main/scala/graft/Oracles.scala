@@ -1304,6 +1304,48 @@ object Oracles {
          |       CAST(count(*) AS BIGINT) AS n, ${xsum("value")} AS bin_sum
          |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // q105: trailing-7-day distinct actives; the oracle's band join is
+    // value-equivalent to the engine's row-local fan-out
+    "q105_rolling_actives" ->
+      s"""WITH grid AS (
+         |  SELECT DISTINCT user_id, CAST($tsUs // 86400000000 AS BIGINT) AS day
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM grid)
+         |SELECT d.day AS obs_day,
+         |       CAST(count(DISTINCT g.user_id) AS BIGINT) AS n_users
+         |FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q106: signature-agreement Jaccard estimate over q29's banded
+    // candidates — same md5 hash family, Ĵ = agreeing positions / 8
+    "q106_minhash_estimate" -> {
+      val sigCols = (0 until 8).map { i =>
+        s"list_min(list_transform(m${i / 4}, m -> CAST(concat('0x', substr(m, ${(i % 4) * 8 + 1}, 8)) AS BIGINT))) AS mh$i"
+      }.mkString(",\n         ")
+      val bandRowsSql = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, concat_ws('|', mh${b * 2}, mh${b * 2 + 1}) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val matchSum = (0 until 8)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS ($nearDupCorpus),
+         |sharr AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(${toks("text")}) - 2),
+         |        i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS shingles
+         |  FROM corpus WHERE len(${toks("text")}) >= 3),
+         |shm AS (SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> md5(concat('mh0|', s))) AS m0,
+         |         list_transform(shingles, s -> md5(concat('mh1|', s))) AS m1 FROM sharr),
+         |sig AS (SELECT doc_id, $sigCols FROM shm),
+         |bands AS ($bandRowsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, ${t6(s"CAST($matchSum AS DOUBLE) / 8")} AS est_jaccard
+         |FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -152,6 +152,43 @@ object SparkEntry {
       df
     })
 
+  /** Two on-disk layouts of the events table — z-ordered on
+    * (user_id, ts_us) vs plain ts-sorted — for the x64/x65 bench pair
+    * pricing what multi-dimensional clustering buys a two-sided
+    * predicate (parquet row-group stats prune where the data is
+    * clustered; the ts-sort leaves user_id full-range in every file). */
+  private val zLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, Long, Long, Long, Long)]
+  private def zLayoutFor(s: SparkSession, d: String): (String, String, Long, Long, Long, Long) =
+    zLayoutCache.getOrElseUpdate(d, {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      val base = java.nio.file.Files.createTempDirectory("graft_zord").toString
+      val (zDir, sDir) = (s"$base/z", s"$base/s")
+      graft.pipeline.Layout.writeZOrdered(ev, zDir,
+        Seq("user_id", "ts_us"), nFiles = 16)
+      ev.repartitionByRange(16, col("ts_us")).sortWithinPartitions("ts_us")
+        .write.mode("overwrite").parquet(sDir)
+      // ~10%-selective bands on BOTH dims, derived once from the data
+      val r = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (u0, u1, t0, t1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      (zDir, sDir,
+        u0 + (u1 - u0) * 4 / 10, u0 + (u1 - u0) * 5 / 10,
+        t0 + (t1 - t0) * 4 / 10, t0 + (t1 - t0) * 5 / 10)
+    })
+
+  private def zScanProbe(s: SparkSession, dir: String,
+      loU: Long, hiU: Long, loT: Long, hiT: Long): DataFrame =
+    // two-sided selective band — the shape only a multi-dimensionally
+    // clustered layout lets parquet row-group stats prune on BOTH dims
+    s.read.parquet(dir)
+      .filter(col("user_id").between(loU, hiU) &&
+        col("ts_us").between(loT, hiT))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("total"))
+      .orderBy("event_type")
+
   private val ivfQueryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
   private def ivfQueryVec(s: SparkSession, d: String): Array[Float] =
@@ -789,6 +826,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("value")).as("bin_sum"))
         .orderBy("bin")),
 
+    // ---- trailing-7-day distinct actives (the WAU curve): the
+    // user-day grid fans out row-locally, no day-band self-join ----
+    "q105_rolling_actives" -> ((s, d) =>
+      EventOps.rollingDistinctUsers(Tables.events(s, d), windowDays = 7)),
+
     // ---- mergeable HLL cardinality sketch (corpus profiling without a
     // corpus-sized distinct shuffle): distinct documents per language,
     // 64 registers, exact-integer harmonic sum — deterministic in any
@@ -836,6 +878,13 @@ object SparkEntry {
     "q29_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docsWithNearDups(s, d),
         shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)),
+
+    // ---- the verify-free signature-agreement estimator over the same
+    // banded candidates: Ĵ = matching minhash positions / 8 — what the
+    // 100 TB path scores with when re-reading text is the cost ----
+    "q106_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashEstimatePairs(docsWithNearDups(s, d),
+        shingleSize = 3, bands = 4, rowsPerBand = 2)),
 
     // ---- incremental dedup (the daily-ingest flow): a new batch of 50
     // exact copies + 50 near-dups + 100 genuinely-new docs deduped
@@ -1103,6 +1152,18 @@ object SparkEntry {
         excludeId = Some(KnnQueryId))),
 
 
+    // z-order vs single-sort layout under a two-sided band scan: the
+    // same aggregate over the same rows, different on-disk clustering —
+    // prices what Morton layout buys parquet row-group pruning
+    "x64_zorder_scan" -> ((s, d) => {
+      val (z, _, loU, hiU, loT, hiT) = zLayoutFor(s, d)
+      zScanProbe(s, z, loU, hiU, loT, hiT)
+    }),
+    "x65_tsorted_scan" -> ((s, d) => {
+      val (_, srt, loU, hiU, loT, hiT) = zLayoutFor(s, d)
+      zScanProbe(s, srt, loU, hiU, loT, hiT)
+    }),
+
     // q61's decontamination at ITS params (n=8, >=1) through the Bloom
     // prefilter path — the true head-to-head for the big-eval-suite
     // scale plan (q83 runs tighter params, so this pair is the honest
@@ -1316,6 +1377,7 @@ object SparkEntry {
     ivfQueryVec(s, d)
     dupLabelsFor(s, d)
     vertexEmbeddingsFor(s, d)
+    zLayoutFor(s, d)
     facadeFor(s, d)
     facadePqFor(s, d)
     facadeIvfPqFor(s, d)

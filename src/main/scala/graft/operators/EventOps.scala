@@ -25,6 +25,42 @@ object EventOps {
         davg(col("value")).as("avg_value"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Mergeable rollup PARTIALS — the incremental-maintenance shape of
+    * [[rollup]]: per (event_type, day), a count plus the two integer
+    * legs of the scaled-long exact sum (xsum's floor part and half-up-
+    * rounded 8-decimal frac part). Integer partials merge by ADDITION
+    * with no precision question, so a daily ingest delta updates a
+    * 100 TB rollup by merging its (days×types)-sized partial — history
+    * is never rescanned. The HLL/CMS sketches carry the same property
+    * for distincts/frequencies; this completes it for sums. */
+  def rollupPartial(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value")).cast("long")).as("sum_int"),
+        sum(floor((col("value") - floor(col("value"))) * lit(1e8) + lit(0.5))
+          .cast("long")).as("sum_frac8"))
+
+  /** Merge any number of partials (shards, deltas, yesterday's state):
+    * pure integer addition per key. */
+  def mergeRollupPartials(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"), sum(col("sum_int")).as("sum_int"),
+        sum(col("sum_frac8")).as("sum_frac8"))
+
+  /** Finalize partials into the [[rollup]] report shape — same values
+    * as running the full aggregation over the union of the raw rows
+    * (xsum ≡ dsum on nonnegative inputs, which event values are). */
+  def finalizeRollup(partial: DataFrame): DataFrame =
+    partial.select(col("event_type"), col("day"), col("n"),
+      (col("sum_int").cast("double") +
+        col("sum_frac8").cast("double") / lit(1e8)).as("total_value"))
+      .withColumn("avg_value",
+        (col("total_value") / col("n")).cast("double"))
+      .orderBy("event_type", "day")
+
   /** K11 freshness boost: score ×= 1 + boost·max(0, 1 − age_hours/24),
     * age relative to the corpus max timestamp
     * (reference: rag/retrieve/hybrid.py:517-562). */
@@ -159,6 +195,28 @@ object EventOps {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Trailing-window distinct actives (the WAU curve): for every day
+    * present in the stream, the distinct users active in the previous
+    * `windowDays` days. The raw stream collapses to the distinct
+    * (user, day) grid first; each grid cell then fans out ROW-LOCALLY
+    * to the `windowDays` observation days it supports (an |grid|×W
+    * explode — no day-band self-join), and one count-distinct per day
+    * finishes. Exactness at 100 TB: the grid is users×days ≪ events;
+    * swap the final count for [[Sketches.hllSketch]] merges when even
+    * the grid is too hot. */
+  def rollingDistinctUsers(events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    val grid = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    grid
+      .withColumn("obs_day",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .groupBy("obs_day")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(grid.select(col("day").as("obs_day")).distinct(), "obs_day")
+      .orderBy("obs_day")
   }
 
   /** A8 buffer quality: avg(score)×0.6 + recency_ratio×0.4 per user,

@@ -749,6 +749,46 @@ class OperatorSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("rollup partials: shard-merge + finalize == full rollup over the union") {
+    val day = 86400000L
+    def ev(rows: Seq[(String, Int, Double)]) = rows.map { case (t, d, v) =>
+      (t, new java.sql.Timestamp(d * day), v) }.toDF("event_type", "ts", "value")
+    val a = ev(Seq(("click", 0, 1.25), ("click", 0, 2.5), ("view", 1, 0.07)))
+    val b = ev(Seq(("click", 0, 3.33), ("view", 1, 10.01), ("error", 2, 5.0)))
+    val whole = EventOps.rollup(a.unionByName(b)).collect().toSeq
+    val merged = EventOps.finalizeRollup(EventOps.mergeRollupPartials(
+      EventOps.rollupPartial(a), EventOps.rollupPartial(b))).collect().toSeq
+    assert(merged == whole,
+      s"incremental maintenance must reproduce the full rollup\n$merged\n$whole")
+  }
+
+  test("rolling distinct actives: window membership hand-checked") {
+    val day = 86400000000L
+    val ev = Seq((1L, 0L), (1L, 8L), (2L, 1L))
+      .map { case (u, d) => (u, new java.sql.Timestamp(d * day / 1000)) }
+      .toDF("user_id", "ts")
+    val got = EventOps.rollingDistinctUsers(ev, windowDays = 7)
+      .as[(Long, Long)].collect().toSeq
+    // day 0: {u1}; day 1: {u1 (day 0 in window), u2}; day 8: {u1}
+    assert(got == Seq((0L, 1L), (1L, 2L), (8L, 1L)))
+  }
+
+  test("minhash estimate: identical docs score 1, estimates bounded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy
+      (3L, "alpha beta gamma delta epsilon other"),
+      (4L, "totally different words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val est = Dedup.minhashEstimatePairs(docs)
+      .as[(Long, Long, Double)].collect()
+    val m = est.map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(m.contains((1L, 2L)), s"copies must be banded candidates: $m")
+    assert(m((1L, 2L)) == 1.0, "identical signatures estimate exactly 1")
+    est.foreach { case (a, b, e) =>
+      assert(e >= 0.0 && e <= 1.0, s"estimate out of range: ($a,$b) $e") }
+  }
+
   test("retention cohorts: hand-checked triangle") {
     // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
     // u3 returns day 2 — two events the same user-day collapse
