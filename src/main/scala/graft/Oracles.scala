@@ -1346,6 +1346,37 @@ object Oracles {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // q107: multinomial Naive Bayes — priors + per-class hashed-token
+    // counts (+1/+B smoothed), decimal-widened log-likelihood sums,
+    // argmax by (score DESC, cls); every division CAST-pinned
+    "q107_naive_bayes" -> {
+      val b = 4096
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, ${md5Long("concat('nb|', term)")} % $b AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(${toks("text")}) AS term FROM documents)),
+         |classes AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY lang),
+         |nt AS (SELECT SUM(n_docs) AS n_total FROM classes),
+         |priors AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS log_prior
+         |           FROM classes CROSS JOIN nt),
+         |ct AS (SELECT lang AS cls, bucket, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         |ctot AS (SELECT cls, SUM(cnt) AS cls_total FROM ct GROUP BY cls),
+         |ll AS (
+         |  SELECT doc_id, cls, ${dsum12(
+             s"ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / CAST(cls_total + $b AS DOUBLE))")} AS ll
+         |  FROM (SELECT t.doc_id, c.cls, c.cls_total, x.cnt
+         |        FROM tk t CROSS JOIN ctot c
+         |        LEFT JOIN ct x ON x.cls = c.cls AND x.bucket = t.bucket)
+         |  GROUP BY doc_id, cls),
+         |scored AS (
+         |  SELECT doc_id, cls, ${t6("log_prior + ll")} AS score
+         |  FROM ll JOIN priors USING (cls))
+         |SELECT doc_id, cls AS pred_lang, score FROM (
+         |  SELECT doc_id, cls, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |  FROM scored)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -749,8 +749,10 @@ object SparkEntry {
     // their CMS upper-bound estimates from a 4×256 md5-hashed counter
     // table (mergeable per shard; est ≥ cnt always) ----
     "q95_cms_heavy_hitters" -> ((s, d) => {
+      // one tokenize scan feeds sketch AND exact top-k (lineage cut)
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("term"))
+        .localCheckpoint()
       val sketch = Sketches.cmsSketch(toks, col("term"))
       val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(20)
@@ -825,6 +827,11 @@ object SparkEntry {
         .groupBy(floor(col("value") / lit(50.0)).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"), xsum(col("value")).as("bin_sum"))
         .orderBy("bin")),
+
+    // ---- Naive Bayes language classifier (the fasttext slot):
+    // training IS counting, so train+score replays exactly in SQL ----
+    "q107_naive_bayes" -> ((s, d) =>
+      TextAnalysis.naiveBayesLang(Tables.documents(s, d))),
 
     // ---- trailing-7-day distinct actives (the WAU curve): the
     // user-day grid fans out row-locally, no day-band self-join ----

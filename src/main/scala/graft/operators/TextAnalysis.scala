@@ -188,12 +188,16 @@ object TextAnalysis {
     * scan + one per-doc aggregation. Nothing corpus-sized shuffles. */
   def dsirWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 4096): DataFrame = {
+    // materialized once: the hashed token frame feeds BOTH model counts
+    // and the scoring join — without the lineage cut the tokenize+hash
+    // scan re-runs three times (measured 1.46 s → 0.7 s at sf0.1)
     val toks = docs
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(tokens(col("text"))).as("term"))
       .withColumn("bucket",
         conv(substring(md5(concat(lit("dsir|"), col("term"))), 1, 13), 16, 10)
           .cast("long") % buckets)
+      .localCheckpoint()
     def model(flag: Boolean, cn: String, tn: String) = {
       val cnt = toks.filter(col("is_target") === flag)
         .groupBy("bucket").agg(count(lit(1)).as(cn))
@@ -216,6 +220,56 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         trunc6(davg(col("log_ratio"))).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive Bayes over hashed unigram features — the
+    * classical text classifier occupying the fasttext slot of corpus
+    * pipelines (language/domain/quality gating), chosen here because
+    * training IS counting: priors and per-class feature counts are two
+    * map-side-combinable groupBys, so the ENTIRE train+score pipeline
+    * is deterministic and replays exactly in SQL (gradient-trained
+    * models pin merge-for-merge like the BPE trainer instead). Scoring
+    * expands each token to the C classes (a broadcast of the C-row
+    * class table), per-class log-likelihoods sum decimal-widened, and
+    * the argmax rides the row_number idiom the WindowTopKRewrite turns
+    * into the bounded heap. Labels double as training data — the
+    * registered query demonstrates the operator on the corpus's own
+    * lang labels (a real pipeline trains on a held-out labeled slice).
+    */
+  def naiveBayesLang(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("nb|"), col("term"))), 1, 13), 16, 10)
+          .cast("long") % buckets)
+      .localCheckpoint()
+    val classes = docs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTotal = classes.agg(sum(col("n_docs")).as("n_total"))
+    val priors = classes.crossJoin(broadcast(nTotal))
+      .select(col("cls"),
+        log(col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("log_prior"))
+    val clsTok = toks.groupBy(col("lang").as("cls"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("cls_total"))
+    val scored = toks.select(col("doc_id"), col("bucket"))
+      .crossJoin(broadcast(clsTot))
+      .join(broadcast(clsTok), Seq("cls", "bucket"), "left")
+      .withColumn("lp",
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cls_total") + lit(buckets.toLong)).cast("double")))
+      .groupBy("doc_id", "cls")
+      .agg(dsum12(col("lp")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .withColumn("score", trunc6(col("log_prior") + col("ll")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"), col("score"))
       .orderBy("doc_id")
   }
 

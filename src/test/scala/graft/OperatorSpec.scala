@@ -789,6 +789,19 @@ class OperatorSpec extends SparkSpec {
       assert(e >= 0.0 && e <= 1.0, s"estimate out of range: ($a,$b) $e") }
   }
 
+  test("naive bayes: class-separable corpus classifies itself") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat with the hat"),
+      (2L, "en", "the dog ran to the cat and the mat"),
+      (3L, "de", "der hund lief zu der katze und der matte"),
+      (4L, "de", "die katze sass auf der matte mit der"),
+      (5L, "en", "the cat and the dog sat on the mat"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.naiveBayesLang(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de", 5L -> "en"))
+  }
+
   test("retention cohorts: hand-checked triangle") {
     // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
     // u3 returns day 2 — two events the same user-day collapse
