@@ -1377,6 +1377,20 @@ object Oracles {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
+    // q108: LR epoch-0 gradient — Σ(0.5 − y)·x / n per hashed bucket,
+    // label and constants CAST-pinned to DOUBLE (bare 1.0 is DECIMAL)
+    "q108_lr_grad_stats" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${md5Long("concat('lr|', term)")} % 256 AS bucket
+         |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)),
+         |feat AS (SELECT doc_id, bucket, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+         |                            ELSE CAST(0.0 AS DOUBLE) END AS y FROM documents),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT bucket, ${t6(dsum12("(CAST(0.5 AS DOUBLE) - y) * cnt") + " / n_docs")} AS grad
+         |FROM feat JOIN lab USING (doc_id) CROSS JOIN n
+         |GROUP BY bucket, n_docs ORDER BY bucket""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -828,6 +828,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("value")).as("bin_sum"))
         .orderBy("bin")),
 
+    // ---- epoch-0 gradient of the distributed LR quality classifier:
+    // at w=0 the sigmoid is exactly 0.5, so the full-batch gradient is
+    // transcendental-free and replays in SQL (the trained weights are
+    // spec-pinned against a local reference, the q84-BPE design) ----
+    "q108_lr_grad_stats" -> ((s, d) =>
+      TextAnalysis.lrEpoch0Grad(Tables.documents(s, d), col("lang") === "en")),
+
     // ---- Naive Bayes language classifier (the fasttext slot):
     // training IS counting, so train+score replays exactly in SQL ----
     "q107_naive_bayes" -> ((s, d) =>

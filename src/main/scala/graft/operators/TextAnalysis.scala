@@ -273,6 +273,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hashed bag-of-words features for the linear classifiers:
+    * (doc_id, bucket, cnt) — one tokenize scan + one map-side-
+    * combinable groupBy. */
+  def lrFeatures(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("lr|"), col("term"))), 1, 13), 16, 10)
+          .cast("long") % buckets)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The EPOCH-0 gradient of [[trainQualityLr]] — at w = 0 the sigmoid
+    * is exactly 0.5, so the full-batch gradient Σ(0.5 − y)·x / n has no
+    * transcendentals and replays exactly in SQL: the oracle hook for
+    * the gradient trainer, the q84-BPE-round-0 design. */
+  def lrEpoch0Grad(docs: DataFrame, isPos: Column,
+      buckets: Int = 256): DataFrame = {
+    val feat = lrFeatures(docs, buckets)
+    val lab = docs.select(col("doc_id"), when(isPos, 1.0).otherwise(0.0).as("y"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    feat.join(lab, "doc_id").crossJoin(broadcast(n))
+      .groupBy("bucket", "n_docs")
+      .agg(dsum12((lit(0.5) - col("y")) * col("cnt")).as("g"))
+      .select(col("bucket"), trunc6(col("g") / col("n_docs")).as("grad"))
+      .orderBy("bucket")
+  }
+
+  /** Distributed full-batch logistic regression over hashed bag-of-
+    * words features — the gradient-trained sibling of the counting
+    * [[naiveBayesLang]], occupying the fasttext-quality-classifier
+    * slot when a labeled slice exists. The intercept rides as a
+    * virtual always-on feature (bucket = `buckets`), so each epoch is
+    * exactly TWO jobs over the checkpointed feature frame: a per-doc
+    * margin aggregation (weights broadcast as a literal array — B+1
+    * doubles, the codebook pattern) and a per-bucket decimal-widened
+    * gradient aggregation whose B+1 scalars come back to the driver
+    * for the update. Nothing corpus-sized ever leaves the executors;
+    * at 100 TB this is the textbook full-batch distributed LR.
+    * Determinism: md5 features, dsum12 gradient sums — OperatorSpec
+    * pins the trained weights against a local reference trainer. */
+  def trainQualityLr(docs: DataFrame, isPos: Column, buckets: Int = 256,
+      epochs: Int = 10, rate: Double = 0.5): Array[Double] = {
+    val lab = docs
+      .select(col("doc_id"), when(isPos, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val feat = lrFeatures(docs, buckets)
+      .unionByName(lab.select(col("doc_id"),
+        lit(buckets.toLong).as("bucket"), lit(1L).as("cnt")))
+      .localCheckpoint()
+    val nDocs = lab.count().toDouble
+    var w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 1 to epochs) {
+      val wl = typedlit(w.toSeq)
+      val err = feat
+        .withColumn("wx",
+          element_at(wl, col("bucket").cast("int") + 1) * col("cnt"))
+        .groupBy("doc_id").agg(dsum12(col("wx")).as("m"))
+        .join(lab, "doc_id")
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("err"))
+      val grads = feat.join(err, "doc_id")
+        .groupBy("bucket").agg(dsum12(col("err") * col("cnt")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wv, i) =>
+        wv - rate * grads.getOrElse(i, 0.0) / nDocs }
+    }
+    w
+  }
+
+  /** Score docs with a trained LR weight vector (last slot = bias). */
+  def scoreLr(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val buckets = w.length - 1
+    val wl = typedlit(w.toSeq)
+    val feat = lrFeatures(docs, buckets)
+      .unionByName(docs.select(col("doc_id"),
+        lit(buckets.toLong).as("bucket"), lit(1L).as("cnt")))
+    feat
+      .withColumn("wx",
+        element_at(wl, col("bucket").cast("int") + 1) * col("cnt"))
+      .groupBy("doc_id").agg(dsum12(col("wx")).as("m"))
+      .select(col("doc_id"),
+        trunc6(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
     * "Weighted random sampling with a reservoir"): each row draws a
     * deterministic md5-derived uniform u ∈ (0, 1) and the k rows with

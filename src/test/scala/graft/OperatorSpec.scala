@@ -802,6 +802,41 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de", 5L -> "en"))
   }
 
+  test("distributed LR matches a local reference trainer and separates classes") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog and the cat sat"),
+      (3L, "de", "der hund und die katze"),
+      (4L, "de", "die katze sass auf der matte"),
+      (5L, "en", "the mat and the hat"),
+      (6L, "de", "der hund lief zu der matte")).toDF("doc_id", "lang", "text")
+    val B = 16
+    val w = TextAnalysis.trainQualityLr(docs, col("lang") === "en",
+      buckets = B, epochs = 8, rate = 0.5)
+    // local reference: identical features/labels, plain double loops
+    val labs = Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0, 4L -> 0.0, 5L -> 1.0, 6L -> 0.0)
+    val ids = labs.keys.toSeq.sorted
+    val feat = TextAnalysis.lrFeatures(docs, B).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))) ++
+      ids.map(d => (d, B, 1L))
+    var lw = Array.fill(B + 1)(0.0)
+    for (_ <- 1 to 8) {
+      val errs = ids.map { d =>
+        val m = feat.filter(_._1 == d).map { case (_, b, c) => lw(b) * c }.sum
+        d -> (1.0 / (1.0 + math.exp(-m)) - labs(d))
+      }.toMap
+      val grads = Array.fill(B + 1)(0.0)
+      feat.foreach { case (d, b, c) => grads(b) += errs(d) * c }
+      lw = lw.zipWithIndex.map { case (v, i) => v - 0.5 * grads(i) / ids.size }
+    }
+    w.zip(lw).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weight drift: $a vs $b") }
+    val scores = TextAnalysis.scoreLr(docs, w)
+      .as[(Long, Double)].collect().toMap
+    assert(Seq(1L, 2L, 5L).map(scores).min > Seq(3L, 4L, 6L).map(scores).max,
+      s"trained gate must separate the classes: $scores")
+  }
+
   test("retention cohorts: hand-checked triangle") {
     // u1 first on day 0, active days 0/1/3; u2 + u3 first on day 1,
     // u3 returns day 2 — two events the same user-day collapse
