@@ -1391,6 +1391,60 @@ object Oracles {
          |FROM feat JOIN lab USING (doc_id) CROSS JOIN n
          |GROUP BY bucket, n_docs ORDER BY bucket""".stripMargin,
 
+    // q109: deterministic label propagation — 3 unrolled rounds of the
+    // (count DESC, label) argmax over the q99 edge CTEs
+    "q109_label_propagation" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT v, label FROM (
+           |    SELECT ed.dst AS v, l.label, count(*) AS n,
+           |           row_number() OVER (PARTITION BY ed.dst
+           |             ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM ed0 ed JOIN l${i - 1} l ON l.v = ed.src
+           |    GROUP BY ed.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM ed0),
+         |$rounds
+         |SELECT v AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
+    },
+
+    // q110: triangle count — canonical a<b edges, ordered wedges closed
+    // against the edge set; each triangle counted once at its low vertex
+    "q110_triangle_count" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ce AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |       FROM pairs WHERE doc_a != doc_b),
+         |w AS (SELECT e1.b AS a, e2.b AS b FROM ce e1
+         |      JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w JOIN ce USING (a, b)""".stripMargin
+    },
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -152,6 +152,17 @@ object SparkEntry {
       df
     })
 
+  /** The symmetrized near-dup pair graph (q31's corpus/params) shared
+    * by the graph-analytics queries q99/q109/q110. */
+  private def nearDupPairEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+        (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+      n = 3, threshold = 0.5)
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  }
+
   /** Two on-disk layouts of the events table — z-ordered on
     * (user_id, ts_us) vs plain ts-sorted — for the x64/x65 bench pair
     * pricing what multi-dimensional clustering buys a two-sided
@@ -936,17 +947,21 @@ object SparkEntry {
     // ---- PageRank over the near-dup doc graph (q31's pairs,
     // symmetrized): 5 iterations, d = 0.85, per-vertex sums decimal-
     // widened so the iteration replays exactly in SQL ----
-    "q99_pagerank" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
-          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
-        n = 3, threshold = 0.5)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      GraphOps.pageRank(edges, iters = 5)
+    "q99_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(nearDupPairEdges(s, d), iters = 5)
         .select(col("v").as("doc_id"), col("rank"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // ---- deterministic label propagation on the same graph: 3 rounds,
+    // (count desc, label) argmax — communities of near-dup families ----
+    "q109_label_propagation" -> ((s, d) =>
+      GraphOps.labelPropagation(nearDupPairEdges(s, d), rounds = 3)
+        .select(col("v").as("doc_id"), col("label"))
+        .orderBy("doc_id")),
+
+    // ---- triangle count via the ordered-wedge join ----
+    "q110_triangle_count" -> ((s, d) =>
+      GraphOps.triangleCount(nearDupPairEdges(s, d))),
 
     // ---- the full corpus-cleaning recipe (C4/Gopher lineage), one scan
     // pass + one dedup shuffle: language allowlist → quality floor →

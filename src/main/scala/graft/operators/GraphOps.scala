@@ -105,6 +105,53 @@ object GraphOps {
     ranks.select(col("v"), trunc6(col("rank")).as("rank")).orderBy("v")
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, fixed round count: every vertex adopts the most
+    * frequent label among its in-neighbors each round (count desc,
+    * label asc tie-break — fully deterministic, unlike the classic
+    * random-order variant, so the unrolled rounds replay exactly in
+    * SQL). Pass a symmetrized edge list for undirected graphs. Each
+    * round is one src-keyed join + one (dst, label) count + an argmax
+    * that rides the row_number idiom (heap-rewritten on graft
+    * sessions); the edge list materializes once. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val counts = e
+        .join(labels.select(col("v").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("v"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("v").orderBy(col("n").desc, col("label"))
+      labels = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("label"))
+    }
+    labels.orderBy("v")
+  }
+
+  /** Triangle count via the ordered-wedge join (the standard
+    * O(E^{3/2})-work distributed formulation): canonicalize to a < b,
+    * build wedges (b, c) sharing a low endpoint, close them against the
+    * edge set. Each triangle {x<y<z} is counted exactly once — as the
+    * wedge (y, z) at its lowest vertex x. Two equi-joins, no enumeration
+    * of neighborhoods in memory. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = e.join(e.toDF("a", "c"), "a")
+      .filter(col("b") < col("c"))
+      .select(col("b").as("a"), col("c").as("b"))
+    wedges.join(e, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** 2-hop neighborhood with multiplied edge weights — iterated join,
     * frontier stays distributed. */
   def twoHop(edges: DataFrame, srcId: Long, topK: Int): DataFrame = {

@@ -718,6 +718,21 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-5, "rank mass conserved")
   }
 
+  test("label propagation: a clique converges to its min label") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$got")
+  }
+
+  test("triangle count: shared-edge triangles counted once each") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val edges = pairs.toDF("src", "dst")
+    val got = GraphOps.triangleCount(edges).as[Long].head()
+    assert(got == 2L, s"{1,2,3} and {2,3,4}: $got")
+  }
+
   test("centroid outliers: off-class vector scores far below its class") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
