@@ -153,15 +153,23 @@ object SparkEntry {
     })
 
   /** The symmetrized near-dup pair graph (q31's corpus/params) shared
-    * by the graph-analytics queries q99/q109/q110. */
-  private def nearDupPairEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(
-      docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
-        (col("doc_id") >= 10000 && col("doc_id") < 10100)),
-      n = 3, threshold = 0.5)
-    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-  }
+    * by the graph-analytics queries q99/q109/q110 — mined once per
+    * dataset and kept resident (the q82 label-cache pattern), so the
+    * trio prices graph analytics, not repeated pair mining. */
+  private val nearDupEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def nearDupPairEdges(s: SparkSession, d: String): DataFrame =
+    nearDupEdgesCache.getOrElseUpdate(d, {
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        n = 3, threshold = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      edges.count() // materialize eagerly, once
+      edges
+    })
 
   /** Two on-disk layouts of the events table — z-ordered on
     * (user_id, ts_us) vs plain ts-sorted — for the x64/x65 bench pair
@@ -1405,6 +1413,7 @@ object SparkEntry {
     ivfPqIndexFor(s, d)
     ivfQueryVec(s, d)
     dupLabelsFor(s, d)
+    nearDupPairEdges(s, d)
     vertexEmbeddingsFor(s, d)
     zLayoutFor(s, d)
     facadeFor(s, d)
