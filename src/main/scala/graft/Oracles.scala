@@ -1445,6 +1445,15 @@ object Oracles {
          |SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w JOIN ce USING (a, b)""".stripMargin
     },
 
+    // q111: the oracle states the PLANTED image sizes; the Spark side
+    // must recover them by parsing the synthesized PNG/JPEG/GIF bytes
+    "q111_image_dims" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS width,
+        |  CAST(50 + doc_id % 500 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

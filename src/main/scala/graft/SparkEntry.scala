@@ -847,6 +847,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("value")).as("bin_sum"))
         .orderBy("bin")),
 
+    // ---- image-header dimension extraction from REAL byte layouts
+    // (RFC 2083 PNG IHDR, ISO 10918 JPEG SOFn scan, GIF screen
+    // descriptor): bytes are synthesized with planted sizes, so the
+    // oracle states the plant and any parser bug breaks the match ----
+    "q111_image_dims" -> ((s, d) => {
+      val w = (lit(100L) + pmod(col("doc_id"), lit(900L)))
+      val h = (lit(50L) + pmod(col("doc_id"), lit(500L)))
+      val be32 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
+      val be16 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+      val le16 = (c: org.apache.spark.sql.Column) =>
+        concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+      val hexStr = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be32(w), be32(h), lit("0806000000")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          // SOI | APP0 (skipped by length) | SOF0 | precision+dims
+          concat(lit("FFD8FFE000040000FFC0001108"), be16(h), be16(w), lit("03")))
+        .otherwise(concat(lit("474946383961"), le16(w), le16(h), lit("F70000")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MediaFunctions.imageDims(unhex(hexStr)).as("dims"))
+        .select(col("doc_id"), col("dims.format").as("format"),
+          col("dims.width").cast("long").as("width"),
+          col("dims.height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
     // ---- epoch-0 gradient of the distributed LR quality classifier:
     // at w=0 the sigmoid is exactly 0.5, so the full-batch gradient is
     // transcendental-free and replays in SQL (the trained weights are

@@ -733,6 +733,32 @@ class OperatorSpec extends SparkSpec {
     assert(got == 2L, s"{1,2,3} and {2,3,4}: $got")
   }
 
+  test("image header parse: real-world byte layouts, truncation-safe") {
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val fixtures = Seq(
+      // the canonical 1x1 PNG header (signature + IHDR)
+      (1L, bytes("89504E470D0A1A0A0000000D494844520000000100000001080600000" +
+        "01F15C489")),
+      // JFIF JPEG: SOI | 16-byte APP0 | DQT (skipped) | SOF2 512x256
+      (2L, bytes("FFD8FFE000104A46494600010101004800480000FFDB00040000" +
+        "FFC20011080100020003")),
+      // GIF89a, 3x2 logical screen
+      (3L, bytes("47494638396103000200F70000")),
+      (4L, "not an image at all".getBytes("UTF-8")),
+      (5L, bytes("89504E47"))) // truncated PNG signature
+      .toDF("id", "media")
+    val got = fixtures
+      .select(col("id"), graft.functions.MediaFunctions.imageDims(col("media")).as("d"))
+      .select(col("id"), col("d.format"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ("png", 1, 1))
+    assert(got(2L) == ("jpeg", 512, 256), s"JPEG SOF scan: ${got(2L)}")
+    assert(got(3L) == ("gif", 3, 2))
+    assert(got(4L) == null && got(5L) == null, "junk and truncation give null")
+  }
+
   test("centroid outliers: off-class vector scores far below its class") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
