@@ -1454,6 +1454,14 @@ object Oracles {
         |  CAST(50 + doc_id % 500 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q112: planted WAV metadata recovered by parsing the RIFF bytes
+    "q112_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 1000 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

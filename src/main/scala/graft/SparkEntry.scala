@@ -874,6 +874,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- WAV/RIFF audio metadata from the real container layout:
+    // fmt-chunk channels/rate, data-size → sample-frame count ----
+    "q112_audio_meta" -> ((s, d) => {
+      val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
+      val rate = lit(8000L) * (lit(1L) + pmod(col("doc_id"), lit(3L)))
+      val frames = lit(1L) + pmod(col("doc_id"), lit(1000L))
+      val block = ch * lit(2L)
+      val dataSize = frames * block
+      val le16 = (c: org.apache.spark.sql.Column) => {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val le32 = (c: org.apache.spark.sql.Column) => {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val hexStr = concat(lit("52494646"), le32(lit(36L) + dataSize),
+        lit("57415645"), lit("666D7420"), lit("10000000"), lit("0100"),
+        le16(ch), le32(rate), le32(rate * block), le16(block),
+        le16(lit(16L)), lit("64617461"), le32(dataSize))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MediaFunctions.wavMeta(unhex(hexStr)).as("m"))
+        .select(col("doc_id"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.n_samples").as("n_samples"))
+        .orderBy("doc_id")
+    }),
+
     // ---- epoch-0 gradient of the distributed LR quality classifier:
     // at w=0 the sigmoid is exactly 0.5, so the full-batch gradient is
     // transcendental-free and replays in SQL (the trained weights are

@@ -22,6 +22,62 @@ object MediaFunctions {
   /** (format, width, height) parsed from an image byte column; null
     * for unrecognized/truncated bytes. One compiled pass, no codecs. */
   def imageDims(c: Column): Column = columnOf(ImageDims(expressionOf(c)))
+
+  /** (channels, sample_rate, bits, n_samples) parsed from a WAV/RIFF
+    * byte column; null for non-WAV/truncated bytes. */
+  def wavMeta(c: Column): Column = columnOf(WavMeta(expressionOf(c)))
+}
+
+/** Parse WAV (RIFF/WAVE) audio metadata from the container bytes: the
+  * "fmt " chunk carries channels (u16le), sample rate (u32le) and bit
+  * depth (u16le); the "data" chunk's size over the block align gives
+  * the sample-frame count (duration = n_samples / sample_rate). Chunks
+  * are scanned generically by id+size, so LIST/INFO chunks before
+  * "data" are skipped like any real file's. */
+case class WavMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+      b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0) return null
+    InternalRow(channels, rate, bits, dataSize / blockAlign)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Parse image dimensions from raw encoded bytes:

@@ -759,6 +759,26 @@ class OperatorSpec extends SparkSpec {
     assert(got(4L) == null && got(5L) == null, "junk and truncation give null")
   }
 
+  test("wav header parse: fmt/data chunks found past a LIST chunk") {
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // RIFF/WAVE | LIST chunk (6 bytes, skipped) | fmt: mono 8000 Hz
+    // 16-bit | data: 32 bytes = 16 frames
+    val wav = bytes("52494646" + "40000000" + "57415645" +
+      "4C495354" + "06000000" + "494E464F0000" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" +
+      "64617461" + "20000000")
+    val df = Seq((1L, wav), (2L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+    val got = df.select(col("id"),
+        graft.functions.MediaFunctions.wavMeta(col("media")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"), col("m.n_samples"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((1, 8000, 16L)), s"${got(1L)}")
+    assert(got(2L) == null)
+  }
+
   test("centroid outliers: off-class vector scores far below its class") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
