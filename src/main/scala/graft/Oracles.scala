@@ -1462,6 +1462,13 @@ object Oracles {
         |  CAST(1 + doc_id % 1000 AS BIGINT) AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q113: planted MP4 mvhd timescale/duration recovered by box scan
+    "q113_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+        |  CAST(1 + doc_id % 100000 AS BIGINT) AS duration
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q94: cohort retention triangle — integer epoch-day division on
     // both sides (`div` / `//`), so no date/tz semantics are in play
     "q94_retention_cohorts" ->

@@ -905,6 +905,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- MP4 movie duration from the real ISO-BMFF box layout:
+    // ftyp skipped, moov scanned to mvhd, timescale/duration read ----
+    "q113_video_meta" -> ((s, d) => {
+      val timescale = lit(1000L) * (lit(1L) + pmod(col("doc_id"), lit(3L)))
+      val duration = lit(1L) + pmod(col("doc_id"), lit(100000L))
+      val be32 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
+      val hexStr = concat(
+        lit("0000001066747970" + "69736F6D" + "00000000"), // ftyp
+        lit("000000246D6F6F76"), // moov, one child
+        lit("0000001C6D766864" + "00000000" + "00000000" + "00000000"),
+        be32(timescale), be32(duration))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MediaFunctions.mp4Meta(unhex(hexStr)).as("m"))
+        .select(col("doc_id"), col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"))
+        .orderBy("doc_id")
+    }),
+
     // ---- epoch-0 gradient of the distributed LR quality classifier:
     // at w=0 the sigmoid is exactly 0.5, so the full-batch gradient is
     // transcendental-free and replays in SQL (the trained weights are

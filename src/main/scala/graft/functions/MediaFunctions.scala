@@ -26,6 +26,79 @@ object MediaFunctions {
   /** (channels, sample_rate, bits, n_samples) parsed from a WAV/RIFF
     * byte column; null for non-WAV/truncated bytes. */
   def wavMeta(c: Column): Column = columnOf(WavMeta(expressionOf(c)))
+
+  /** (timescale, duration) from an MP4/ISO-BMFF moov/mvhd box; null
+    * for non-MP4/truncated bytes. Seconds = duration / timescale. */
+  def mp4Meta(c: Column): Column = columnOf(Mp4Meta(expressionOf(c)))
+}
+
+/** Parse MP4/ISO-BMFF movie metadata from the container bytes: scan
+  * the top-level boxes ([u32be size][4-byte type], size 1 → u64
+  * largesize) to `moov`, scan its children to `mvhd`, and read
+  * timescale/duration (version 0: u32s; version 1: u64 duration) —
+  * enough for the duration/fps gating a video curation pass runs
+  * without touching a codec. */
+case class Mp4Meta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+      b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+  /** (payloadStart, boxEnd) of the box headed at `i`, or null. */
+  private def box(b: Array[Byte], i: Int, limit: Long): Option[(Int, Long)] = {
+    if (i + 8 > limit) return None
+    val size32 = be32(b, i)
+    if (size32 == 1) {
+      if (i + 16 > limit) None else Some((i + 16, i + be64(b, i + 8)))
+    } else Some((i + 8, i + size32))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var i = 0
+    while (i + 8 <= b.length) {
+      val (payload, end) = box(b, i, b.length).getOrElse(return null)
+      if (tag(b, i + 4, "moov")) {
+        var j = payload
+        while (j + 8 <= end && j + 8 <= b.length) {
+          val (p2, e2) = box(b, j, math.min(end, b.length)).getOrElse(return null)
+          if (tag(b, j + 4, "mvhd") && p2 + 4 <= b.length) {
+            val version = u8(b, p2)
+            // version+flags (4), then ctime/mtime (2×4 or 2×8),
+            // timescale u32, duration u32 (v0) / u64 (v1)
+            return version match {
+              case 0 if p2 + 20 <= b.length =>
+                InternalRow(be32(b, p2 + 12), be32(b, p2 + 16))
+              case 1 if p2 + 32 <= b.length =>
+                InternalRow(be32(b, p2 + 20), be64(b, p2 + 24))
+              case _ => null
+            }
+          }
+          if (e2 <= j) return null // malformed zero-size box
+          j = e2.toInt
+        }
+        return null
+      }
+      if (end <= i) return null
+      i = end.toInt
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Parse WAV (RIFF/WAVE) audio metadata from the container bytes: the

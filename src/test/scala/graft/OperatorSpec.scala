@@ -779,6 +779,26 @@ class OperatorSpec extends SparkSpec {
     assert(got(2L) == null)
   }
 
+  test("mp4 box scan: version-1 mvhd behind a free box, junk gives null") {
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // ftyp | moov [ free (skipped) | mvhd v1: ts=90000, dur=2^32+5 ]
+    val mp4 = bytes("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000038" + "6D6F6F76" +
+      "00000008" + "66726565" +
+      "00000028" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +
+      "00015F90" + "0000000100000005")
+    val df = Seq((1L, mp4), (2L, "AAAA".getBytes("UTF-8"))).toDF("id", "media")
+    val got = df.select(col("id"),
+        graft.functions.MediaFunctions.mp4Meta(col("media")).as("m"))
+      .select(col("id"), col("m.timescale"), col("m.duration"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((90000L, (1L << 32) + 5L)), s"${got(1L)}")
+    assert(got(2L) == null)
+  }
+
   test("centroid outliers: off-class vector scores far below its class") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
