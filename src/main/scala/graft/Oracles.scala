@@ -2072,5 +2072,159 @@ object Oracles {
          |               CASE WHEN store_type = 'vector' THEN 1 ELSE 2 END AS priority
          |        FROM ($unitedSql)))
          |WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // q114: DDSketch — bucket = ceil(ln x / ln γ), quantile = first
+    // bucket reaching rank ⌈q·n⌉, estimate at the γ-midpoint. The ln γ
+    // and γ constants are pinned driver-side literals (Double.toString
+    // round-trips) so both engines divide by the SAME doubles.
+    "q114_ddsketch_quantiles" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnGamma = math.log(gamma)
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / CAST($lnGamma AS DOUBLE)) AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, bucket, cnt,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |      FROM b),
+         |p AS (SELECT l_returnflag, q, min(bucket) AS qbucket, max(n) AS n
+         |      FROM c, (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q) qs
+         |      WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+         |      GROUP BY 1, 2)
+         |SELECT l_returnflag, q, n,
+         |       ${t6(s"2.0 * pow(CAST($gamma AS DOUBLE), CAST(qbucket AS DOUBLE)) / CAST(${gamma + 1} AS DOUBLE)")} AS est
+         |FROM p ORDER BY l_returnflag, q""".stripMargin
+    },
+
+    // q115: zero-filled daily resample — integer epoch-days end to end
+    "q115_gap_fill_daily" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |         CAST(count(*) AS BIGINT) AS n, ${xsum("value")} AS day_value
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span)
+         |SELECT g.event_type, g.day,
+         |       CAST(coalesce(dy.n, 0) AS BIGINT) AS n,
+         |       CAST(coalesce(dy.day_value, 0.0) AS DOUBLE) AS day_value
+         |FROM grid g LEFT JOIN daily dy ON dy.event_type = g.event_type AND dy.day = g.day
+         |ORDER BY 1, 2""".stripMargin,
+
+    // q116: per-user z-score outliers from the exact moment sums; z is
+    // truncated to the 6-decimal grid BEFORE the threshold cut
+    "q116_zscore_anomalies" ->
+      s"""WITH m AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |         ${dsum("value")} AS sx, ${dsum12("value * value")} AS sxx
+         |  FROM events GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT event_id, user_id, value, z FROM (
+         |  SELECT e.event_id, e.user_id, e.value,
+         |         (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx) /
+         |           (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS variance,
+         |         ${t6("(e.value - m.sx / CAST(m.n AS DOUBLE)) / sqrt((CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)))")} AS z
+         |  FROM events e JOIN m USING (user_id))
+         |WHERE variance > 0 AND abs(z) > 2.5
+         |ORDER BY event_id""".stripMargin,
+
+    // q117: blocked fuzzy self-match on the distinct name dictionary
+    "q117_fuzzy_name_pairs" ->
+      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         |b AS (SELECT name, split_part(name, ' ', 1) AS block FROM names)
+         |SELECT a.name AS name_a, b2.name AS name_b,
+         |       CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
+         |FROM b a JOIN b b2 ON a.block = b2.block AND a.name < b2.name
+         |WHERE levenshtein(a.name, b2.name) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    // q118: containment |A∩B| / min(|A|,|B|) over the prefix-copy corpus
+    "q118_containment_pairs" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id, substr(text, 1, length(text) // 2) AS text
+           |  FROM documents)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)")} AS containment
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // q119: per-language top-5 bigrams, ties broken lexicographically
+    "q119_top_bigrams_lang" ->
+      s"""WITH tk AS (SELECT lang, ${toks("text")} AS t FROM documents),
+         |big AS (SELECT lang,
+         |          unnest(list_transform(generate_series(2, len(t)),
+         |                 i -> concat(t[i - 1], ' ', t[i]))) AS bigram
+         |        FROM tk WHERE len(t) >= 2),
+         |cnt AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM big GROUP BY 1, 2)
+         |SELECT lang, bigram, cnt, rank FROM (
+         |  SELECT lang, bigram, cnt,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+         |  FROM cnt)
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // q120: JL ±1 projection — the sign matrix is the same md5
+    // expression in both engines; the dot product is the
+    // order-independent decimal-widened sum
+    "q120_random_projection" ->
+      s"""WITH signs AS (
+         |  SELECT od.out_dim, dm.dim,
+         |         CASE WHEN ${md5Long("concat('rp|', CAST(od.out_dim AS VARCHAR), '|', CAST(dm.dim AS VARCHAR))")} % 2 = 0
+         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS out_dim) od,
+         |       (SELECT unnest(generate_series(0, 63)) AS dim) dm),
+         |pos AS (
+         |  SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) t)
+         |SELECT vec_id, out_dim, ${t6(dsum12("v * s"))} AS proj
+         |FROM pos JOIN signs USING (dim)
+         |GROUP BY vec_id, out_dim
+         |ORDER BY vec_id, out_dim""".stripMargin,
+
+    // q121: exact covariance of the embedding dims — row-local (i ≤ j)
+    // fan-out, decimal-widened moment sums, cov = (n·Σxy − Σx·Σy)/n²
+    "q121_covariance_matrix" ->
+      s"""WITH pos AS (
+         |  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS xi, embedding AS e
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) t),
+         |pairs AS (
+         |  SELECT vec_id, i, j, xi, CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS xj
+         |  FROM (SELECT vec_id, i, xi, e, unnest(generate_series(i, 63)) AS j FROM pos)),
+         |agg AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |          ${dsum12("xi * xj")} AS sxy, ${dsum12("xi")} AS sx, ${dsum12("xj")} AS sy
+         |        FROM pairs GROUP BY 1, 2)
+         |SELECT i, j, n,
+         |       ${t6("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} AS cov
+         |FROM agg ORDER BY i, j""".stripMargin,
+
+    // q122: CUBE — all four grouping sets in one pass; GROUPING() bit
+    // order (first arg most significant) matches Spark's grouping_id()
+    "q122_cube_report" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n, ${xsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // q123: pivoted cross-tab — Spark's pivot columns are the literal
+    // return-flag values, mirrored as conditional xsum aggregates
+    "q123_pivot_returnflag" ->
+      s"""SELECT o_orderpriority,
+         |       ${xsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+         |       ${xsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+         |       ${xsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -59,6 +59,17 @@ object SparkEntry {
     docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** documents ∪ a half-length PREFIX copy shifted by +10000 — the
+    * corpus for containment detection: a prefix has Jaccard ≈ 0.5 with
+    * its source (resemblance misses it at any strict threshold) but
+    * containment ≈ 1.0. */
+  private def docsWithPrefixCopies(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, 1, length(text) div 2)").as("text")))
+  }
+
   /** documents ∪ a near-duplicate copy (first word dropped) shifted by
     * +10000 — the corpus for near-dup detection. */
   private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
@@ -1047,6 +1058,61 @@ object SparkEntry {
     // ---- triangle count via the ordered-wedge join ----
     "q110_triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(nearDupPairEdges(s, d))),
+
+    // ---- DDSketch mergeable quantiles: relative-error buckets, one
+    // map-side-combinable groupBy, no corpus sort ----
+    "q114_ddsketch_quantiles" -> ((s, d) =>
+      Sketches.ddSketchQuantiles(Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_extendedprice"), Seq(0.5, 0.9, 0.99))),
+
+    // ---- zero-filled daily resample per event_type ----
+    "q115_gap_fill_daily" -> ((s, d) =>
+      EventOps.gapFillDaily(Tables.events(s, d))),
+
+    // ---- per-user z-score outliers from exact moment sums ----
+    "q116_zscore_anomalies" -> ((s, d) =>
+      EventOps.zscoreAnomalies(Tables.events(s, d), threshold = 2.5)),
+
+    // ---- blocked fuzzy entity matching over part names ----
+    "q117_fuzzy_name_pairs" -> ((s, d) =>
+      Joins.fuzzyBlockedPairs(Tables.part(s, d), "p_name", maxDist = 3)),
+
+    // ---- containment dedup: catches prefix/subset duplication that
+    // Jaccard structurally under-scores ----
+    "q118_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(
+        docsWithPrefixCopies(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        n = 3, threshold = 0.9)),
+
+    // ---- per-language top-k collocations via the bounded-heap cut ----
+    "q119_top_bigrams_lang" -> ((s, d) =>
+      TextAnalysis.topBigramsPerLang(Tables.documents(s, d), topK = 5)),
+
+    // ---- Johnson–Lindenstrauss ±1 projection, 64 → 16 dims ----
+    "q120_random_projection" -> ((s, d) =>
+      Retrieval.randomProject(Tables.embeddings(s, d), outDim = 16)),
+
+    // ---- exact covariance matrix of the embedding dims (PCA input) ----
+    "q121_covariance_matrix" -> ((s, d) =>
+      Retrieval.covarianceMatrix(Tables.embeddings(s, d))),
+
+    // ---- CUBE rollup: all four grouping sets in one pass ----
+    "q122_cube_report" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), xsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // ---- pivoted cross-tab: order priority × return flag ----
+    "q123_pivot_returnflag" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(xsum(col("l_quantity")))
+        .orderBy("o_orderpriority")),
 
     // ---- the full corpus-cleaning recipe (C4/Gopher lineage), one scan
     // pass + one dedup shuffle: language allowlist → quality floor →

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{davg, dsum, trunc6}
+import graft.functions.TextFunctions.{davg, dsum, dsum12, trunc6, xsum}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -217,6 +217,60 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .join(grid.select(col("day").as("obs_day")).distinct(), "obs_day")
       .orderBy("obs_day")
+  }
+
+  /** Gap-filled daily time series: per event_type, the count and exact
+    * value sum for EVERY day between that type's first and last
+    * activity, with silent days materialized as zero rows — the
+    * resample-to-daily / zero-fill step every downstream charting or
+    * anomaly job needs (a plain groupBy silently omits gap days). The
+    * day grid fans out ROW-LOCALLY from one |types|-sized span
+    * aggregate (`sequence` explode), so the only shuffles are the two
+    * small aggregations; no calendar table is ever joined at corpus
+    * width. Integer epoch-days end to end — nothing to drift. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("day_value"))
+    val grid = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("day_value"), lit(0.0)).as("day_value"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Per-user z-score outliers: events whose value sits more than
+    * `threshold` standard deviations from that user's mean. Mean and
+    * population variance come from the exact decimal-widened moment
+    * sums (one map-side-combinable aggregation, |users| rows), joined
+    * back in a broadcast — the same two-pass shape that works when the
+    * per-user history is 100 TB wide. The z-score itself is pure IEEE
+    * arithmetic on those exact sums (sqrt is correctly rounded by the
+    * standard), truncated to the 6-decimal grid BEFORE the threshold
+    * cut so both engines keep identical row sets. */
+  def zscoreAnomalies(events: DataFrame, threshold: Double = 2.5): DataFrame = {
+    val moments = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sx"),
+        dsum12(col("value") * col("value")).as("sxx"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val mean = col("sx") / nD
+    val variance = (nD * col("sxx") - col("sx") * col("sx")) / (nD * nD)
+    val std = sqrt(variance)
+    events
+      .join(broadcast(moments), Seq("user_id"))
+      .filter(variance > 0)
+      .withColumn("z", trunc6((col("value") - mean) / std))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .orderBy(col("event_id"))
   }
 
   /** A8 buffer quality: avg(score)×0.6 + recency_ratio×0.4 per user,

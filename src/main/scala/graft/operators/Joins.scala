@@ -87,4 +87,28 @@ object Joins {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bin")
   }
+
+  /** Blocked fuzzy self-match (entity resolution): distinct value pairs
+    * of `valueCol` whose edit distance is ≤ `maxDist`, compared only
+    * WITHIN a blocking key (here: the value's first whitespace token) —
+    * the classic blocking-then-verify shape that replaces the O(n²)
+    * all-pairs Levenshtein with per-block products. The value set is
+    * deduplicated BEFORE pairing, so duplicated rows never multiply the
+    * comparison count; at 100 TB the distinct-value table is the
+    * (small) dictionary, not the corpus. Pairs missed by blocking
+    * (typo in the first token) are the standard recall trade — widen
+    * with a second blocking pass on a different key if needed. */
+  def fuzzyBlockedPairs(df: DataFrame, valueCol: String,
+      maxDist: Int): DataFrame = {
+    val names = df.select(col(valueCol).as("name")).distinct()
+      .withColumn("block", split(col("name"), " ").getItem(0))
+    val a = names.select(col("block"), col("name").as("name_a"))
+    val b = names.select(col("block"), col("name").as("name_b"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -181,6 +181,66 @@ object Retrieval {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2001, the
+    * ±1 database-friendly variant): project each embedding to `outDim`
+    * dimensions through a deterministic md5-derived sign matrix —
+    * pairwise distances are preserved within O(√(ln n / outDim))
+    * distortion, which is what makes downstream clustering/ANN on the
+    * narrow vectors sound. The matrix never materializes on the
+    * driver: it is an (outDim×dim)-row frame derived from the SAME md5
+    * expression any SQL engine can replay, broadcast into one
+    * dim-keyed join against the row-local posexploded components; the
+    * per-(vec, out_dim) dot product is an order-independent
+    * decimal-widened sum, so the projection is bit-reproducible under
+    * any partitioning. At 100 TB this is one broadcast join + one
+    * map-side-combinable aggregation — no shuffle of the wide vectors. */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val signs = spark.range(outDim).toDF("out_dim")
+      .crossJoin(spark.range(dim).toDF("dim"))
+      .withColumn("s", when(
+        md5Long(concat(lit("rp|"), col("out_dim").cast("string"),
+          lit("|"), col("dim").cast("string"))) % 2 === 0, lit(1.0))
+        .otherwise(lit(-1.0)))
+    val pos = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+    pos.join(broadcast(signs), "dim")
+      .groupBy("vec_id", "out_dim")
+      .agg(trunc6(dsum12(col("v") * col("s"))).as("proj"))
+      .orderBy("vec_id", "out_dim")
+  }
+
+  /** Exact covariance matrix of the embedding dimensions — the input
+    * to PCA/whitening decisions (which dims carry variance, which are
+    * redundant) and the data-health check before any distance-based
+    * dedup. The (i ≤ j) upper triangle expands ROW-LOCALLY from each
+    * vector (a d + d(d+1)/2 per-row fan-out — no positional self-join,
+    * which at corpus scale would shuffle the exploded table against
+    * itself), then ONE map-side-combinable aggregation of
+    * decimal-widened moment sums finishes; cov = (n·Σxy − Σx·Σy)/n².
+    * d(d+1)/2 is ~2k rows per vector at d=64: linear in the corpus,
+    * mergeable across shards (the moment sums just add). */
+  def covarianceMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val nD = col("n").cast("double")
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .withColumn("i", col("i").cast("long"))
+      .withColumn("j", explode(sequence(col("i"), lit((dim - 1).toLong))))
+      .withColumn("xj", element_at(col("e"), (col("j") + 1).cast("int")))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        dsum12(col("xi") * col("xj")).as("sxy"),
+        dsum12(col("xi")).as("sx"),
+        dsum12(col("xj")).as("sy"))
+      .select(col("i"), col("j"), col("n"),
+        trunc6((nD * col("sxy") - col("sx") * col("sy")) / (nD * nD))
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

@@ -120,4 +120,67 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("est"))
   }
+
+  /** DDSketch bucket table (Masson, Lee & Rim, VLDB 2019): a mergeable
+    * quantile sketch with a RELATIVE-error guarantee — any quantile
+    * estimate is within α of the true value (multiplicatively), using
+    * O(log(max/min)/α) buckets regardless of row count. Bucket index
+    * for x > 0 is ⌈log_γ x⌉ with γ = (1+α)/(1−α); the whole sketch is
+    * ONE map-side-combinable groupBy producing ≤ a few hundred rows per
+    * group, and shard sketches merge by SUMMING bucket counts — so 1000
+    * executors sketch 100 TB locally and ship bucket tables, never
+    * values. This is the exact-quantile alternative `percentile_cont`
+    * can't offer at scale (it sorts) and `approx_percentile`'s KLL
+    * can't replay in another engine (implementation-defined); every
+    * piece here — ln, the pinned 1/ln γ literal, ceil, integer counts —
+    * computes identically in any engine.
+    *
+    * ln γ is pre-computed on the driver and embedded as one double
+    * literal so both engines divide by the SAME constant (two libm
+    * ln(γ) calls could differ in the last ulp). */
+  def ddSketch(df: DataFrame, keys: Seq[String], value: Column,
+      alpha: Double = 0.01): DataFrame = {
+    val lnGamma = math.log((1 + alpha) / (1 - alpha))
+    df.filter(value > 0)
+      .select(keys.map(col) :+
+        ceil(log(value.cast("double")) / lit(lnGamma)).cast("long")
+          .as("bucket"): _*)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a DDSketch bucket table (merge shard
+    * sketches first by summing counts — same groupBy). For each probe
+    * quantile q the answer is the FIRST bucket whose running count
+    * reaches rank max(1, ⌈q·n⌉), estimated at the bucket's γ-midpoint
+    * 2γⁱ/(γ+1). The bucket table is tiny (≤ hundreds of rows per
+    * group), so the cumulative window and the probe fan-out cost
+    * nothing; all rank logic is integer-exact. */
+  def ddQuantiles(sketch: DataFrame, keys: Seq[String], qs: Seq[Double],
+      alpha: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gamma = (1 + alpha) / (1 - alpha)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val probed = cum
+      .withColumn("q", explode(array(qs.map(q => lit(q)): _*)))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("n").cast("double")).cast("long")))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(keys.map(col) :+ col("q"): _*)
+      .agg(min(col("bucket")).as("qbucket"), max(col("n")).as("n"))
+    probed
+      .select(keys.map(col) :+ col("q") :+ col("n") :+
+        trunc6(lit(2.0) * pow(lit(gamma), col("qbucket").cast("double")) /
+          lit(gamma + 1)).as("est"): _*)
+      .orderBy(keys.map(col) :+ col("q"): _*)
+  }
+
+  /** Sketch + quantile probe in one call — the registered query shape. */
+  def ddSketchQuantiles(df: DataFrame, keys: Seq[String], value: Column,
+      qs: Seq[Double], alpha: Double = 0.01): DataFrame =
+    ddQuantiles(ddSketch(df, keys, value, alpha), keys, qs, alpha)
 }

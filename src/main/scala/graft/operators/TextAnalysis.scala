@@ -379,6 +379,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-language top-k word bigrams by corpus frequency — the
+    * collocation/phrase-mining profile of a multilingual corpus (and
+    * the input to phrase-aware tokenizer vocab decisions). Bigram
+    * expansion is ROW-LOCAL (an index-transform over the token array,
+    * no position self-join); one map-side-combinable (lang, bigram)
+    * count and a per-lang bounded-heap cut finish it. Count ties break
+    * lexicographically so the cut is deterministic in any engine. */
+  def topBigramsPerLang(docs: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"), tokens(col("text")).as("t"))
+      // guard: Spark's sequence(1, 0) is DESCENDING, not empty — a
+      // 1-token doc would fabricate a null bigram without this filter
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(t[i - 1], ' ', t[i]))")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    val heapRegistered = docs.sparkSession.sessionState.planner.strategies
+      .exists(_ eq graft.plans.TopKPerKeyStrategy)
+    val cut = // plain sessions (no GraftExtensions) fall back to the window idiom
+      if (heapRegistered)
+        graft.plans.TopKPerKey(counts, Seq("lang"),
+          Seq(col("cnt").desc, col("bigram")), topK)
+          .withColumn("rank", row_number().over(w).cast("long"))
+      else
+        counts.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+    cut.orderBy("lang", "rank")
+  }
+
   /** TF-IDF keyword extraction: the top `topK` terms of every document
     * by tf·ln(N/df) — the per-document keyword/tag step of a corpus
     * indexing pipeline. The per-doc cut routes through the engine's

@@ -988,4 +988,111 @@ class OperatorSpec extends SparkSpec {
     val self = Retrieval.sq8TopK(emb, queryId = 0L, topK = 9)
     assert(self.count() == 9L)
   }
+
+  test("ddsketch: α-relative quantile error, shard sketches merge exactly") {
+    val vals = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val got = Sketches.ddSketchQuantiles(vals, Seq("grp"), col("x"),
+      Seq(0.5, 0.99), alpha = 0.01)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    // exact rank-⌈q·n⌉ quantiles of 1..1000 are 500 and 990
+    assert(math.abs(got(0.5) - 500.0) / 500.0 <= 0.011, s"p50=${got(0.5)}")
+    assert(math.abs(got(0.99) - 990.0) / 990.0 <= 0.011, s"p99=${got(0.99)}")
+    // shard sketches merge by summing bucket counts — exactly the whole
+    val lo = Sketches.ddSketch(vals.filter(col("x") <= 500), Seq("grp"), col("x"))
+    val hi = Sketches.ddSketch(vals.filter(col("x") > 500), Seq("grp"), col("x"))
+    val merged = lo.unionByName(hi).groupBy("grp", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    val whole = Sketches.ddSketch(vals, Seq("grp"), col("x"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0, "merge must equal whole sketch")
+  }
+
+  test("gap fill: silent days materialize as zero rows, bounds per type") {
+    val ev = Seq(
+      (1L, 0L, "click", 2.0),   // day 0
+      (2L, 3L, "click", 3.0),   // day 3 → days 1, 2 must zero-fill
+      (3L, 1L, "view", 5.0)     // single-day type → one row, no fill
+    ).map { case (id, day, t, v) => (id, day * 86400000000L, t, v) }
+      .toDF("event_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventOps.gapFillDaily(ev)
+      .select("event_type", "day", "n", "day_value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 0L, 1L, 2.0), ("click", 1L, 0L, 0.0),
+      ("click", 2L, 0L, 0.0), ("click", 3L, 1L, 3.0),
+      ("view", 1L, 1L, 5.0)))
+  }
+
+  test("zscore anomalies: the planted outlier is flagged, uniform users are not") {
+    val ev = (1L to 20L).map(i => (i, 1L, 10.0)) :+ (21L, 1L, 1000.0) :+
+      (22L, 2L, 5.0) :+ (23L, 2L, 5.0) // zero-variance user → excluded
+    val df = ev.toDF("event_id", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    val got = EventOps.zscoreAnomalies(df, threshold = 2.5)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(21L), s"only the planted outlier: $got")
+  }
+
+  test("fuzzy blocked pairs: in-block typos match, dup rows don't multiply") {
+    val parts = Seq("red widget", "red widgit", "red bolt", "blue widget",
+      "red widget", "red widget").toDF("p_name") // dup rows
+    val got = Joins.fuzzyBlockedPairs(parts, "p_name", maxDist = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("red widget", "red widgit", 1L)),
+      s"one distinct in-block pair at dist 1: $got")
+    // cross-block near-match ("blue widget"/"red widget") is the
+    // documented blocking recall trade — it must NOT appear above
+  }
+
+  test("containment: an embedded prefix scores 1.0 where Jaccard halves") {
+    val base = "a b c d e f g h i j k l m n o p q r s t"
+    val docs = Seq((1L, base), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"prefix wholly contained: $cont")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9).count()
+    assert(jac == 0, "resemblance misses the same pair at the same threshold")
+  }
+
+  test("top bigrams per lang: counts hand-checked, 1-token docs are safe") {
+    val docs = Seq(
+      (1L, "en", "big data big data big"),
+      (2L, "en", "big data"),
+      (3L, "de", "daten"), // single token — must not fabricate a bigram
+      (4L, "de", "viel daten viel daten")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.topBigramsPerLang(docs, topK = 2)
+      .select("lang", "bigram", "cnt", "rank")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", "viel daten", 2L, 1L), ("de", "daten viel", 1L, 2L),
+      ("en", "big data", 3L, 1L), ("en", "data big", 2L, 2L)), got.toString)
+  }
+
+  test("random projection: deterministic, sign-exact on a unit vector") {
+    val emb = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val a = Retrieval.randomProject(emb, outDim = 4, dim = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Retrieval.randomProject(emb.repartition(7), outDim = 4, dim = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b, "projection is partition-invariant")
+    // a one-hot vector's projection is exactly the ±1 sign of its dim
+    assert(a.filter(_._1 == 0L).forall { case (_, _, p) => p == 1.0 || p == -1.0 })
+    assert(a.filter(_._1 == 1L).forall { case (_, _, p) => p == 2.0 || p == -2.0 })
+  }
+
+  test("covariance matrix: hand-checked 2-d moments") {
+    // vectors (1,2), (3,6), (5,10): y = 2x exactly, so cov = 2·var(x)
+    val emb = Seq((0L, Array(1f, 2f)), (1L, Array(3f, 6f)), (2L, Array(5f, 10f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.covarianceMatrix(emb, dim = 2)
+      .select("i", "j", "cov").as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    // population cov: E[xy] − E[x]E[y]; x: mean 3, var (4+0+4)/3
+    assert(got((0L, 0L)) == t6(8.0 / 3.0))
+    assert(got((0L, 1L)) == t6(16.0 / 3.0))
+    assert(got((1L, 1L)) == t6(32.0 / 3.0))
+  }
 }
