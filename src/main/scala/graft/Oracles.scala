@@ -38,6 +38,10 @@ object Oracles {
       s"CAST(SUM(CAST(floor((($x) - floor($x)) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)"
   private def xavg(x: String) =
     s"CAST(${xsum(x)} / COUNT($x) AS DOUBLE)"
+  /** Signed scaled-long exact sum (TextFunctions.zsum8): one half-up
+    * 8-decimal quantization per row, plain long accumulation. */
+  private def zsum8(x: String) =
+    s"CAST(CAST(SUM(CAST(floor(($x) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 AS DOUBLE)"
   private def toks(x: String) = s"string_split($x, ' ')"
   private def contentToks(x: String) =
     s"list_filter(${toks(x)}, t -> NOT list_contains($stop, t))"
@@ -2187,23 +2191,22 @@ object Oracles {
          |pos AS (
          |  SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
          |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) t)
-         |SELECT vec_id, out_dim, ${t6(dsum12("v * s"))} AS proj
+         |SELECT vec_id, out_dim, ${t6(zsum8("v * s"))} AS proj
          |FROM pos JOIN signs USING (dim)
          |GROUP BY vec_id, out_dim
          |ORDER BY vec_id, out_dim""".stripMargin,
 
-    // q121: exact covariance of the embedding dims — row-local (i ≤ j)
-    // fan-out, decimal-widened moment sums, cov = (n·Σxy − Σx·Σy)/n²
+    // q121: exact covariance of the embedding dims — narrow component
+    // rows, vec-keyed (i ≤ j) pair join, scaled-long moment sums,
+    // cov = (n·Σxy − Σx·Σy)/n²
     "q121_covariance_matrix" ->
       s"""WITH pos AS (
-         |  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS xi, embedding AS e
+         |  SELECT vec_id, CAST(t.i AS BIGINT) AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
          |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) t),
-         |pairs AS (
-         |  SELECT vec_id, i, j, xi, CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS xj
-         |  FROM (SELECT vec_id, i, xi, e, unnest(generate_series(i, 63)) AS j FROM pos)),
-         |agg AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-         |          ${dsum12("xi * xj")} AS sxy, ${dsum12("xi")} AS sx, ${dsum12("xj")} AS sy
-         |        FROM pairs GROUP BY 1, 2)
+         |agg AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+         |          ${zsum8("a.x * b.x")} AS sxy, ${zsum8("a.x")} AS sx, ${zsum8("b.x")} AS sy
+         |        FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |        GROUP BY 1, 2)
          |SELECT i, j, n,
          |       ${t6("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} AS cov
          |FROM agg ORDER BY i, j""".stripMargin,
@@ -2216,6 +2219,89 @@ object Oracles {
          |       CAST(count(*) AS BIGINT) AS n, ${xsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // q124: per-user inter-arrival gaps — integer µs end to end, one
+    // pinned mean division
+    "q124_session_gaps" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |         $tsUs - lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS gap
+         |  FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+         |       ${t6("CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us
+         |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q127: the oracle is the NAIVE all-pairs token-set Jaccard — the
+    // prefix filter must be lossless, so optimized Spark ≡ naive SQL
+    "q127_prefix_filter_jaccard" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM ($nearDupCorpus)
+         |  WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)),
+         |tk AS (SELECT DISTINCT doc_id, unnest(list_distinct(${toks("text")})) AS term FROM corpus),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM tk a JOIN tk b ON a.term = b.term AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         ${t6("CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE)")} AS jaccard
+         |  FROM inter JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q128: hottest join keys — count desc, key asc, top 20
+    "q128_key_skew_profile" ->
+      s"""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1
+         |ORDER BY n DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // q125: winsorized sums — the q114 DDSketch machinery at p05/p95,
+    // bounds joined back onto one clipping scan
+    "q125_winsorized_stats" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnGamma = math.log(gamma)
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / CAST($lnGamma AS DOUBLE)) AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, bucket, cnt,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |      FROM b),
+         |p AS (SELECT l_returnflag, q, min(bucket) AS qbucket
+         |      FROM c, (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS q) qs
+         |      WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+         |      GROUP BY 1, 2),
+         |est AS (SELECT l_returnflag, q,
+         |          ${t6(s"2.0 * pow(CAST($gamma AS DOUBLE), CAST(qbucket AS DOUBLE)) / CAST(${gamma + 1} AS DOUBLE)")} AS est
+         |        FROM p),
+         |bounds AS (SELECT l_returnflag,
+         |             min(CASE WHEN q = 0.05 THEN est END) AS lo,
+         |             min(CASE WHEN q = 0.95 THEN est END) AS hi
+         |           FROM est GROUP BY 1)
+         |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |       ${xsum("least(greatest(l.l_extendedprice, bo.lo), bo.hi)")} AS winsorized_sum,
+         |       min(bo.lo) AS lo, min(bo.hi) AS hi
+         |FROM lineitem l JOIN bounds bo ON l.l_returnflag = bo.l_returnflag
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q126: MERGE upsert semantics — matched keys replaced, unmatched
+    // inserted (the manifest-layer mechanics are spec'd in TableOpsSpec;
+    // the oracle checks the visible final state)
+    "q126_merge_upsert" ->
+      s"""WITH upd AS (
+         |  SELECT doc_id, concat('UPDATED ', text) AS text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 90000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |final AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+         |  UNION ALL SELECT doc_id, text FROM upd)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+         |FROM final ORDER BY doc_id""".stripMargin,
 
     // q123: pivoted cross-tab — Spark's pivot columns are the literal
     // return-flag values, mirrored as conditional xsum aggregates

@@ -1114,6 +1114,38 @@ object SparkEntry {
         .agg(xsum(col("l_quantity")))
         .orderBy("o_orderpriority")),
 
+    // ---- per-user inter-arrival gap profile (exact integer µs) ----
+    "q124_session_gaps" -> ((s, d) =>
+      EventOps.sessionGaps(Tables.events(s, d))),
+
+    // ---- PPJoin prefix-filtered set-similarity join: lossless
+    // candidate pruning (rarest-first prefixes), verified equal to the
+    // naive all-pairs join by the oracle itself ----
+    "q127_prefix_filter_jaccard" -> ((s, d) =>
+      Dedup.prefixFilterJaccardPairs(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        threshold = 0.8)),
+
+    // ---- join-key skew profile: the pre-flight report that decides
+    // salting / AQE skew handling ----
+    "q128_key_skew_profile" -> ((s, d) =>
+      SkewOps.keyProfile(Tables.lineitem(s, d), "l_partkey", topN = 20)),
+
+    // ---- sketch-clipped robust sums: DDSketch bounds broadcast onto
+    // one clipping scan — no quantile sort at any scale ----
+    "q125_winsorized_stats" -> ((s, d) =>
+      Sketches.winsorizedStats(Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_extendedprice"), loQ = 0.05, hiQ = 0.95)),
+
+    // ---- MERGE upsert through the real manifest layer: matched keys
+    // replaced, unmatched inserted, only touched buckets rewritten ----
+    "q126_merge_upsert" -> ((s, d) =>
+      pipeline.TableOps.read(s, mergeTableFor(s, d))
+        .select(col("user_id").as("doc_id"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")),
+
     // ---- the full corpus-cleaning recipe (C4/Gopher lineage), one scan
     // pass + one dedup shuffle: language allowlist → quality floor →
     // repetition ceiling → deterministic sample → PII redaction → exact
@@ -1529,6 +1561,30 @@ object SparkEntry {
       eng
     })
 
+  /** q126 fixture: documents ingested into a real bucketed manifest
+    * table, then MERGEd — every 10th doc's text prefixed (matched →
+    * replace) and every 7th doc re-inserted under +90000 (unmatched →
+    * insert). Cached per dataset dir; re-running the merge would be
+    * idempotent anyway. */
+  private val mergeTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mergeTableFor(s: SparkSession, d: String): String =
+    mergeTableCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_merge")
+        .toString + "/docs"
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("user_id"), col("text"))
+      pipeline.TableOps.appendBucketed(base, dir)
+      val docs = Tables.documents(s, d)
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("user_id"),
+          concat(lit("UPDATED "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 90000L).as("user_id"), col("text")))
+      pipeline.TableOps.mergeBucketed(updates, dir, "user_id")
+      dir
+    })
+
   /** Same warehouse as [[facadeFor]] (tables + indexes shared), with the
     * shipped TRAINED cross-encoder in the reranker slot instead of the
     * overlap heuristic — x55 vs x57 isolates the reranker's cost. */
@@ -1563,6 +1619,7 @@ object SparkEntry {
     facadePqFor(s, d)
     facadeIvfPqFor(s, d)
     facadeCeFor(s, d)
+    mergeTableFor(s, d)
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

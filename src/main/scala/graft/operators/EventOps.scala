@@ -219,6 +219,27 @@ object EventOps {
       .orderBy("obs_day")
   }
 
+  /** Per-user inter-arrival gap profile: count / max / mean of the
+    * microsecond gaps between consecutive events — the latency /
+    * engagement-cadence report, and the empirical input to choosing a
+    * [[sessionize]] gap threshold. One shuffle on user_id (the same
+    * co-partitioned window as sessionize); gaps are exact integer µs,
+    * so the aggregation is pure integer math until the final pinned
+    * mean division. */
+  def sessionGaps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        trunc6(sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** Gap-filled daily time series: per event_type, the count and exact
     * value sum for EVERY day between that type's first and last
     * activity, with silent days materialized as zero rows — the

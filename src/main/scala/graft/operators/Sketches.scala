@@ -183,4 +183,30 @@ object Sketches {
   def ddSketchQuantiles(df: DataFrame, keys: Seq[String], value: Column,
       qs: Seq[Double], alpha: Double = 0.01): DataFrame =
     ddQuantiles(ddSketch(df, keys, value, alpha), keys, qs, alpha)
+
+  /** Sketch-driven winsorized statistics: clip `value` into its own
+    * group's DDSketch [p`loQ`, p`hiQ`] estimates, then exact-sum the
+    * clipped column — the robust-mean that survives heavy-tailed
+    * corpora (a handful of pathological rows otherwise own the sum).
+    * The classic two-pass shape at scale: pass 1 is the mergeable
+    * sketch (bucket tables, ≤ hundreds of rows per group), whose
+    * bounds BROADCAST back onto pass 2's scan; the clip is row-local
+    * (`least`/`greatest` on pinned doubles) and the sum is the exact
+    * scaled-long path. No sort, no quantile shuffle, ever. */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], value: Column,
+      loQ: Double = 0.05, hiQ: Double = 0.95,
+      alpha: Double = 0.01): DataFrame = {
+    val quants = ddQuantiles(ddSketch(df, keys, value, alpha), keys,
+      Seq(loQ, hiQ), alpha)
+    val bounds = quants.groupBy(keys.map(col): _*)
+      .agg(min(when(col("q") === loQ, col("est"))).as("lo"),
+        min(when(col("q") === hiQ, col("est"))).as("hi"))
+    df.join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.TextFunctions.xsum(
+          least(greatest(value, col("lo")), col("hi"))).as("winsorized_sum"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .orderBy(keys.map(col): _*)
+  }
 }

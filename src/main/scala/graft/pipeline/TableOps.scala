@@ -382,6 +382,43 @@ object TableOps {
       }
     }
 
+  /** MERGE (upsert) into a bucketed table: rows of `updates` whose
+    * `key` matches an existing row REPLACE it; unmatched rows INSERT.
+    * The Delta/Iceberg `MERGE INTO` shape on this manifest layer, with
+    * the property that makes MERGE affordable at 100 TB: only buckets
+    * that actually receive updates are rewritten (copy-on-write of the
+    * touched slice through [[rewriteBucket]]'s commit protocol), while
+    * untouched buckets keep their manifest entries — cost ∝ the update
+    * batch's bucket footprint, never table size. Buckets with no
+    * existing data take the plain-append path. The touched-bucket list
+    * is a bounded collect (≤ [[BucketCount]] longs).
+    *
+    * Each bucket commits individually (same per-bucket atomicity as
+    * every mutation here); `updates` must be unique per `key` or which
+    * duplicate lands is partition-order-dependent. Re-running the same
+    * merge is idempotent. */
+  def mergeBucketed(updates: DataFrame, tablePath: String,
+      key: String): Unit = {
+    val spark = updates.sparkSession
+    val upd = withUserBucket(updates)
+    val touched = upd.select("user_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val existing: Set[Long] = currentSnapshot(spark, tablePath) match {
+      case Some(snap) => snap.entries.flatMap(entryBucket).toSet
+      case None => (0L until BucketCount) .toSet // legacy layout: assume all
+    }
+    touched.foreach { b =>
+      val mine = upd.filter(col("user_bucket") === b).drop("user_bucket")
+      if (existing.contains(b))
+        rewriteBucket(spark, tablePath, b) { cur =>
+          cur.drop("user_bucket")
+            .join(mine.select(col(key)), Seq(key), "left_anti")
+            .unionByName(mine)
+        }
+      else appendBucketed(mine, tablePath)
+    }
+  }
+
   /** Distinct segment dirs referenced by the current snapshot (0 for a
     * legacy/absent table) — the "needs compaction" signal. */
   def segmentCount(spark: SparkSession, tablePath: String): Int =

@@ -396,6 +396,34 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Watermarked stream-stream interval join — the attribution shape
+    * (impression→click, request→response, send→ack): every left event
+    * picks up the same-key right events landing within
+    * `[left.ts, left.ts + maxDelaySeconds]`. Both sides are
+    * watermarked, and the time-range predicate is what lets Spark
+    * BOUND the join state: left rows are evicted once the right
+    * watermark passes their window's end, right rows once the left
+    * watermark passes their ts — without the range condition a
+    * stream-stream join would buffer both streams forever. Inner join:
+    * unattributed left events simply never emit (the left-outer
+    * variant needs only `"leftOuter"` here, at the cost of waiting for
+    * the watermark to declare a left row unmatched). Left carries
+    * (user_id, ts, left_id), right (user_id, ts, right_id). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelaySeconds: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("left_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("right_id"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelaySeconds seconds"))
+      .select(col("user_id"), col("l_ts"), col("left_id"),
+        col("r_ts"), col("right_id"))
+  }
+
   /** Streaming exact dedup — the unbounded-stream twin of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was
     * already emitted inside the watermark horizon are dropped, and the

@@ -1069,6 +1069,50 @@ class OperatorSpec extends SparkSpec {
       ("en", "big data", 3L, 1L), ("en", "data big", 2L, 2L)), got.toString)
   }
 
+  test("prefix-filtered jaccard: exactly the naive all-pairs result (lossless)") {
+    val fixture = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c d e"),
+      (4L, "x y z w q"), (5L, "the the a b"))
+    val docs = fixture.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSeq
+    // naive reference computed locally over the same distinct token sets
+    val sets = fixture.map { case (id, t) => id -> t.split(" ").toSet }
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = t6(sa.intersect(sb).size.toDouble / (sa ++ sb).size.toDouble)
+      if j >= 0.6
+    } yield (a, b, j)).sortBy(p => (p._1, p._2))
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+  }
+
+  test("session gaps: integer µs gaps hand-checked, single-event users excluded") {
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 40L), (4L, 2L, 5L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.sessionGaps(ev)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 30000000L, 20000000.0)),
+      s"user 1: gaps 10s+30s → mean 20s; user 2 has no gap: $got")
+  }
+
+  test("winsorized stats: the planted outlier is clipped to the p95 bound") {
+    val vals = ((1 to 100).map(_.toDouble) :+ 1e6).map(("g", _)).toDF("grp", "x")
+    val row = Sketches.winsorizedStats(vals, Seq("grp"), col("x"),
+      loQ = 0.05, hiQ = 0.95)
+      .select("n", "winsorized_sum", "lo", "hi").head()
+    val (n, wsum, lo, hi) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(n == 101)
+    assert(lo >= 4.0 && lo <= 6.0, s"p05 of 1..100 ≈ 5, got $lo")
+    assert(hi >= 90.0 && hi <= 101.0, s"p95 ≈ 96, got $hi")
+    // the 1e6 outlier contributes only `hi`, not a million
+    assert(wsum <= n * hi && wsum >= n * lo, s"clipped sum bounded: $wsum")
+    assert(wsum < 7000.0, s"raw sum would be ~1005050; clipped is ~5100: $wsum")
+  }
+
   test("random projection: deterministic, sign-exact on a unit vector") {
     val emb = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 2f, 0f)))
       .toDF("vec_id", "embedding")

@@ -332,6 +332,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window clicks attribute, stragglers don't") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingIngest.intervalJoin(
+      imps.toDS().toDF("user_id", "ts", "left_id"),
+      clicks.toDS().toDF("user_id", "ts", "right_id"),
+      maxDelaySeconds = 30, watermark = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      imps.addData((1L, ts(0), "i1"), (2L, ts(0), "i2"))
+      clicks.addData(
+        (1L, ts(5), "c1"),   // in window → attributes to i1
+        (1L, ts(100), "c2"), // 100 s late → outside the 30 s window
+        (2L, ts(10), "c3"),  // in window, other user → i2
+        (3L, ts(5), "c4"))   // no matching impression
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("user_id", "left_id", "right_id")
+        .as[(Long, String, String)].collect().toSet
+      assert(out == Set((1L, "i1", "c1"), (2L, "i2", "c3")), out.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: dim table joins per micro-batch, late dim rows invisible") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")

@@ -245,6 +245,49 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.read(spark, dir).count() == 1)
   }
 
+  test("merge upsert: matched replace, unmatched insert, untouched buckets keep files") {
+    val dir = tmp("merge")
+    val base = (1L to 8L).map(i => (i, s"v$i")).toDF("user_id", "v")
+    TableOps.appendBucketed(base, dir)
+    def bucketsOf(ids: Seq[Long]): Map[Long, Long] =
+      TableOps.withUserBucket(ids.toDF("user_id"))
+        .as[(Long, Long)].collect().toMap
+    val baseBuckets = bucketsOf(1L to 8L).values.toSet
+    // a fresh id landing in a bucket with NO existing data exercises
+    // the append path; ids 100.. scan until one hashes clear
+    val emptyBucketId = (100L to 200L)
+      .find(i => !baseBuckets.contains(bucketsOf(Seq(i))(i))).get
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.contains("user_bucket=") &&
+          p.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val before = files()
+    val upd = Seq((1L, "UPDATED"), (emptyBucketId, "NEW")).toDF("user_id", "v")
+    TableOps.mergeBucketed(upd, dir, "user_id")
+    val got = TableOps.read(spark, dir).select("user_id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 9, "8 base rows, one replaced + one inserted")
+    assert(got(1L) == "UPDATED" && got(emptyBucketId) == "NEW")
+    assert((2L to 8L).forall(i => got(i) == s"v$i"), "unmatched rows untouched")
+    // file-pruning: every bucket the update batch does NOT touch keeps
+    // its physical files byte-identical — MERGE cost ∝ touched buckets
+    val touched = bucketsOf(Seq(1L, emptyBucketId)).values.toSet
+    val after = files()
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touched.exists(b => p.contains(s"user_bucket=$b/")) }
+    untouchedBefore.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"untouched file rewritten: $p") }
+    // idempotent: re-running the same merge changes nothing visible
+    TableOps.mergeBucketed(upd, dir, "user_id")
+    val again = TableOps.read(spark, dir).select("user_id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
+
   test("z-order layout: every key dimension clusters; a plain sort only clusters its leader") {
     import graft.pipeline.Layout
     // two independent uniform keys — the adversarial case for a
