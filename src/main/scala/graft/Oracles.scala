@@ -2232,6 +2232,106 @@ object Oracles {
          |       ${t6("CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us
          |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // q129: novelty — one gram-keyed min(doc_id) joined back
+    "q129_novelty_score" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |agg AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |        FROM sh JOIN fst f USING (s) GROUP BY 1)
+         |SELECT doc_id, n_grams,
+         |       ${t6("1.0 - CAST(n_seen AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // q130: percent_rank/cume_dist — identical (rank−1)/(n−1) and
+    // rows≤/n definitions in both engines under a unique composite order
+    "q130_percent_rank" ->
+      s"""SELECT o_orderkey, o_orderpriority, pr, cd FROM (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         ${t6("percent_rank() OVER w")} AS pr,
+         |         ${t6("cume_dist() OVER w")} AS cd
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+         |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // q131: matryoshka scan — the q20 vector scan over the first 16
+    // components of every (double-cast) embedding
+    "q131_matryoshka_knn" ->
+      s"""SELECT id, score FROM (
+         |  SELECT e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])[1:16]", "q.qv"))} AS score
+         |  FROM embeddings e,
+         |       (SELECT CAST(embedding AS DOUBLE[])[1:16] AS qv
+         |        FROM embeddings WHERE vec_id = ${SparkEntry.KnnQueryId}) q
+         |  WHERE e.vec_id != ${SparkEntry.KnnQueryId})
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    // q132: per-group OLS from the same exact moment sums as q103; the
+    // intercept reuses the RAW slope expression, mirrored verbatim
+    "q132_ols_by_flag" -> {
+      val slope = "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+      s"""SELECT l_returnflag, n, ${t6(slope)} AS slope,
+         |       ${t6(s"(sy - ($slope) * sx) / CAST(n AS DOUBLE)")} AS intercept
+         |FROM (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |         ${dsum12("l_quantity * l_extendedprice")} AS sxy,
+         |         ${dsum("l_quantity")} AS sx, ${dsum("l_extendedprice")} AS sy,
+         |         ${dsum12("l_quantity * l_quantity")} AS sxx
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // q133: per-doc token entropy −Σ p·ln p, decimal-summed
+    "q133_token_entropy" ->
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+         |            FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+         |            GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1)
+         |SELECT tf.doc_id, max(nn.n) AS n_tokens,
+         |       ${t6(s"-(${dsum12("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))")})")} AS entropy
+         |FROM tf JOIN nn USING (doc_id)
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    // q134: 2-core — 4 unrolled peeling rounds over the q31 pair graph
+    // (the Spark side asserts convergence within 4, and peeling past
+    // the fixpoint is the identity, so the unroll is exact)
+    "q134_kcore" -> {
+      val corpus =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+          |UNION ALL
+          |SELECT doc_id + 20000 AS doc_id, substr(text, instr(text, ' ') + 1) AS text
+          |FROM documents WHERE doc_id < 60
+          |UNION ALL
+          |SELECT doc_id + 10000 AS doc_id, substr(text, instr(text, ' ') + 1) AS text
+          |FROM documents WHERE doc_id >= 60 AND doc_id < 100""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""k$i AS (SELECT src AS v FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN k$i a ON a.v = e.src JOIN k$i b ON b.v = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |$rounds
+         |SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+         |FROM e4 GROUP BY 1 ORDER BY v""".stripMargin
+    },
+
     // q127: the oracle is the NAIVE all-pairs token-set Jaccard — the
     // prefix filter must be lossless, so optimized Spark ≡ naive SQL
     "q127_prefix_filter_jaccard" ->

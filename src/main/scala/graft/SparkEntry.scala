@@ -1132,6 +1132,72 @@ object SparkEntry {
     "q128_key_skew_profile" -> ((s, d) =>
       SkewOps.keyProfile(Tables.lineitem(s, d), "l_partkey", topN = 20)),
 
+    // ---- per-doc novelty: fraction of shingles unseen in earlier
+    // docs — two passes over the gram table, no pair join ----
+    "q129_novelty_score" -> ((s, d) =>
+      Dedup.noveltyScores(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)), n = 3)),
+
+    // ---- percent_rank / cume_dist within priority (window coverage) ----
+    "q130_percent_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("pr", trunc6(percent_rank().over(w)))
+        .withColumn("cd", trunc6(cume_dist().over(w)))
+        .filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey", "o_orderpriority", "pr", "cd")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- matryoshka-truncated KNN: first-16-dim coarse scan ----
+    "q131_matryoshka_knn" -> ((s, d) =>
+      Retrieval.cosineKnnTruncated(Tables.embeddings(s, d),
+        queryId = KnnQueryId, topK = 10, dims = 16)),
+
+    // ---- per-group OLS fit from the exact moment sums ----
+    "q132_ols_by_flag" -> ((s, d) => {
+      val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum12(x * y).as("sxy"), dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum12(x * x).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          trunc6(slope).as("slope"),
+          trunc6((col("sy") - slope * col("sx")) / nD).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- lexical-diversity gate: per-doc token entropy ----
+    "q133_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+
+    // ---- 2-core of a duplication graph with real structure: docs
+    // < 60 appear as (orig, exact copy, near copy) triangles — they
+    // survive the peel; docs 60-99 pair only with one near copy —
+    // isolated edges, peeled away. Convergence-asserted. ----
+    "q134_kcore" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 100)
+      val tri = docs.filter(col("doc_id") < 60)
+      val dropFirst = expr("substring(text, instr(text, ' ') + 1)")
+      val corpus = docs
+        .unionByName(tri.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(tri.select((col("doc_id") + 20000).as("doc_id"),
+          dropFirst.as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 60)
+          .select((col("doc_id") + 10000).as("doc_id"), dropFirst.as("text")))
+      val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      GraphOps.kCore(edges, k = 2, rounds = 4)
+    }),
+
     // ---- sketch-clipped robust sums: DDSketch bounds broadcast onto
     // one clipping scan — no quantile sort at any scale ----
     "q125_winsorized_stats" -> ((s, d) =>

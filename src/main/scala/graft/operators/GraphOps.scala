@@ -132,6 +132,36 @@ object GraphOps {
     labels.orderBy("v")
   }
 
+  /** k-core by iterative peeling (Seidman 1983; the Batagelj–Zaveršnik
+    * distributed variant): repeatedly drop vertices of degree < k and
+    * the edges touching them until a fixpoint — the dense backbone of
+    * the near-dup graph (vertices in large mutually-duplicating
+    * families), the standard community-strength gate. Each round is
+    * ONE degree aggregation + a two-sided semi-join on the
+    * checkpointed symmetric edge list; `rounds` is fixed so the SQL
+    * twin can unroll identically, and since peeling past the fixpoint
+    * is the identity, a run that CONVERGES within `rounds` matches any
+    * unroll ≥ its convergence round — convergence is asserted (one
+    * extra peel must be a no-op), so non-convergence fails loudly
+    * instead of silently returning a non-core. Returns each surviving
+    * vertex with its within-core degree. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, "src").join(keep.toDF("dst"), "dst")
+        .select("src", "dst").localCheckpoint()
+    }
+    val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("src")
+    val after = e.join(keep, "src").join(keep.toDF("dst"), "dst").count()
+    require(after == e.count(),
+      s"k-core peeling did not converge within $rounds rounds")
+    e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")).orderBy("v")
+  }
+
   /** Triangle count via the ordered-wedge join (the standard
     * O(E^{3/2})-work distributed formulation): canonicalize to a < b,
     * build wedges (b, c) sharing a low endpoint, close them against the

@@ -40,6 +40,18 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Matryoshka-truncated KNN (Kusupati et al. 2022): cosine top-k
+    * over only the FIRST `dims` components of every embedding — the
+    * coarse stage of matryoshka retrieval, where an MRL-trained
+    * embedding's prefix carries most of the signal and the scan's
+    * bytes-per-vector (and cache footprint) shrink dims/64×. Compose
+    * with [[cosineKnn]] on the survivors for the full-dim exact
+    * rescore, exactly like the PQ refine pattern. */
+  def cosineKnnTruncated(embeddings: DataFrame, queryId: Long, topK: Int,
+      dims: Int): DataFrame =
+    cosineKnn(embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding")), queryId, topK)
+
   /** IVF-style approximate KNN: probe only the query's coarse cluster
     * (the `label` column plays the IVF centroid-assignment role). At scale
     * the table is partitioned by label so the probe prunes all other

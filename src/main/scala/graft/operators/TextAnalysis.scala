@@ -379,6 +379,25 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document Shannon entropy of the token distribution — the
+    * lexical-diversity gate (low entropy = keyword stuffing, tag soup,
+    * generated boilerplate; the Gopher/C4 family's repetition rules
+    * approximate this, entropy is the information-theoretic version).
+    * One (doc, term) count aggregation + one per-doc aggregation of
+    * −Σ p·ln p through the order-independent decimal sum; row-local
+    * otherwise, scan-speed at any corpus size. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    tf.join(n, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        trunc6(-dsum12(col("p") * log(col("p")))).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language top-k word bigrams by corpus frequency — the
     * collocation/phrase-mining profile of a multilingual corpus (and
     * the input to phrase-aware tokenizer vocab decisions). Bigram

@@ -1069,6 +1069,57 @@ class OperatorSpec extends SparkSpec {
       ("en", "big data", 3L, 1L), ("en", "data big", 2L, 2L)), got.toString)
   }
 
+  test("k-core: triangle survives the peel, pendants strip; non-convergence throws") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // triangle 1-2-3 with a pendant path 3-4-5
+    val got = GraphOps.kCore(sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)),
+      k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"the triangle is the 2-core, each with in-core degree 2: $got")
+    // a long path peels only two vertices per round — 2 rounds cannot
+    // converge, and the operator must fail loudly rather than return a
+    // non-core
+    val path = sym((1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq: _*)
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(path, k = 2, rounds = 2)
+    }
+  }
+
+  test("novelty: a verbatim repeat scores 0, first occurrences score 1") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, n = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 3L, 0.0), (3L, 3L, 1.0)), got.toString)
+  }
+
+  test("token entropy: uniform tokens hit ln(k), repetition collapses to 0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, e) => id -> ((n, e)) }.toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got(1L) == ((4L, t6(math.log(4.0)))), got.toString)
+    assert(got(2L)._2 == 0.0, "single-token doc has zero entropy")
+  }
+
+  test("matryoshka truncation: prefix ranking flips where tail dims disagree") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // best FULL match
+      (2L, Array(1f, 0f, 5f, 5f)))       // perfect PREFIX, divergent tail
+      .toDF("vec_id", "embedding")
+    val full = Retrieval.cosineKnn(emb, queryId = 0L, topK = 2)
+      .select("id").as[Long].collect().toSeq
+    val pre = Retrieval.cosineKnnTruncated(emb, queryId = 0L, topK = 2, dims = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(full.head == 1L, s"full-dim ranks the true neighbor first: $full")
+    assert(pre.head == 2L, s"the 2-dim prefix cannot see the tail: $pre")
+  }
+
   test("prefix-filtered jaccard: exactly the naive all-pairs result (lossless)") {
     val fixture = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c d e"),
