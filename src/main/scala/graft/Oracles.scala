@@ -2232,6 +2232,44 @@ object Oracles {
          |       ${t6("CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us
          |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // q135: cross-source shared-gram matrix, grams deduped per source
+    "q135_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT source, s FROM (
+         |  SELECT source,
+         |         unnest(list_transform(generate_series(1, len(${toks("text")}) - 2),
+         |                i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS s
+         |  FROM documents WHERE len(${toks("text")}) >= 3)),
+         |cnt AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+         |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |              CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared,
+         |       ${t6("CAST(n_shared AS DOUBLE) / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE)")} AS share
+         |FROM ov JOIN cnt ca ON ca.source = source_a JOIN cnt cb ON cb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // q136: TPC-H Q5 — six-table join, same-nation constraint
+    "q136_tpch_q5" ->
+      s"""SELECT n_name, ${t6(xsum("l_extendedprice * (1.0 - l_discount)"))} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // q137: power-of-two length buckets via the exact integer
+    // binary-string length (no float log at bucket edges)
+    "q137_length_buckets" ->
+      s"""SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents WHERE n_chars > 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q129: novelty — one gram-keyed min(doc_id) joined back
     "q129_novelty_score" -> {
       val corpus =

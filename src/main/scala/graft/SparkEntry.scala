@@ -1177,6 +1177,41 @@ object SparkEntry {
     "q133_token_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
 
+    // ---- cross-source duplication matrix: |sources|²-bounded, gram
+    // sets deduped per source before the join ----
+    "q135_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), n = 3)),
+
+    // ---- TPC-H Q5 shape: six-table join, small dims broadcast,
+    // same-nation customer/supplier constraint ----
+    "q136_tpch_q5" -> ((s, d) => {
+      val joined = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(trunc6(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- power-of-two length histogram (batch-shape planning):
+    // floor(log2) via the EXACT integer bin-string length ----
+    "q137_length_buckets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .withColumn("bucket", (length(bin(col("n_chars"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("bucket")),
+
     // ---- 2-core of a duplication graph with real structure: docs
     // < 60 appear as (orig, exact copy, near copy) triangles — they
     // survive the peel; docs 60-99 pair only with one near copy —
@@ -1433,6 +1468,11 @@ object SparkEntry {
     // z-order vs single-sort layout under a two-sided band scan: the
     // same aggregate over the same rows, different on-disk clustering —
     // prices what Morton layout buys parquet row-group pruning
+    // deflate-ratio quality gate: zlib is JNI-only (no SQL oracle
+    // possible) — spec'd in OperatorSpec, benched here
+    "x66_compression_ratio" -> ((s, d) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, d))),
+
     "x64_zorder_scan" -> ((s, d) => {
       val (z, _, loU, hiU, loT, hiT) = zLayoutFor(s, d)
       zScanProbe(s, z, loU, hiU, loT, hiT)

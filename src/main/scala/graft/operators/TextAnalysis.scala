@@ -379,6 +379,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document DEFLATE compression ratio — the Gopher/RedPajama
+    * quality heuristic entropy approximates analytically: templated,
+    * repetitive, machine-generated text compresses far below prose
+    * (ratios under ~0.3 at typical doc lengths are near-certain
+    * boilerplate). zlib lives behind a JNI seam, so this is the one
+    * honest UDF in the text stack (no Catalyst expression can reach
+    * Deflater) — still row-local scan-speed, and deterministic: level-6
+    * DEFLATE output length is a pure function of the bytes. Not
+    * SQL-expressible → registered as a bench extra with its spec, not
+    * an oracle query. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val ratioUdf = udf { text: String =>
+      if (text == null || text.isEmpty) 1.0
+      else {
+        val raw = text.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        math.floor(total.toDouble / raw.length * 1e6) / 1e6
+      }
+    }
+    docs.select(col("doc_id"), col("n_chars"),
+      ratioUdf(col("text")).as("deflate_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document Shannon entropy of the token distribution — the
     * lexical-diversity gate (low entropy = keyword stuffing, tag soup,
     * generated boilerplate; the Gopher/C4 family's repetition rules

@@ -1087,6 +1087,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: shared grams counted once, share against the smaller side") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d e"),   // grams: abc bcd cde
+      (2L, "srcB", "a b c x y"),   // grams: abc bcx cxy → shares {abc}
+      (3L, "srcC", "q r s t u"))   // disjoint
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, n = 3)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got == Seq(("srcA", "srcB", 1L, t6(1.0 / 3.0))), got.toString)
+  }
+
+  test("compression ratio: boilerplate compresses far below prose; deterministic") {
+    val docs = Seq(
+      (1L, ("spam ham " * 200).trim, 1800L),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" "), 1800L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.compressionRatio(docs)
+      .select("doc_id", "deflate_ratio").as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.05, s"pure repetition ~deflates away: ${got(1L)}")
+    assert(got(2L) > 0.3, s"high-variety text resists: ${got(2L)}")
+    val again = TextAnalysis.compressionRatio(docs)
+      .select("doc_id", "deflate_ratio").as[(Long, Double)].collect().toMap
+    assert(again == got, "deflate output length is a pure function of the bytes")
+  }
+
   test("novelty: a verbatim repeat scores 0, first occurrences score 1") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
