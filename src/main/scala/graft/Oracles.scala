@@ -2232,6 +2232,146 @@ object Oracles {
          |       ${t6("CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us
          |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // q138: deterministic md5-threshold split report
+    "q138_dataset_split" ->
+      s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+         |FROM (SELECT text,
+         |        CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT text,
+         |              CAST(${md5Long("concat('split|', CAST(doc_id AS VARCHAR))")} % 1000000 AS DOUBLE) / 1e6 AS u
+         |            FROM documents))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q139: cluster-level split over the q82 closure — thresholds are
+    // interpolated from the SAME Scala doubles the operator adds
+    // (0.8 + 0.1 is not the literal 0.9 in IEEE)
+    "q139_leakage_safe_split" -> {
+      val corpus =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+          |FROM documents WHERE doc_id < 100""".stripMargin
+      "WITH RECURSIVE " + shinglesSql(corpus).stripPrefix("WITH ") +
+        s""",
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY doc_a, doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+           |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+           |  WHERE jaccard >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+           |labels AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+           |assigned AS (SELECT c.doc_id, coalesce(l.cluster_rep, c.doc_id) AS cluster_rep
+           |             FROM corpus c LEFT JOIN labels l USING (doc_id))
+           |SELECT doc_id, cluster_rep,
+           |       CASE WHEN u < ${0.8} THEN 'train'
+           |            WHEN u < ${0.8 + 0.1} THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, cluster_rep,
+           |        CAST(${md5Long("concat('split|', CAST(cluster_rep AS VARCHAR))")} % 1000000 AS DOUBLE) / 1e6 AS u
+           |      FROM assigned)
+           |ORDER BY doc_id""".stripMargin
+    },
+
+    // q140: column profile — one UNION ALL arm per profiled column
+    "q140_profile_orders" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_str,
+           |       CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
+
+    // q141: the MERGE's audit trail — every %10 key changed, every
+    // +90000 key added, nothing removed
+    "q141_snapshot_diff" ->
+      s"""SELECT doc_id, change FROM (
+         |  SELECT doc_id, 'changed' AS change FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 90000 AS doc_id, 'added' AS change
+         |  FROM documents WHERE doc_id % 7 = 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q142: mutual top-1 confirmation over the q22 cap
+    "q142_mutual_nn_pairs" ->
+      s"""WITH sc AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${t6(cosine("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"))} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 500 AND b.vec_id < 500),
+         |top AS (SELECT id_a, id_b, sim FROM (
+         |  SELECT id_a, id_b, sim,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT t.id_a, t.id_b, t.sim
+         |FROM top t JOIN top u ON u.id_a = t.id_b AND u.id_b = t.id_a
+         |WHERE t.id_a < t.id_b ORDER BY t.id_a""".stripMargin,
+
+    // q143: resolved-cluster size histogram over the q82 closure
+    "q143_cluster_sizes" -> {
+      val corpus =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+          |UNION ALL
+          |SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+          |FROM documents WHERE doc_id < 100""".stripMargin
+      "WITH RECURSIVE " + shinglesSql(corpus).stripPrefix("WITH ") +
+        s""",
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY doc_a, doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+           |    FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+           |  WHERE jaccard >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src AS id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+           |labels AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+           |sizes AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS sz
+           |          FROM labels GROUP BY 1)
+           |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q144: degree distribution of the symmetrized q31 pair graph
+    "q144_degree_histogram" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed0 GROUP BY 1)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // q135: cross-source shared-gram matrix, grams deduped per source
     "q135_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT source, s FROM (

@@ -1182,6 +1182,58 @@ object SparkEntry {
     "q135_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), n = 3)),
 
+    // ---- deterministic doc-level train/val/test split report ----
+    "q138_dataset_split" -> ((s, d) => {
+      val u = (md5Long(concat(lit("split|"), col("doc_id").cast("string")))
+        % 1000000L).cast("double") / lit(1e6)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+        .orderBy("split")
+    }),
+
+    // ---- leakage-safe split: assignment per duplicate CLUSTER, so a
+    // held-out doc's near-copies can't land in train ----
+    "q139_leakage_safe_split" -> ((s, d) =>
+      Dedup.leakageSafeSplit(docsWithDupFamilies(s, d), dupLabelsFor(s, d))),
+
+    // ---- one-pass column profiling report (null/distinct/bounds) ----
+    "q140_profile_orders" -> ((s, d) =>
+      Profile.tableProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
+
+    // ---- time-travel diff: what did the q126 MERGE actually touch ----
+    "q141_snapshot_diff" -> ((s, d) =>
+      pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),
+        fromVersion = 0L, key = "user_id", compareCols = Seq("text"))
+        .select(col("user_id").as("doc_id"), col("change"))
+        .orderBy("doc_id")),
+
+    // ---- mutual top-1 pairs: hub-proof duplicate confirmation
+    // (exact quadratic baseline on the q22 cap; LSH candidates are
+    // the scale path) ----
+    "q142_mutual_nn_pairs" -> ((s, d) =>
+      Dedup.mutualNnPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500))),
+
+    // ---- dedup reporting: resolved-cluster size histogram ----
+    "q143_cluster_sizes" -> ((s, d) =>
+      dupLabelsFor(s, d)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
+
+    // ---- near-dup graph degree distribution ----
+    "q144_degree_histogram" -> ((s, d) =>
+      nearDupPairEdges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")),
+
     // ---- TPC-H Q5 shape: six-table join, small dims broadcast,
     // same-nation customer/supplier constraint ----
     "q136_tpch_q5" -> ((s, d) => {

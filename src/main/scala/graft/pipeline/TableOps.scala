@@ -382,6 +382,59 @@ object TableOps {
       }
     }
 
+  /** Read the table AS OF a committed manifest version — time travel
+    * over retained (pre-[[vacuum]]) snapshots. Manifests are immutable
+    * once sealed and their segments are kept until vacuum reclaims
+    * them, so any retained version materializes in full, exactly as a
+    * reader that resolved it live would have seen it. */
+  def readVersion(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    val ld = logDir(tablePath)
+    val fs = fsOf(spark, ld)
+    val snap = readManifest(fs, ld, version).getOrElse(throw
+      new IllegalArgumentException(s"no sealed manifest v$version at $tablePath"))
+    val base =
+      if (snap.entries.isEmpty) emptyOf(spark, snap.schemaJson)
+      else readDirs(spark, tablePath, snap.entries, mergeSchema = true)
+    if (snap.bucketed) withUserBucket(base) else base
+  }
+
+  /** Committed (sealed) manifest versions still retained, ascending. */
+  def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val ld = logDir(tablePath)
+    val fs = fsOf(spark, ld)
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toLong }.sorted.toSeq
+      .filter(v => readManifest(fs, ld, v).isDefined)
+  }
+
+  /** Key-level diff of the CURRENT snapshot against version
+    * `fromVersion` — the CDC/audit report every versioned table layer
+    * owes its consumers ("what did that merge actually touch"): one
+    * full-outer join on `key`, each key classified added / removed /
+    * changed (any `compareCols` differs), unchanged keys dropped. Cost
+    * is the two snapshot scans + one key-shuffle — no log replay. */
+  def snapshotDiff(spark: SparkSession, tablePath: String,
+      fromVersion: Long, key: String, compareCols: Seq[String]): DataFrame = {
+    val before = readVersion(spark, tablePath, fromVersion)
+      .select(col(key) +: compareCols.map(c => col(c).as(s"a_$c"))
+        :+ lit(1).as("a_present"): _*)
+    val after = read(spark, tablePath)
+      .select(col(key) +: compareCols.map(c => col(c).as(s"b_$c"))
+        :+ lit(1).as("b_present"): _*)
+    val changed = compareCols.map(c => col(s"a_$c") =!= col(s"b_$c"))
+      .reduce(_ || _)
+    before.join(after, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("a_present").isNull, "added")
+          .when(col("b_present").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+      .orderBy(key)
+  }
+
   /** MERGE (upsert) into a bucketed table: rows of `updates` whose
     * `key` matches an existing row REPLACE it; unmatched rows INSERT.
     * The Delta/Iceberg `MERGE INTO` shape on this manifest layer, with

@@ -1087,6 +1087,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mutual NN: the hub's one-directional attraction is filtered out") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)),        // a — closest: b
+      (2L, Array(0.995f, 0.1f)),  // b — closest: a  → mutual pair
+      (3L, Array(0.9f, -0.44f)))  // hub h — closest: a, but a prefers b
+      .toDF("vec_id", "embedding")
+    val got = Dedup.mutualNnPairs(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), s"only the mutual pair survives: $got")
+  }
+
+  test("leakage-safe split: every cluster member shares one split; singletons covered") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_rep") // 5 is a singleton (absent)
+    val got = Dedup.leakageSafeSplit(docs, labels)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), "all docs assigned")
+    val clusterSplits = got.filter(_._2 == 1L).map(_._3).distinct
+    assert(clusterSplits.size == 1, s"cluster {1,2,3} must share one split: $got")
+    assert(got.find(_._1 == 5L).get._2 == 5L, "singleton is its own rep")
+  }
+
+  test("table profile: nulls, distincts and bounds hand-checked in one pass") {
+    val df = Seq(
+      (Some(3L), "b"), (Some(1L), "a"), (None, "b"), (Some(1L), "c"))
+      .toDF("k", "s")
+    val got = Profile.tableProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("k", 1L, 2L, "1", "3"),
+      ("s", 0L, 3L, "a", "c")), got.toString)
+  }
+
   test("source overlap: shared grams counted once, share against the smaller side") {
     val docs = Seq(
       (1L, "srcA", "a b c d e"),   // grams: abc bcd cde

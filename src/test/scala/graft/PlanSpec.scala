@@ -36,6 +36,25 @@ class PlanSpec extends SparkSpec {
       buildSides.map(_.take(300)).mkString("\n"))
   }
 
+  test("q136: six-table Q5 plan broadcasts every dim, no cartesian") {
+    val p = plan("q136_tpch_q5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q127: prefix-filter candidates and verify are equi-joins, never a nested loop") {
+    val p = plan("q127_prefix_filter_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q125: the winsorize bounds sit on a broadcast build side") {
+    val p = plan("q125_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q44: conflict candidates come from an equi-join, never a cartesian") {
     val df = SparkEntry.queries("q44_conflicts")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()

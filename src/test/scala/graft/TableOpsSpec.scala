@@ -288,6 +288,26 @@ class TableOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("time travel + snapshot diff: old versions readable, diff classifies every key") {
+    val dir = tmp("travel")
+    TableOps.appendBucketed(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v"), dir)
+    val v0 = TableOps.versions(spark, dir).head
+    // change 1, remove 2 (via bucket rewrite), add 9
+    TableOps.mergeBucketed(Seq((1L, "A"), (9L, "z")).toDF("user_id", "v"),
+      dir, "user_id")
+    val b2 = TableOps.withUserBucket(Seq(2L).toDF("user_id"))
+      .select("user_bucket").head().getLong(0)
+    TableOps.rewriteBucket(spark, dir, b2)(_.filter(col("user_id") =!= 2L))
+    // the v0 snapshot still materializes the ORIGINAL rows
+    assert(TableOps.readVersion(spark, dir, v0).select("user_id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val diff = TableOps.snapshotDiff(spark, dir, v0, "user_id", Seq("v"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((1L, "changed"), (2L, "removed"), (9L, "added")),
+      s"unchanged key 3 absent, everything else classified: $diff")
+  }
+
   test("z-order layout: every key dimension clusters; a plain sort only clusters its leader") {
     import graft.pipeline.Layout
     // two independent uniform keys — the adversarial case for a
