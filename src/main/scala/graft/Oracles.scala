@@ -1364,12 +1364,14 @@ object Oracles {
          |           FROM classes CROSS JOIN nt),
          |ct AS (SELECT lang AS cls, bucket, count(*) AS cnt FROM tk GROUP BY 1, 2),
          |ctot AS (SELECT cls, SUM(cnt) AS cls_total FROM ct GROUP BY cls),
+         |feats AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tcnt
+         |          FROM tk GROUP BY 1, 2),
          |ll AS (
-         |  SELECT doc_id, cls, ${dsum12(
-             s"ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / CAST(cls_total + $b AS DOUBLE))")} AS ll
-         |  FROM (SELECT t.doc_id, c.cls, c.cls_total, x.cnt
-         |        FROM tk t CROSS JOIN ctot c
-         |        LEFT JOIN ct x ON x.cls = c.cls AND x.bucket = t.bucket)
+         |  SELECT doc_id, cls, ${zsum8(
+             s"CAST(tcnt AS DOUBLE) * ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / CAST(cls_total + $b AS DOUBLE))")} AS ll
+         |  FROM (SELECT f.doc_id, c.cls, c.cls_total, f.tcnt, x.cnt
+         |        FROM feats f CROSS JOIN ctot c
+         |        LEFT JOIN ct x ON x.cls = c.cls AND x.bucket = f.bucket)
          |  GROUP BY doc_id, cls),
          |scored AS (
          |  SELECT doc_id, cls, ${t6("log_prior + ll")} AS score
