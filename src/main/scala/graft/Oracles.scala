@@ -2306,6 +2306,57 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q145: the roundtrip must reproduce the source exactly
+    "q145_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q146: the partitioned layout changes the PLAN, not the answer
+    "q146_lang_partitioned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q147: skew/kurtosis from exact power sums — the moment algebra
+    // is mirrored op-for-op (left-associated products, pinned 3.0/4.0/
+    // 6.0 doubles)
+    "q147_moments" ->
+      s"""SELECT l_returnflag, n,
+         |       ${t6("m3 / pow(m2, 1.5)")} AS skewness,
+         |       ${t6("m4 / (m2 * m2) - 3.0")} AS kurtosis
+         |FROM (
+         |  SELECT l_returnflag, n,
+         |         s2 / n_d - mu * mu AS m2,
+         |         s3 / n_d - 3.0 * mu * (s2 / n_d) + 2.0 * mu * mu * mu AS m3,
+         |         s4 / n_d - 4.0 * mu * (s3 / n_d) + 6.0 * mu * mu * (s2 / n_d)
+         |           - 3.0 * mu * mu * mu * mu AS m4
+         |  FROM (
+         |    SELECT l_returnflag, n, CAST(n AS DOUBLE) AS n_d,
+         |           s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
+         |    FROM (
+         |      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |             ${dsum("l_quantity")} AS s1,
+         |             ${dsum12("l_quantity * l_quantity")} AS s2,
+         |             ${dsum12("l_quantity * l_quantity * l_quantity")} AS s3,
+         |             ${dsum12("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+         |      FROM lineitem GROUP BY l_returnflag)))
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // q148: INTERSECT/EXCEPT set semantics
+    "q148_set_ops" ->
+      """SELECT custkey, relation FROM (
+        |  SELECT o_custkey AS custkey, 'both' AS relation FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey, 'urgent_only' AS relation FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+        |ORDER BY custkey, relation""".stripMargin,
+
     // q142: mutual top-1 confirmation over the q22 cap
     "q142_mutual_nn_pairs" ->
       s"""WITH sc AS (

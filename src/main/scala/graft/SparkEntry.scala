@@ -1234,6 +1234,59 @@ object SparkEntry {
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
         .orderBy("deg")),
 
+    // ---- JSONL export/import roundtrip (the interchange format):
+    // explicit read schema, content verified against the source ----
+    "q145_jsonl_roundtrip" -> ((s, d) =>
+      s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .json(jsonlDocsFor(s, d))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")),
+
+    // ---- hive-partitioned layout: the lang filter never touches
+    // other languages' files (PlanSpec pins the partition filter) ----
+    "q146_lang_partitioned_scan" -> ((s, d) =>
+      s.read.parquet(langPartitionedFor(s, d))
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")),
+
+    // ---- higher central moments from exact power sums: the skew /
+    // tail report that decides winsorization and mixture caps ----
+    "q147_moments" -> ((s, d) => {
+      val x = col("l_quantity")
+      val nD = col("n").cast("double")
+      val mu = col("s1") / nD
+      val m2 = col("s2") / nD - mu * mu
+      val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+        lit(6.0) * mu * mu * (col("s2") / nD) - lit(3.0) * mu * mu * mu * mu
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(x).as("s1"),
+          dsum12(x * x).as("s2"), dsum12(x * x * x).as("s3"),
+          dsum12(x * x * x * x).as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          trunc6(m3 / pow(m2, lit(1.5))).as("skewness"),
+          trunc6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- set-operator coverage: INTERSECT/EXCEPT with set semantics ----
+    "q148_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select("o_custkey")
+      urgent.intersect(low).withColumn("relation", lit("both"))
+        .unionByName(urgent.except(low)
+          .withColumn("relation", lit("urgent_only")))
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey", "relation")
+    }),
+
     // ---- TPC-H Q5 shape: six-table join, small dims broadcast,
     // same-nation customer/supplier constraint ----
     "q136_tpch_q5" -> ((s, d) => {
@@ -1740,6 +1793,34 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 90000L).as("user_id"), col("text")))
       pipeline.TableOps.mergeBucketed(updates, dir, "user_id")
+      dir
+    })
+
+  /** q145 fixture: documents exported once as JSONL — the interchange
+    * format every training pipeline reads and writes; the query reads
+    * it back through the json source with an explicit schema (schema
+    * inference would be a second full pass). */
+  private val jsonlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def jsonlDocsFor(s: SparkSession, d: String): String =
+    jsonlCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        .toString + "/docs"
+      Tables.documents(s, d).select("doc_id", "lang", "text")
+        .write.mode("overwrite").json(dir)
+      dir
+    })
+
+  /** q146 fixture: documents written hive-partitioned by lang — the
+    * layout that turns a language filter into pure partition pruning. */
+  private val langPartCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def langPartitionedFor(s: SparkSession, d: String): String =
+    langPartCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_langpart")
+        .toString + "/docs"
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(dir)
       dir
     })
 

@@ -55,6 +55,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q146: the lang filter is a partition filter, not a row filter") {
+    val p = plan("q146_lang_partitioned_scan")
+    assert(p.contains("PartitionFilters") && p.contains("= en"), p.take(2000))
+  }
+
   test("q44: conflict candidates come from an equi-join, never a cartesian") {
     val df = SparkEntry.queries("q44_conflicts")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()
