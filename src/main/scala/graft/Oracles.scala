@@ -490,6 +490,40 @@ object Oracles {
   private val CleanPreds =
     "lang_guess IN ('en', 'fr') AND quality >= 0.3 AND rep_ratio <= 0.2"
 
+  /** q107's multinomial Naive Bayes replay — priors + per-class
+    * hashed-token counts (+1/+B smoothed), cnt-weighted scaled-long
+    * log-likelihood sums, argmax by (score DESC, cls). Also wrapped
+    * by q150's confusion report. */
+  private val naiveBayesSql: String = {
+    val b = 4096
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, ${md5Long("concat('nb|', term)")} % $b AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(${toks("text")}) AS term FROM documents)),
+       |classes AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY lang),
+       |nt AS (SELECT SUM(n_docs) AS n_total FROM classes),
+       |priors AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS log_prior
+       |           FROM classes CROSS JOIN nt),
+       |ct AS (SELECT lang AS cls, bucket, count(*) AS cnt FROM tk GROUP BY 1, 2),
+       |ctot AS (SELECT cls, SUM(cnt) AS cls_total FROM ct GROUP BY cls),
+       |feats AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tcnt
+       |          FROM tk GROUP BY 1, 2),
+       |ll AS (
+       |  SELECT doc_id, cls, ${zsum8(
+           s"CAST(tcnt AS DOUBLE) * ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / CAST(cls_total + $b AS DOUBLE))")} AS ll
+       |  FROM (SELECT f.doc_id, c.cls, c.cls_total, f.tcnt, x.cnt
+       |        FROM feats f CROSS JOIN ctot c
+       |        LEFT JOIN ct x ON x.cls = c.cls AND x.bucket = f.bucket)
+       |  GROUP BY doc_id, cls),
+       |scored AS (
+       |  SELECT doc_id, cls, ${t6("log_prior + ll")} AS score
+       |  FROM ll JOIN priors USING (cls))
+       |SELECT doc_id, cls AS pred_lang, score FROM (
+       |  SELECT doc_id, cls, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |  FROM scored)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
 
@@ -1353,34 +1387,41 @@ object Oracles {
     // q107: multinomial Naive Bayes — priors + per-class hashed-token
     // counts (+1/+B smoothed), decimal-widened log-likelihood sums,
     // argmax by (score DESC, cls); every division CAST-pinned
-    "q107_naive_bayes" -> {
-      val b = 4096
-      s"""WITH tk AS (
-         |  SELECT doc_id, lang, ${md5Long("concat('nb|', term)")} % $b AS bucket
-         |  FROM (SELECT doc_id, lang, unnest(${toks("text")}) AS term FROM documents)),
-         |classes AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY lang),
-         |nt AS (SELECT SUM(n_docs) AS n_total FROM classes),
-         |priors AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS log_prior
-         |           FROM classes CROSS JOIN nt),
-         |ct AS (SELECT lang AS cls, bucket, count(*) AS cnt FROM tk GROUP BY 1, 2),
-         |ctot AS (SELECT cls, SUM(cnt) AS cls_total FROM ct GROUP BY cls),
-         |feats AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tcnt
-         |          FROM tk GROUP BY 1, 2),
-         |ll AS (
-         |  SELECT doc_id, cls, ${zsum8(
-             s"CAST(tcnt AS DOUBLE) * ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / CAST(cls_total + $b AS DOUBLE))")} AS ll
-         |  FROM (SELECT f.doc_id, c.cls, c.cls_total, f.tcnt, x.cnt
-         |        FROM feats f CROSS JOIN ctot c
-         |        LEFT JOIN ct x ON x.cls = c.cls AND x.bucket = f.bucket)
-         |  GROUP BY doc_id, cls),
-         |scored AS (
-         |  SELECT doc_id, cls, ${t6("log_prior + ll")} AS score
-         |  FROM ll JOIN priors USING (cls))
-         |SELECT doc_id, cls AS pred_lang, score FROM (
-         |  SELECT doc_id, cls, score,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
-         |  FROM scored)
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    "q107_naive_bayes" -> naiveBayesSql,
+
+    // q150: the q107 classifier's confusion matrix against the labels
+    // it trained on — the audit every classifier-gated pipeline owes
+    "q150_lang_confusion" ->
+      s"""SELECT d.lang AS actual, p.pred_lang AS predicted,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM ($naiveBayesSql) p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q149: the HTML strip chain, replayed with RE2-portable patterns
+    "q149_html_extract" -> {
+      val html =
+        """concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+          |  '</title><style>p{margin:0}</style></head><body>',
+          |  '<nav>home | about | <a href="/x">links</a></nav>',
+          |  '<p>intro &amp; &quot;quoted&quot;</p><p>', text,
+          |  '</p><footer>site footer junk</footer></body></html>')"""
+          .stripMargin.replace("\n", " ")
+      val noScript =
+        s"regexp_replace($html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+      val noChrome =
+        s"regexp_replace($noScript, '(?s)<(header|head|nav|footer)[^>]*>.*?</(header|head|nav|footer)>', ' ', 'g')"
+      val noTags = s"regexp_replace($noChrome, '<[^>]*>', ' ', 'g')"
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&amp;" -> "&")
+        .foldLeft(noTags) { case (acc, (ent, ch)) =>
+          s"regexp_replace($acc, '$ent', '$ch', 'g')"
+        }
+      s"""SELECT doc_id, extracted,
+         |       CAST(length(extracted) AS BIGINT) AS extracted_len
+         |FROM (SELECT doc_id,
+         |        trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // q108: LR epoch-0 gradient — Σ(0.5 − y)·x / n per hashed bucket,

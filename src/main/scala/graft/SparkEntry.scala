@@ -1273,6 +1273,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- HTML main-text extraction: the crawl pipeline's boilerplate
+    // strip as a pure codegen'd regex chain, replayed byte-for-byte ----
+    "q149_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0}</style></head><body>" +
+          "<nav>home | about | <a href=\"/x\">links</a></nav>" +
+          "<p>intro &amp; &quot;quoted&quot;</p><p>"),
+        col("text"),
+        lit("</p><footer>site footer junk</footer></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("extracted"))
+        .withColumn("extracted_len", length(col("extracted")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- classifier audit: NB prediction × labeled lang confusion ----
+    "q150_lang_confusion" -> ((s, d) =>
+      TextAnalysis.naiveBayesLang(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang").as("actual"), col("pred_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")),
+
     // ---- set-operator coverage: INTERSECT/EXCEPT with set semantics ----
     "q148_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -106,8 +106,13 @@ object Joins {
     val b = names.select(col("block"), col("name").as("name_b"))
     a.join(b, "block")
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein: the banded DP abandons a pair the
+      // moment its distance exceeds maxDist (O(len·maxDist) per pair
+      // instead of O(len²)) and returns −1 — exact distances for every
+      // kept pair, so the plain-levenshtein oracle still matches
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
       .orderBy("name_a", "name_b")
   }

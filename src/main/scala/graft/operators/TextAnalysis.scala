@@ -385,6 +385,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** HTML → main-text extraction (the trafilatura/jusText slot of a
+    * web-crawl pipeline, reduced to its deterministic core): drop
+    * script/style payloads, drop nav/header/footer boilerplate
+    * blocks, strip remaining tags, decode the five standard entities,
+    * collapse whitespace. Pure codegen'd regexp/concat chain — no UDF
+    * — and every pattern is in the Java-regex ∩ RE2 portable subset
+    * ((?s), lazy quantifiers, character classes; no backreferences),
+    * so a SQL engine replays the extraction byte-for-byte. Row-local:
+    * scan-speed at any corpus size. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // longer alternatives first: leftmost-first matching would let
+    // "head" claim the opening of a <header> block
+    val noChrome = regexp_replace(noScript,
+      "(?s)<(header|head|nav|footer)[^>]*>.*?</(header|head|nav|footer)>", " ")
+    val noTags = regexp_replace(noChrome, "<[^>]*>", " ")
+    // decode order: named entities first, ampersand LAST (else
+    // &amp;lt; would double-decode)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        regexp_replace(acc, ent, ch)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-document DEFLATE compression ratio — the Gopher/RedPajama
     * quality heuristic entropy approximates analytically: templated,
     * repetitive, machine-generated text compresses far below prose

@@ -1087,6 +1087,17 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("html strip: scripts/chrome dropped, entities decoded, whitespace collapsed") {
+    val html = """<html><head><title>T</title><style>p{x}</style>
+      |<script>var a = "<p>not text</p>";</script></head>
+      |<body><nav>home | about</nav>
+      |<p>Hello &amp; welcome to &quot;the&quot; page&#39;s 1 &lt; 2 test</p>
+      |<footer>legal junk</footer></body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h")).as("t")).as[String].head()
+    assert(got == """Hello & welcome to "the" page's 1 < 2 test""", got)
+  }
+
   test("mutual NN: the hub's one-directional attraction is filtered out") {
     val emb = Seq(
       (1L, Array(1f, 0f)),        // a — closest: b
