@@ -2347,6 +2347,23 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q151: overlap@10 of the full IVF-PQ replay against the exact scan
+    "q151_ivfpq_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS overlap_at_10 FROM (
+         |  SELECT id FROM (${vectorScanSql(SparkEntry.KnnQueryId, 10)})
+         |  INTERSECT
+         |  SELECT id FROM (${ivfPqSql(SparkEntry.IvfPqNlist, SparkEntry.IvfPqM,
+             SparkEntry.IvfPqKsub, SparkEntry.PqIters, SparkEntry.PqSample,
+             SparkEntry.IvfPqNProbe, 10)}))""".stripMargin,
+
+    // q153: the bucketed layout changes the PLAN (no join shuffle —
+    // PlanSpec), not the answer
+    "q153_bucketed_join" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${xsum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // q145: the roundtrip must reproduce the source exactly
     "q145_jsonl_roundtrip" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len

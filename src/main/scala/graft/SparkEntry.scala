@@ -1297,6 +1297,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("actual", "predicted")),
 
+    // ---- measured ANN quality as data: IVF-PQ overlap@10 vs exact ----
+    "q151_ivfpq_recall" -> ((s, d) => {
+      val exact = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId,
+        topK = 10).select("id")
+      val approx = ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
+        nProbe = IvfPqNProbe, excludeId = Some(KnnQueryId)).select("id")
+      exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
+    }),
+
+    // ---- bucketed co-located join: neither side shuffles (the
+    // persisted-layout answer to a hot repeated join key) ----
+    "q153_bucketed_join" -> ((s, d) => {
+      val (ot, ct) = bucketedTablesFor(s, d)
+      s.table(ot)
+        .join(s.table(ct).hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          xsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- set-operator coverage: INTERSECT/EXCEPT with set semantics ----
     "q148_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1818,6 +1840,29 @@ object SparkEntry {
           .select((col("doc_id") + 90000L).as("user_id"), col("text")))
       pipeline.TableOps.mergeBucketed(updates, dir, "user_id")
       dir
+    })
+
+  /** q153 fixture: orders + customer saved as BUCKETED tables (8
+    * buckets on the join key, orders additionally sorted in-bucket) —
+    * Spark's persisted co-location: a join between them needs NO
+    * exchange on either side (PlanSpec pins exactly one shuffle in
+    * the whole query — the final aggregation). Table names carry the
+    * dataset hash so sf0.001 tests and sf0.01 verify runs coexist in
+    * one catalog. */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTablesFor(s: SparkSession, d: String): (String, String) =
+    bucketedCache.getOrElseUpdate(d, {
+      val suffix = math.abs(d.hashCode).toString
+      val (ot, ct) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
+      // external tables at a fresh temp location: a stale
+      // spark-warehouse dir from an earlier JVM can't collide
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      Tables.orders(s, d).write.mode("overwrite").option("path", s"$base/$ot")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.customer(s, d).write.mode("overwrite").option("path", s"$base/$ct")
+        .bucketBy(8, "c_custkey").saveAsTable(ct)
+      (ot, ct)
     })
 
   /** q145 fixture: documents exported once as JSONL — the interchange

@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q153: bucketed tables join with NO shuffle; only the agg exchanges") {
+    val df = SparkEntry.queries("q153_bucketed_join")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // count shuffle exchanges in the rendered plan (AQE hides the tree
+    // from collect until execution; "Exchange ...partitioning" is the
+    // shuffle node's rendering, BroadcastExchange is excluded): the agg
+    // and the final ORDER BY shuffle — the JOIN sides must not
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(shuffles == 2, s"bucketed co-location: only the aggregation and " +
+      s"the output sort may shuffle, found $shuffles\n${p.take(3000)}")
+    assert("Bucketed: true".r.findAllIn(p).length == 2,
+      s"both scans must report the bucketed layout\n${p.take(3000)}")
+  }
+
   test("q146: the lang filter is a partition filter, not a row filter") {
     val p = plan("q146_lang_partitioned_scan")
     assert(p.contains("PartitionFilters") && p.contains("= en"), p.take(2000))
