@@ -524,6 +524,39 @@ object Oracles {
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** q72's HLL replay — also wrapped by q152's error audit. */
+  private val hllLangSql: String = {
+      val b = 6; val m = 1 << b; val alpha = 0.709
+      val rhoCase = (1 to 52).map { k =>
+        s"WHEN body % ${1L << k} = ${1L << (k - 1)} THEN $k"
+      }.mkString("CASE ", " ", " ELSE 53 END")
+      s"""WITH hs AS (
+         |  SELECT lang,
+         |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % $m AS register,
+         |    $rhoCase AS r
+         |  FROM (SELECT lang, md5(concat('hll|', text)) AS h,
+         |          CAST(concat('0x', substr(md5(concat('hll|', text)), 9, 13)) AS BIGINT) AS body
+         |        FROM documents)),
+         |sk AS (SELECT lang, register, max(r) AS max_rho
+         |       FROM hs GROUP BY lang, register),
+         |ag AS (SELECT lang,
+         |         CAST(SUM(CAST(power(2.0, 53 - max_rho) AS BIGINT)) AS BIGINT)
+         |           AS present_scaled,
+         |         count(*) AS n_present
+         |       FROM sk GROUP BY lang)
+         |SELECT lang,
+         |  ${t6(s"CASE WHEN rawE <= ${2.5 * m} AND zeros > 0 " +
+             s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE)) " +
+             "ELSE rawE END")} AS est_distinct
+         |FROM (
+         |  SELECT lang, $m - n_present AS zeros,
+         |    (${alpha * m * m} * power(2.0, 53)) /
+         |      CAST(present_scaled + ($m - n_present) *
+         |           CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) AS rawE
+         |  FROM ag)
+         |ORDER BY lang""".stripMargin
+    }
+
   val sql: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
 
@@ -1595,37 +1628,17 @@ object Oracles {
          |WHERE vec_id != 7
          |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
-    "q72_hll_distinct" -> {
-      val b = 6; val m = 1 << b; val alpha = 0.709
-      val rhoCase = (1 to 52).map { k =>
-        s"WHEN body % ${1L << k} = ${1L << (k - 1)} THEN $k"
-      }.mkString("CASE ", " ", " ELSE 53 END")
-      s"""WITH hs AS (
-         |  SELECT lang,
-         |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % $m AS register,
-         |    $rhoCase AS r
-         |  FROM (SELECT lang, md5(concat('hll|', text)) AS h,
-         |          CAST(concat('0x', substr(md5(concat('hll|', text)), 9, 13)) AS BIGINT) AS body
-         |        FROM documents)),
-         |sk AS (SELECT lang, register, max(r) AS max_rho
-         |       FROM hs GROUP BY lang, register),
-         |ag AS (SELECT lang,
-         |         CAST(SUM(CAST(power(2.0, 53 - max_rho) AS BIGINT)) AS BIGINT)
-         |           AS present_scaled,
-         |         count(*) AS n_present
-         |       FROM sk GROUP BY lang)
-         |SELECT lang,
-         |  ${t6(s"CASE WHEN rawE <= ${2.5 * m} AND zeros > 0 " +
-             s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE)) " +
-             "ELSE rawE END")} AS est_distinct
-         |FROM (
-         |  SELECT lang, $m - n_present AS zeros,
-         |    (${alpha * m * m} * power(2.0, 53)) /
-         |      CAST(present_scaled + ($m - n_present) *
-         |           CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) AS rawE
-         |  FROM ag)
-         |ORDER BY lang""".stripMargin
-    },
+    "q72_hll_distinct" -> hllLangSql,
+
+    // q152: sketch-accuracy audit — HLL estimate vs the exact distinct,
+    // relative error pinned to the 6-decimal grid
+    "q152_hll_error_audit" ->
+      s"""SELECT h.lang, e.exact_distinct, h.est_distinct,
+         |       ${t6("abs(h.est_distinct - CAST(e.exact_distinct AS DOUBLE)) / CAST(e.exact_distinct AS DOUBLE)")} AS rel_error
+         |FROM ($hllLangSql) h
+         |JOIN (SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+         |      FROM documents GROUP BY 1) e USING (lang)
+         |ORDER BY lang""".stripMargin,
 
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

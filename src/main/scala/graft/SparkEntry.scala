@@ -1306,6 +1306,19 @@ object SparkEntry {
       exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
     }),
 
+    // ---- sketch-accuracy audit: HLL estimate vs exact distinct ----
+    "q152_hll_error_audit" -> ((s, d) => {
+      val est = Sketches.hllDistinct(Tables.documents(s, d), Seq("lang"),
+        col("text"))
+      val exact = Tables.documents(s, d).groupBy("lang")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      est.join(exact, "lang")
+        .select(col("lang"), col("exact_distinct"), col("est_distinct"),
+          trunc6(abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double")).as("rel_error"))
+        .orderBy("lang")
+    }),
+
     // ---- bucketed co-located join: neither side shuffles (the
     // persisted-layout answer to a hot repeated join key) ----
     "q153_bucketed_join" -> ((s, d) => {
