@@ -2360,6 +2360,38 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q154: parts ordered together — per-order pair fan-out
+    "q154_part_cooccurrence" ->
+      """SELECT part_a, part_b, n_orders FROM (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q155: first-order event-type transition counts per user stream
+    "q155_event_transitions" ->
+      s"""SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS prev_type,
+         |         event_type AS next_type
+         |  FROM events)
+         |WHERE prev_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q156: the three media plants composed into one keep/drop gate
+    "q156_media_gate" ->
+      """SELECT doc_id, img_ok, aud_ok, vid_ok,
+        |       (img_ok AND aud_ok AND vid_ok) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    (100 + doc_id % 900 >= 500 AND 50 + doc_id % 500 >= 300) AS img_ok,
+        |    (8000 * (1 + doc_id % 3) >= 16000) AS aud_ok,
+        |    (CAST(1 + doc_id % 100000 AS DOUBLE) /
+        |       CAST(1000 * (1 + doc_id % 3) AS DOUBLE) <= 60.0) AS vid_ok
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // q151: overlap@10 of the full IVF-PQ replay against the exact scan
     "q151_ivfpq_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS overlap_at_10 FROM (

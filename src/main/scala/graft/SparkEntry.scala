@@ -1306,6 +1306,53 @@ object SparkEntry {
       exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
     }),
 
+    // ---- market-basket co-occurrence: part pairs ordered together.
+    // The self-join is per-ORDER (≤7 lines), so the pair fan-out is
+    // bounded per key — never a table-level product ----
+    "q154_part_cooccurrence" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val a = li.toDF("l_orderkey", "part_a")
+      val b = li.toDF("l_orderkey", "part_b")
+      a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // ---- event-type transition matrix (first-order Markov counts):
+    // one lag window per user, one count aggregation ----
+    "q155_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // ---- multimodal keep/drop gate: the three byte-layout parsers
+    // composed into one curation decision per asset ----
+    "q156_media_gate" -> ((s, d) => {
+      val img = SparkEntry.queries("q111_image_dims")(s, d)
+        .select(col("doc_id"), (col("width") >= 500 && col("height") >= 300)
+          .as("img_ok"))
+      val aud = SparkEntry.queries("q112_audio_meta")(s, d)
+        .select(col("doc_id"), (col("sample_rate") >= 16000).as("aud_ok"))
+      val vid = SparkEntry.queries("q113_video_meta")(s, d)
+        .select(col("doc_id"),
+          ((col("duration").cast("double") / col("timescale").cast("double"))
+            <= lit(60.0)).as("vid_ok"))
+      img.join(aud, "doc_id").join(vid, "doc_id")
+        .withColumn("keep", col("img_ok") && col("aud_ok") && col("vid_ok"))
+        .select(col("doc_id"), col("img_ok"), col("aud_ok"), col("vid_ok"),
+          col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sketch-accuracy audit: HLL estimate vs exact distinct ----
     "q152_hll_error_audit" -> ((s, d) => {
       val est = Sketches.hllDistinct(Tables.documents(s, d), Seq("lang"),
