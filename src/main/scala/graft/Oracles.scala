@@ -557,7 +557,7 @@ object Oracles {
          |ORDER BY lang""".stripMargin
     }
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
 
     "q63_clean_corpus" ->
@@ -2746,5 +2746,34 @@ object Oracles {
          |       ${xsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+
+  /** Derived entries that WRAP other oracles (audit / composition
+    * queries) — built after `base` so they can quote its SQL. */
+  val sql: Map[String, String] = base ++ Map(
+    // q157: measured recall of the LSH near-dup path against the exact
+    // quadratic baseline — the bucketing trade quantified as data
+    "q157_lsh_recall" ->
+      s"""SELECT n_exact, n_lsh, n_common,
+         |       ${t6("CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (${base("q22_near_dup_vectors")})) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (${base("q49_near_dup_lsh")})) AS n_lsh,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT id_a, id_b FROM (${base("q22_near_dup_vectors")})
+         |     INTERSECT
+         |     SELECT id_a, id_b FROM (${base("q49_near_dup_lsh")}))) AS n_common)""".stripMargin,
+
+    // q158: the curation planning curve — docs/tokens surviving each
+    // quality threshold (quality is the q14 trunc6'd score)
+    "q158_quality_sweep" ->
+      s"""WITH q AS (${base("q14_quality_score")}),
+         |tk AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |th AS (SELECT unnest([0.5::DOUBLE, 0.55::DOUBLE, 0.6::DOUBLE, 0.65::DOUBLE, 0.7::DOUBLE]) AS threshold)
+         |SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens
+         |FROM q JOIN tk USING (doc_id), th
+         |WHERE q.quality >= th.threshold
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1306,6 +1306,37 @@ object SparkEntry {
       exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
     }),
 
+    // ---- measured recall of the LSH near-dup path vs the exact
+    // baseline — the bucketing trade quantified as data ----
+    "q157_lsh_recall" -> ((s, d) => {
+      val e = SparkEntry.queries("q22_near_dup_vectors")(s, d)
+        .select("id_a", "id_b")
+      val l = SparkEntry.queries("q49_near_dup_lsh")(s, d)
+        .select("id_a", "id_b")
+      e.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(l.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(e.join(l, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_common")))
+        .withColumn("recall", trunc6(
+          col("n_common").cast("double") / col("n_exact").cast("double")))
+    }),
+
+    // ---- the curation planning curve: docs/tokens surviving each
+    // quality threshold ----
+    "q158_quality_sweep" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "quality")
+      val tk = Tables.documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      q.join(tk, "doc_id")
+        .withColumn("threshold",
+          explode(array(Seq(0.5, 0.55, 0.6, 0.65, 0.7).map(lit): _*)))
+        .filter(col("quality") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("threshold")
+    }),
+
     // ---- market-basket co-occurrence: part pairs ordered together.
     // The self-join is per-ORDER (≤7 lines), so the pair fan-out is
     // bounded per key — never a table-level product ----
