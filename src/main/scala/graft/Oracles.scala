@@ -2360,6 +2360,21 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q159: the IDENTICAL SQL text Spark runs — zero dialect drift
+    "q159_sql_interface" -> SparkEntry.SqlInterfaceQuery,
+
+    // q160: monthly revenue trend + MoM delta; trunc-to-month kept a
+    // DATE in both engines
+    "q160_monthly_revenue" ->
+      s"""SELECT month, n_orders, revenue,
+         |       ${t6("revenue - lag(revenue) OVER (ORDER BY month)")} AS mom_delta
+         |FROM (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         ${t6(xsum("o_totalprice"))} AS revenue
+         |  FROM orders GROUP BY 1)
+         |ORDER BY month""".stripMargin,
+
     // q154: parts ordered together — per-order pair fan-out
     "q154_part_cooccurrence" ->
       """SELECT part_a, part_b, n_orders FROM (

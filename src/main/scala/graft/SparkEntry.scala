@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** q159: ONE SQL text, run verbatim by BOTH engines (Spark over temp
+    * views named like the tables; DuckDB over the parquet views) — the
+    * spark.sql surface demonstrated with zero dialect drift: ANSI
+    * joins, CTE, window, pinned BIGINT casts. */
+  private[graft] val SqlInterfaceQuery: String =
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_orderpriority,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_orderpriority)
+      |SELECT c_mktsegment, o_orderpriority, n, rn FROM (
+      |  SELECT c_mktsegment, o_orderpriority, n,
+      |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |           ORDER BY n DESC, o_orderpriority) AS BIGINT) AS rn
+      |  FROM spend)
+      |WHERE rn <= 2 ORDER BY c_mktsegment, rn""".stripMargin
+
   // ---- shared constants (must match the literal values in Oracles) ----
   private[graft] val KwQuery = "spark join filter table scan the"
   private[graft] val Bm25Terms = Seq("join", "filter", "table", "scan")
@@ -1304,6 +1321,27 @@ object SparkEntry {
       val approx = ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
         nProbe = IvfPqNProbe, excludeId = Some(KnnQueryId)).select("id")
       exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
+    }),
+
+    // ---- the spark.sql SURFACE: one SQL text shared verbatim with
+    // the oracle (zero dialect drift), run over temp views ----
+    "q159_sql_interface" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(SqlInterfaceQuery)
+    }),
+
+    // ---- calendar ops: monthly revenue + month-over-month delta ----
+    "q160_monthly_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("month")
+      Tables.orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          trunc6(xsum(col("o_totalprice"))).as("revenue"))
+        .withColumn("mom_delta",
+          trunc6(col("revenue") - lag(col("revenue"), 1).over(w)))
+        .orderBy("month")
     }),
 
     // ---- measured recall of the LSH near-dup path vs the exact
