@@ -2360,6 +2360,19 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q161: five queries, one scan — scores replayed per (qid, id)
+    "q161_batched_knn" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id IN (0, 7, 11, 23, 42)),
+         |sc AS (SELECT q.qid, e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |       FROM embeddings e, qs q WHERE e.vec_id != q.qid)
+         |SELECT qid, id, score, rn AS rank FROM (
+         |  SELECT qid, id, score,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS BIGINT) AS rn
+         |  FROM sc)
+         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
     // q159: the IDENTICAL SQL text Spark runs — zero dialect drift
     "q159_sql_interface" -> SparkEntry.SqlInterfaceQuery,
 

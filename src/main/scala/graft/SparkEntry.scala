@@ -1323,6 +1323,12 @@ object SparkEntry {
       exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
     }),
 
+    // ---- batched serving: five queries' exact top-5 from ONE corpus
+    // scan, per-query cut through the bounded heap ----
+    "q161_batched_knn" -> ((s, d) =>
+      Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
+
     // ---- the spark.sql SURFACE: one SQL text shared verbatim with
     // the oracle (zero dialect drift), run over temp views ----
     "q159_sql_interface" -> ((s, d) => {

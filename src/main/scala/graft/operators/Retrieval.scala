@@ -40,6 +40,38 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Batched multi-query exact KNN: every query's top-k from ONE
+    * corpus scan — the batched-serving pattern that amortizes the scan
+    * across a request batch (N separate scans read the corpus N
+    * times; at 100 TB the scan IS the cost). The query block
+    * broadcasts, scoring is a row-local fan-out (|corpus|×|batch|
+    * cosines, still one pass over the vectors), and the per-query cut
+    * rides the bounded-heap TopKPerKey operator — no corpus-wide
+    * window sort. */
+  def cosineKnnBatch(embeddings: DataFrame, queryIds: Seq[Long],
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = embeddings.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        trunc6(VectorFunctions.cosine(col("embedding"), col("qvec")))
+          .as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    val heapRegistered = embeddings.sparkSession.sessionState.planner
+      .strategies.exists(_ eq graft.plans.TopKPerKeyStrategy)
+    val cut = // plain sessions (no GraftExtensions) fall back to the window
+      if (heapRegistered)
+        graft.plans.TopKPerKey(scored, Seq("qid"),
+          Seq(col("score").desc, col("id")), topK)
+          .withColumn("rank", row_number().over(w).cast("long"))
+      else
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+    cut.orderBy("qid", "rank")
+  }
+
   /** Matryoshka-truncated KNN (Kusupati et al. 2022): cosine top-k
     * over only the FIRST `dims` components of every embedding — the
     * coarse stage of matryoshka retrieval, where an MRL-trained

@@ -1087,6 +1087,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("batched knn: every query's block equals its single-query scan") {
+    val emb = (0L to 9L).map { i =>
+      (i, Array.tabulate(8)(dd => (math.sin(i * 8 + dd) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val batch = Retrieval.cosineKnnBatch(emb, Seq(1L, 4L, 8L), topK = 3)
+      .select("qid", "id", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (q <- Seq(1L, 4L, 8L)) {
+      val single = Retrieval.cosineKnn(emb, q, topK = 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"query $q: ${batch(q)} vs $single")
+    }
+  }
+
   test("html strip: scripts/chrome dropped, entities decoded, whitespace collapsed") {
     val html = """<html><head><title>T</title><style>p{x}</style>
       |<script>var a = "<p>not text</p>";</script></head>
