@@ -2360,6 +2360,43 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q162: DDSketch estimate vs the exact rank statistic — the value
+    // at sorted position ⌈q·n⌉ is deterministic regardless of how ties
+    // order among equal prices
+    "q162_ddsketch_error_audit" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnGamma = math.log(gamma)
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / CAST($lnGamma AS DOUBLE)) AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, bucket, cnt,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+         |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |      FROM b),
+         |p AS (SELECT l_returnflag, q, min(bucket) AS qbucket
+         |      FROM c, (SELECT unnest([0.5::DOUBLE, 0.99::DOUBLE]) AS q) qs
+         |      WHERE cum >= greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+         |      GROUP BY 1, 2),
+         |est AS (SELECT l_returnflag, q,
+         |          ${t6(s"2.0 * pow(CAST($gamma AS DOUBLE), CAST(qbucket AS DOUBLE)) / CAST(${gamma + 1} AS DOUBLE)")} AS est
+         |        FROM p),
+         |rk AS (SELECT l_returnflag, l_extendedprice,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn
+         |       FROM lineitem),
+         |nn AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+         |ex AS (SELECT rk.l_returnflag, qq.q, rk.l_extendedprice AS exact_q
+         |       FROM rk JOIN nn USING (l_returnflag),
+         |            (SELECT unnest([0.5::DOUBLE, 0.99::DOUBLE]) AS q) qq
+         |       WHERE rk.rn = greatest(1, CAST(ceil(qq.q * CAST(nn.n AS DOUBLE)) AS BIGINT)))
+         |SELECT e.l_returnflag, e.q, x.exact_q, e.est,
+         |       ${t6("abs(e.est - x.exact_q) / x.exact_q")} AS rel_error
+         |FROM est e JOIN ex x USING (l_returnflag, q)
+         |ORDER BY 1, 2""".stripMargin
+    },
+
     // q161: five queries, one scan — scores replayed per (qid, id)
     "q161_batched_knn" ->
       s"""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -1329,6 +1329,31 @@ object SparkEntry {
       Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
 
+    // ---- DDSketch accuracy audit: estimate vs the exact rank
+    // statistic, relative error pinned (completes the audit family:
+    // HLL q152, LSH q157, IVF-PQ q151) ----
+    "q162_ddsketch_error_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val ranked = li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))))
+      val exact = ranked.join(broadcast(n), "l_returnflag")
+        .withColumn("q", explode(array(lit(0.5), lit(0.99))))
+        .filter(col("rn") === greatest(lit(1L),
+          ceil(col("q") * col("n").cast("double")).cast("long")))
+        .select(col("l_returnflag"), col("q"),
+          col("l_extendedprice").as("exact_q"))
+      val est = Sketches.ddSketchQuantiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), Seq(0.5, 0.99))
+        .select(col("l_returnflag"), col("q"), col("est"))
+      est.join(exact, Seq("l_returnflag", "q"))
+        .withColumn("rel_error",
+          trunc6(abs(col("est") - col("exact_q")) / col("exact_q")))
+        .select("l_returnflag", "q", "exact_q", "est", "rel_error")
+        .orderBy("l_returnflag", "q")
+    }),
+
     // ---- the spark.sql SURFACE: one SQL text shared verbatim with
     // the oracle (zero dialect drift), run over temp views ----
     "q159_sql_interface" -> ((s, d) => {
@@ -1768,6 +1793,14 @@ object SparkEntry {
     // possible) — spec'd in OperatorSpec, benched here
     "x66_compression_ratio" -> ((s, d) =>
       TextAnalysis.compressionRatio(Tables.documents(s, d))),
+
+    // the amortization pair for q161: the SAME five queries as five
+    // separate corpus scans — q161's one-scan batch should beat this
+    "x67_knn_five_single_scans" -> ((s, d) =>
+      Seq(0L, 7L, 11L, 23L, 42L).map(q =>
+        Retrieval.cosineKnn(Tables.embeddings(s, d), q, topK = 5)
+          .withColumn("qid", lit(q)))
+        .reduce(_ unionByName _)),
 
     "x64_zorder_scan" -> ((s, d) => {
       val (z, _, loU, hiU, loT, hiT) = zLayoutFor(s, d)
