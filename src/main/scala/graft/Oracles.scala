@@ -2360,6 +2360,15 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q163: the Bloom probe is a plan optimization — the answer is the
+    // plain semi-join
+    "q163_bloom_semi_join" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |       ${t6(xsum("o_totalprice"))} AS total
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q162: DDSketch estimate vs the exact rank statistic — the value
     // at sorted position ⌈q·n⌉ is deterministic regardless of how ties
     // order among equal prices

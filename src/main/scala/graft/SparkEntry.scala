@@ -1329,6 +1329,20 @@ object SparkEntry {
       Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
 
+    // ---- Bloom semi-join reduction: orders of high-balance customers
+    // — the key filter probes map-side BEFORE the exchange; exact
+    // verify makes the result precisely the plain semi-join ----
+    "q163_bloom_semi_join" -> ((s, d) => {
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > lit(9000.0))
+        .select(col("c_custkey").as("o_custkey"))
+      Joins.bloomSemiJoin(Tables.orders(s, d), rich, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          trunc6(xsum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- DDSketch accuracy audit: estimate vs the exact rank
     // statistic, relative error pinned (completes the audit family:
     // HLL q152, LSH q157, IVF-PQ q151) ----

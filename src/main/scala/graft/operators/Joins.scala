@@ -88,6 +88,35 @@ object Joins {
       .drop("_bin")
   }
 
+  /** Bloom-filtered semi-join (semi-join reduction): keep left rows
+    * whose `key` appears in `right` — but probe a Bloom filter of the
+    * right keys MAP-SIDE before the exact join, so rows that cannot
+    * match never enter the exchange. The general form of the q83
+    * decontamination plan: with a selective right side the filter is
+    * MBs where the shuffle would be GBs, and the exact join over the
+    * thin survivor stream kills the false positives, so the result is
+    * EXACTLY the plain semi-join (the oracle states the naive
+    * semantics). At 100 TB this is the difference between shuffling
+    * the fact table and shuffling its matching sliver; engines call
+    * the automatic variant "runtime filter" / Bloom join — here it is
+    * explicit and composable. */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions.bloomMightContain
+    val keys = right.select(col(key).cast("string").as(key)).distinct()
+    val expected = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(key, expected, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    left
+      .filter(bloomMightContain(col(key).cast("string"), bloomBytes))
+      .join(keys.select(col(key).cast("string").as("_bk")),
+        left(key).cast("string") === col("_bk"), "left_semi")
+  }
+
   /** Blocked fuzzy self-match (entity resolution): distinct value pairs
     * of `valueCol` whose edit distance is ≤ `maxDist`, compared only
     * WITHIN a blocking key (here: the value's first whitespace token) —

@@ -308,6 +308,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(2000))
   }
 
+  test("q163: the bloom probe sits below the semi-join, no cartesian") {
+    val df = SparkEntry.queries("q163_bloom_semi_join")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("bloommightcontain"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q83: the bloom probe filters the train grams BELOW the verify join") {
     val plan = SparkEntry.queries("q83_decontamination_bloom")(spark, sf())
       .queryExecution.executedPlan match {
