@@ -2360,6 +2360,71 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q164: 4 unrolled BFS rounds over the q31 pair graph from doc 0
+    "q164_bfs_levels" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""p$i AS (SELECT e.dst AS v, min(d.dist + 1) AS nd
+           |        FROM ed0 e JOIN d${i - 1} d ON d.v = e.src AND d.dist IS NOT NULL
+           |        GROUP BY e.dst),
+           |d$i AS (SELECT d.v,
+           |          CASE WHEN d.dist IS NULL THEN p.nd
+           |               WHEN p.nd IS NULL THEN d.dist
+           |               ELSE least(d.dist, p.nd) END AS dist
+           |        FROM d${i - 1} d LEFT JOIN p$i p USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |d0 AS (SELECT DISTINCT src AS v,
+         |         CASE WHEN src = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+         |       FROM ed0),
+         |$rounds
+         |SELECT v, CAST(dist AS BIGINT) AS dist FROM d4
+         |WHERE dist IS NOT NULL ORDER BY v""".stripMargin
+    },
+
+    // q165: per-vertex triangles / wedges over the same graph
+    "q165_clustering_coeff" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM ed0 WHERE src != dst),
+         |tri AS (SELECT w.a, w.b, w.c
+         |        FROM (SELECT e1.a, e1.b, e2.b AS c
+         |              FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b) w
+         |        JOIN ce e3 ON e3.a = w.b AND e3.b = w.c),
+         |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |         SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT a AS v FROM ce UNION ALL SELECT b AS v FROM ce) GROUP BY 1)
+         |SELECT d.v, d.deg, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |       ${t6("CASE WHEN d.deg >= 2 THEN 2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE) / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)) ELSE 0.0 END")} AS coeff
+         |FROM deg d LEFT JOIN tv t USING (v) ORDER BY v""".stripMargin
+    },
+
     // q163: the Bloom probe is a plan optimization — the answer is the
     // plain semi-join
     "q163_bloom_semi_join" ->

@@ -1329,6 +1329,16 @@ object SparkEntry {
       Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
 
+    // ---- BFS levels from doc 0 over the near-dup graph (4-hop
+    // horizon, fixed unroll = the SQL twin) ----
+    "q164_bfs_levels" -> ((s, d) =>
+      GraphOps.bfsLevels(nearDupPairEdges(s, d), source = 0L, rounds = 4)),
+
+    // ---- local clustering coefficient: mutually-duplicating families
+    // score ~1, hub-stitched neighborhoods score low ----
+    "q165_clustering_coeff" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(nearDupPairEdges(s, d))),
+
     // ---- Bloom semi-join reduction: orders of high-balance customers
     // — the key filter probes map-side BEFORE the exchange; exact
     // verify makes the result precisely the plain semi-join ----

@@ -182,6 +182,67 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** BFS distance labels within `rounds` hops of `source` (level-
+    * synchronous frontier expansion — each round is ONE src-keyed join
+    * + min-aggregation over the checkpointed edge list; the frontier
+    * never leaves the cluster). `rounds` is a fixed horizon so the SQL
+    * twin unrolls identically; vertices beyond it are simply absent
+    * (the output is "distance ≤ rounds", not all-pairs reachability —
+    * an unbounded BFS would be [[kCore]]-style convergence-checked). */
+  def bfsLevels(edges: DataFrame, source: Long, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    var dist = e.select(col("src").as("v")).distinct()
+      .withColumn("dist",
+        when(col("v") === source, 0L).otherwise(lit(null).cast("long")))
+    for (_ <- 1 to rounds) {
+      val prop = e
+        .join(dist.select(col("v").as("src"), col("dist").as("sd")), "src")
+        .filter(col("sd").isNotNull)
+        .groupBy(col("dst").as("v")).agg(min(col("sd") + 1).as("nd"))
+      dist = dist.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist").isNotNull).orderBy("v")
+  }
+
+  /** Local clustering coefficient: 2·t(v) / (deg(v)·(deg(v)−1)) — how
+    * close each vertex's neighborhood is to a clique, the per-vertex
+    * refinement of [[triangleCount]] (a near-1 coefficient over the
+    * dup graph marks a mutually-duplicating family; low marks a hub
+    * stitching unrelated docs). Same ordered-wedge join, but the
+    * (a,b,c) triple is kept and exploded so each triangle credits its
+    * three corners; degrees come from one explode-count over the
+    * canonical edge set. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = e.join(e.toDF("a", "c"), "a")
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(e.toDF("b", "c"), Seq("b", "c"))
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val nTri = coalesce(col("n_tri"), lit(0L))
+    deg.join(tv, Seq("v"), "left")
+      .select(col("v"), col("deg"), nTri.as("n_tri"),
+        trunc6(when(col("deg") >= 2,
+          lit(2.0) * nTri.cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")))
+          .otherwise(lit(0.0))).as("coeff"))
+      .orderBy("v")
+  }
+
   /** 2-hop neighborhood with multiplied edge weights — iterated join,
     * frontier stays distributed. */
   def twoHop(edges: DataFrame, srcId: Long, topK: Int): DataFrame = {

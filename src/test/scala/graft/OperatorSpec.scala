@@ -1069,6 +1069,28 @@ class OperatorSpec extends SparkSpec {
       ("en", "big data", 3L, 1L), ("en", "data big", 2L, 2L)), got.toString)
   }
 
+  test("bfs levels: hand-checked path distances, horizon drops the tail") {
+    val path = ((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    val edges = (path ++ path.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = GraphOps.bfsLevels(edges, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)),
+      s"vertices beyond the 3-hop horizon are absent: $got")
+  }
+
+  test("clustering coefficient: clique corners score 1, hubs score low") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got(1L) == ((2L, 1L, 1.0)), got.toString)
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, t6(1.0 / 3.0))), "the bridge dilutes v3")
+    assert(got(4L) == ((1L, 0L, 0.0)), "degree-1 pendant has no wedges")
+  }
+
   test("k-core: triangle survives the peel, pendants strip; non-convergence throws") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
