@@ -2360,6 +2360,19 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q166: FK orphan counts — NOT EXISTS per relationship
+    "q166_integrity_audit" ->
+      """SELECT relation, n_orphans FROM (
+        |  SELECT 'lineitem->orders' AS relation, CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relation""".stripMargin,
+
     // q164: 4 unrolled BFS rounds over the q31 pair graph from doc 0
     "q164_bfs_levels" -> {
       val corpus =

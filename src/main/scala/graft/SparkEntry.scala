@@ -1329,6 +1329,24 @@ object SparkEntry {
       Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
 
+    // ---- referential-integrity audit: orphan counts across the FK
+    // graph in one pass of anti-joins (the ingest health check) ----
+    "q166_integrity_audit" -> ((s, d) => {
+      def orphans(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String) =
+        child.join(parent, child(key) === parent(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .withColumn("relation", lit(name))
+      orphans("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+        .unionByName(orphans("lineitem->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(orphans("orders->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .select("relation", "n_orphans")
+        .orderBy("relation")
+    }),
+
     // ---- BFS levels from doc 0 over the near-dup graph (4-hop
     // horizon, fixed unroll = the SQL twin) ----
     "q164_bfs_levels" -> ((s, d) =>
