@@ -2360,6 +2360,43 @@ object Oracles {
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // q167: personalized PageRank — q99's unroll with the teleport
+    // restricted to the source
+    "q167_personalized_pagerank" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT v, CASE WHEN v = 0 THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+           |                 ELSE CAST(0.0 AS DOUBLE) END
+           |            + CAST(0.85 AS DOUBLE) * s AS rank
+           |  FROM (SELECT ed.dst AS v, ${dsum12("r.rank / ed.outdeg")} AS s
+           |        FROM ed JOIN r${i - 1} r ON r.v = ed.src
+           |        GROUP BY ed.dst))""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM ed0 GROUP BY src),
+         |ed AS (SELECT ed0.src, ed0.dst, deg.outdeg FROM ed0 JOIN deg USING (src)),
+         |r0 AS (SELECT src AS v,
+         |         CASE WHEN src = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+         |       FROM deg),
+         |$iters
+         |SELECT v, rank FROM (
+         |  SELECT v, ${t6("rank")} AS rank FROM r5 WHERE rank > 0)
+         |ORDER BY rank DESC, v""".stripMargin
+    },
+
     // q166: FK orphan counts — NOT EXISTS per relationship
     "q166_integrity_audit" ->
       """SELECT relation, n_orphans FROM (

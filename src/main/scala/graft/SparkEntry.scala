@@ -1329,6 +1329,12 @@ object SparkEntry {
       Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), topK = 5)),
 
+    // ---- personalized PageRank from doc 0: link-structure relevance
+    // for graph-memory retrieval, relevance-ordered ----
+    "q167_personalized_pagerank" -> ((s, d) =>
+      GraphOps.personalizedPageRank(nearDupPairEdges(s, d), source = 0L,
+        iters = 5)),
+
     // ---- referential-integrity audit: orphan counts across the FK
     // graph in one pass of anti-joins (the ingest health check) ----
     "q166_integrity_audit" -> ((s, d) => {

@@ -105,6 +105,38 @@ object GraphOps {
     ranks.select(col("v"), trunc6(col("rank")).as("rank")).orderBy("v")
   }
 
+  /** Personalized PageRank from one source (teleport mass returns to
+    * `source` only) — the relevance-propagation kernel of graph-based
+    * memory retrieval: how strongly each memory item relates to the
+    * query's anchor through the link structure, not just direct
+    * neighbors (the [[pageRank]] twin of the 1-hop/2-hop expansions).
+    * Same shape as [[pageRank]]: checkpointed edge list, one src-keyed
+    * join + dst-keyed decimal-summed aggregation per iteration, fixed
+    * unroll = the SQL twin; unreached vertices (rank 0) are dropped
+    * and the output is relevance-ordered. */
+  def personalizedPageRank(edges: DataFrame, source: Long, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val ed = e.join(deg, "src")
+    var ranks = deg.select(col("src").as("v"))
+      .select(col("v"),
+        when(col("v") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks.select(col("v").as("src"), col("rank")), "src")
+        .select(col("dst").as("v"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("v").agg(dsum12(col("c")).as("s"))
+        .select(col("v"),
+          (when(col("v") === source, lit(1.0) - lit(damping))
+            .otherwise(lit(0.0)) + lit(damping) * col("s")).as("rank"))
+    }
+    ranks.filter(col("rank") > 0)
+      .select(col("v"), trunc6(col("rank")).as("rank"))
+      .orderBy(col("rank").desc, col("v"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for community
     * detection, fixed round count: every vertex adopts the most
     * frequent label among its in-neighbors each round (count desc,

@@ -1069,6 +1069,25 @@ class OperatorSpec extends SparkSpec {
       ("en", "big data", 3L, 1L), ("en", "data big", 2L, 2L)), got.toString)
   }
 
+  test("personalized pagerank: mass decays away from the source, absent elsewhere") {
+    // two disconnected components: a path from the source, and a
+    // far pair that must receive NO mass (plain pagerank gives every
+    // vertex teleport mass — personalization must not)
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = GraphOps.personalizedPageRank(edges, source = 1L, iters = 5)
+      .as[(Long, Double)].collect()
+    val ranks = got.map(r => r._1 -> r._2).toMap
+    assert(!ranks.contains(8L) && !ranks.contains(9L),
+      s"the disconnected pair gets no relevance: $got")
+    assert(ranks.keySet == Set(1L, 2L, 3L), got.mkString(";"))
+    // the far end sees strictly less than the middle (the middle also
+    // collects from both sides, so it may legitimately outrank the
+    // source under out-degree normalization — no source-maximal claim)
+    assert(ranks(3L) < ranks(2L), s"relevance thins toward the far end: $got")
+    assert(ranks(1L) > ranks(3L), s"the source outranks the far end: $got")
+  }
+
   test("bfs levels: hand-checked path distances, horizon drops the tail") {
     val path = ((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
     val edges = (path ++ path.map(p => (p._2, p._1))).toDF("src", "dst")
