@@ -42,6 +42,17 @@ object Oracles {
     * 8-decimal quantization per row, plain long accumulation. */
   private def zsum8(x: String) =
     s"CAST(CAST(SUM(CAST(floor(($x) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 AS DOUBLE)"
+  /** Non-negative product sum at the 6-decimal grid via million-base
+    * hi/lo/frac long accumulators (TextFunctions.psum6): the hi/lo
+    * split of floor(x) is integer-exact, and the CAST of the exact
+    * integer-valued double rounds and truncates to the same BIGINT in
+    * both engines. */
+  private def psum6(x: String) = {
+    val vi = s"CAST(floor($x) AS BIGINT)"
+    s"(CAST(SUM(CAST(CAST(($vi - ($vi % 1000000)) AS DOUBLE) / 1e6 AS BIGINT)) AS DOUBLE) * 1e6 + " +
+      s"CAST(SUM($vi % 1000000) AS DOUBLE) + " +
+      s"CAST(SUM(CAST(floor((($x) - floor($x)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)"
+  }
   private def toks(x: String) = s"string_split($x, ' ')"
   private def contentToks(x: String) =
     s"list_filter(${toks(x)}, t -> NOT list_contains($stop, t))"
@@ -1361,10 +1372,10 @@ object Oracles {
              "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")} AS corr_qty_price
          |FROM (
          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         |         ${dsum12("l_quantity * l_extendedprice")} AS sxy,
-         |         ${dsum("l_quantity")} AS sx, ${dsum("l_extendedprice")} AS sy,
-         |         ${dsum12("l_quantity * l_quantity")} AS sxx,
-         |         ${dsum12("l_extendedprice * l_extendedprice")} AS syy
+         |         ${psum6("l_quantity * l_extendedprice")} AS sxy,
+         |         ${xsum("l_quantity")} AS sx, ${xsum("l_extendedprice")} AS sy,
+         |         ${psum6("l_quantity * l_quantity")} AS sxx,
+         |         ${psum6("l_extendedprice * l_extendedprice")} AS syy
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
 
@@ -2628,10 +2639,10 @@ object Oracles {
          |           s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
          |    FROM (
          |      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         |             ${dsum("l_quantity")} AS s1,
-         |             ${dsum12("l_quantity * l_quantity")} AS s2,
-         |             ${dsum12("l_quantity * l_quantity * l_quantity")} AS s3,
-         |             ${dsum12("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+         |             ${xsum("l_quantity")} AS s1,
+         |             ${psum6("l_quantity * l_quantity")} AS s2,
+         |             ${psum6("l_quantity * l_quantity * l_quantity")} AS s3,
+         |             ${psum6("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
          |      FROM lineitem GROUP BY l_returnflag)))
          |ORDER BY l_returnflag""".stripMargin,
 
@@ -2802,9 +2813,9 @@ object Oracles {
          |       ${t6(s"(sy - ($slope) * sx) / CAST(n AS DOUBLE)")} AS intercept
          |FROM (
          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         |         ${dsum12("l_quantity * l_extendedprice")} AS sxy,
-         |         ${dsum("l_quantity")} AS sx, ${dsum("l_extendedprice")} AS sy,
-         |         ${dsum12("l_quantity * l_quantity")} AS sxx
+         |         ${psum6("l_quantity * l_extendedprice")} AS sxy,
+         |         ${xsum("l_quantity")} AS sx, ${xsum("l_extendedprice")} AS sy,
+         |         ${psum6("l_quantity * l_quantity")} AS sxx
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },

@@ -851,14 +851,16 @@ object SparkEntry {
     }),
 
     // ---- exact Pearson correlation per group: the textbook moment
-    // formula over decimal-widened sums — engine-exact where the
-    // built-in corr's running doubles drift with partitioning ----
+    // formula over scaled-long exact sums (psum6 splits the big
+    // products into hi/lo/frac long accumulators — no per-row decimal
+    // cast) — engine-exact where the built-in corr's running doubles
+    // drift with partitioning ----
     "q103_price_correlation" -> ((s, d) => {
       val (x, y) = (col("l_quantity"), col("l_extendedprice"))
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          dsum12(x * y).as("sxy"), dsum(x).as("sx"), dsum(y).as("sy"),
-          dsum12(x * x).as("sxx"), dsum12(y * y).as("syy"))
+          psum6(x * y).as("sxy"), xsum(x).as("sx"), xsum(y).as("sy"),
+          psum6(x * x).as("sxx"), psum6(y * y).as("syy"))
         .select(col("l_returnflag"), col("n"),
           trunc6((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
@@ -1182,8 +1184,8 @@ object SparkEntry {
         (nD * col("sxx") - col("sx") * col("sx"))
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          dsum12(x * y).as("sxy"), dsum(x).as("sx"), dsum(y).as("sy"),
-          dsum12(x * x).as("sxx"))
+          psum6(x * y).as("sxy"), xsum(x).as("sx"), xsum(y).as("sy"),
+          psum6(x * x).as("sxx"))
         .select(col("l_returnflag"), col("n"),
           trunc6(slope).as("slope"),
           trunc6((col("sy") - slope * col("sx")) / nD).as("intercept"))
@@ -1281,9 +1283,9 @@ object SparkEntry {
       val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
         lit(6.0) * mu * mu * (col("s2") / nD) - lit(3.0) * mu * mu * mu * mu
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), dsum(x).as("s1"),
-          dsum12(x * x).as("s2"), dsum12(x * x * x).as("s3"),
-          dsum12(x * x * x * x).as("s4"))
+        .agg(count(lit(1)).as("n"), xsum(x).as("s1"),
+          psum6(x * x).as("s2"), psum6(x * x * x).as("s3"),
+          psum6(x * x * x * x).as("s4"))
         .select(col("l_returnflag"), col("n"),
           trunc6(m3 / pow(m2, lit(1.5))).as("skewness"),
           trunc6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))

@@ -120,6 +120,27 @@ object TextFunctions {
     (intSum + fracSum / lit(1e8)).cast(DoubleType)
   }
 
+  /** Exact scaled-long sum for NON-NEGATIVE per-row PRODUCTS up to
+    * ~10¹¹ (price², qty·price, the moment power sums) at a 6-decimal
+    * half-up grid — the [[xsum]] scheme with the integer part split
+    * into million-base hi/lo longs so no accumulator overflows even at
+    * ~10¹² rows/group: per-row hi ≤ 10⁵, lo < 10⁶, frac ≤ 10⁶ each sum
+    * as plain longs in whole-stage codegen, where the DECIMAL(38,12)
+    * cast this replaces pays a per-row BigDecimal round-trip. The hi/lo
+    * split is integer-exact ((vi − vi mod 10⁶)/10⁶ — the double divide
+    * of an exact multiple of 10⁶ is exact), and the three-term
+    * reassembly is one fixed deterministic IEEE expression, identical
+    * in both engines. The 6-decimal quantization IS the operator's
+    * definition — the SQL twin quantizes identically. Requires c ≥ 0. */
+  def psum6(c: Column): Column = {
+    val vi = floor(c).cast(LongType)
+    val lo = vi % lit(1000000L)
+    val hi = ((vi - lo).cast(DoubleType) / lit(1e6)).cast(LongType)
+    val f6 = floor((c - floor(c)) * lit(1e6) + lit(0.5)).cast(LongType)
+    (sum(hi).cast(DoubleType) * lit(1e6) + sum(lo).cast(DoubleType) +
+      sum(f6).cast(DoubleType) / lit(1e6)).cast(DoubleType)
+  }
+
   /** Exact average built from xsum / count — the fast [[davg]]. */
   def xavg(c: Column): Column =
     (xsum(c) / count(c)).cast(DoubleType)

@@ -271,7 +271,8 @@ object Retrieval {
   def covarianceMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val nD = col("n").cast("double")
     val pos = embeddings.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      posexplode(slice(col("embedding").cast("array<double>"), 1, dim))
+        .as(Seq("i", "x")))
       .withColumn("i", col("i").cast("long"))
     val a = pos.toDF("vec_id", "i", "xi")
     val b = pos.toDF("vec_id", "j", "xj")

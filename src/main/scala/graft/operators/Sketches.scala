@@ -192,7 +192,13 @@ object Sketches {
     * sketch (bucket tables, ≤ hundreds of rows per group), whose
     * bounds BROADCAST back onto pass 2's scan; the clip is row-local
     * (`least`/`greatest` on pinned doubles) and the sum is the exact
-    * scaled-long path. No sort, no quantile shuffle, ever. */
+    * scaled-long path. No sort, no quantile shuffle, ever.
+    *
+    * Domain: `value` must be strictly positive — the DDSketch bucket
+    * formula (log_γ) only sees rows with value > 0, so clip bounds are
+    * positive quantiles; a zero/negative row in the final pass would be
+    * raised to the positive lo bound and counted, skewing the robust
+    * mean. Filter non-positive rows out before calling. */
   def winsorizedStats(df: DataFrame, keys: Seq[String], value: Column,
       loQ: Double = 0.05, hiQ: Double = 0.95,
       alpha: Double = 0.01): DataFrame = {

@@ -423,7 +423,9 @@ object TableOps {
     val after = read(spark, tablePath)
       .select(col(key) +: compareCols.map(c => col(c).as(s"b_$c"))
         :+ lit(1).as("b_present"): _*)
-    val changed = compareCols.map(c => col(s"a_$c") =!= col(s"b_$c"))
+    // null-safe inequality: NULL→value / value→NULL transitions must
+    // classify as "changed", and `=!=` would yield NULL there
+    val changed = compareCols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
       .reduce(_ || _)
     before.join(after, Seq(key), "full_outer")
       .withColumn("change",
