@@ -34,8 +34,21 @@ object Bench {
     // indexes, persisted embeddings) before any timing, so construction
     // never happens lazily inside a pass and the heap reaches its
     // steady resident shape up front
+    // heap attribution: the session fixtures (warehouses, index
+    // families, persisted labels/edges/embeddings) stay resident across
+    // every pass by design; recording used-heap at each stage boundary
+    // makes any ambient round-over-round drift attributable to resident
+    // size instead of guessed at (post-GC used heap is the resident
+    // set; the JVM-wide peak bounds transient pressure)
+    def heapUsed(): Long = {
+      System.gc()
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val heapStart = heapUsed()
     try SparkEntry.warmFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    val heapAfterFixtures = heapUsed()
     // untimed warmup pass: JIT, whole-stage-codegen compilation and file
     // index caches, so the timed pass measures steady-state throughput
     // (set SPARK_GRAFT_WARMUP=0 for cold-start numbers)
@@ -56,6 +69,7 @@ object Bench {
       val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val heapBeforeTimed = heapUsed()
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val passes = (1 to nPasses).map(_ => pass())
     val isoResults = isolated.map { case (name, fn) =>
@@ -76,8 +90,29 @@ object Bench {
     val failed = results.collect { case (n, _, false) => s"\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // per-phase attribution of the isolated churn cycles: recorded
+    // phases from the timed run + the residual "query" phase (entry
+    // total minus attributed time — the indexed query's plan execution
+    // through the noop sink, which happens outside churnCycle)
+    val entryTime = results.map { case (n, v, _) => n -> v }.toMap
+    val phases = SparkEntry.churnPhaseTimings.toSeq.sortBy(_._1)
+      .filter { case (n, _) => entryTime.get(n).exists(_ >= 0) }
+      .map { case (n, ps) =>
+        val residual = math.max(0.0, entryTime(n) - ps.map(_._2).sum)
+        val inner = (ps :+ ("query" -> residual))
+          .map { case (p, t) => s"\"" + p + "\":" + t }.mkString(",")
+        s"\"" + n + "\":{" + inner + "}"
+      }.mkString("{", ",", "}")
+    val heapEnd = heapUsed()
+    val heapPeak = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
+      .toArray(Array.empty[java.lang.management.MemoryPoolMXBean])
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+    val heap = s"""{"start":$heapStart,"after_fixtures":$heapAfterFixtures,""" +
+      s""""before_timed":$heapBeforeTimed,"end":$heapEnd,"peak":$heapPeak}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phases,"heap_bytes":$heap,"sf":"$sfDir"}"""
     println(line)
     // also to files: the driver's log tail truncates long lines, which
     // cost round-over-round comparability (BENCH_r04 lost q01-q10).

@@ -709,28 +709,49 @@ class MemFuse(
     * snapshots are unaffected (MVCC); only vacuumed-away OLD versions
     * become unreadable. */
   def maintain(maxSegments: Int = 8, keepVersions: Int = 2,
-      indexStaleThreshold: Double = 0.3): Unit = {
-    graft.streaming.StreamingIngest.compactCommits(spark, basePath)
-    Seq("m0_raw", "m1_episodic", "knowledge", "users", "agents",
-      "sessions", "rounds", "api_keys")
+      indexStaleThreshold: Double = 0.3,
+      onPhase: (String, Double) => Unit = (_, _) => ()): Boolean = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    timed("commit_fold") {
+      graft.streaming.StreamingIngest.compactCommits(spark, basePath)
+    }
+    val tables = Seq("m0_raw", "m1_episodic", "knowledge", "users",
+      "agents", "sessions", "rounds", "api_keys")
       .filter(t => TableOps.exists(spark, path(t)))
-      .foreach { t =>
+    timed("compact") {
+      tables.foreach { t =>
         if (TableOps.segmentCount(spark, path(t)) > maxSegments)
           TableOps.compact(spark, path(t))
-        TableOps.vacuum(spark, path(t), keepVersions)
       }
+    }
     // delete-aware index upkeep: once the tombstoned fraction crosses
     // the threshold, rebuild the live indexes from the current m1 —
     // bounding index bloat under deletion churn without per-delete
-    // posting-file rewrites
-    if (indexStaleFraction > indexStaleThreshold) rebuildStaleIndexes()
-    // superseded side-index and derived-layer versions (rebuilds keep
-    // the previous version alive for handles opened before the rebuild)
-    TableOps.vacuumArtifacts(spark, path("index"), "kw", keepVersions)
-    TableOps.vacuumArtifacts(spark, path("index"), "ivf", keepVersions)
-    TableOps.vacuumArtifacts(spark, path("m2"), "sem", keepVersions)
-    TableOps.vacuumArtifacts(spark, path("episodes"), "ep", keepVersions)
+    // posting-file rewrites. The timed "rebuild" phase is 0 when the
+    // fraction is under threshold — the bench sub-entry makes a
+    // rebuild-every-cycle regression visible instead of hiding it in
+    // the cycle total.
+    val rebuilt = timed("rebuild") {
+      val fire = indexStaleFraction > indexStaleThreshold
+      if (fire) rebuildStaleIndexes()
+      fire
+    }
+    timed("vacuum") {
+      tables.foreach(t => TableOps.vacuum(spark, path(t), keepVersions))
+      // superseded side-index and derived-layer versions (rebuilds keep
+      // the previous version alive for handles opened before the rebuild)
+      TableOps.vacuumArtifacts(spark, path("index"), "kw", keepVersions)
+      TableOps.vacuumArtifacts(spark, path("index"), "ivf", keepVersions)
+      TableOps.vacuumArtifacts(spark, path("m2"), "sem", keepVersions)
+      TableOps.vacuumArtifacts(spark, path("episodes"), "ep", keepVersions)
+    }
     clearCache()
+    rebuilt
   }
 
   /** A9 store stats counters (the reference's per-store stats surface):

@@ -161,12 +161,16 @@ object StreamingIngest {
       checkpoint: String,
       maxRounds: Int = 5,
       interWriteHook: Long => Unit = _ => (),
-      compactEvery: Long = 64L): StreamingQuery = {
+      compactEvery: Long = 64L,
+      // production cadence ~the reference's flush interval; tests and
+      // throughput benches pass ProcessingTime(0) so micro-batches chain
+      // without trigger idle
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     val batches = sessionBatcher(messages, maxTokens, timeoutMs, maxRounds)
     batches.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[SessionBatch], batchId: Long) =>
         val df = batch.toDF().persist()
         // dual-queue flush 1/2: original messages → m0_raw (an immutable

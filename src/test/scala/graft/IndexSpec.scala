@@ -318,6 +318,39 @@ class IndexSpec extends SparkSpec {
       "rebuilt indexes still answer identically")
   }
 
+  test("stale rebuild fires only past threshold — never every maintain cycle") {
+    val dir = Files.createTempDirectory("idxcadence").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    (1 to 4).foreach(i => engine.createSession(s"s$i", "u1", "a1"))
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s2", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s3", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s4", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    engine.buildIndexes(nlist = 2)
+    // 1 of 4 chunks dead → stale 0.25, UNDER the 0.3 default threshold:
+    // maintain must report no rebuild and leave the tombstone log alone
+    engine.deleteSession("s4")
+    assert(engine.indexStaleFraction == 0.25)
+    val phases = scala.collection.mutable.Map.empty[String, Double]
+    assert(!engine.maintain(onPhase = (p, t) => phases(p) = t),
+      "rebuild must not fire under the stale threshold")
+    assert(engine.indexStaleFraction == 0.25,
+      "tombstones survive a maintain that did not rebuild")
+    assert(Set("commit_fold", "compact", "rebuild", "vacuum")
+      .subsetOf(phases.keySet))
+    // crossing the threshold (2 of 4 dead) fires exactly one rebuild;
+    // the cycle after it is again a no-op — the cadence is amortized,
+    // not per-maintain
+    engine.deleteSession("s3")
+    assert(engine.indexStaleFraction == 0.5)
+    assert(engine.maintain(), "rebuild must fire past the threshold")
+    assert(engine.indexStaleFraction == 0.0)
+    assert(!engine.maintain(), "the post-rebuild cycle must be a no-op")
+  }
+
   test("message mutation never re-indexes regenerated identical chunks") {
     // character chunking re-chunks the whole round on update; the
     // untouched message's chunks regenerate IDENTICAL content-addressed

@@ -118,4 +118,32 @@ class IvfPqSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
       s"probe must push a cluster partition filter:\n$scan")
   }
+
+  test("q168 frontier: recall monotone in oversample; max-oversample recall monotone in nProbe") {
+    val rows = SparkEntry.queries("q168_ann_frontier")(spark, sf())
+      .as[(Long, Long, Long)].collect().toSeq
+    val byNp = rows.groupBy(_._1)
+    // PROVABLE property: at fixed nProbe, growing the rescore pool
+    // (oversample) can only add exact-cosine-better candidates — any
+    // true-top-10 member displaced from the rescored cut is displaced
+    // by another true-top-10 member, so overlap@10 never decreases.
+    byNp.foreach { case (np, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted == sorted.sorted,
+        s"overlap@10 must be non-decreasing in oversample at nProbe=$np: $rs")
+    }
+    // Regression pin on the deterministic fixture: at the LARGEST
+    // oversample the curve is monotone in nProbe (at small oversample
+    // it genuinely need not be — wider probes admit better-ADC but
+    // worse-exact candidates into the small rescore pool; the sweep
+    // exists precisely to expose that operating-point trade).
+    val maxOs = rows.map(_._2).max
+    val atMaxOs = rows.filter(_._2 == maxOs).sortBy(_._1).map(_._3)
+    assert(atMaxOs == atMaxOs.sorted,
+      s"overlap@10 at oversample=$maxOs must be non-decreasing in nProbe: $atMaxOs")
+    // full probe + widest pool must dominate every operating point
+    val best = rows.filter(r => r._1 == rows.map(_._1).max && r._2 == maxOs).head._3
+    assert(rows.forall(_._3 <= best),
+      "the widest operating point must dominate the frontier")
+  }
 }
