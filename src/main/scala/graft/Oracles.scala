@@ -3068,5 +3068,10 @@ object Oracles {
          |FROM q JOIN tk USING (doc_id), th
          |WHERE q.quality >= th.threshold
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-  )
+  ) ++ SparkEntry.SharedSqlQueries.map { case (name, _, text) =>
+    // the verbatim shared-SQL family: the oracle twin is the SAME text
+    // modulo the two documented token substitutions (see
+    // SparkEntry.duckanizeSql)
+    name -> SparkEntry.duckanizeSql(text)
+  }.toMap
 }

@@ -35,6 +35,119 @@ object SparkEntry {
       |  FROM spend)
       |WHERE rn <= 2 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** The verbatim shared-SQL family (q169–q178): each entry is ONE SQL
+    * text BOTH engines run — Spark over temp views through the
+    * [[GraftExtensions]] session (so the registered functions and
+    * optimizer rules sit on the SQL path) and DuckDB over the parquet
+    * views — guarding the SQL surface against DataFrame-only drift.
+    * The texts stay inside the ANSI intersection of the two dialects:
+    * exact sums via the inline scaled-long form, truncation via floor,
+    * every aggregate CAST-pinned, a total ORDER BY. The one documented
+    * exception: DuckDB spells Spark's `dot_product(x, y)` as
+    * `list_dot_product(x, y)` and `ARRAY<DOUBLE>` as `DOUBLE[]`;
+    * [[duckanizeSql]] applies exactly those two token substitutions to
+    * derive the oracle twin — everything else is byte-identical.
+    * Entries: (name, views used, text). */
+  private def sharedXsum(x: String): String =
+    s"(CAST(SUM(CAST(floor($x) AS BIGINT)) AS DOUBLE) + " +
+      s"CAST(SUM(CAST(floor((($x) - floor($x)) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)"
+  private def sharedTrunc6(x: String): String =
+    s"CAST(floor(($x) * 1e6) / 1e6 AS DOUBLE)"
+  private[graft] val SharedSqlQueries: Seq[(String, Seq[String], String)] = Seq(
+    // row_number() <= k from SQL — WindowTopKRewrite must route this
+    // into the TopKPerKey heap operator (PlanSpec pins it); DuckDB just
+    // runs the window
+    ("q169_sql_topk_per_group", Seq("lineitem"),
+      """SELECT l_returnflag, l_orderkey, l_extendedprice, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin),
+    // the registered codegen'd dot_product through spark.sql — the
+    // GraftSql function surface exercised from a shared text
+    ("q170_sql_dot_product", Seq("embeddings"),
+      s"""SELECT e.vec_id AS id,
+         |       ${sharedTrunc6("dot_product(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv)")} AS dot
+         |FROM embeddings e,
+         |     (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0
+         |ORDER BY dot DESC, id LIMIT 10""".stripMargin),
+    ("q171_sql_revenue_by_nation", Seq("orders", "customer", "nation"),
+      s"""SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${sharedXsum("o.o_totalprice")} AS revenue
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+    ("q172_sql_running_monthly", Seq("orders"),
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n, CAST(sum(n) OVER (ORDER BY month) AS BIGINT) AS running_n
+        |FROM m ORDER BY month""".stripMargin),
+    ("q173_sql_exists_semi", Seq("customer", "orders"),
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+    ("q174_sql_filter_agg", Seq("orders"),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE o_totalprice > CAST(100000.0 AS DOUBLE)) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ("q175_sql_string_report", Seq("part"),
+      """SELECT upper(substr(p_name, 1, 8)) AS prefix8,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(length(p_name)) AS BIGINT) AS min_len
+        |FROM part GROUP BY 1 ORDER BY prefix8""".stripMargin),
+    ("q176_sql_intersect", Seq("supplier", "lineitem"),
+      """SELECT CAST(s_suppkey AS BIGINT) AS key FROM supplier
+        |WHERE s_acctbal > CAST(5000.0 AS DOUBLE)
+        |INTERSECT
+        |SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
+        |WHERE l_quantity >= CAST(45.0 AS DOUBLE)
+        |ORDER BY key""".stripMargin),
+    ("q177_sql_having", Seq("lineitem"),
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 6
+        |ORDER BY l_partkey""".stripMargin),
+    ("q178_sql_case_buckets", Seq("orders"),
+      """SELECT CASE WHEN o_totalprice < CAST(50000.0 AS DOUBLE) THEN 'small'
+        |            WHEN o_totalprice < CAST(150000.0 AS DOUBLE) THEN 'mid'
+        |            ELSE 'large' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+    ("q179_sql_anti", Seq("customer", "orders"),
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** The two mechanical token substitutions separating the dialects on
+    * the shared texts (see [[SharedSqlQueries]]). */
+  private[graft] def duckanizeSql(text: String): String =
+    text.replace("dot_product(", "list_dot_product(")
+      .replace("ARRAY<DOUBLE>", "DOUBLE[]")
+
+  private def sharedSqlRun(s: SparkSession, d: String,
+      views: Seq[String], text: String): DataFrame = {
+    views.foreach { v =>
+      val df = v match {
+        case "region" => Tables.region(s, d)
+        case "nation" => Tables.nation(s, d)
+        case "customer" => Tables.customer(s, d)
+        case "supplier" => Tables.supplier(s, d)
+        case "part" => Tables.part(s, d)
+        case "orders" => Tables.orders(s, d)
+        case "lineitem" => Tables.lineitem(s, d)
+        case "events" => Tables.events(s, d)
+        case "documents" => Tables.documents(s, d)
+        case "embeddings" => Tables.embeddings(s, d)
+      }
+      df.createOrReplaceTempView(v)
+    }
+    s.sql(text)
+  }
+
   // ---- shared constants (must match the literal values in Oracles) ----
   private[graft] val KwQuery = "spark join filter table scan the"
   private[graft] val Bm25Terms = Seq("join", "filter", "table", "scan")
@@ -311,7 +424,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     hybridQuery(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- relational scans / filters / joins / aggregations ----
     "q01_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1847,7 +1961,9 @@ object SparkEntry {
         .select(col("id"), col("score"), col("store_type"))
         .orderBy("id")
     }),
-  )
+  ) ++ SharedSqlQueries.map { case (name, views, text) =>
+    name -> ((s: SparkSession, d: String) => sharedSqlRun(s, d, views, text))
+  }.toMap
 
   /** Bench-only entries (no oracle): measured by [[Bench]] alongside the
     * oracle-checked queries, named x* so the bench log separates them.

@@ -399,4 +399,18 @@ class PlanSpec extends SparkSpec {
       assert(!keyed.queryExecution.executedPlan.toString.contains("_graft_pbin"))
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
+
+  test("shared-SQL q169: WindowTopKRewrite routes row_number()<=k from spark.sql into TopKPerKey") {
+    val p = SparkEntry.queries("q169_sql_topk_per_group")(spark, sf())
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerKey"),
+      "the SQL-path window-topk must hit the heap operator, not a full sort: " + p.take(2000))
+  }
+
+  test("shared-SQL q170: dot_product from spark.sql resolves to the codegen'd DotProduct") {
+    val p = SparkEntry.queries("q170_sql_dot_product")(spark, sf())
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("dotproduct("),
+      "the registered function must be on the SQL plan: " + p.take(2000))
+  }
 }
