@@ -2455,6 +2455,98 @@ object Oracles {
          |WHERE dist IS NOT NULL ORDER BY v""".stripMargin
     },
 
+    // q180: weighted SSSP — q164's unrolled frontier chain with
+    // min-plus relaxation over w = 1 − jaccard (dist doubles stay raw
+    // through the rounds, truncated once at output, mirroring the
+    // Spark fold op-for-op)
+    "q180_sssp" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""p$i AS (SELECT e.dst AS v, min(d.dist + e.w) AS nd
+           |        FROM ed0 e JOIN d${i - 1} d ON d.v = e.src AND d.dist IS NOT NULL
+           |        GROUP BY e.dst),
+           |d$i AS (SELECT d.v,
+           |          CASE WHEN d.dist IS NULL THEN p.nd
+           |               WHEN p.nd IS NULL THEN d.dist
+           |               ELSE least(d.dist, p.nd) END AS dist
+           |        FROM d${i - 1} d LEFT JOIN p$i p USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst,
+         |          CAST(1.0 AS DOUBLE) - jaccard AS w FROM pairs
+         |        UNION ALL
+         |        SELECT doc_b AS src, doc_a AS dst,
+         |          CAST(1.0 AS DOUBLE) - jaccard AS w FROM pairs),
+         |d0 AS (SELECT DISTINCT src AS v,
+         |         CASE WHEN src = 0 THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS dist
+         |       FROM ed0),
+         |$rounds
+         |SELECT v, ${t6("dist")} AS dist FROM d4
+         |WHERE dist IS NOT NULL ORDER BY v""".stripMargin
+    },
+
+    // q181: unrolled-kernel EWMA — the α^j weights are pinned
+    // driver-side (α = 0.5 → exact binary fractions) and the
+    // numerator/denominator CASE chains fold left in the same order as
+    // the Spark expression tree
+    "q181_ewma" -> {
+      val (alpha, depth) = (0.5, 5)
+      val ws = (0 to depth).map(j => math.pow(alpha, j))
+      val lags = (0 to depth).map { j =>
+        if (j == 0) "value"
+        else s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+      }
+      val num = lags.zip(ws).map { case (x, w) =>
+        s"CASE WHEN $x IS NOT NULL THEN $x * CAST(${w.toString} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      }.mkString("(", " + ", ")")
+      val den = lags.zip(ws).map { case (x, w) =>
+        s"CASE WHEN $x IS NOT NULL THEN CAST(${w.toString} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      }.mkString("(", " + ", ")")
+      s"""SELECT user_id, event_id, ts_us, ${t6(s"$num / $den")} AS ewma
+         |FROM (SELECT user_id, event_id, $tsUs AS ts_us, value FROM events)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    },
+
+    // q182: NDCG@10 + MRR of the rescored IVF-PQ ranking vs the exact
+    // scan — the q81 rescore pipeline ranked, graded by exact position,
+    // ln-discounted; IDCG pinned driver-side into both texts
+    "q182_ndcg_mrr" -> {
+      val idcg = (1 to 10).map(i => (11 - i).toDouble / math.log(i + 1.0)).sum
+      val dcgTerm = "CASE WHEN erank IS NOT NULL THEN " +
+        "CAST(11 - erank AS DOUBLE) / ln(CAST(arank + 1 AS DOUBLE)) " +
+        "ELSE CAST(0.0 AS DOUBLE) END"
+      s"""WITH exact AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS erank
+         |  FROM (${vectorScanSql(SparkEntry.KnnQueryId, 10)})),
+         |approx0 AS (
+         |  SELECT a.id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |  FROM (${ivfPqSql(SparkEntry.IvfPqNlist, SparkEntry.IvfPqM,
+               SparkEntry.IvfPqKsub, SparkEntry.PqIters, SparkEntry.PqSample,
+               SparkEntry.IvfPqNProbe, 40)}) a
+         |  JOIN embeddings e ON e.vec_id = a.id,
+         |       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |        WHERE vec_id = ${SparkEntry.KnnQueryId}) q
+         |  ORDER BY score DESC, id LIMIT 10),
+         |approx AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS arank
+         |  FROM approx0),
+         |j AS (SELECT a.arank, e.erank FROM approx a LEFT JOIN exact e USING (id))
+         |SELECT ${t6(s"${dsum12(dcgTerm)} / CAST(${idcg.toString} AS DOUBLE)")} AS ndcg_at_10,
+         |       ${t6("coalesce(CAST(1.0 AS DOUBLE) / CAST(min(CASE WHEN erank = 1 THEN arank END) AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS mrr
+         |FROM j""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1478,6 +1478,59 @@ object SparkEntry {
       GraphOps.personalizedPageRank(nearDupPairEdges(s, d), source = 0L,
         iters = 5)),
 
+    // ---- weighted single-source shortest paths (Bellman–Ford, 4
+    // unrolled min-plus rounds) over the near-dup graph with
+    // w = 1 − jaccard: how duplicate-reachable each doc is from the
+    // source family — one join + one min-agg per round ----
+    "q180_sssp" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        n = 3, threshold = 0.5)
+      def half(a: String, b: String) =
+        pairs.select(col(a).as("src"), col(b).as("dst"),
+          (lit(1.0) - col("jaccard")).as("w"))
+      GraphOps.sssp(half("doc_a", "doc_b").union(half("doc_b", "doc_a")),
+        source = 0L, rounds = 4)
+    }),
+
+    // ---- EWMA over event time per user: fixed-depth unrolled kernel
+    // (α = 0.5 → exact power-of-two weights), normalized over present
+    // lags — one user-keyed shuffle, zero recursive state ----
+    "q181_ewma" -> ((s, d) =>
+      EventOps.ewma(Tables.events(s, d), alpha = 0.5, depth = 5)),
+
+    // ---- graded ranking quality of the served ANN path: NDCG@10 and
+    // MRR of the rescored IVF-PQ ranking against the exact scan
+    // (completes the audit family beyond set-overlap recall: position-
+    // sensitive quality as oracle-checked DATA; ln-discounted DCG so
+    // both engines discount through the already-parity-proven ln) ----
+    "q182_ndcg_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, rankName: String) =
+        df.withColumn(rankName, row_number().over(
+          Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      val exact = ranked(Retrieval.cosineKnn(Tables.embeddings(s, d),
+        KnnQueryId, topK = 10), "erank").select("id", "erank")
+      val approx = ranked(ivfPqIndexFor(s, d).query(ivfQueryVec(s, d),
+        topK = 10, nProbe = IvfPqNProbe, excludeId = Some(KnnQueryId),
+        rescoreFrom = Some(Tables.embeddings(s, d)), oversample = 4), "arank")
+        .select("id", "arank")
+      // ideal DCG for 10 graded positions, pinned driver-side
+      val idcg = (1 to 10).map(i => (11 - i).toDouble / math.log(i + 1.0)).sum
+      approx.join(exact, Seq("id"), "left")
+        .select(col("arank"), col("erank"))
+        .agg(
+          trunc6(dsum12(when(col("erank").isNotNull,
+            (lit(11L) - col("erank")).cast("double") /
+              log((col("arank") + lit(1L)).cast("double")))
+            .otherwise(lit(0.0))) / lit(idcg)).as("ndcg_at_10"),
+          trunc6(coalesce(
+            lit(1.0) / min(when(col("erank") === 1L, col("arank")))
+              .cast("double"),
+            lit(0.0))).as("mrr"))
+    }),
+
     // ---- referential-integrity audit: orphan counts across the FK
     // graph in one pass of anti-joins (the ingest health check) ----
     "q166_integrity_audit" -> ((s, d) => {

@@ -312,4 +312,38 @@ object EventOps {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"))
   }
+
+  /** Exponentially-weighted moving average of `value` per user over
+    * event-time order, as a FIXED-DEPTH unrolled kernel: y_t =
+    * Σ_{j=0..depth} α^j·x_{t−j} / Σ_{j present} α^j (normalized over
+    * the lags that exist, so the first rows of a user are averages of
+    * what is there, not biased toward zero). The truncated kernel is
+    * the operator's definition — α^depth+1 tail mass is dropped — which
+    * makes it a pure per-row expression over `depth` lag() calls: one
+    * user-keyed shuffle, no recursive state, and an IDENTICAL unrolled
+    * SQL twin (a true recursive EWMA is order-dependent running state
+    * that neither engine evaluates reproducibly across partitionings).
+    * The α^j weights are computed driver-side once and pinned into
+    * both texts. */
+  def ewma(events: DataFrame, alpha: Double, depth: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val weights = (0 to depth).map(j => math.pow(alpha, j))
+    val src = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val lags = (0 to depth).map { j =>
+      if (j == 0) col("value") else lag(col("value"), j).over(byUser)
+    }
+    val num = lags.zip(weights).map { case (x, w) =>
+      when(x.isNotNull, x * lit(w)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (x, w) =>
+      when(x.isNotNull, lit(w)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    src
+      .withColumn("ewma", trunc6(num / den))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ewma"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
 }

@@ -289,4 +289,38 @@ object GraphOps {
       .orderBy(col("path_weight").desc, col("dst"))
       .limit(topK)
   }
+
+  /** Single-source shortest paths over WEIGHTED edges within a fixed
+    * `rounds` horizon (Bellman–Ford, level-synchronous: each round is
+    * ONE src-keyed join + min-aggregation over the checkpointed edge
+    * list — the distributed min-plus relaxation, never a driver-side
+    * frontier). The fixed horizon makes the SQL twin an identical
+    * unroll; weights must be non-negative (relaxation monotone).
+    * Weight sums stay raw IEEE doubles through the rounds — the same
+    * left-fold in both engines — and truncate once at the output.
+    * On the near-dup graph with w = 1 − jaccard this ranks how
+    * "duplicate-reachable" every doc is from the source family. */
+  def sssp(edges: DataFrame, source: Long, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("w").cast("double").as("w")).localCheckpoint()
+    var dist = e.select(col("src").as("v")).distinct()
+      .withColumn("dist",
+        when(col("v") === source, lit(0.0)).otherwise(lit(null).cast("double")))
+    for (_ <- 1 to rounds) {
+      val prop = e
+        .join(dist.select(col("v").as("src"), col("dist").as("sd")), "src")
+        .filter(col("sd").isNotNull)
+        .groupBy(col("dst").as("v")).agg(min(col("sd") + col("w")).as("nd"))
+      dist = dist.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist").isNotNull)
+      .select(col("v"), trunc6(col("dist")).as("dist"))
+      .orderBy("v")
+  }
 }
