@@ -32,6 +32,10 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    // reentrant from tests: getOrCreate returns any active session —
+    // only stop the session if this main actually created it
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,6 +91,6 @@ object ScaleUp {
     }, "embeddings")
 
     println(s"scaled $src -> $dst x$factor")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }
