@@ -2547,6 +2547,47 @@ object Oracles {
          |FROM j""".stripMargin
     },
 
+    // q183: exact per-group median — identical rank math ((n+1)//2 and
+    // (n+2)//2 middle rows, min+max averaged)
+    "q183_exact_median" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_mid,
+         |       ${t6("(min(l_extendedprice) + max(l_extendedprice)) / CAST(2.0 AS DOUBLE)")} AS median
+         |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q184: the one-pass pairwise Pearson matrix — same 15 scaled-long
+    // moment slots (psum6 where extendedprice inflates the product,
+    // zsum8 otherwise), six correlations off the single moment row
+    "q184_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def sumf(a: String, b: String)(x: String): String =
+        if (a == "l_extendedprice" || b == "l_extendedprice") psum6(x)
+        else zsum8(x)
+      val slots = cs.map(c => s"${xsum(c)} AS s_$c") ++
+        (for { i <- cs.indices; j <- i until cs.length } yield
+          s"${sumf(cs(i), cs(j))(s"${cs(i)} * ${cs(j)}")} AS p_${i}_$j")
+      val rows = for { i <- cs.indices; j <- (i + 1) until cs.length } yield {
+        val (sa, sb) = (s"s_${cs(i)}", s"s_${cs(j)}")
+        s"""SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b,
+           |  ${t6(s"(CAST(n AS DOUBLE) * p_${i}_$j - $sa * $sb) / " +
+              s"(sqrt(CAST(n AS DOUBLE) * p_${i}_$i - $sa * $sa) * " +
+              s"sqrt(CAST(n AS DOUBLE) * p_${j}_$j - $sb * $sb))")} AS corr
+           |FROM m""".stripMargin
+      }
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         ${slots.mkString(",\n         ")}
+         |  FROM lineitem)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

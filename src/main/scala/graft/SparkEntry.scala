@@ -1531,6 +1531,54 @@ object SparkEntry {
             lit(0.0))).as("mrr"))
     }),
 
+    // ---- exact per-group median via rank math (one partition-parallel
+    // window sort; the (n+1)/2,(n+2)/2 middle rows averaged — the exact
+    // twin of the q114 DDSketch scale path) ----
+    "q183_exact_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_mid"),
+          trunc6((min(col("l_extendedprice")) + max(col("l_extendedprice"))) /
+            lit(2.0)).as("median"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- pairwise Pearson matrix over four measures in ONE pass:
+    // 15 map-side-combinable moment accumulators (scaled-long exact —
+    // psum6 where extendedprice inflates the product, zsum8 for the
+    // small ones), then the 6 correlations unfold from the single
+    // 1-row moment frame ----
+    "q184_corr_matrix" -> ((s, d) => {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def sumf(a: String, b: String)(
+          c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (a == "l_extendedprice" || b == "l_extendedprice") psum6(c)
+        else zsum8(c)
+      val aggs = cs.map(c => xsum(col(c)).as(s"s_$c")) ++
+        (for { i <- cs.indices; j <- i until cs.length } yield
+          sumf(cs(i), cs(j))(col(cs(i)) * col(cs(j))).as(s"p_${i}_$j"))
+      val m = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val nD = col("n").cast("double")
+      (for { i <- cs.indices; j <- (i + 1) until cs.length } yield {
+        val (sa, sb) = (col(s"s_${cs(i)}"), col(s"s_${cs(j)}"))
+        m.select(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"),
+          trunc6((nD * col(s"p_${i}_$j") - sa * sb) /
+            (sqrt(nD * col(s"p_${i}_$i") - sa * sa) *
+              sqrt(nD * col(s"p_${j}_$j") - sb * sb))).as("corr"))
+      }).reduce(_ unionByName _).orderBy("col_a", "col_b")
+    }),
+
     // ---- referential-integrity audit: orphan counts across the FK
     // graph in one pass of anti-joins (the ingest health check) ----
     "q166_integrity_audit" -> ((s, d) => {
