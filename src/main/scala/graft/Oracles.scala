@@ -2588,6 +2588,33 @@ object Oracles {
          |ORDER BY col_a, col_b""".stripMargin
     },
 
+    // q185: SCD2 dimension build — change detection via null-safe
+    // IS DISTINCT FROM lag over the raw feed, then lead() over the
+    // surviving version starts (mirrors TableOps.scd2 op-for-op)
+    "q185_scd2" ->
+      s"""WITH f AS (SELECT user_id, event_type, $tsUs AS ts_us, event_id FROM events),
+         |s AS (SELECT user_id, event_type, ts_us, event_id,
+         |        (lag(ts_us) OVER w IS NULL OR
+         |         event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+         |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |v AS (SELECT user_id, event_type, ts_us, event_id FROM s WHERE chg)
+         |SELECT user_id, event_type, ts_us AS valid_from,
+         |       lead(ts_us) OVER w2 AS valid_to,
+         |       lead(ts_us) OVER w2 IS NULL AS is_current
+         |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |ORDER BY user_id, valid_from""".stripMargin,
+
+    // q186: melt ≡ the UNION ALL long form, same per-measure exact sums
+    "q186_melt" ->
+      s"""SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+         |       ${t6(xsum("val"))} AS total
+         |FROM (
+         |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         |GROUP BY l_returnflag, measure
+         |ORDER BY l_returnflag, measure""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -120,7 +120,14 @@ object SparkEntry {
     ("q179_sql_anti", Seq("customer", "orders"),
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin),
+    ("q187_sql_grouping_sets", Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin))
 
   /** The two mechanical token substitutions separating the dialects on
     * the shared texts (see [[SharedSqlQueries]]). */
@@ -1578,6 +1585,28 @@ object SparkEntry {
               sqrt(nD * col(s"p_${j}_$j") - sb * sb))).as("corr"))
       }).reduce(_ unionByName _).orderBy("col_a", "col_b")
     }),
+
+    // ---- type-2 slowly-changing dimension from the event feed: each
+    // user's event_type history versioned into [valid_from, valid_to)
+    // rows with unchanged-value collapse — one key shuffle, two windows
+    // (TableOps.scd2; the dimension-build twin of q141's CDC diff) ----
+    "q185_scd2" -> ((s, d) =>
+      pipeline.TableOps.scd2(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        key = "user_id", attrs = Seq("event_type"),
+        tsCol = "ts_us", tieCol = "event_id")),
+
+    // ---- wide→long melt of the lineitem measures (Spark unpivot ≡
+    // the SQL UNION-ALL form), re-aggregated per (flag, measure) ----
+    "q186_melt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"), trunc6(xsum(col("val"))).as("total"))
+        .orderBy("l_returnflag", "measure")),
 
     // ---- referential-integrity audit: orphan counts across the FK
     // graph in one pass of anti-joins (the ingest health check) ----

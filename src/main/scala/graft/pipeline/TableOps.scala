@@ -645,4 +645,34 @@ object TableOps {
     tryCommit(spark, tablePath, 0L, bucketed, schema, legacy)
     true // a lost race means another upgrader committed v0 — just as good
   }
+
+  /** Type-2 slowly-changing dimension from a change feed: rows
+    * (key, attrs…, ordered by `tsCol` with `tieCol` breaking equal
+    * timestamps) become versioned rows [valid_from, valid_to) with
+    * `is_current` on the open version. Consecutive feed rows whose
+    * attrs are null-safely UNCHANGED collapse into one version — no
+    * spurious versions from idempotent re-sends. Two windows over one
+    * key-shuffle (change detection on the feed, then lead() over the
+    * surviving version starts); cost ∝ feed, never dimension history.
+    * The warehouse-dimension twin of [[snapshotDiff]]'s CDC report. */
+  def scd2(feed: DataFrame, key: String, attrs: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    val changed = attrs.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val starts = feed
+      .withColumn("__start",
+        lag(col(tsCol), 1).over(w).isNull || changed)
+      .filter(col("__start"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    starts
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(key) +: attrs.map(col)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+      .orderBy(col(key), col("valid_from"))
+  }
 }

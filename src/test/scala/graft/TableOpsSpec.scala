@@ -338,4 +338,28 @@ class TableOpsSpec extends SparkSpec {
     // round trip is lossless
     assert(spark.read.parquet(zDir).count() == 4096)
   }
+
+  test("scd2: versions open/close correctly, unchanged re-sends collapse, nulls are changes") {
+    val feed = Seq(
+      ("u1", "bronze", 1L, 1L),
+      ("u1", "bronze", 2L, 2L),  // idempotent re-send: NO new version
+      ("u1", "silver", 3L, 3L),
+      ("u1", null,     4L, 4L),  // null IS a change (null-safe compare)
+      ("u1", "gold",   5L, 5L),
+      ("u2", "bronze", 1L, 6L))
+      .toDF("user_id", "tier", "ts", "event_id")
+    val dim = TableOps.scd2(feed, "user_id", Seq("tier"), "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(dim.toSeq == Seq(
+      ("u1", "bronze", 1L, 3L, false),
+      ("u1", "silver", 3L, 4L, false),
+      ("u1", null, 4L, 5L, false),
+      ("u1", "gold", 5L, -1L, true),
+      ("u2", "bronze", 1L, -1L, true)))
+    // exactly one open version per key
+    val dimDf = TableOps.scd2(feed, "user_id", Seq("tier"), "ts", "event_id")
+    assert(dimDf.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+  }
 }
