@@ -1577,13 +1577,21 @@ object SparkEntry {
       val m = Tables.lineitem(s, d)
         .agg(count(lit(1)).as("n"), aggs: _*)
       val nD = col("n").cast("double")
-      (for { i <- cs.indices; j <- (i + 1) until cs.length } yield {
-        val (sa, sb) = (col(s"s_${cs(i)}"), col(s"s_${cs(j)}"))
-        m.select(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"),
-          trunc6((nD * col(s"p_${i}_$j") - sa * sb) /
-            (sqrt(nD * col(s"p_${i}_$i") - sa * sa) *
-              sqrt(nD * col(s"p_${j}_$j") - sb * sb))).as("corr"))
-      }).reduce(_ unionByName _).orderBy("col_a", "col_b")
+      // unfold the six pairs from the SINGLE 1-row moment frame via a
+      // row-local explode — a union of per-pair selects would re-scan
+      // and re-aggregate the fact table once per pair (verified in the
+      // physical plan: 6 independent Scan+HashAggregate chains)
+      val pairRows = for { i <- cs.indices; j <- (i + 1) until cs.length }
+        yield {
+          val (sa, sb) = (col(s"s_${cs(i)}"), col(s"s_${cs(j)}"))
+          struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"),
+            trunc6((nD * col(s"p_${i}_$j") - sa * sb) /
+              (sqrt(nD * col(s"p_${i}_$i") - sa * sa) *
+                sqrt(nD * col(s"p_${j}_$j") - sb * sb))).as("corr"))
+        }
+      m.select(explode(array(pairRows: _*)).as("r"))
+        .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+        .orderBy("col_a", "col_b")
     }),
 
     // ---- type-2 slowly-changing dimension from the event feed: each

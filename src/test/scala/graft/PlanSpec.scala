@@ -413,4 +413,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct("),
       "the registered function must be on the SQL plan: " + p.take(2000))
   }
+
+  test("q183/q185: stacked windows share ONE exchange; q184 is a single scan") {
+    def plan(q: String) = SparkEntry.queries(q)(spark, sf())
+      .queryExecution.executedPlan.toString()
+    // exact median: rank + count windows must reuse one user-keyed
+    // exchange (3 total: window shuffle, post-agg shuffle, final sort)
+    val med = plan("q183_exact_median")
+    assert(med.sliding("Exchange".length).count(_ == "Exchange") <= 4,
+      "median must not add per-window exchanges: " + med.take(1500))
+    // scd2: change-detect and version-close windows share the key sort
+    val scd = plan("q185_scd2")
+    assert(scd.sliding("Exchange".length).count(_ == "Exchange") <= 3,
+      "scd2 must stack both windows on one shuffle: " + scd.take(1500))
+    // corr matrix: ONE fact-table scan feeds all six pairs (a union of
+    // per-pair selects would re-scan per pair)
+    val corr = plan("q184_corr_matrix")
+    assert(corr.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "corr matrix must aggregate the fact table exactly once: " + corr.take(1500))
+  }
 }
