@@ -536,6 +536,41 @@ object Oracles {
   }
 
   /** q72's HLL replay — also wrapped by q152's error audit. */
+  /** Generic md5-HLL cardinality estimate per `key` over `src` (a
+    * FROM-able relation exposing columns `key` and `value`) — the SQL
+    * twin of Sketches.hllSketch+hllEstimate for any keyed column. */
+  private def hllByKeySql(src: String, key: String, value: String): String = {
+    val b = 6; val m = 1 << b; val alpha = 0.709
+    val rhoCase = (1 to 52).map { k =>
+      s"WHEN body % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }.mkString("CASE ", " ", " ELSE 53 END")
+    s"""WITH hs AS (
+       |  SELECT $key,
+       |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % $m AS register,
+       |    $rhoCase AS r
+       |  FROM (SELECT $key, md5(concat('hll|', $value)) AS h,
+       |          CAST(concat('0x', substr(md5(concat('hll|', $value)), 9, 13)) AS BIGINT) AS body
+       |        FROM $src WHERE $value IS NOT NULL)),
+       |sk AS (SELECT $key, register, max(r) AS max_rho
+       |       FROM hs GROUP BY $key, register),
+       |ag AS (SELECT $key,
+       |         CAST(SUM(CAST(power(2.0, 53 - max_rho) AS BIGINT)) AS BIGINT)
+       |           AS present_scaled,
+       |         count(*) AS n_present
+       |       FROM sk GROUP BY $key)
+       |SELECT $key,
+       |  ${t6(s"CASE WHEN rawE <= ${2.5 * m} AND zeros > 0 " +
+           s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE)) " +
+           "ELSE rawE END")} AS est_distinct
+       |FROM (
+       |  SELECT $key, $m - n_present AS zeros,
+       |    (${alpha * m * m} * power(2.0, 53)) /
+       |      CAST(present_scaled + ($m - n_present) *
+       |           CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) AS rawE
+       |  FROM ag)
+       |ORDER BY $key""".stripMargin
+  }
+
   private val hllLangSql: String = {
       val b = 6; val m = 1 << b; val alpha = 0.709
       val rhoCase = (1 to 52).map { k =>
@@ -2614,6 +2649,23 @@ object Oracles {
          |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
          |GROUP BY l_returnflag, measure
          |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // q188: the sketched table profile — one long-form unfold, the
+    // generic md5-HLL per col_name, exact nulls and lexicographic
+    // min/max from the same long form
+    "q188_profile_sketched" -> {
+      val longf = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+        "o_orderstatus").map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM orders")
+        .mkString("(", "\n   UNION ALL ", ")")
+      s"""SELECT s.col_name, s.n_nulls, h.est_distinct, s.min_str, s.max_str
+         |FROM (
+         |  SELECT col_name, CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         |         min(v) AS min_str, max(v) AS max_str
+         |  FROM $longf t GROUP BY col_name) s
+         |JOIN (${hllByKeySql(s"$longf t2", "col_name", "v")}) h USING (col_name)
+         |ORDER BY col_name""".stripMargin
+    },
 
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {

@@ -1349,6 +1349,13 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
 
+    // ---- the 100 TB profile twin of q140: every column's distinct
+    // count from ONE sketch pass (per-column HLL registers keyed by
+    // col_name — mergeable, no multi-distinct expand) ----
+    "q188_profile_sketched" -> ((s, d) =>
+      Profile.tableProfileSketched(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -38,4 +38,33 @@ object Profile {
     }.toDF("col_name", "n_nulls", "n_distinct", "min_str", "max_str")
       .orderBy("col_name")
   }
+
+  /** The 100 TB profile: same report with the exact multi-distinct
+    * replaced by per-column HLL sketches, ALL built in one pass — the
+    * table unfolds row-locally to (col_name, stringified value) and a
+    * single sketch aggregation keyed by col_name produces every
+    * column's register table (|cols|·2^b rows, map-side combinable,
+    * shard-mergeable), where [[tableProfile]]'s exact path pays a
+    * |cols|× expand into a full distinct-aggregate. Nulls and
+    * lexicographic min/max stay exact in the same long form. Estimates
+    * use the engine-portable md5 HLL ([[Sketches.hllSketch]]), so the
+    * whole report is oracle-checkable. */
+  def tableProfileSketched(df: DataFrame, cols: Seq[String],
+      b: Int = 6): DataFrame = {
+    val longF = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+      .as("r"))
+      .select(col("r.col_name"), col("r.v"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketch(longF.filter(col("v").isNotNull),
+        Seq("col_name"), col("v"), b),
+      Seq("col_name"), b)
+    val stats = longF.groupBy("col_name").agg(
+      count(when(col("v").isNull, 1)).as("n_nulls"),
+      min(col("v")).as("min_str"), max(col("v")).as("max_str"))
+    stats.join(est, Seq("col_name"))
+      .select(col("col_name"), col("n_nulls"), col("est_distinct"),
+        col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
 }
