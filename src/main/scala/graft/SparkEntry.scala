@@ -1465,19 +1465,24 @@ object SparkEntry {
     // nProbe. The probe itself stays pure partition pruning — cost
     // scales with nProbe/nlist of the corpus, never the corpus. ----
     "q168_ann_frontier" -> ((s, d) => {
+      // the exact corpus scan — the dominant cost at scale — is built
+      // ONCE and joined against the union of all 12 probe results (the
+      // first cut recomputed it per combo: 12 corpus scans in the plan)
       val exact = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId,
-        topK = 10).select("id")
+        topK = 10).select(col("id"), lit(1L).as("hit"))
       val combos =
         for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
-      combos.map { case (np, os) =>
-        val approx = ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
+      val approxAll = combos.map { case (np, os) =>
+        ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
           nProbe = np, excludeId = Some(KnnQueryId),
           rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
-          .select("id")
-        exact.join(approx, "id").agg(count(lit(1)).as("overlap_at_10"))
           .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
-            col("overlap_at_10"))
-      }.reduce(_ unionByName _).orderBy("n_probe", "oversample")
+            col("id"))
+      }.reduce(_ unionByName _)
+      approxAll.join(exact, Seq("id"), "left")
+        .groupBy("n_probe", "oversample")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_at_10"))
+        .orderBy("n_probe", "oversample")
     }),
 
     // ---- batched serving: five queries' exact top-5 from ONE corpus
