@@ -2667,6 +2667,50 @@ object Oracles {
          |ORDER BY col_name""".stripMargin
     },
 
+    // q189: point-in-time lookup — the q185 dimension re-derived, each
+    // event joined to the version valid at its timestamp
+    "q189_scd2_lookup" ->
+      s"""WITH f AS (SELECT user_id, event_type, $tsUs AS ts_us, event_id FROM events),
+         |s AS (SELECT user_id, event_type, ts_us, event_id,
+         |        (lag(ts_us) OVER w IS NULL OR
+         |         event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+         |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |v AS (SELECT user_id, event_type, ts_us, event_id FROM s WHERE chg),
+         |dim AS (
+         |  SELECT user_id, ts_us AS valid_from,
+         |         lead(ts_us) OVER w2 AS valid_to,
+         |         CAST(row_number() OVER w2 AS BIGINT) AS version_rank
+         |  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |ev AS (SELECT user_id, $tsUs AS ts_us FROM events)
+         |SELECT d.version_rank, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         |FROM ev e JOIN dim d ON e.user_id = d.user_id
+         |  AND e.ts_us >= d.valid_from
+         |  AND (d.valid_to IS NULL OR e.ts_us < d.valid_to)
+         |GROUP BY d.version_rank ORDER BY d.version_rank""".stripMargin,
+
+    // q190: Benford audit — leading digit via the same ln-derived
+    // exponent both engines compute, expectations pinned driver-side
+    "q190_benford" -> {
+      val expected = (1 to 9).map(dd =>
+        dd -> (math.log(1.0 + 1.0 / dd) / math.log(10.0)))
+      val expCase = expected.map { case (dd, f) =>
+        s"WHEN digit = $dd THEN CAST(${f.toString} AS DOUBLE)"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      s"""WITH c AS (
+         |  SELECT CAST(floor(o_totalprice /
+         |           power(10.0, CAST(floor(ln(o_totalprice) / ln(10.0)) AS DOUBLE)))
+         |         AS BIGINT) AS digit,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM orders WHERE o_totalprice > CAST(0.0 AS DOUBLE)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+         |SELECT digit, n,
+         |       ${t6("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)")} AS obs_freq,
+         |       ${t6(expCase)} AS benford_freq
+         |FROM c, t ORDER BY digit""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1356,6 +1356,55 @@ object SparkEntry {
       Profile.tableProfileSketched(Tables.orders(s, d),
         Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))),
 
+    // ---- point-in-time lookup against the q185 SCD2 dimension: each
+    // event joins the version valid AT ITS TIMESTAMP (user-keyed
+    // equi-join + range predicate — co-partitioned, never a band-only
+    // cross product), rolled up per user-version ordinal ----
+    "q189_scd2_lookup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dim = pipeline.TableOps.scd2(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        key = "user_id", attrs = Seq("event_type"),
+        tsCol = "ts_us", tieCol = "event_id")
+        .withColumn("version_rank", row_number().over(
+          Window.partitionBy("user_id").orderBy("valid_from")).cast("long"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      ev.join(dim, ev("user_id") === dim("user_id") &&
+          ev("ts_us") >= dim("valid_from") &&
+          (dim("valid_to").isNull || ev("ts_us") < dim("valid_to")))
+        .groupBy(col("version_rank"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(ev("user_id")).as("n_users"))
+        .orderBy("version_rank")
+    }),
+
+    // ---- Benford first-digit audit of order totals: the fraud /
+    // data-quality screen — observed leading-digit frequencies against
+    // ln(1+1/d)/ln(10), expectations pinned driver-side ----
+    "q190_benford" -> ((s, d) => {
+      val x = col("o_totalprice")
+      val e10 = floor(log(x) / log(lit(10.0))).cast("double")
+      val digit = floor(x / pow(lit(10.0), e10)).cast("long")
+      val expected = (1 to 9).map(dd =>
+        dd.toLong -> math.log(1.0 + 1.0 / dd) / math.log(10.0))
+      val expCol = expected.tail.foldLeft(
+        when(col("digit") === expected.head._1, lit(expected.head._2))) {
+        case (acc, (dd, f)) => acc.when(col("digit") === dd, lit(f))
+      }
+      val counts = Tables.orders(s, d).filter(x > lit(0.0))
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("n_total"))
+      counts.crossJoin(total)
+        .select(col("digit"), col("n"),
+          trunc6(col("n").cast("double") / col("n_total").cast("double"))
+            .as("obs_freq"),
+          trunc6(expCol).as("benford_freq"))
+        .orderBy("digit")
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),
