@@ -121,6 +121,16 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin),
+    ("q191_sql_correlated_scalar", Seq("customer", "orders"),
+      """SELECT c_custkey,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT') AS n_urgent,
+        |       (SELECT max(o_totalprice) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin),
     ("q187_sql_grouping_sets", Seq("lineitem"),
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
         |       coalesce(l_linestatus, '(all)') AS linestatus,
