@@ -2711,6 +2711,56 @@ object Oracles {
          |FROM c, t ORDER BY digit""".stripMargin
     },
 
+    // q192: exact multi-quantiles — same rank convention as the
+    // DDSketch probes (max(1, ceil(q·n))), same tie-broken sort
+    "q192_exact_quantiles" ->
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn
+         |  FROM lineitem),
+         |probes AS (
+         |  SELECT l_returnflag AS flag, q,
+         |         greatest(CAST(1 AS BIGINT),
+         |           CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)) AS rank
+         |  FROM (SELECT l_returnflag, max(rn) AS n FROM ranked GROUP BY 1),
+         |       (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS q))
+         |SELECT p.flag AS l_returnflag, p.q, r.l_extendedprice AS value
+         |FROM probes p JOIN ranked r
+         |  ON p.flag = r.l_returnflag AND p.rank = r.rn
+         |ORDER BY l_returnflag, q""".stripMargin,
+
+    // q193: per-user z-score outliers — scaled-long moments, raw IEEE
+    // z expression identical on both sides, truncated only at output
+    "q193_zscore_outliers" ->
+      s"""WITH ev AS (SELECT user_id, value FROM events),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |         ${xsum("value")} AS sx, ${psum6("value * value")} AS sxx
+         |  FROM ev GROUP BY user_id),
+         |z AS (
+         |  SELECT e.user_id, m.n,
+         |         (e.value - m.sx / CAST(m.n AS DOUBLE)) /
+         |           sqrt(m.sxx / CAST(m.n AS DOUBLE) -
+         |             (m.sx / CAST(m.n AS DOUBLE)) * (m.sx / CAST(m.n AS DOUBLE))) AS z
+         |  FROM ev e JOIN m ON e.user_id = m.user_id)
+         |SELECT user_id, max(n) AS n_events,
+         |       CAST(count(CASE WHEN abs(z) > CAST(3.0 AS DOUBLE) THEN 1 END) AS BIGINT) AS n_outliers,
+         |       ${t6("max(abs(z))")} AS max_abs_z
+         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q194: join-key skew report — exact mean frequency and max/mean
+    // ratio off the per-key counts
+    "q194_skew_report" ->
+      s"""SELECT n_keys, max_n,
+         |       ${t6("CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)")} AS avg_n,
+         |       ${t6("CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE)")} AS skew_ratio
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS max_n,
+         |         CAST(sum(n) AS BIGINT) AS total
+         |  FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+         |        FROM lineitem GROUP BY l_partkey))""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1415,6 +1415,66 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    // ---- exact multi-quantiles per group from ONE window sort: the
+    // ddQuantiles rank convention (max(1, ⌈q·n⌉)) joined back against
+    // the ranked frame — the exact twin of q114 at arbitrary probes ----
+    "q192_exact_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val probes = ranked.groupBy("l_returnflag").agg(max(col("rn")).as("n"))
+        .withColumn("q", explode(array(qs.map(lit): _*)))
+        .withColumn("rank", greatest(lit(1L),
+          ceil(col("q") * col("n").cast("double")).cast("long")))
+        .select(col("l_returnflag").as("flag"), col("q"), col("rank"))
+      probes.join(ranked,
+          probes("flag") === ranked("l_returnflag") &&
+            probes("rank") === ranked("rn"))
+        .select(col("flag").as("l_returnflag"), col("q"),
+          col("l_extendedprice").as("value"))
+        .orderBy("l_returnflag", "q")
+    }),
+
+    // ---- per-user z-score outlier report: moments in one pass
+    // (scaled-long exact), z computed row-local after a user-keyed
+    // join — the monitoring screen before any threshold alert ----
+    "q193_zscore_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val m = ev.groupBy("user_id").agg(count(lit(1)).as("n"),
+        xsum(col("value")).as("sx"), psum6(col("value") * col("value")).as("sxx"))
+      val nD = col("n").cast("double")
+      val mu = col("sx") / nD
+      val sd = sqrt(col("sxx") / nD - mu * mu)
+      val z = (col("value") - mu) / sd
+      ev.join(m, "user_id")
+        .select(col("user_id"), col("n"), z.as("z"))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          count(when(abs(col("z")) > lit(3.0), 1)).as("n_outliers"),
+          trunc6(max(abs(col("z")))).as("max_abs_z"))
+        .orderBy("user_id")
+    }),
+
+    // ---- join-key skew report: the pre-flight that decides salting /
+    // AQE skew handling — key count, hottest key, exact mean
+    // frequency and the max/mean skew ratio in two tiny aggs ----
+    "q194_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"))
+      counts.agg(count(lit(1)).as("n_keys"), max(col("n")).as("max_n"),
+          sum(col("n")).as("total"))
+        .select(col("n_keys"), col("max_n"),
+          trunc6(col("total").cast("double") / col("n_keys").cast("double"))
+            .as("avg_n"),
+          trunc6(col("max_n").cast("double") * col("n_keys").cast("double") /
+            col("total").cast("double")).as("skew_ratio"))
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),
