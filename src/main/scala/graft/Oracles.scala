@@ -2761,6 +2761,41 @@ object Oracles {
          |  FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
          |        FROM lineitem GROUP BY l_partkey))""".stripMargin,
 
+    // q195: Gini of the term-frequency distribution — same ascending
+    // (count, term) rank and the identical closed form
+    "q195_term_gini" ->
+      s"""WITH tf AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(${toks("text")}) AS term FROM documents)
+         |  GROUP BY term),
+         |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n, term) AS BIGINT) AS i
+         |      FROM tf)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(sum(n) AS BIGINT) AS total,
+         |       ${t6("CAST(2.0 AS DOUBLE) * CAST(sum(i * n) AS DOUBLE) / " +
+            "(CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) - " +
+            "CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS gini
+         |FROM r""".stripMargin,
+
+    // q196: Heaps'-law curve — first-seen credit + two running sums
+    "q196_vocab_growth" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+         |fs AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_terms
+         |  FROM (SELECT term, min(doc_id) AS doc_id FROM tk GROUP BY term)
+         |  GROUP BY doc_id),
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+         |       FROM tk GROUP BY doc_id)
+         |SELECT doc_id, cum_tokens, cum_vocab FROM (
+         |  SELECT tc.doc_id,
+         |    CAST(sum(tc.n_toks) OVER w AS BIGINT) AS cum_tokens,
+         |    CAST(sum(coalesce(fs.new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+         |  FROM tc LEFT JOIN fs ON tc.doc_id = fs.doc_id
+         |  WINDOW w AS (ORDER BY tc.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1475,6 +1475,50 @@ object SparkEntry {
             col("total").cast("double")).as("skew_ratio"))
     }),
 
+    // ---- Gini coefficient of the term-frequency distribution: corpus
+    // concentration in one number (0 = uniform vocabulary use, →1 = a
+    // few terms own the corpus). One vocabulary-sized sort + window:
+    // G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n over ascending counts ----
+    "q195_term_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n"), col("term"))
+      tf.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("total"),
+          sum(col("i") * col("n")).as("weighted"))
+        .select(col("n_terms"), col("total"),
+          trunc6(lit(2.0) * col("weighted").cast("double") /
+            (col("n_terms").cast("double") * col("total").cast("double")) -
+            (col("n_terms") + lit(1L)).cast("double") /
+              col("n_terms").cast("double")).as("gini"))
+    }),
+
+    // ---- Heaps'-law vocabulary growth: cumulative distinct terms vs
+    // cumulative tokens at every 100th doc — each term credits its
+    // FIRST document (one groupBy min), then two running sums over the
+    // doc order give the whole curve without any per-checkpoint
+    // distinct-count ----
+    "q196_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val firstSeen = toksDf.groupBy("term").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("new_terms"))
+      val tokCount = toksDf.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCount.join(firstSeen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+        .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+        .orderBy("doc_id")
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),
