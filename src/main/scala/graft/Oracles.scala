@@ -2796,6 +2796,109 @@ object Oracles {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
 
+    // q197: PMI collocations — the identical product-form single ln
+    // (DuckDB lists are 1-based; generate_series(2, len) pairs t[i-1],
+    // t[i] exactly like Spark's 0-based transform)
+    "q197_pmi_collocations" ->
+      s"""WITH tk AS (SELECT ${toks("text")} AS t FROM documents),
+         |uni AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS n_term
+         |  FROM (SELECT unnest(t) AS term FROM tk) GROUP BY term),
+         |ut AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_total FROM uni),
+         |bigall AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(t)),
+         |           i -> concat(t[i - 1], ' ', t[i]))) AS bigram
+         |    FROM tk WHERE len(t) >= 2)
+         |  GROUP BY bigram),
+         |bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS m_total FROM bigall),
+         |big AS (SELECT bigram, n_ab FROM bigall WHERE n_ab >= 5),
+         |scored AS (
+         |  SELECT big.bigram, big.n_ab,
+         |         ${t6("ln(CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+              "(CAST(m_total AS DOUBLE) * CAST(a.n_term AS DOUBLE) * CAST(b.n_term AS DOUBLE)))")} AS pmi
+         |  FROM big
+         |  JOIN uni a ON a.term = string_split(big.bigram, ' ')[1]
+         |  JOIN uni b ON b.term = string_split(big.bigram, ' ')[2]
+         |  CROSS JOIN ut CROSS JOIN bt)
+         |SELECT rank, bigram, n_ab, pmi FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rank,
+         |         bigram, n_ab, pmi
+         |  FROM scored)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q198: Jensen–Shannon divergence between corpus halves — 0·ln0
+    // convention via CASE, order-free 12-decimal decimal sum
+    "q198_corpus_divergence" -> {
+      val ln2 = java.lang.Math.log(2.0).toString
+      val p = "CAST(n_a AS DOUBLE) / CAST(tokens_a AS DOUBLE)"
+      val q = "CAST(n_b AS DOUBLE) / CAST(tokens_b AS DOUBLE)"
+      val m = s"(($p) + ($q)) / CAST(2.0 AS DOUBLE)"
+      val contrib =
+        s"(CASE WHEN n_a > 0 THEN ($p) * ln(($p) / ($m)) ELSE CAST(0.0 AS DOUBLE) END + " +
+          s"CASE WHEN n_b > 0 THEN ($q) * ln(($q) / ($m)) ELSE CAST(0.0 AS DOUBLE) END) " +
+          "* CAST(0.5 AS DOUBLE)"
+      s"""WITH tk AS (
+         |  SELECT CAST(doc_id % 2 AS INT) AS half, unnest(${toks("text")}) AS term
+         |  FROM documents),
+         |cnt AS (SELECT half, term, CAST(count(*) AS BIGINT) AS n
+         |        FROM tk GROUP BY half, term),
+         |a AS (SELECT term, n AS n_a FROM cnt WHERE half = 0),
+         |b AS (SELECT term, n AS n_b FROM cnt WHERE half = 1),
+         |ta AS (SELECT CAST(sum(n) AS BIGINT) AS tokens_a FROM cnt WHERE half = 0),
+         |tb AS (SELECT CAST(sum(n) AS BIGINT) AS tokens_b FROM cnt WHERE half = 1),
+         |joined AS (
+         |  SELECT coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+         |         tokens_a, tokens_b
+         |  FROM a FULL OUTER JOIN b USING (term) CROSS JOIN ta CROSS JOIN tb),
+         |agg AS (
+         |  SELECT CAST(count(CASE WHEN n_a > 0 THEN 1 END) AS BIGINT) AS n_terms_a,
+         |         CAST(count(CASE WHEN n_b > 0 THEN 1 END) AS BIGINT) AS n_terms_b,
+         |         CAST(count(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 END) AS BIGINT) AS n_shared,
+         |         CAST(max(tokens_a) AS BIGINT) AS tokens_a,
+         |         CAST(max(tokens_b) AS BIGINT) AS tokens_b,
+         |         ${dsum12(contrib)} AS jsd_raw
+         |  FROM joined)
+         |SELECT n_terms_a, n_terms_b, n_shared, tokens_a, tokens_b,
+         |       ${t6("jsd_raw")} AS jsd,
+         |       ${t6(s"jsd_raw / CAST($ln2 AS DOUBLE)")} AS jsd_bits
+         |FROM agg""".stripMargin
+    },
+
+    // q199: Monroe–Colaresi–Quinn weighted log-odds with informative
+    // Dirichlet prior — identical α_w / delta / variance expressions
+    "q199_fightin_words" ->
+      s"""WITH tk AS (SELECT lang AS grp, unnest(${toks("text")}) AS term
+         |            FROM documents),
+         |bygrp AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS y_wi
+         |          FROM tk GROUP BY grp, term),
+         |corpus AS (SELECT term, CAST(sum(y_wi) AS BIGINT) AS y_w
+         |           FROM bygrp GROUP BY term),
+         |grptot AS (SELECT grp, CAST(sum(y_wi) AS BIGINT) AS n_i
+         |           FROM bygrp GROUP BY grp),
+         |alltot AS (SELECT CAST(sum(y_w) AS BIGINT) AS n FROM corpus),
+         |aw AS (
+         |  SELECT bygrp.grp, bygrp.term, bygrp.y_wi, corpus.y_w, grptot.n_i, alltot.n,
+         |         CAST(500.0 AS DOUBLE) * CAST(y_w AS DOUBLE) / CAST(n AS DOUBLE) AS aw
+         |  FROM bygrp JOIN corpus USING (term) JOIN grptot USING (grp)
+         |  CROSS JOIN alltot
+         |  WHERE bygrp.y_wi >= 3),
+         |scored AS (
+         |  SELECT grp, term, y_wi,
+         |         ${t6("(ln((CAST(y_wi AS DOUBLE) + aw) / " +
+              "(CAST(n_i AS DOUBLE) + CAST(500.0 AS DOUBLE) - CAST(y_wi AS DOUBLE) - aw)) - " +
+              "ln((CAST(y_w AS DOUBLE) - CAST(y_wi AS DOUBLE) + aw) / " +
+              "(CAST(n AS DOUBLE) - CAST(n_i AS DOUBLE) + CAST(500.0 AS DOUBLE) - " +
+              "(CAST(y_w AS DOUBLE) - CAST(y_wi AS DOUBLE)) - aw))) / " +
+              "sqrt(CAST(1.0 AS DOUBLE) / (CAST(y_wi AS DOUBLE) + aw) + " +
+              "CAST(1.0 AS DOUBLE) / (CAST(y_w AS DOUBLE) - CAST(y_wi AS DOUBLE) + aw))")} AS z
+         |  FROM aw)
+         |SELECT grp, rank, term, y_wi, z FROM (
+         |  SELECT grp, term, y_wi, z,
+         |         CAST(row_number() OVER (PARTITION BY grp ORDER BY z DESC, term) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY grp, rank""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

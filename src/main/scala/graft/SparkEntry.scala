@@ -1519,6 +1519,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- top collocations by PMI (Church–Hanks): one product-form ln
+    // over bigram/unigram counts, min-count floor against rare-pair
+    // noise ----
+    "q197_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d))),
+
+    // ---- Jensen–Shannon drift between corpus halves: the
+    // dataset-shift number checked before mixing a new crawl in ----
+    "q198_corpus_divergence" -> ((s, d) =>
+      TextAnalysis.corpusDivergence(Tables.documents(s, d),
+        (col("doc_id") % 2).cast("int"))),
+
+    // ---- per-language distinguishing terms: Monroe log-odds with an
+    // informative Dirichlet prior, variance-priced z-scores ----
+    "q199_fightin_words" -> ((s, d) =>
+      TextAnalysis.fightinWords(Tables.documents(s, d), "lang")),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

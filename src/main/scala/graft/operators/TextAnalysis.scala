@@ -1217,4 +1217,128 @@ object TextAnalysis {
         ((size(split(t, PhonePattern)) - 1) +
           (size(split(t, EmailPattern)) - 1)).cast("long"))
   }
+
+  /** Top-k collocations by pointwise mutual information (Church &
+    * Hanks 1990): adjacent bigrams scored by how much more often the
+    * pair occurs than chance, `ln(n_ab·N·N / (M·n_a·n_b))` in one
+    * product-form log so both engines evaluate one IEEE expression.
+    * Two vocabulary-sized aggregations + two broadcast-sized joins
+    * (unigram counts onto bigram counts) — scan-dominated at 100 TB;
+    * the min-count floor keeps the rare-pair noise (PMI's classic
+    * failure mode) out of the ranking. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(tokens(col("text")).as("t"))
+    val uni = tk.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_term"))
+    val uniTotal = uni.agg(sum(col("n_term")).as("n_total"))
+    // sequence(1, 0) is DESCENDING in Spark — guard 1-token docs
+    val bigAll = tk.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(t[i - 1], ' ', t[i]))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    // M counts ALL bigram occurrences (the PMI denominator), so the
+    // min-count floor only prunes the ranking, never shifts the scores
+    val bigTotal = bigAll.agg(sum(col("n_ab")).as("m_total"))
+    val big = bigAll.filter(col("n_ab") >= minCount)
+    val d = (c: String) => col(c).cast("double")
+    val scored = big
+      .withColumn("term_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("term_b", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.toDF("term_a", "n_a")), "term_a")
+      .join(broadcast(uni.toDF("term_b", "n_b")), "term_b")
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(bigTotal))
+      .withColumn("pmi", trunc6(log(
+        d("n_ab") * d("n_total") * d("n_total") /
+          (d("m_total") * d("n_a") * d("n_b")))))
+    val w = Window.orderBy(col("pmi").desc, col("bigram"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("bigram"), col("n_ab"), col("pmi"))
+      .orderBy("rank")
+  }
+
+  /** Jensen–Shannon divergence between the unigram distributions of two
+    * corpus halves (Lin 1991) — the dataset-shift detector run before
+    * mixing a new crawl into a training recipe. Per-term contributions
+    * use the 0·ln0 = 0 convention (a term absent from one half
+    * contributes only through the other half's KL term), summed on the
+    * 12-decimal decimal grid so the reduction is order-independent
+    * across partitions. Two vocabulary-sized aggregations + one
+    * full-outer join; nothing corpus². */
+  def corpusDivergence(docs: DataFrame, splitCol: Column): DataFrame = {
+    val tk = docs.select(splitCol.as("half"),
+      explode(tokens(col("text"))).as("term"))
+    val cnt = tk.groupBy("half", "term").agg(count(lit(1)).as("n"))
+    val a = cnt.filter(col("half") === 0).select(col("term"), col("n").as("n_a"))
+    val b = cnt.filter(col("half") === 1).select(col("term"), col("n").as("n_b"))
+    val tot = cnt.groupBy("half").agg(sum(col("n")).as("t"))
+    val totA = tot.filter(col("half") === 0).select(col("t").as("tokens_a"))
+    val totB = tot.filter(col("half") === 1).select(col("t").as("tokens_b"))
+    val joined = a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+    val p = col("n_a").cast("double") / col("tokens_a").cast("double")
+    val q = col("n_b").cast("double") / col("tokens_b").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      (when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0))) * lit(0.5)
+    val ln2 = java.lang.Math.log(2.0)
+    joined
+      .agg(
+        count(when(col("n_a") > 0, 1)).as("n_terms_a"),
+        count(when(col("n_b") > 0, 1)).as("n_terms_b"),
+        count(when(col("n_a") > 0 && col("n_b") > 0, 1)).as("n_shared"),
+        max(col("tokens_a")).as("tokens_a"),
+        max(col("tokens_b")).as("tokens_b"),
+        dsum12(contrib).as("jsd_raw"))
+      .select(col("n_terms_a"), col("n_terms_b"), col("n_shared"),
+        col("tokens_a"), col("tokens_b"),
+        trunc6(col("jsd_raw")).as("jsd"),
+        trunc6(col("jsd_raw") / lit(ln2)).as("jsd_bits"))
+  }
+
+  /** Per-group distinguishing terms by weighted log-odds-ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words") — each language's top terms vs the rest of the
+    * corpus, z-scored so rare-term variance is priced in (the failure
+    * mode of raw tf-idf contrast). The prior α_w follows corpus
+    * frequency scaled to total mass α0. One (group × term) aggregation
+    * joined to broadcast-sized vocabulary and group totals — no
+    * corpus-sized shuffle beyond the first count. */
+  def fightinWords(docs: DataFrame, groupCol: String, alpha0: Double = 500.0,
+      minCount: Int = 3, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col("text"))).as("term"))
+    val byGrp = tk.groupBy("grp", "term").agg(count(lit(1)).as("y_wi"))
+    val corpus = byGrp.groupBy("term").agg(sum(col("y_wi")).as("y_w"))
+    val grpTot = byGrp.groupBy("grp").agg(sum(col("y_wi")).as("n_i"))
+    val allTot = corpus.agg(sum(col("y_w")).as("n"))
+    val d = (c: String) => col(c).cast("double")
+    val a0 = lit(alpha0)
+    val scored = byGrp.filter(col("y_wi") >= minCount)
+      .join(broadcast(corpus), "term")
+      .join(broadcast(grpTot), "grp")
+      .crossJoin(broadcast(allTot))
+      .withColumn("aw", a0 * d("y_w") / d("n"))
+      .withColumn("delta",
+        log((d("y_wi") + col("aw")) /
+            (d("n_i") + a0 - d("y_wi") - col("aw"))) -
+          log((d("y_w") - d("y_wi") + col("aw")) /
+              (d("n") - d("n_i") + a0 - (d("y_w") - d("y_wi")) - col("aw"))))
+      .withColumn("z", trunc6(col("delta") /
+        sqrt(lit(1.0) / (d("y_wi") + col("aw")) +
+          lit(1.0) / (d("y_w") - d("y_wi") + col("aw")))))
+    val w = Window.partitionBy("grp").orderBy(col("z").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("grp"), col("rank"), col("term"), col("y_wi"), col("z"))
+      .orderBy("grp", "rank")
+  }
 }

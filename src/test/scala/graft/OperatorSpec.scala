@@ -1317,4 +1317,46 @@ class OperatorSpec extends SparkSpec {
     assert(got((0L, 1L)) == t6(16.0 / 3.0))
     assert(got((1L, 1L)) == t6(32.0 / 3.0))
   }
+
+  test("pmi collocations: the glued pair tops the list, M counts all bigrams") {
+    // "new york" always adjacent (8×); "the cat"/"cat the" common words
+    // co-occurring by chance rank below it
+    val glued = (1L to 8L).map(i => (i, "x", s"new york"))
+    val noise = (9L to 16L).map(i => (i, "x", "the cat sat on the mat the cat"))
+    val docs = (glued ++ noise).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 3)
+      .select("rank", "bigram", "n_ab").as[(Long, String, Long)].collect().toSeq
+    assert(got.head._2 == "new york" && got.head._3 == 8L, got.toString)
+    // every ranked pair respects the min-count floor
+    assert(got.forall(_._3 >= 5L))
+  }
+
+  test("jsd: identical halves → 0; disjoint vocabularies → ln 2") {
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    val same = mk(Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b c"), (3L, "a b c")))
+    val js0 = TextAnalysis.corpusDivergence(same, (col("doc_id") % 2).cast("int"))
+      .select("jsd").as[Double].head()
+    assert(js0 == 0.0, s"identical halves: $js0")
+    // even docs say only "x", odd docs only "y" → maximal divergence ln 2
+    val disj = mk(Seq((0L, "x x x"), (1L, "y y y"), (2L, "x x"), (3L, "y y")))
+    val r = TextAnalysis.corpusDivergence(disj, (col("doc_id") % 2).cast("int"))
+      .select("jsd", "jsd_bits", "n_shared").as[(Double, Double, Long)].head()
+    assert(math.abs(r._1 - math.log(2.0)) < 1e-6, s"disjoint: ${r._1}")
+    assert(math.abs(r._2 - 1.0) < 1e-6, "normalized form is 1 bit")
+    assert(r._3 == 0L)
+  }
+
+  test("fightin words: the group-exclusive term wins its group, shared words don't") {
+    // "de" docs own "zug"; "en" docs own "train"; "station" is shared
+    val docs = (
+      (1L to 6L).map(i => (i, "de", "zug station station")) ++
+        (7L to 12L).map(i => (i, "en", "train station station"))
+      ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.fightinWords(docs, "lang", topK = 1)
+      .select("grp", "term", "z").as[(String, String, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == Map("de" -> "zug", "en" -> "train"),
+      got.toString)
+    assert(got.forall(_._3 > 0.0), "own-group terms score positive log-odds")
+  }
 }
