@@ -2899,6 +2899,81 @@ object Oracles {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY grp, rank""".stripMargin,
 
+    // q200: first/last-touch attribution — IGNORE NULLS first/last over
+    // the identical preceding-rows frame; no-history conversions land
+    // in '(none)'
+    "q200_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $tsUs AS us FROM events),
+         |t AS (
+         |  SELECT user_id, event_type,
+         |         first_value(CASE WHEN event_type != 'purchase' THEN event_type END
+         |           IGNORE NULLS) OVER w AS first_touch,
+         |         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+         |           IGNORE NULLS) OVER w AS last_touch
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+         |u AS (SELECT 'first' AS touch, coalesce(first_touch, '(none)') AS channel FROM p
+         |      UNION ALL
+         |      SELECT 'last' AS touch, coalesce(last_touch, '(none)') AS channel FROM p)
+         |SELECT touch, channel, CAST(count(*) AS BIGINT) AS n_conversions
+         |FROM u GROUP BY touch, channel ORDER BY touch, channel""".stripMargin,
+
+    // q201: daily peak session concurrency — q09's gap rule builds the
+    // intervals, then the sweep line (starts before ends at a tied
+    // instant) and a daily max of the running sum
+    "q201_session_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS us FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+         |iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+         |       FROM s GROUP BY user_id, sid),
+         |pts AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM iv
+         |        UNION ALL SELECT e_us AS us, CAST(-1 AS BIGINT) AS delta FROM iv),
+         |c AS (SELECT us, delta,
+         |        CAST(sum(delta) OVER (ORDER BY us, delta DESC
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+         |      FROM pts)
+         |SELECT CAST(us // 86400000000 AS BIGINT) AS day,
+         |       CAST(max(conc) AS BIGINT) AS max_concurrent,
+         |       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_starts
+         |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // q202: Iglewicz–Hoaglin modified z-score outliers — exact
+    // median/MAD via the mid-rank convention, 0.6745 pinned, the
+    // identical z expression on both sides
+    "q202_mad_outliers" ->
+      s"""WITH base AS (SELECT l_returnflag, l_extendedprice AS v,
+         |                     l_orderkey, l_linenumber FROM lineitem),
+         |r1 AS (SELECT *,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |       FROM base),
+         |med AS (SELECT l_returnflag, (min(v) + max(v)) / CAST(2.0 AS DOUBLE) AS med
+         |        FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |        GROUP BY l_returnflag),
+         |dev AS (SELECT b.l_returnflag, b.v, b.l_orderkey, b.l_linenumber,
+         |               med, abs(b.v - med) AS dev
+         |        FROM base b JOIN med USING (l_returnflag)),
+         |r2 AS (SELECT *,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY dev, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |       FROM dev),
+         |mad AS (SELECT l_returnflag, (min(dev) + max(dev)) / CAST(2.0 AS DOUBLE) AS mad
+         |        FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |        GROUP BY l_returnflag)
+         |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |       ${t6("max(med)")} AS median, ${t6("max(mad)")} AS mad,
+         |       CAST(count(CASE WHEN abs(CAST(0.6745 AS DOUBLE) * (v - med) / mad)
+         |         > CAST(3.5 AS DOUBLE) THEN 1 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad USING (l_returnflag)
+         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1536,6 +1536,22 @@ object SparkEntry {
     "q199_fightin_words" -> ((s, d) =>
       TextAnalysis.fightinWords(Tables.documents(s, d), "lang")),
 
+    // ---- first/last-touch conversion attribution: both models off
+    // one ignore-nulls window pass ----
+    "q200_attribution" -> ((s, d) =>
+      EventOps.attribution(Tables.events(s, d))),
+
+    // ---- peak concurrent sessions per day: gap-sessionize + sweep
+    // line over ±1 boundary points ----
+    "q201_session_concurrency" -> ((s, d) =>
+      EventOps.sessionConcurrency(Tables.events(s, d), 3600L)),
+
+    // ---- robust outliers per flag: exact median/MAD modified z-score
+    // (Iglewicz–Hoaglin), immune to the outliers it hunts ----
+    "q202_mad_outliers" -> ((s, d) =>
+      Profile.madOutliers(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -346,4 +346,66 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** First-touch / last-touch conversion attribution: for every
+    * conversion event, the earliest and the most recent non-conversion
+    * event type in the same user's prior history, rolled up into the
+    * channel report both attribution models read. One shuffle on
+    * user_id, one ordered window pass with ignore-nulls first/last
+    * (both engines share the frame semantics), the two models emitted
+    * from a single pass via explode — the window is never recomputed.
+    * Conversions with no prior touch land in the '(none)' channel. */
+  def attribution(events: DataFrame,
+      conversionType: String = "purchase"): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= conversionType, col("event_type"))
+    ev
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(explode(array(
+        struct(lit("first").as("touch"),
+          coalesce(col("first_touch"), lit("(none)")).as("channel")),
+        struct(lit("last").as("touch"),
+          coalesce(col("last_touch"), lit("(none)")).as("channel")))).as("t"))
+      .select(col("t.touch").as("touch"), col("t.channel").as("channel"))
+      .groupBy("touch", "channel").agg(count(lit(1)).as("n_conversions"))
+      .orderBy("touch", "channel")
+  }
+
+  /** Peak session concurrency per day via the classic sweep line:
+    * gap-sessionize (same 3600 s rule as [[sessionize]]), emit a +1
+    * point at each session start and a −1 at its end, and take the
+    * daily max of the running sum. Starts sort before ends at the same
+    * instant (delta DESC), so touching sessions count as overlapping.
+    * The running sum here is one global ordered window — correct and
+    * simplest at report scale; at 100 TB the same sweep runs as a
+    * range-partitioned sort plus per-partition prefix offsets (the
+    * two-phase pattern TextAnalysis.packSequences ships), because
+    * session-boundary points are ~2 rows per session, orders of
+    * magnitude smaller than the event stream that produced them. */
+  def sessionConcurrency(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val gap = col("us") - lag(col("us"), 1).over(byUser)
+    val sessions = ev
+      .withColumn("ns",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val pts = sessions.select(col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("e_us").as("us"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        count(when(col("delta") === 1L, 1)).as("n_starts"))
+      .orderBy("day")
+  }
 }

@@ -67,4 +67,42 @@ object Profile {
         col("min_str"), col("max_str"))
       .orderBy("col_name")
   }
+
+  /** Robust per-group outlier screen on the modified z-score
+    * (Iglewicz & Hoaglin 1993): median and MAD replace mean/stddev so a
+    * few extreme rows can't inflate their own yardstick — the failure
+    * mode of the plain z-score screen. Medians are exact, via the same
+    * mid-rank convention as the exact-median report (average of ranks
+    * ⌈n/2⌉ and ⌈(n+1)/2⌉ under a tie-broken total order); two ranked
+    * window passes + two small joins, no corpus-wide collect. `mad = 0`
+    * groups (over half the values identical) yield ±Inf/NaN z whose
+    * comparisons are false — no row flags, by design. */
+  def madOutliers(df: DataFrame, key: String, value: String,
+      tieBreaks: Seq[String], zCut: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select((key +: value +: tieBreaks).map(col): _*)
+    def midAvg(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(key)
+        .orderBy((col(v) +: tieBreaks.map(col)): _*)
+      in.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy(key)
+        .agg(((min(col(v)) + max(col(v))) / lit(2.0)).as(out))
+    }
+    val med = midAvg(base, value, "med")
+    val dev = base.join(med, key)
+      .withColumn("dev", abs(col(value) - col("med")))
+    val mad = midAvg(dev, "dev", "mad")
+    import graft.functions.TextFunctions.trunc6
+    val z = lit(0.6745) * (col(value) - col("med")) / col("mad")
+    dev.join(mad, key)
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        trunc6(max(col("med"))).as("median"),
+        trunc6(max(col("mad"))).as("mad"),
+        count(when(abs(z) > lit(zCut), 1)).as("n_outliers"))
+      .orderBy(key)
+  }
 }

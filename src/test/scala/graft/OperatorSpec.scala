@@ -1347,6 +1347,52 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("attribution: first touch sticks, last touch moves, no history → (none)") {
+    // user 1: click, view, purchase, error, purchase; user 2: bare purchase
+    val ev = Seq(
+      (1L, 1L, 0L, "click"), (2L, 1L, 10L, "view"), (3L, 1L, 20L, "purchase"),
+      (4L, 1L, 30L, "error"), (5L, 1L, 40L, "purchase"),
+      (6L, 2L, 0L, "purchase"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.attribution(ev)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("first", "(none)", 1L), ("first", "click", 2L),
+      ("last", "(none)", 1L), ("last", "error", 1L), ("last", "view", 1L)),
+      got.toString)
+  }
+
+  test("session concurrency: overlapping sessions stack, gap splits count as starts") {
+    // 3 users whose single sessions overlap in [100, 200]; user 4's two
+    // events 2 h apart are two sessions on a later day
+    val day = 86400L
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 200L),
+      (3L, 2L, 100L), (4L, 2L, 300L),
+      (5L, 3L, 150L), (6L, 3L, 180L),
+      (7L, 4L, day), (8L, 4L, day + 7200L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.sessionConcurrency(ev, 3600L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // day 0: all three overlap at t=150..180 → max 3; day 1: two
+    // single-event sessions (start==end), never concurrent
+    assert(got == Seq((0L, 3L, 3L), (1L, 1L, 2L)), got.toString)
+  }
+
+  test("mad outliers: the planted spike is flagged; median/MAD stay unmoved") {
+    // 11 values at 10±2 plus one at 1000: median 10, MAD 2 — the spike's
+    // modified z is huge while the inliers stay under the 3.5 cut
+    val rows = Seq(8.0, 8.0, 8.0, 10.0, 10.0, 10.0, 10.0, 10.0, 12.0, 12.0, 12.0, 1000.0)
+      .zipWithIndex.map { case (v, i) => ("A", v, i.toLong, 0L) }
+    val got = Profile.madOutliers(
+      rows.toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+      "l_returnflag", "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 12L, 10.0, 2.0, 1L)), got.toString)
+  }
+
   test("fightin words: the group-exclusive term wins its group, shared words don't") {
     // "de" docs own "zug"; "en" docs own "train"; "station" is shared
     val docs = (
