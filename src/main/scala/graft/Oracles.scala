@@ -2974,6 +2974,93 @@ object Oracles {
          |FROM dev d JOIN mad USING (l_returnflag)
          |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
 
+    // q203: Poisson-bootstrap CI — inverse-CDF Poisson(1) weights at
+    // md5-derived uniforms (thresholds interpolated from the SAME
+    // pinned Stats.PoissonCdf1 array the Spark when-chain uses)
+    "q203_poisson_bootstrap" -> {
+      val cdf = graft.operators.Stats.PoissonCdf1
+      val wCase = "CASE " + cdf.zipWithIndex.map { case (c, k) =>
+        s"WHEN u < CAST(${c.toString} AS DOUBLE) THEN CAST($k AS BIGINT) "
+      }.mkString + s"ELSE CAST(${cdf.length} AS BIGINT) END"
+      val lo = math.max(1, math.ceil(0.05 * 32).toInt)
+      val hi = math.max(1, math.ceil(0.95 * 32).toInt)
+      s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |                     CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+         |overall AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                   ${xsum("x")} / count(*) AS mean_raw FROM base),
+         |reps AS (SELECT id, x, r
+         |         FROM base, (SELECT unnest(generate_series(0, 31)) AS r)),
+         |uw AS (SELECT r, x,
+         |         CAST(${md5Long("concat('pb|', CAST(r AS VARCHAR), '|', id)")} % 1000000 AS DOUBLE) / 1e6 AS u
+         |       FROM reps),
+         |ww AS (SELECT r, x, $wCase AS w FROM uw),
+         |means AS (
+         |  SELECT r, ${psum6("CAST(w AS DOUBLE) * x")} / CAST(sum(w) AS DOUBLE) AS m
+         |  FROM ww GROUP BY r),
+         |ranked AS (SELECT m, CAST(row_number() OVER (ORDER BY m, r) AS BIGINT) AS rn
+         |           FROM means),
+         |ci AS (SELECT ${t6("min(m)")} AS boot_p05, ${t6("max(m)")} AS boot_p95
+         |       FROM ranked WHERE rn = $lo OR rn = $hi)
+         |SELECT n, CAST(32 AS BIGINT) AS n_replicates, ${t6("mean_raw")} AS mean,
+         |       boot_p05, boot_p95
+         |FROM ci CROSS JOIN overall""".stripMargin
+    },
+
+    // q204: two-sample Kolmogorov–Smirnov — exact D over distinct
+    // values, Smirnov critical value off the shared pinned c(0.05)
+    "q204_ks_test" -> {
+      val c05 = SparkEntry.KsC05.toString
+      s"""WITH f AS (
+         |  SELECT o_totalprice AS v,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS b
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |counts AS (SELECT v, CAST(sum(a) AS BIGINT) AS na,
+         |                  CAST(sum(b) AS BIGINT) AS nb FROM f GROUP BY v),
+         |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+         |               CAST(sum(nb) AS BIGINT) AS n2 FROM counts),
+         |cum AS (SELECT CAST(sum(na) OVER w AS BIGINT) AS ca,
+         |               CAST(sum(nb) OVER w AS BIGINT) AS cb
+         |        FROM counts
+         |        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |agg AS (SELECT max(abs(CAST(ca AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |                       CAST(cb AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d_raw,
+         |               CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+         |        FROM cum CROSS JOIN tot)
+         |SELECT n1, n2, ${t6("d_raw")} AS d_stat,
+         |       ${t6(s"CAST($c05 AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / " +
+            "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))")} AS d_crit,
+         |       ${t6("d_raw")} > ${t6(s"CAST($c05 AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / " +
+            "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))")} AS reject
+         |FROM agg""".stripMargin
+    },
+
+    // q205: association rules — the oracle recomputes pairs via the
+    // row-level distinct self-join (independent of Spark's row-local
+    // array fan-out), identical product-form lift
+    "q205_association_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+         |           FROM lineitem),
+         |nb AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n_baskets FROM b),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+         |pr AS (SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |       GROUP BY 1, 2 HAVING count(*) >= 3),
+         |dr AS (SELECT ia AS antecedent, ib AS consequent, n_ab FROM pr
+         |       UNION ALL SELECT ib AS antecedent, ia AS consequent, n_ab FROM pr),
+         |sc AS (SELECT antecedent, consequent, n_ab,
+         |         ${t6("CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)")} AS support,
+         |         ${t6("CAST(n_ab AS DOUBLE) / CAST(a.n_item AS DOUBLE)")} AS confidence,
+         |         ${t6("CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+              "(CAST(a.n_item AS DOUBLE) * CAST(c.n_item AS DOUBLE))")} AS lift
+         |       FROM dr JOIN ic a ON a.item = dr.antecedent
+         |       JOIN ic c ON c.item = dr.consequent CROSS JOIN nb)
+         |SELECT rank, antecedent, consequent, n_ab, support, confidence, lift
+         |FROM (SELECT *, CAST(row_number() OVER
+         |        (ORDER BY lift DESC, antecedent, consequent) AS BIGINT) AS rank
+         |      FROM sc)
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

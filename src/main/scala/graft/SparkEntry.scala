@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Smirnov critical-value coefficient at α = 0.05, √(−ln(α/2)/2) —
+    * pinned ONCE so q204's Spark call and its oracle twin compare
+    * against the same double. */
+  private[graft] val KsC05: Double = math.sqrt(-math.log(0.025) / 2.0)
+
   /** q159: ONE SQL text, run verbatim by BOTH engines (Spark over temp
     * views named like the tables; DuckDB over the parquet views) — the
     * spark.sql surface demonstrated with zero dialect drift: ANSI
@@ -1551,6 +1556,28 @@ object SparkEntry {
     "q202_mad_outliers" -> ((s, d) =>
       Profile.madOutliers(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
+
+    // ---- Poisson-bootstrap CI for the mean order value: the
+    // resampling scheme that distributes (row-local Poisson(1)
+    // weights, one aggregation per scan) ----
+    "q203_poisson_bootstrap" -> ((s, d) =>
+      Stats.poissonBootstrap(Tables.orders(s, d), "o_totalprice",
+        "o_orderkey")),
+
+    // ---- two-sample KS test: urgent vs low-priority order values,
+    // exact D over distinct values + Smirnov critical value ----
+    "q204_ks_test" -> ((s, d) =>
+      Stats.ksTest(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+        "o_totalprice", col("o_orderpriority") === "1-URGENT",
+        KsC05)),
+
+    // ---- market-basket rules: support/confidence/lift over parts
+    // co-ordered, top-k by lift ----
+    "q205_association_rules" -> ((s, d) =>
+      Stats.associationRules(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey")),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-level statistics for data pipelines: resampled
+  * confidence intervals, two-sample distribution tests, market-basket
+  * rule mining. Everything is aggregation-shaped (map-side combinable,
+  * no driver-side data) and engine-deterministic: randomness comes from
+  * md5 slices, constants are pinned driver-side, outputs are trunc6'd.
+  */
+object Stats {
+
+  /** CDF of Poisson(1) at k = 0..7: e⁻¹·Σ_{j≤k} 1/j!. Pinned here once
+    * so the Spark when-chain and the oracle CASE interpolate the SAME
+    * doubles — inverse-CDF thresholds for hash-derived uniforms. */
+  val PoissonCdf1: Array[Double] = {
+    val eInv = java.lang.Math.exp(-1.0)
+    val fact = (0 to 7).map(i => (1 to i).foldLeft(1.0)(_ * _))
+    fact.scanLeft(0.0)((acc, f) => acc + 1.0 / f).tail.map(_ * eInv).toArray
+  }
+
+  /** Bootstrap confidence interval for the mean via the POISSON
+    * bootstrap (Chamandy et al. 2012; the resampling scheme that
+    * distributes): instead of drawing n rows with replacement — which
+    * needs global coordination — every row independently contributes
+    * Poisson(1) copies to each replicate, so the whole resample is one
+    * row-local weight column and the R replicate means are one
+    * map-side-combinable aggregation. At 100 TB that is R partial
+    * aggregations riding a single scan; no shuffle grows with data.
+    * Determinism: the Poisson draw inverts [[PoissonCdf1]] at a
+    * md5-derived uniform, so every engine resamples identically.
+    * Percentile convention: rank ⌈q·R⌉ of the sorted replicate means
+    * (the q192 rule). */
+  def poissonBootstrap(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 32, salt: String = "pb"): DataFrame = {
+    val base = df.select(col(idCol).cast("string").as("id"),
+      col(valueCol).cast("double").as("x"))
+    val overall = base.agg(count(lit(1)).as("n"),
+      (xsum(col("x")) / count(lit(1))).as("mean_raw"))
+    val u = (md5Long(concat(lit(salt + "|"), col("r").cast("string"),
+      lit("|"), col("id"))) % 1000000L).cast("double") / lit(1e6)
+    val weight = PoissonCdf1.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (c, k)) =>
+        Some(acc.fold(when(col("u") < lit(c), k.toLong))(
+          _.when(col("u") < lit(c), k.toLong)))
+      }.get.otherwise(lit(PoissonCdf1.length.toLong))
+    val means = base
+      .select(col("id"), col("x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("u", u)
+      .withColumn("w", weight)
+      .groupBy("r")
+      .agg(psum6(col("w").cast("double") * col("x")).as("wx"),
+        sum(col("w")).as("nw"))
+      .select(col("r"), (col("wx") / col("nw").cast("double")).as("m"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = means
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("m"), col("r"))).cast("long"))
+    val lo = math.max(1, math.ceil(0.05 * replicates).toInt)
+    val hi = math.max(1, math.ceil(0.95 * replicates).toInt)
+    ranked.filter(col("rn") === lo || col("rn") === hi)
+      .agg(trunc6(min(col("m"))).as("boot_p05"),
+        trunc6(max(col("m"))).as("boot_p95"))
+      .crossJoin(broadcast(overall))
+      .select(col("n"), lit(replicates.toLong).as("n_replicates"),
+        trunc6(col("mean_raw")).as("mean"),
+        col("boot_p05"), col("boot_p95"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test, exact: D = max |F₁(v) − F₂(v)|
+    * over the distinct observed values, with the large-sample critical
+    * value c(α)·√((n₁+n₂)/(n₁·n₂)) (Smirnov 1939). One value-keyed
+    * count aggregation + one ordered prefix sum over DISTINCT values —
+    * the sweep is vocabulary-sized, not data-sized, so the global
+    * window is cheap even when the inputs aren't. `cAlpha` must be
+    * pinned by the caller (√(−ln(α/2)/2)) so both engines compare
+    * against the same double. */
+  def ksTest(df: DataFrame, valueCol: String, isA: Column,
+      cAlpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(valueCol).as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isA, 0L).otherwise(1L).as("b"))
+      .groupBy("v").agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val tot = counts.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: String) => col(c).cast("double")
+    counts
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(d("ca") / d("n1") - d("cb") / d("n2"))).as("d_raw"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        trunc6(col("d_raw")).as("d_stat"),
+        trunc6(lit(cAlpha) *
+          sqrt((d("n1") + d("n2")) / (d("n1") * d("n2")))).as("d_crit"))
+      .withColumn("reject", col("d_stat") > col("d_crit"))
+  }
+
+  /** Association rules over (basket, item) pairs (Agrawal & Srikant
+    * 1994): support / confidence / lift for every directed rule whose
+    * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The
+    * pair fan-out is ROW-LOCAL from each basket's sorted distinct item
+    * array (the q154 pattern — no basket self-join), item and basket
+    * totals are broadcast-sized, and lift rides one product-form
+    * expression. At 100 TB the only data-sized exchange is the basket
+    * groupBy; candidate pairs are pruned by the support floor before
+    * any join. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minPairs: Long = 3, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
+      .distinct()
+    val nBaskets = b.agg(countDistinct(col("bid")).as("n_baskets"))
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = b.groupBy("bid")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      // sequence(1, 0) is DESCENDING in Spark — guard 1-item baskets
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ps) - 1), " +
+          "i -> transform(slice(ps, i + 1, size(ps) - i), " +
+          "x -> struct(ps[i - 1] AS ia, x AS ib))))")).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val directed = pairs
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"), col("n_ab"))
+      .unionAll(pairs
+        .select(col("ib").as("antecedent"), col("ia").as("consequent"), col("n_ab")))
+    val d = (c: String) => col(c).cast("double")
+    val scored = directed
+      .join(broadcast(itemCnt.toDF("antecedent", "n_ante")), "antecedent")
+      .join(broadcast(itemCnt.toDF("consequent", "n_cons")), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        trunc6(d("n_ab") / d("n_baskets")).as("support"),
+        trunc6(d("n_ab") / d("n_ante")).as("confidence"),
+        trunc6(d("n_ab") * d("n_baskets") / (d("n_ante") * d("n_cons")))
+          .as("lift"))
+    val w = Window.orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("antecedent"), col("consequent"),
+        col("n_ab"), col("support"), col("confidence"), col("lift"))
+      .orderBy("rank")
+  }
+}

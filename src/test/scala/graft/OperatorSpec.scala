@@ -1347,6 +1347,53 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("poisson bootstrap: constant data collapses the CI; weights resample ~n rows") {
+    val const = (1L to 200L).map(i => (i, 7.0)).toDF("o_orderkey", "o_totalprice")
+    val r = Stats.poissonBootstrap(const, "o_totalprice", "o_orderkey")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // every replicate mean of constant data is the constant
+    assert(r == ((200L, 32L, 7.0, 7.0, 7.0)), r.toString)
+    // varied data: the 90% interval brackets the point mean
+    val varied = (1L to 500L).map(i => (i, i.toDouble)).toDF("o_orderkey", "o_totalprice")
+    val v = Stats.poissonBootstrap(varied, "o_totalprice", "o_orderkey")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(v._4 < v._3 && v._3 < v._5, s"p05 ${v._4} < mean ${v._3} < p95 ${v._5}")
+  }
+
+  test("ks test: identical samples D=0; disjoint samples D=1 and reject") {
+    val same = ((1 to 50).map(i => (i.toDouble, "1-URGENT")) ++
+      (1 to 50).map(i => (i.toDouble, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+    val s0 = Stats.ksTest(same, "o_totalprice",
+      col("o_orderpriority") === "1-URGENT", SparkEntry.KsC05)
+      .select("d_stat", "reject").as[(Double, Boolean)].head()
+    assert(s0 == ((0.0, false)), s0.toString)
+    val shifted = ((1 to 50).map(i => (i.toDouble, "1-URGENT")) ++
+      (1 to 50).map(i => (i + 1000.0, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+    val s1 = Stats.ksTest(shifted, "o_totalprice",
+      col("o_orderpriority") === "1-URGENT", SparkEntry.KsC05)
+      .select("d_stat", "reject").as[(Double, Boolean)].head()
+    assert(s1 == ((1.0, true)), s1.toString)
+  }
+
+  test("association rules: glued pair lifts to 2, ubiquitous item lifts to 1") {
+    // baskets 1-4: {1,2,3}; baskets 5-8: {4,3} — item 3 everywhere
+    val rows = (1L to 4L).flatMap(b => Seq((b, 1L), (b, 2L), (b, 3L))) ++
+      (5L to 8L).flatMap(b => Seq((b, 4L), (b, 3L)))
+    val got = Stats.associationRules(rows.toDF("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minPairs = 3, topK = 20)
+      .select("antecedent", "consequent", "confidence", "lift")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val byRule = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byRule((1L, 2L))._4 == 2.0 && byRule((1L, 2L))._3 == 1.0)
+    assert(byRule((1L, 3L))._4 == 1.0 && byRule((1L, 3L))._3 == 1.0)
+    // 3→1 confidence is 4/8 (item 3 in all baskets), lift symmetric
+    assert(byRule((3L, 1L))._3 == 0.5 && byRule((3L, 1L))._4 == 1.0)
+    // ranking is lift-first: the glued pair's rules top the list
+    assert(got.take(2).map(r => Set(r._1, r._2)).forall(_ == Set(1L, 2L)))
+  }
+
   test("attribution: first touch sticks, last touch moves, no history → (none)") {
     // user 1: click, view, purchase, error, purchase; user 2: bare purchase
     val ev = Seq(
