@@ -3061,6 +3061,67 @@ object Oracles {
          |      FROM sc)
          |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
+    // q207: funnel time-to-convert — q93's strictly-after chain, then
+    // exact median/min/max of the per-transition latencies (mid-rank
+    // convention, user-id tiebreak)
+    "q207_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
+         |       WHERE event_type = 'click' GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |lat AS (
+         |  SELECT 'view->click' AS step, s2.user_id, t2 - t1 AS lat_us
+         |  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+         |  UNION ALL
+         |  SELECT 'click->purchase' AS step, s3.user_id, t3 - t2 AS lat_us
+         |  FROM s2 JOIN s3 ON s2.user_id = s3.user_id),
+         |stats AS (SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+         |                 CAST(min(lat_us) AS BIGINT) AS min_us,
+         |                 CAST(max(lat_us) AS BIGINT) AS max_us
+         |          FROM lat GROUP BY step),
+         |r AS (SELECT step, lat_us,
+         |        CAST(row_number() OVER (PARTITION BY step
+         |          ORDER BY lat_us, user_id) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY step) AS BIGINT) AS n
+         |      FROM lat),
+         |med AS (SELECT step,
+         |          ${t6("(min(lat_us) + max(lat_us)) / CAST(2.0 AS DOUBLE)")} AS median_us
+         |        FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |        GROUP BY step)
+         |SELECT stats.step, n_converted, median_us, min_us, max_us
+         |FROM stats JOIN med ON stats.step = med.step
+         |ORDER BY stats.step""".stripMargin,
+
+    // q208: bigram-LM next-token table — same adjacent-pair extraction
+    // as q197, conditional mass over each context's bigram total
+    "q208_next_token" ->
+      s"""WITH tk AS (SELECT ${toks("text")} AS t FROM documents),
+         |big AS (
+         |  SELECT p.ctx AS ctx, p.nxt AS nxt, CAST(count(*) AS BIGINT) AS n_ab FROM (
+         |    SELECT unnest(list_transform(generate_series(2, len(t)),
+         |           i -> struct_pack(ctx := t[i - 1], nxt := t[i]))) AS p
+         |    FROM tk WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT ctx, CAST(sum(n_ab) AS BIGINT) AS n_ctx FROM big GROUP BY ctx),
+         |hot AS (SELECT ctx, n_ctx, crank FROM (
+         |          SELECT ctx, n_ctx,
+         |            CAST(row_number() OVER (ORDER BY n_ctx DESC, ctx) AS BIGINT) AS crank
+         |          FROM ct)
+         |        WHERE crank <= 5)
+         |SELECT crank, ctx, rank, nxt, n_ab,
+         |       ${t6("CAST(n_ab AS DOUBLE) / CAST(n_ctx AS DOUBLE)")} AS p
+         |FROM (
+         |  SELECT hot.crank, big.ctx, big.nxt, big.n_ab, hot.n_ctx,
+         |         CAST(row_number() OVER (PARTITION BY big.ctx
+         |           ORDER BY big.n_ab DESC, big.nxt) AS BIGINT) AS rank
+         |  FROM big JOIN hot ON big.ctx = hot.ctx)
+         |WHERE rank <= 3 ORDER BY crank, rank""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

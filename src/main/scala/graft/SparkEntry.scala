@@ -126,6 +126,25 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin),
+    // value-based RANGE frame from one shared text: each order's count
+    // and exact revenue of same-priority orders within $1000 below it —
+    // peers included by RANGE semantics in both engines; the window
+    // runs over ALL orders, the outer modulus only thins the output
+    ("q206_sql_range_frame", Seq("orders"),
+      """WITH win AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS rev_i,
+        |         CAST(sum(CAST(floor((o_totalprice - floor(o_totalprice)) * 1e8 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS rev_f
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN CAST(1000.0 AS DOUBLE) PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority, o_orderkey,
+        |       CAST(floor(o_totalprice * 1e6) / 1e6 AS DOUBLE) AS price,
+        |       n_window,
+        |       CAST(CAST(rev_i AS DOUBLE) + CAST(rev_f AS DOUBLE) / 1e8 AS DOUBLE) AS window_revenue
+        |FROM win WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
     ("q191_sql_correlated_scalar", Seq("customer", "orders"),
       """SELECT c_custkey,
         |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
@@ -1578,6 +1597,17 @@ object SparkEntry {
     "q205_association_rules" -> ((s, d) =>
       Stats.associationRules(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey")),
+
+    // ---- funnel time-to-convert: exact median/min/max latency per
+    // completed transition of the view→click→purchase chain ----
+    "q207_funnel_latency" -> ((s, d) =>
+      EventOps.funnelLatency(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // ---- bigram-LM next-token table: top continuations of the
+    // hottest contexts with conditional probabilities ----
+    "q208_next_token" -> ((s, d) =>
+      TextAnalysis.nextTokenDistribution(Tables.documents(s, d))),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

@@ -375,6 +375,41 @@ object EventOps {
       .orderBy("touch", "channel")
   }
 
+  /** Time-to-convert report for each funnel transition: exact median /
+    * min / max latency between consecutive completed steps, over the
+    * same strictly-after first-occurrence chain as [[funnel]] (which
+    * this calls — one definition of "converted"). Medians use the
+    * mid-rank convention (average of ranks ⌈n/2⌉, ⌈(n+1)/2⌉ under a
+    * user-id-tie-broken order); latencies are integer µs so everything
+    * up to the final half-sum is exact. Converted-user frames are tiny
+    * next to the event stream — the rank windows cost nothing at
+    * scale. */
+  def funnelLatency(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "latency needs at least one transition")
+    val f = funnel(events, steps)
+    val lats = steps.indices.drop(1).map { i =>
+      f.filter(col(s"t${i + 1}").isNotNull)
+        .select(lit(s"${steps(i - 1)}->${steps(i)}").as("step"),
+          col("user_id"),
+          (col(s"t${i + 1}") - col(s"t$i")).as("lat_us"))
+    }.reduce(_ unionAll _)
+    val stats = lats.groupBy("step").agg(count(lit(1)).as("n_converted"),
+      min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
+    val w = Window.partitionBy("step").orderBy(col("lat_us"), col("user_id"))
+    val med = lats
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("step")))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(n + 2) div 2"))
+      .groupBy("step")
+      .agg(trunc6((min(col("lat_us")) + max(col("lat_us"))) / lit(2.0))
+        .as("median_us"))
+    stats.join(med, "step")
+      .select(col("step"), col("n_converted"), col("median_us"),
+        col("min_us"), col("max_us"))
+      .orderBy("step")
+  }
+
   /** Peak session concurrency per day via the classic sweep line:
     * gap-sessionize (same 3600 s rule as [[sessionize]]), emit a +1
     * point at each session start and a −1 at its end, and take the

@@ -1260,6 +1260,40 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Next-token conditional distribution for the hottest contexts: the
+    * bigram-LM view `P(next | context) = n_ab / Σ_b n_ab` for the
+    * `topContexts` most frequent context terms, top `topNext`
+    * continuations each — the quick-look table behind perplexity
+    * debugging and boilerplate detection (a context whose top
+    * continuation owns ~all its mass is template text). One bigram
+    * aggregation reused for both the context totals and the
+    * continuations; ranking windows run over vocabulary-sized frames. */
+  def nextTokenDistribution(docs: DataFrame, topContexts: Int = 5,
+      topNext: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = docs.select(tokens(col("text")).as("t"))
+      // sequence(1, 0) is DESCENDING in Spark — guard 1-token docs
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i - 1] AS ctx, t[i] AS nxt))")).as("p"))
+      .groupBy(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ctxTot = big.groupBy("ctx").agg(sum(col("n_ab")).as("n_ctx"))
+    val wCtx = Window.orderBy(col("n_ctx").desc, col("ctx"))
+    val hot = ctxTot.withColumn("crank", row_number().over(wCtx).cast("long"))
+      .filter(col("crank") <= topContexts)
+    val wNxt = Window.partitionBy("ctx")
+      .orderBy(col("n_ab").desc, col("nxt"))
+    big.join(broadcast(hot), "ctx")
+      .withColumn("rank", row_number().over(wNxt).cast("long"))
+      .filter(col("rank") <= topNext)
+      .select(col("crank"), col("ctx"), col("rank"), col("nxt"), col("n_ab"),
+        trunc6(col("n_ab").cast("double") / col("n_ctx").cast("double"))
+          .as("p"))
+      .orderBy("crank", "rank")
+  }
+
   /** Jensen–Shannon divergence between the unigram distributions of two
     * corpus halves (Lin 1991) — the dataset-shift detector run before
     * mixing a new crawl into a training recipe. Per-term contributions

@@ -1347,6 +1347,39 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("funnel latency: hand-checked medians; broken chains don't contribute") {
+    // user 1: view@0, click@10, purchase@30 → lats 10 s, 20 s
+    // user 2: view@0, click@50 (no purchase) → only view->click (50 s)
+    // user 3: click@5 only — never converted, contributes nothing
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 10L, "click"), (3L, 1L, 30L, "purchase"),
+      (4L, 2L, 0L, "view"), (5L, 2L, 50L, "click"),
+      (6L, 3L, 5L, "click"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.funnelLatency(ev, Seq("view", "click", "purchase"))
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click->purchase", 1L, 2.0e7, 20000000L, 20000000L),
+      ("view->click", 2L, 3.0e7, 10000000L, 50000000L)), got.toString)
+  }
+
+  test("next-token: conditional mass is per-context, hottest context ranks first") {
+    val docs = Seq(
+      (1L, "en", "to be or not to be"),
+      (2L, "en", "to be is to do"),
+      (3L, "en", "do be do be do")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nextTokenDistribution(docs, topContexts = 2, topNext = 2)
+      .select("crank", "ctx", "rank", "nxt", "p")
+      .as[(Long, String, Long, String, Double)].collect().toSeq
+    // contexts by bigram starts: be(4: or,is,do×2), to(4: be×3,do) —
+    // tie broken alphabetically → crank 1 = be, 2 = to
+    assert(got == Seq(
+      (1L, "be", 1L, "do", 0.5), (1L, "be", 2L, "is", 0.25),
+      (2L, "to", 1L, "be", 0.75), (2L, "to", 2L, "do", 0.25)),
+      got.toString)
+  }
+
   test("poisson bootstrap: constant data collapses the CI; weights resample ~n rows") {
     val const = (1L to 200L).map(i => (i, 7.0)).toDF("o_orderkey", "o_totalprice")
     val r = Stats.poissonBootstrap(const, "o_totalprice", "o_orderkey")
