@@ -3122,6 +3122,65 @@ object Oracles {
          |  FROM big JOIN hot ON big.ctx = hot.ctx)
          |WHERE rank <= 3 ORDER BY crank, rank""".stripMargin,
 
+    // q209: weekday seasonality — calendar-free epoch_day % 7, exact
+    // scaled-long means on both the dow cells and the type overall
+    "q209_dow_seasonality" ->
+      s"""WITH base AS (SELECT event_type,
+         |                CAST($tsUs // 86400000000 % 7 AS BIGINT) AS dow, value
+         |              FROM events),
+         |bydow AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+         |                 ${xsum("value")} AS sv
+         |          FROM base GROUP BY event_type, dow),
+         |overall AS (SELECT event_type,
+         |                   ${xsum("value")} / CAST(count(*) AS DOUBLE) AS mean_all
+         |            FROM base GROUP BY event_type)
+         |SELECT b.event_type, dow, n,
+         |       ${t6("sv / CAST(n AS DOUBLE)")} AS mean_value,
+         |       ${t6("(sv / CAST(n AS DOUBLE)) / mean_all")} AS seasonal_index
+         |FROM bydow b JOIN overall o ON b.event_type = o.event_type
+         |ORDER BY b.event_type, dow""".stripMargin,
+
+    // q210: CUSUM changepoint — integer-only statistic
+    // D·cumsum(T) − d·ΣT over 8-decimal scaled daily totals, argmax
+    // tie-broken to the earliest day
+    "q210_cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |         CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t
+         |  FROM events GROUP BY event_type, day),
+         |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |               CAST(sum(t) AS BIGINT) AS sum_t
+         |        FROM daily GROUP BY event_type),
+         |sc AS (
+         |  SELECT d.event_type, d.day, n_days,
+         |         n_days * CAST(sum(t) OVER (PARTITION BY d.event_type ORDER BY day
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           - CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS BIGINT)
+         |             * sum_t AS s_scaled
+         |  FROM daily d JOIN tot ON d.event_type = tot.event_type)
+         |SELECT event_type, n_days, day AS cp_day,
+         |       ${t6("CAST(abs(s_scaled) AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e8)")} AS max_abs_cusum
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY abs(s_scaled) DESC, day) AS rn FROM sc)
+         |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // q211: exact midrank AUC via Mann–Whitney — integer rank sums,
+    // one double division at the end
+    "q211_auc" ->
+      s"""WITH counts AS (
+         |  SELECT o_totalprice AS s, CAST(count(*) AS BIGINT) AS cnt,
+         |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM orders GROUP BY o_totalprice),
+         |r AS (SELECT cnt, n_pos,
+         |        2 * (CAST(sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |             - cnt) + cnt + 1 AS r2
+         |      FROM counts)
+         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |       CAST(sum(cnt - n_pos) AS BIGINT) AS n_neg,
+         |       ${t6("CAST(CAST(sum(n_pos * r2) AS BIGINT) - CAST(sum(n_pos) AS BIGINT) * (CAST(sum(n_pos) AS BIGINT) + 1) AS DOUBLE) / " +
+            "CAST(2 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(cnt - n_pos) AS BIGINT) AS DOUBLE)")} AS auc
+         |FROM r""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

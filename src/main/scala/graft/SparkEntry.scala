@@ -1609,6 +1609,21 @@ object SparkEntry {
     "q208_next_token" -> ((s, d) =>
       TextAnalysis.nextTokenDistribution(Tables.documents(s, d))),
 
+    // ---- weekday seasonality profile: mean value and seasonal ratio
+    // per (event_type, epoch_day % 7) ----
+    "q209_dow_seasonality" -> ((s, d) =>
+      EventOps.dowSeasonality(Tables.events(s, d))),
+
+    // ---- CUSUM changepoint per type: integer-exact peak cumulative
+    // deviation of daily totals ----
+    "q210_cusum_changepoint" -> ((s, d) =>
+      EventOps.cusumChangepoint(Tables.events(s, d))),
+
+    // ---- exact midrank AUC: does order value rank urgent orders? ----
+    "q211_auc" -> ((s, d) =>
+      Stats.aucRankSum(Tables.orders(s, d), "o_totalprice",
+        col("o_orderpriority") === "1-URGENT")),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -375,6 +375,67 @@ object EventOps {
       .orderBy("touch", "channel")
   }
 
+  /** Day-of-week seasonality profile per event type: mean value by
+    * weekday index and its seasonal ratio against the type's overall
+    * mean — the first chart read before any anomaly threshold is set
+    * on weekly-patterned traffic. The weekday is the calendar-free
+    * `epoch_day % 7` (0 = Thursday), exact in any engine; means ride
+    * scaled-long sums so shard order can't move them. Two tiny
+    * aggregations, broadcast join on the 5-row type totals. */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000 % 7").as("dow"), col("value"))
+    val byDow = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("sv"))
+      .withColumn("mean_dow", col("sv") / col("n").cast("double"))
+    // overall mean from the raw rows through the SAME order-free exact
+    // sum — re-summing the per-dow doubles would be order-dependent
+    val overall = base.groupBy("event_type")
+      .agg((xsum(col("value")) / count(lit(1)).cast("double")).as("mean_all"))
+    byDow.join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        trunc6(col("mean_dow")).as("mean_value"),
+        trunc6(col("mean_dow") / col("mean_all")).as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** CUSUM changepoint scan per event type (Page 1954): the day where
+    * the cumulative deviation of daily totals from their overall mean
+    * peaks — the classic "when did the level shift" detector. All
+    * arithmetic stays on INTEGERS until the final report: daily totals
+    * are 8-decimal scaled longs and the cumulative statistic is
+    * `D·cumsum(T) − d·ΣT` (the mean-centered CUSUM scaled by the day
+    * count), so no engine's summation order or windowed-double drift
+    * can move the argmax. Day frames are tiny (one row per day per
+    * type); the only data-sized pass is the daily rollup. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+      .groupBy("event_type", "day").agg(sum(col("v8")).as("t"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("t")).as("sum_t"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("cum_t", sum(col("t")).over(w))
+      .withColumn("d_idx", row_number().over(wd).cast("long"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("s_scaled",
+        col("n_days") * col("cum_t") - col("d_idx") * col("sum_t"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_scaled")).desc, col("day"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day").as("cp_day"),
+        trunc6(abs(col("s_scaled")).cast("double") /
+          (col("n_days").cast("double") * lit(1e8))).as("max_abs_cusum"))
+      .orderBy("event_type")
+  }
+
   /** Time-to-convert report for each funnel transition: exact median /
     * min / max latency between consecutive completed steps, over the
     * same strictly-after first-occurrence chain as [[funnel]] (which

@@ -103,6 +103,35 @@ object Stats {
       .withColumn("reject", col("d_stat") > col("d_crit"))
   }
 
+  /** AUC of a score as a binary ranker, exact, via the Mann–Whitney
+    * rank-sum identity with midrank tie handling — and INTEGER
+    * arithmetic end to end: per distinct score, twice-the-average-rank
+    * is `2·(count below) + count + 1` (an integer), so the rank sum,
+    * the U statistic and both class totals are exact longs and the one
+    * double division at the end is engine-deterministic. One
+    * score-keyed aggregation + a prefix sum over distinct scores
+    * (vocabulary-sized, not data-sized). */
+  def aucRankSum(df: DataFrame, scoreCol: String, isPos: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(scoreCol).as("s"),
+        when(isPos, 1L).otherwise(0L).as("pos"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("n_pos"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      // 2·avgRank of this score's tie group = 2·(cum − cnt) + cnt + 1
+      .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .agg(sum(col("n_pos") * col("r2")).as("sum_r2"),
+        sum(col("n_pos")).as("np"),
+        sum(col("cnt") - col("n_pos")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        trunc6((col("sum_r2") - col("np") * (col("np") + lit(1L))).cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

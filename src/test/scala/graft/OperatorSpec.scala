@@ -1347,6 +1347,52 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("cusum: the planted level shift is found on the shift day") {
+    // 10 days at 10/day then 10 days at 100/day → |CUSUM| peaks at the
+    // last low day (epoch day 9)
+    val ev = (0L until 20L).map { d =>
+      (d + 1, 1L, d * 86400L, if (d < 10) 10.0 else 100.0)
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("click"))
+    val got = EventOps.cusumChangepoint(ev)
+      .as[(String, Long, Long, Double)].head()
+    // deviation from mean 55: -45/day for 10 days → peak |S| = 450
+    assert(got == (("click", 20L, 9L, 450.0)), got.toString)
+  }
+
+  test("auc: perfect separation → 1, all-tied scores → 0.5 by midranks") {
+    val perfect = ((1 to 10).map(i => (i.toDouble, "5-LOW")) ++
+      (11 to 20).map(i => (i.toDouble, "1-URGENT")))
+      .toDF("o_totalprice", "o_orderpriority")
+    val a1 = Stats.aucRankSum(perfect, "o_totalprice",
+      col("o_orderpriority") === "1-URGENT").select("auc").as[Double].head()
+    assert(a1 == 1.0, s"perfect ranker: $a1")
+    val tied = ((1 to 10).map(_ => (5.0, "5-LOW")) ++
+      (1 to 10).map(_ => (5.0, "1-URGENT")))
+      .toDF("o_totalprice", "o_orderpriority")
+    val a2 = Stats.aucRankSum(tied, "o_totalprice",
+      col("o_orderpriority") === "1-URGENT").select("auc").as[Double].head()
+    assert(a2 == 0.5, s"uninformative ranker: $a2")
+  }
+
+  test("dow seasonality: the hot weekday's index rises above 1, flat stays 1") {
+    // same weekday (epoch day 0 and 7 → dow 0) carries 30s, others 10s
+    val ev = Seq((1L, 0L, 30.0), (2L, 7L * 86400L, 30.0),
+      (3L, 86400L, 10.0), (4L, 2L * 86400L, 10.0))
+      .map { case (id, sec, v) => (id, 1L, sec, v) }
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.dowSeasonality(ev)
+      .select("dow", "n", "mean_value", "seasonal_index")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got == Seq((0L, 2L, 30.0, t6(30.0 / 20.0)),
+      (1L, 1L, 10.0, t6(10.0 / 20.0)), (2L, 1L, 10.0, t6(10.0 / 20.0))),
+      got.toString)
+  }
+
   test("funnel latency: hand-checked medians; broken chains don't contribute") {
     // user 1: view@0, click@10, purchase@30 → lats 10 s, 20 s
     // user 2: view@0, click@50 (no purchase) → only view->click (50 s)
