@@ -3181,6 +3181,72 @@ object Oracles {
             "CAST(2 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(cnt - n_pos) AS BIGINT) AS DOUBLE)")} AS auc
          |FROM r""".stripMargin,
 
+    // q212: weighted quantiles — lower-median convention decided by the
+    // integer predicate 4·cumw ≥ k·W, tie-broken total order
+    "q212_weighted_quantiles" ->
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag, l_extendedprice AS v,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+         |  FROM lineitem),
+         |tot AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_total
+         |        FROM lineitem GROUP BY l_returnflag),
+         |hit AS (SELECT r.l_returnflag, k, min(rn) AS rn
+         |        FROM ranked r JOIN tot USING (l_returnflag),
+         |             (SELECT unnest([1, 2, 3]) AS k)
+         |        WHERE 4 * cumw >= k * w_total
+         |        GROUP BY r.l_returnflag, k)
+         |SELECT h.l_returnflag, CAST(k AS DOUBLE) / CAST(4.0 AS DOUBLE) AS q,
+         |       w_total, r.v AS value
+         |FROM hit h
+         |JOIN ranked r ON h.l_returnflag = r.l_returnflag AND h.rn = r.rn
+         |JOIN tot ON tot.l_returnflag = h.l_returnflag
+         |ORDER BY h.l_returnflag, q""".stripMargin,
+
+    // q213: exact mutual information + marginal entropies — one
+    // product-form ln per cell, 12-decimal order-free sums
+    "q213_mutual_information" ->
+      s"""WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x, l_returnflag AS y,
+         |                      CAST(count(*) AS BIGINT) AS n_xy
+         |               FROM lineitem GROUP BY 1, 2),
+         |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+         |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+         |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+         |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |              ${dsum12("(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+              "ln(CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))")} AS mi_raw
+         |       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+         |hx AS (SELECT ${dsum12("-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_x
+         |       FROM mx CROSS JOIN tot),
+         |hy AS (SELECT ${dsum12("-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))")} AS h_y
+         |       FROM my CROSS JOIN tot)
+         |SELECT n_cells, ${t6("mi_raw")} AS mi, ${t6("h_x")} AS h_x, ${t6("h_y")} AS h_y,
+         |       ${t6("mi_raw / sqrt(h_x * h_y)")} AS nmi
+         |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // q214: top clickstream paths — q09's gap sessions, ordered string
+    // aggregation of the first 8 steps
+    "q214_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $tsUs AS us FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+         |st AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+         |                   ORDER BY us, event_id) AS step FROM s),
+         |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY us, event_id) AS path
+         |      FROM st WHERE step <= 8 GROUP BY user_id, sid),
+         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path)
+         |SELECT rank, path, n_sessions FROM (
+         |  SELECT path, n_sessions,
+         |         CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+         |  FROM c)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

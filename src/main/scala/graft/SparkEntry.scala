@@ -1624,6 +1624,23 @@ object SparkEntry {
       Stats.aucRankSum(Tables.orders(s, d), "o_totalprice",
         col("o_orderpriority") === "1-URGENT")),
 
+    // ---- quantity-weighted price quartiles per flag: integer
+    // cumulative-weight thresholds, no FP at the boundary ----
+    "q212_weighted_quantiles" -> ((s, d) =>
+      Stats.weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))),
+
+    // ---- MI between quantity and return flag: the feature-dependence
+    // screen with normalized score ----
+    "q213_mutual_information" -> ((s, d) =>
+      Stats.mutualInformation(
+        Tables.lineitem(s, d).withColumn("qty", col("l_quantity").cast("long")),
+        "qty", "l_returnflag")),
+
+    // ---- top clickstream paths per gap-session, first 8 steps ----
+    "q214_session_paths" -> ((s, d) =>
+      EventOps.sessionPaths(Tables.events(s, d), 3600L)),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -471,6 +471,40 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Top clickstream paths: the ordered event-type sequence of each
+    * gap-session (capped at the first `maxSteps` events — the cap is
+    * what keeps path strings bounded at any scale), counted and
+    * ranked. The per-session ordering is materialized by sorting the
+    * (ts, event_id, type) struct array INSIDE the row — collect order
+    * never matters — mirroring engines that support ordered string
+    * aggregation directly. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long,
+      maxSteps: Int = 8, topK: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val gap = col("us") - lag(col("us"), 1).over(byUser)
+    val sessions = ev
+      .withColumn("ns",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("step", row_number().over(Window
+        .partitionBy("user_id", "sid").orderBy(col("us"), col("event_id"))))
+      .filter(col("step") <= maxSteps)
+    val paths = sessions
+      .groupBy("user_id", "sid")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(us, event_id, event_type))), " +
+          "x -> x.event_type)"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val w = Window.orderBy(col("n_sessions").desc, col("path"))
+    paths.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("path"), col("n_sessions"))
+      .orderBy("rank")
+  }
+
   /** Peak session concurrency per day via the classic sweep line:
     * gap-sessionize (same 3600 s rule as [[sessionize]]), emit a +1
     * point at each session start and a −1 at its end, and take the

@@ -132,6 +132,69 @@ object Stats {
           (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
   }
 
+  /** Exact weighted quantiles per group: the value at the first ranked
+    * row whose cumulative weight reaches q·W — the lower weighted
+    * median convention, decided entirely in INTEGER arithmetic
+    * (`4·cumw ≥ k·W` for quarters), so no engine's floating point can
+    * flip a boundary row. One ranked window pass over the group, one
+    * tiny argmin join back; the probe fan-out is row-local. Weights
+    * must be non-negative integers (cast-checked by the caller). */
+  def weightedQuantiles(df: DataFrame, key: String, value: String,
+      weight: String, tieBreaks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(key)
+      .orderBy((col(value) +: tieBreaks.map(col)): _*)
+    val ranked = df
+      .select((key +: value +: weight +: tieBreaks).map(col): _*)
+      .withColumn("wgt", col(weight).cast("long"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cumw", sum(col("wgt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.groupBy(key).agg(sum(col("wgt")).as("w_total"))
+    val hit = ranked.join(broadcast(tot), key)
+      .select(col(key), col("rn"), col("cumw"), col("w_total"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+      .filter(lit(4L) * col("cumw") >= col("k") * col("w_total"))
+      .groupBy(key, "k").agg(min(col("rn")).as("rn"))
+    hit.join(ranked.select(col(key), col("rn"), col(value).as("v")),
+        Seq(key, "rn"))
+      .join(broadcast(tot), key)
+      .select(col(key), (col("k").cast("double") / lit(4.0)).as("q"),
+        col("w_total"), col("v").as("value"))
+      .orderBy(key, "q")
+  }
+
+  /** Mutual information between two discrete columns, exact: the
+    * dependence screen run before trusting a feature pair. Each cell's
+    * contribution `(n_xy/N)·ln(N·n_xy/(n_x·n_y))` rides ONE
+    * product-form log; the (possibly negative) terms sum on the
+    * 12-decimal decimal grid, order-free. Marginal entropies come from
+    * the same counts, so the normalized score NMI = MI/√(H_x·H_y)
+    * ships too. Contingency cells are vocabulary-sized — nothing here
+    * scales with rows except the first count. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy("x").agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy("y").agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    val d = (c: String) => col(c).cast("double")
+    val joined = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+    val mi = joined.agg(
+      count(lit(1)).as("n_cells"),
+      dsum12((d("n_xy") / d("n")) *
+        log(d("n") * d("n_xy") / (d("n_x") * d("n_y")))).as("mi_raw"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(dsum12(-(d("n_x") / d("n")) * log(d("n_x") / d("n"))).as("h_x"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(dsum12(-(d("n_y") / d("n")) * log(d("n_y") / d("n"))).as("h_y"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n_cells"), trunc6(col("mi_raw")).as("mi"),
+        trunc6(col("h_x")).as("h_x"), trunc6(col("h_y")).as("h_y"),
+        trunc6(col("mi_raw") / sqrt(col("h_x") * col("h_y"))).as("nmi"))
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

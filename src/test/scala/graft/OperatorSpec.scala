@@ -1347,6 +1347,57 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("weighted quantiles: weight mass moves the median where counts wouldn't") {
+    // values 1..4 weight 1, value 10 weight 100: the weighted median
+    // and p75 are both 10 (cumw crosses W/2 there); p25 = 10 too at
+    // 4·cumw=16 < 26? no: W=104, k=1: 4·cumw ≥ 104 first at value 10
+    val rows = Seq((1.0, 1L), (2.0, 1L), (3.0, 1L), (4.0, 1L), (10.0, 100L))
+      .zipWithIndex.map { case ((v, w), i) => ("A", v, w, i.toLong, 0L) }
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+    val got = Stats.weightedQuantiles(rows, "l_returnflag",
+      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      .select("q", "w_total", "value").as[(Double, Long, Double)].collect().toSeq
+    assert(got == Seq((0.25, 104L, 10.0), (0.5, 104L, 10.0), (0.75, 104L, 10.0)),
+      got.toString)
+    // uniform weights reduce to the plain lower quartiles
+    val unif = (1 to 8).map(i => ("B", i.toDouble, 1L, i.toLong, 0L))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+    val g2 = Stats.weightedQuantiles(unif, "l_returnflag",
+      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      .select("q", "value").as[(Double, Double)].collect().toSeq
+    assert(g2 == Seq((0.25, 2.0), (0.5, 4.0), (0.75, 6.0)), g2.toString)
+  }
+
+  test("mutual information: independent columns → 0, determined columns → H") {
+    // x = y exactly: MI = H(x) = ln 2 for a 50/50 split; NMI = 1
+    val dep = ((1 to 8).map(_ => (1L, "a")) ++ (1 to 8).map(_ => (2L, "b")))
+      .toDF("x", "y")
+    val d1 = Stats.mutualInformation(dep, "x", "y")
+      .select("mi", "nmi").as[(Double, Double)].head()
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(d1._1 == t6(math.log(2.0)), d1.toString)
+    // sqrt(h·h) can land 1 ulp off h → NMI is 1.0 up to the trunc6 grid
+    assert(d1._2 >= 0.999999 && d1._2 <= 1.000001, d1.toString)
+    // independent: all four cells equal → MI = 0
+    val ind = (for { x <- 1 to 2; y <- Seq("a", "b"); _ <- 1 to 4 } yield (x.toLong, y))
+      .toDF("x", "y")
+    val d2 = Stats.mutualInformation(ind, "x", "y")
+      .select("mi").as[Double].head()
+    assert(math.abs(d2) < 1e-9, s"independent MI: $d2")
+  }
+
+  test("session paths: ordered steps, cap truncates, top path wins") {
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 10L, "click"),
+      (3L, 2L, 0L, "view"), (4L, 2L, 10L, "click"),
+      (5L, 3L, 0L, "error")) // singleton path
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.sessionPaths(ev, 3600L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view>click", 2L), (2L, "error", 1L)), got.toString)
+  }
+
   test("cusum: the planted level shift is found on the shift day") {
     // 10 days at 10/day then 10 days at 100/day → |CUSUM| peaks at the
     // last low day (epoch day 9)
