@@ -505,7 +505,9 @@ object Oracles {
     * hashed-token counts (+1/+B smoothed), cnt-weighted scaled-long
     * log-likelihood sums, argmax by (score DESC, cls). Also wrapped
     * by q150's confusion report. */
-  private val naiveBayesSql: String = {
+  /** The NB CTE prefix (through `scored`: doc_id, cls, score) — shared
+    * by q107's argmax, q150's confusion wrap and q215's calibration. */
+  private val naiveBayesCtes: String = {
     val b = 4096
     s"""WITH tk AS (
        |  SELECT doc_id, lang, ${md5Long("concat('nb|', term)")} % $b AS bucket
@@ -527,13 +529,16 @@ object Oracles {
        |  GROUP BY doc_id, cls),
        |scored AS (
        |  SELECT doc_id, cls, ${t6("log_prior + ll")} AS score
-       |  FROM ll JOIN priors USING (cls))
+       |  FROM ll JOIN priors USING (cls))""".stripMargin
+  }
+
+  private val naiveBayesSql: String =
+    s"""$naiveBayesCtes
        |SELECT doc_id, cls AS pred_lang, score FROM (
        |  SELECT doc_id, cls, score,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
        |  FROM scored)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  }
 
   /** q72's HLL replay — also wrapped by q152's error audit. */
   /** Generic md5-HLL cardinality estimate per `key` over `src` (a
@@ -3246,6 +3251,80 @@ object Oracles {
          |         CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
          |  FROM c)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // q215: NB margin calibration — same scored CTEs as q107, top-2
+    // margin, rank-derived integer decile bins, accuracy per bin
+    "q215_nb_calibration" ->
+      s"""$naiveBayesCtes,
+         |top2 AS (SELECT doc_id, cls, score,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY score DESC, cls) AS rn
+         |         FROM scored),
+         |pm AS (SELECT a.doc_id, a.cls AS pred_lang, a.score - b.score AS margin
+         |       FROM top2 a JOIN top2 b ON a.doc_id = b.doc_id
+         |       WHERE a.rn = 1 AND b.rn = 2),
+         |lab AS (SELECT pm.doc_id, margin,
+         |               CASE WHEN pred_lang = d.lang THEN 1 ELSE 0 END AS correct
+         |        FROM pm JOIN documents d ON pm.doc_id = d.doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM lab),
+         |r AS (SELECT margin, correct,
+         |        CAST(row_number() OVER (ORDER BY margin, doc_id) AS BIGINT) AS rn
+         |      FROM lab)
+         |SELECT CAST((rn - 1) * 10 // n_all AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(correct) AS BIGINT) AS n_correct,
+         |       ${t6("CAST(sum(correct) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy,
+         |       ${t6(zsum8("margin") + " / CAST(count(*) AS DOUBLE)")} AS mean_margin
+         |FROM r CROSS JOIN tot
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q216: Lorenz concentration — descending-rank deciles over
+    // 8-decimal scaled-long entity totals, integer running share
+    "q216_lorenz_deciles" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey AS k,
+         |         CAST(sum(CAST(floor(o_totalprice * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s8
+         |  FROM orders GROUP BY o_custkey),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+         |               CAST(sum(s8) AS BIGINT) AS t8 FROM spend),
+         |binned AS (
+         |  SELECT CAST((rn - 1) * 10 // n_all AS BIGINT) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n_entities,
+         |         CAST(sum(s8) AS BIGINT) AS b8, CAST(max(t8) AS BIGINT) AS t8
+         |  FROM (SELECT s8, CAST(row_number() OVER (ORDER BY s8 DESC, k) AS BIGINT) AS rn
+         |        FROM spend) CROSS JOIN tot
+         |  GROUP BY bin)
+         |SELECT bin, n_entities,
+         |       ${t6("CAST(b8 AS DOUBLE) / CAST(t8 AS DOUBLE)")} AS share,
+         |       ${t6("CAST(c8 AS DOUBLE) / CAST(t8 AS DOUBLE)")} AS cum_share
+         |FROM (SELECT *, CAST(sum(b8) OVER (ORDER BY bin
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c8 FROM binned)
+         |ORDER BY bin""".stripMargin,
+
+    // q217: degree assortativity over the part co-occurrence graph
+    // (pairs co-ordered ≥ 2×) — integer Newman moment sums, one final
+    // double division
+    "q217_assortativity" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+         |           FROM lineitem),
+         |pr AS (SELECT a.item AS ia, c.item AS ib
+         |       FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed0 AS (SELECT ia AS src, ib AS dst FROM pr
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM pr),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed0 GROUP BY 1),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y
+         |       FROM ed0 JOIN deg dx ON dx.src = ed0.src
+         |       JOIN deg dy ON dy.src = ed0.dst),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy)
+         |SELECT n AS n_directed_edges,
+         |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |            ELSE ${t6("CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
+         |       END AS assortativity
+         |FROM m""".stripMargin,
 
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {

@@ -1641,6 +1641,38 @@ object SparkEntry {
     "q214_session_paths" -> ((s, d) =>
       EventOps.sessionPaths(Tables.events(s, d), 3600L)),
 
+    // ---- NB confidence calibration: margin-ranked decile bins vs
+    // empirical accuracy — the threshold-picking table ----
+    "q215_nb_calibration" -> ((s, d) =>
+      TextAnalysis.nbCalibration(Tables.documents(s, d))),
+
+    // ---- Lorenz table: customer revenue concentration by decile ----
+    "q216_lorenz_deciles" -> ((s, d) =>
+      Stats.lorenzDeciles(Tables.orders(s, d), "o_custkey", "o_totalprice")),
+
+    // ---- degree assortativity of the part co-occurrence graph (pairs
+    // co-ordered ≥ 2×): do hub parts co-occur with other hubs? (the
+    // near-dup graph is 1-regular here — zero degree variance, the
+    // coefficient's undefined case) ----
+    "q217_assortativity" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+        .distinct()
+      val pairs = b.groupBy("bid")
+        .agg(sort_array(collect_set(col("item"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps) - 1), " +
+            "i -> transform(slice(ps, i + 1, size(ps) - i), " +
+            "x -> struct(ps[i - 1] AS a, x AS b))))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      GraphOps.degreeAssortativity(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -323,4 +323,29 @@ object GraphOps {
       .select(col("v"), trunc6(col("dist")).as("dist"))
       .orderBy("v")
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list — positive
+    * when hubs link hubs, negative for hub-and-spoke. INTEGER moment
+    * sums end to end (degrees and their products are exact longs; by
+    * symmetry Σx = Σy and Σx² = Σy², so the denominator is one integer
+    * too) with a single double division at the end — no engine can
+    * drift it. Two joins against the broadcast-sized degree table. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(broadcast(deg.toDF("src", "dx")), "src")
+      .join(broadcast(deg.toDF("dst", "dy")), "dst")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("n").as("n_directed_edges"),
+        // a degree-regular graph has zero degree variance — the
+        // coefficient is undefined there, reported as NULL (ANSI-safe)
+        when(den === 0L, lit(null).cast("double")).otherwise(
+          trunc6((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            den.cast("double"))).as("assortativity"))
+  }
 }

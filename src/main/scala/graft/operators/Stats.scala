@@ -103,6 +103,40 @@ object Stats {
       .withColumn("reject", col("d_stat") > col("d_crit"))
   }
 
+  /** Lorenz concentration table: entities ranked by their total value
+    * DESCENDING, cut into equal-count bins, each reporting its share
+    * and the running cumulative share — "the top 10% of customers carry
+    * X% of revenue", the curve whose area is q195's Gini. Entity totals
+    * are 8-decimal scaled LONGS and stay integer through the bin sums
+    * and the running sum, so shares are one exact division per output
+    * row. One entity rollup + bin aggregation over an entity-sized
+    * frame. */
+  def lorenzDeciles(df: DataFrame, key: String, value: String,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = df.select(col(key).as("k"),
+        floor(col(value) * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+      .groupBy("k").agg(sum(col("v8")).as("s8"))
+    val tot = spend.agg(count(lit(1)).as("n_all"), sum(col("s8")).as("t8"))
+    val wr = Window.orderBy(col("s8").desc, col("k"))
+    val binned = spend
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(rn - 1) * $bins div n_all"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_entities"), sum(col("s8")).as("b8"),
+        max(col("t8")).as("t8"))
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("c8", sum(col("b8")).over(wc))
+      .select(col("bin"), col("n_entities"),
+        trunc6(col("b8").cast("double") / col("t8").cast("double")).as("share"),
+        trunc6(col("c8").cast("double") / col("t8").cast("double"))
+          .as("cum_share"))
+      .orderBy("bin")
+  }
+
   /** AUC of a score as a binary ranker, exact, via the Mann–Whitney
     * rank-sum identity with midrank tie handling — and INTEGER
     * arithmetic end to end: per distinct score, twice-the-average-rank

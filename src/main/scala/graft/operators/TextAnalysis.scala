@@ -237,7 +237,10 @@ object TextAnalysis {
     * registered query demonstrates the operator on the corpus's own
     * lang labels (a real pipeline trains on a held-out labeled slice).
     */
-  def naiveBayesLang(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+  /** All per-class NB scores (doc_id, cls, score) — the scored frame
+    * behind [[naiveBayesLang]]'s argmax and [[nbCalibration]]'s margin
+    * bins. */
+  def naiveBayesScores(docs: DataFrame, buckets: Int = 4096): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
       .withColumn("bucket",
@@ -270,13 +273,55 @@ object TextAnalysis {
       .agg(zsum8(col("tcnt").cast("double") * col("lp")).as("ll"))
       .join(broadcast(priors), "cls")
       .withColumn("score", trunc6(col("log_prior") + col("ll")))
+    scored.select(col("doc_id"), col("cls"), col("score"))
+  }
+
+  def naiveBayesLang(docs: DataFrame, buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cls"))
-    scored.withColumn("rn", row_number().over(w))
+    naiveBayesScores(docs, buckets)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cls").as("pred_lang"), col("score"))
       .orderBy("doc_id")
+  }
+
+  /** Calibration report for [[naiveBayesLang]] by CONFIDENCE MARGIN:
+    * documents ranked by the top-1 vs top-2 score gap, cut into
+    * equal-count bins, each bin reporting its empirical accuracy — the
+    * reliability table read before trusting classifier confidence as a
+    * filter threshold (margin avoids the softmax a probability
+    * calibration would need, keeping both engines transcendental-free
+    * beyond the NB lls themselves). Margin bins are rank-derived
+    * (integer `(rn−1)·bins div n`), so bin edges can't drift. */
+  def nbCalibration(docs: DataFrame, bins: Int = 10,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls"))
+    val top2 = naiveBayesScores(docs, buckets)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val first = top2.filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"), col("score").as("s1"))
+    val second = top2.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    val lab = first.join(second, "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), (col("s1") - col("s2")).as("margin"),
+        when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("correct"))
+    val tot = lab.agg(count(lit(1)).as("n_all"))
+    val wr = Window.orderBy(col("margin"), col("doc_id"))
+    lab.withColumn("rn", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(rn - 1) * $bins div n_all"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"),
+        trunc6(sum(col("correct")).cast("double") /
+          count(lit(1)).cast("double")).as("accuracy"),
+        trunc6(zsum8(col("margin")) / count(lit(1)).cast("double"))
+          .as("mean_margin"))
+      .orderBy("bin")
   }
 
   /** Hashed bag-of-words features for the linear classifiers:

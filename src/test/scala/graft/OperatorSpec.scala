@@ -1347,6 +1347,46 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("nb calibration: bins are equal-count, high-margin bins are more accurate") {
+    // 30 clean one-language docs + 10 ambiguous mixed docs
+    val docs = ((1L to 15L).map(i => (i, "en", "the quick brown fox jumps")) ++
+      (16L to 30L).map(i => (i, "de", "der schnelle braune fuchs springt")) ++
+      (31L to 40L).map(i => (i, "en", "der the fox fuchs"))
+      ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nbCalibration(docs, bins = 4)
+      .select("bin", "n", "accuracy").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L), got.toString)
+    assert(got.map(_._2).sum == 40L, "every doc lands in exactly one bin")
+    // the top-margin bin can't be less accurate than the bottom one
+    assert(got.last._3 >= got.head._3, got.toString)
+  }
+
+  test("lorenz deciles: planted whale owns its bin's share; shares sum to 1") {
+    // 9 customers at 10 + 1 whale at 910 → whale bin share 0.91
+    val rows = ((1L to 9L).map(k => (k, 10.0)) :+ (10L, 910.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Stats.lorenzDeciles(rows, "o_custkey", "o_totalprice")
+      .select("bin", "n_entities", "share", "cum_share")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 10 && got.head == ((0L, 1L, 0.91, 0.91)), got.toString)
+    assert(got.last._4 == 1.0, "cumulative share closes at 1")
+    assert(got.map(_._3).sum > 0.999999 && got.map(_._3).sum <= 1.000001)
+  }
+
+  test("assortativity: star graph is perfectly disassortative; regular graph is NULL") {
+    // star: hub 0 — leaves 1..4 (deg 4 vs 1) → r = −1
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r1 = GraphOps.degreeAssortativity(star)
+      .select("assortativity").as[Option[Double]].head()
+    assert(r1.contains(-1.0), r1.toString)
+    // 4-cycle: every degree 2 → zero variance → NULL, not an error
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r2 = GraphOps.degreeAssortativity(cyc)
+      .select("assortativity").as[Option[Double]].head()
+    assert(r2.isEmpty, r2.toString)
+  }
+
   test("weighted quantiles: weight mass moves the median where counts wouldn't") {
     // values 1..4 weight 1, value 10 weight 100: the weighted median
     // and p75 are both 10 (cumw crosses W/2 there); p25 = 10 too at
