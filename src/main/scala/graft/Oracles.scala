@@ -3326,6 +3326,54 @@ object Oracles {
          |       END AS assortativity
          |FROM m""".stripMargin,
 
+    // q219: daily-value ACF — scaled-long daily totals, double
+    // deviations, order-free 12-decimal product sums, day-index lags
+    "q219_daily_acf" ->
+      s"""WITH daily AS (
+         |  SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |         CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |               CAST(sum(t8) AS BIGINT) AS sum8 FROM daily),
+         |dev AS (SELECT day,
+         |          CAST(t8 AS DOUBLE) / 1e8 -
+         |            CAST(sum8 AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e8) AS dev
+         |        FROM daily CROSS JOIN tot),
+         |den AS (SELECT ${dsum12("dev * dev")} AS ss FROM dev),
+         |lagged AS (
+         |  SELECT lag, a.dev AS dev_a, b.dev AS dev_b
+         |  FROM dev a, (SELECT unnest(generate_series(1, 7)) AS lag) l
+         |  JOIN dev b ON b.day = a.day + lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       ${t6(dsum12("dev_a * dev_b") + " / ss")} AS acf
+         |FROM lagged CROSS JOIN den
+         |GROUP BY lag, ss ORDER BY lag""".stripMargin,
+
+    // q220: inter-event burstiness — whole-second gaps keep the moment
+    // sums in exact longs; CV and B from one double step at the end
+    "q220_burstiness" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |         (us - lag(us) OVER (PARTITION BY event_type, user_id
+         |            ORDER BY us, event_id)) // 1000000 AS gap_s
+         |  FROM (SELECT event_type, user_id, event_id, $tsUs AS us FROM events)),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         |             CAST(sum(gap_s) AS BIGINT) AS sg,
+         |             CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+         |      FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n_gaps,
+         |       ${t6("CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)")} AS mean_gap_s,
+         |       ${t6("sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))")} AS cv,
+         |       ${t6("(sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / " +
+            "(sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / " +
+            "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) + CAST(1.0 AS DOUBLE))")} AS burstiness
+         |FROM m ORDER BY event_type""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

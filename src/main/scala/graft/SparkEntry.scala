@@ -126,6 +126,18 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin),
+    // NTILE from one shared text: equal-count quartiles within each
+    // priority under a tie-broken total order, rolled up to a quartile
+    // profile — both engines share NTILE's extras-go-early convention
+    ("q218_sql_ntile", Seq("orders"),
+      """SELECT o_orderpriority, CAST(q AS BIGINT) AS q,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             ntile(4) OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey) AS q
+        |      FROM orders)
+        |GROUP BY o_orderpriority, q ORDER BY o_orderpriority, q""".stripMargin),
     // value-based RANGE frame from one shared text: each order's count
     // and exact revenue of same-priority orders within $1000 below it —
     // peers included by RANGE semantics in both engines; the window
@@ -1649,6 +1661,16 @@ object SparkEntry {
     // ---- Lorenz table: customer revenue concentration by decile ----
     "q216_lorenz_deciles" -> ((s, d) =>
       Stats.lorenzDeciles(Tables.orders(s, d), "o_custkey", "o_totalprice")),
+
+    // ---- daily-value autocorrelation at lags 1..7: the weekly-cycle
+    // detector ----
+    "q219_daily_acf" -> ((s, d) =>
+      EventOps.dailyAcf(Tables.events(s, d))),
+
+    // ---- inter-event burstiness per type: CV of per-user gaps,
+    // Goh–Barabási B ----
+    "q220_burstiness" -> ((s, d) =>
+      EventOps.burstiness(Tables.events(s, d))),
 
     // ---- degree assortativity of the part co-occurrence graph (pairs
     // co-ordered ≥ 2×): do hub parts co-occur with other hubs? (the

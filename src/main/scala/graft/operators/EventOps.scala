@@ -505,6 +505,75 @@ object EventOps {
       .orderBy("rank")
   }
 
+  /** Autocorrelation function of the daily value series at lags
+    * 1..`maxLag` — the periodicity detector behind seasonality choices
+    * (a weekly cycle shows as a lag-7 peak). Daily totals are 8-decimal
+    * scaled longs; deviations from the mean multiply as doubles and sum
+    * on the order-free 12-decimal grid, so shard order can't move the
+    * coefficients. The day series is tiny; the only data-sized pass is
+    * the daily rollup. Gaps in the calendar are treated as missing
+    * days (lag pairs use the DAY index, not row adjacency). */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+      .groupBy("day").agg(sum(col("v8")).as("t8"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("t8")).as("sum8"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("t8").cast("double") / lit(1e8) -
+          col("sum8").cast("double") / (col("n_days").cast("double") * lit(1e8)))
+          .as("dev"))
+    val den = dev.agg(dsum12(col("dev") * col("dev")).as("ss"))
+    val lagged = dev.toDF("day", "dev_a")
+      .select(col("day"), col("dev_a"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(dev.toDF("day_b", "dev_b"),
+        col("day_b") === col("day") + col("lag"))
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum12(col("dev_a") * col("dev_b")).as("sp"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        trunc6(col("sp") / col("ss")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Inter-event burstiness per event type (Goh & Barabási 2008):
+    * the coefficient of variation of per-user inter-arrival gaps and
+    * B = (CV−1)/(CV+1) — 0 for Poisson arrivals, →1 for bursty trains,
+    * <0 for pacemaker-regular ones. Gaps quantize to whole SECONDS so
+    * the moment sums stay exact longs (µs² would overflow); one window
+    * pass + one aggregation. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      // integer `div`, NOT `/`: Spark's `/` on longs detours through
+      // DOUBLE, whose rounding can land a hair above the true quotient
+      // and truncate to the wrong second
+      .withColumn("gap_s", expr("gap_us div 1000000"))
+      .filter(col("gap_s").isNotNull)
+    val d = (c: String) => col(c).cast("double")
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sgg"))
+      .withColumn("mean_s", d("sg") / d("n_gaps"))
+      .withColumn("cv",
+        sqrt(d("sgg") / d("n_gaps") - col("mean_s") * col("mean_s")) /
+          col("mean_s"))
+      .select(col("event_type"), col("n_gaps"),
+        trunc6(col("mean_s")).as("mean_gap_s"),
+        trunc6(col("cv")).as("cv"),
+        trunc6((col("cv") - lit(1.0)) / (col("cv") + lit(1.0)))
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** Peak session concurrency per day via the classic sweep line:
     * gap-sessionize (same 3600 s rule as [[sessionize]]), emit a +1
     * point at each session start and a −1 at its end, and take the

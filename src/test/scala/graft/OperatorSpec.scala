@@ -1347,6 +1347,31 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("daily acf: a period-2 alternating series flips sign by lag parity") {
+    // days 0..9 alternate 10, 30: acf(1) < 0 < acf(2), both near ±1
+    val ev = (0L until 10L).map { d =>
+      (d + 1, 1L, d * 86400L, if (d % 2 == 0) 10.0 else 30.0)
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("click"))
+    val got = EventOps.dailyAcf(ev, maxLag = 2)
+      .select("lag", "n_pairs", "acf").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 9L), (2L, 8L)), got.toString)
+    assert(got(0)._3 < -0.8 && got(1)._3 > 0.7, got.toString)
+  }
+
+  test("burstiness: regular train → B = −1; gaps are per-user, not cross-user") {
+    // user 1 ticks every 10 s (CV = 0 → B = −1); user 2's single event
+    // adds no gap
+    val ev = ((0L until 6L).map(i => (i + 1, 1L, i * 10L)) :+ (7L, 2L, 3L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.burstiness(ev)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("view", 5L, 10.0, 0.0, -1.0)), got.toString)
+  }
+
   test("nb calibration: bins are equal-count, high-margin bins are more accurate") {
     // 30 clean one-language docs + 10 ambiguous mixed docs
     val docs = ((1L to 15L).map(i => (i, "en", "the quick brown fox jumps")) ++
