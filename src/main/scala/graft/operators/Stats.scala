@@ -70,29 +70,60 @@ object Stats {
         col("boot_p05"), col("boot_p95"))
   }
 
+  /** Two-phase distributed prefix sums over value-ordered count rows
+    * (the shardByTokens pattern): range-partition by the sort value,
+    * per-partition totals to the driver (two longs per partition),
+    * prefix-scan there, per-row running totals seeded by the broadcast
+    * offsets. This is how [[ksTest]] and [[aucRankSum]] sweep a
+    * continuous score's distinct values WITHOUT a single-partition
+    * global window — the distinct-value frame is data-sized for
+    * continuous scores, so the sweep must scale like the data. The
+    * sorted RDD is locally checkpointed between phases: recomputation
+    * could re-sample range boundaries and silently shift every offset,
+    * so losing the blocks must fail the job, not corrupt the sums.
+    * Input (v, na, nb) with distinct v; output adds exact cumulative
+    * (ca, cb) in ascending-v order. */
+  private[operators] def orderedPrefixSums(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val sized = counts
+      .select(col("v").cast("double"), col("na").cast("long"),
+        col("nb").cast("long"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd.localCheckpoint()
+    val partSums = sized.mapPartitionsWithIndex { case (i, it) =>
+      var a = 0L; var b = 0L
+      it.foreach { r => a += r._2; b += r._3 }
+      Iterator((i, a, b))
+    }.collect().sortBy(_._1)
+    val offA = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val offB = partSums.map(_._3).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast((offA, offB))
+    sized.mapPartitionsWithIndex { case (i, it) =>
+      var ca = bc.value._1(i); var cb = bc.value._2(i)
+      it.map { case (v, a, b) => ca += a; cb += b; (v, a, b, ca, cb) }
+    }.toDF("v", "na", "nb", "ca", "cb")
+  }
+
   /** Two-sample Kolmogorov–Smirnov test, exact: D = max |F₁(v) − F₂(v)|
     * over the distinct observed values, with the large-sample critical
     * value c(α)·√((n₁+n₂)/(n₁·n₂)) (Smirnov 1939). One value-keyed
-    * count aggregation + one ordered prefix sum over DISTINCT values —
-    * the sweep is vocabulary-sized, not data-sized, so the global
-    * window is cheap even when the inputs aren't. `cAlpha` must be
+    * count aggregation, then the [[orderedPrefixSums]] two-phase sweep
+    * — continuous scores make the distinct-value frame data-sized, so
+    * no global window appears anywhere in this plan. `cAlpha` must be
     * pinned by the caller (√(−ln(α/2)/2)) so both engines compare
     * against the same double. */
   def ksTest(df: DataFrame, valueCol: String, isA: Column,
       cAlpha: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df
       .select(col(valueCol).as("v"),
         when(isA, 1L).otherwise(0L).as("a"),
         when(isA, 0L).otherwise(1L).as("b"))
       .groupBy("v").agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     val tot = counts.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = (c: String) => col(c).cast("double")
-    counts
-      .withColumn("ca", sum(col("na")).over(w))
-      .withColumn("cb", sum(col("nb")).over(w))
+    orderedPrefixSums(counts)
       .crossJoin(broadcast(tot))
       .agg(max(abs(d("ca") / d("n1") - d("cb") / d("n2"))).as("d_raw"),
         max(col("n1")).as("n1"), max(col("n2")).as("n2"))
@@ -110,7 +141,10 @@ object Stats {
     * are 8-decimal scaled LONGS and stay integer through the bin sums
     * and the running sum, so shares are one exact division per output
     * row. One entity rollup + bin aggregation over an entity-sized
-    * frame. */
+    * frame; at billions of entities the decile rank rides the same
+    * two-phase prefix COUNT as [[orderedPrefixSums]] (range-partition
+    * by (total desc, key), per-partition row counts to the driver)
+    * instead of this global row_number. */
   def lorenzDeciles(df: DataFrame, key: String, value: String,
       bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -143,19 +177,17 @@ object Stats {
     * is `2·(count below) + count + 1` (an integer), so the rank sum,
     * the U statistic and both class totals are exact longs and the one
     * double division at the end is engine-deterministic. One
-    * score-keyed aggregation + a prefix sum over distinct scores
-    * (vocabulary-sized, not data-sized). */
+    * score-keyed aggregation, then the [[orderedPrefixSums]] two-phase
+    * sweep — a continuous score makes the distinct frame data-sized,
+    * so no global window appears in this plan either. */
   def aucRankSum(df: DataFrame, scoreCol: String, isPos: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df
-      .select(col(scoreCol).as("s"),
+      .select(col(scoreCol).as("v"),
         when(isPos, 1L).otherwise(0L).as("pos"))
-      .groupBy("s")
-      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("n_pos"))
-    val w = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy("v")
+      .agg(count(lit(1)).as("na"), sum(col("pos")).as("nb"))
+    orderedPrefixSums(counts)
+      .select(col("na").as("cnt"), col("nb").as("n_pos"), col("ca").as("cum"))
       // 2·avgRank of this score's tie group = 2·(cum − cnt) + cnt + 1
       .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
       .agg(sum(col("n_pos") * col("r2")).as("sum_r2"),

@@ -294,7 +294,9 @@ object TextAnalysis {
     * filter threshold (margin avoids the softmax a probability
     * calibration would need, keeping both engines transcendental-free
     * beyond the NB lls themselves). Margin bins are rank-derived
-    * (integer `(rn−1)·bins div n`), so bin edges can't drift. */
+    * (integer `(rn−1)·bins div n`), so bin edges can't drift; at
+    * corpus scale the margin rank rides the two-phase prefix count
+    * (Stats.orderedPrefixSums shape), not this global row_number. */
   def nbCalibration(docs: DataFrame, bins: Int = 10,
       buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
