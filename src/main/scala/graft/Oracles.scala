@@ -3374,6 +3374,35 @@ object Oracles {
             "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) + CAST(1.0 AS DOUBLE))")} AS burstiness
          |FROM m ORDER BY event_type""".stripMargin,
 
+    // q223: BFS hop histogram from part 0 over the ≥2× co-occurrence
+    // graph — q164's unrolled relaxation rounds, counts per level
+    "q223_hop_histogram" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""p$i AS (SELECT e.dst AS v, min(d.dist + 1) AS nd
+           |        FROM ed0 e JOIN d${i - 1} d ON d.v = e.src AND d.dist IS NOT NULL
+           |        GROUP BY e.dst),
+           |d$i AS (SELECT d.v,
+           |          CASE WHEN d.dist IS NULL THEN p.nd
+           |               WHEN p.nd IS NULL THEN d.dist
+           |               ELSE least(d.dist, p.nd) END AS dist
+           |        FROM d${i - 1} d LEFT JOIN p$i p USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+         |           FROM lineitem),
+         |pr AS (SELECT a.item AS ia, c.item AS ib
+         |       FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed0 AS (SELECT ia AS src, ib AS dst FROM pr
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM pr),
+         |d0 AS (SELECT DISTINCT src AS v,
+         |         CASE WHEN src = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+         |       FROM ed0),
+         |$rounds
+         |SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM d4 WHERE dist IS NOT NULL
+         |GROUP BY dist ORDER BY dist""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

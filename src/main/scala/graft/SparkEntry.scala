@@ -126,6 +126,35 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin),
+    // TPC-H Q3 (shipping-priority shape) as ONE shared text: the
+    // classic 3-way join + date band + grouped exact revenue — the
+    // optimizer's bread-and-butter plan exercised from SQL
+    ("q221_sql_tpch_q3", Seq("customer", "orders", "lineitem"),
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |       ${sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    // TPC-H Q10 (returned-item reporting shape): which customers
+    // returned the most revenue last half-year
+    ("q222_sql_tpch_q10", Seq("customer", "orders", "lineitem", "nation"),
+      s"""SELECT c_custkey, c_name, n_name,
+         |       ${sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
     // NTILE from one shared text: equal-count quartiles within each
     // priority under a tie-broken total order, rolled up to a quartile
     // profile — both engines share NTILE's extras-go-early convention
@@ -355,6 +384,34 @@ object SparkEntry {
     * trio prices graph analytics, not repeated pair mining. */
   private val nearDupEdgesCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Part co-occurrence edges (pairs co-ordered in ≥ 2 baskets), both
+    * directions, cached per dataset — q217's assortativity and q223's
+    * hop histogram read the same graph; the q154 row-local pair
+    * fan-out builds it once. */
+  private val partCoocCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def partCooccurrenceEdges(s: SparkSession, d: String): DataFrame =
+    partCoocCache.getOrElseUpdate(d, {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+        .distinct()
+      val pairs = b.groupBy("bid")
+        .agg(sort_array(collect_set(col("item"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps) - 1), " +
+            "i -> transform(slice(ps, i + 1, size(ps) - i), " +
+            "x -> struct(ps[i - 1] AS a, x AS b))))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      edges.count() // materialize eagerly, once
+      edges
+    })
+
   private def nearDupPairEdges(s: SparkSession, d: String): DataFrame =
     nearDupEdgesCache.getOrElseUpdate(d, {
       val pairs = Dedup.ngramJaccardPairs(
@@ -1676,24 +1733,15 @@ object SparkEntry {
     // co-ordered ≥ 2×): do hub parts co-occur with other hubs? (the
     // near-dup graph is 1-regular here — zero degree variance, the
     // coefficient's undefined case) ----
-    "q217_assortativity" -> ((s, d) => {
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
-        .distinct()
-      val pairs = b.groupBy("bid")
-        .agg(sort_array(collect_set(col("item"))).as("ps"))
-        .filter(size(col("ps")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(ps) - 1), " +
-            "i -> transform(slice(ps, i + 1, size(ps) - i), " +
-            "x -> struct(ps[i - 1] AS a, x AS b))))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-      GraphOps.degreeAssortativity(
-        pairs.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    }),
+    "q217_assortativity" -> ((s, d) =>
+      GraphOps.degreeAssortativity(partCooccurrenceEdges(s, d))),
+
+    // ---- hop histogram from part 0 over the same graph: the
+    // small-world reachability profile per BFS level ----
+    "q223_hop_histogram" -> ((s, d) =>
+      GraphOps.bfsLevels(partCooccurrenceEdges(s, d), source = 0L, rounds = 4)
+        .groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("dist")),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

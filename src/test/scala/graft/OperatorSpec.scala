@@ -1347,6 +1347,16 @@ class OperatorSpec extends SparkSpec {
     assert(r._3 == 0L)
   }
 
+  test("hop histogram: path graph counts one vertex per level inside the horizon") {
+    // path 0-1-2-3-4-5: levels 0..4 reachable in 4 rounds, 5 is not
+    val edges = (0L until 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsLevels(edges, source = 0L, rounds = 4)
+      .groupBy("dist").agg(count(lit(1)).as("n"))
+      .orderBy("dist").as[(Long, Long)].collect().toSeq
+    assert(got == (0L to 4L).map(d => (d, 1L)), got.toString)
+  }
+
   test("daily acf: a period-2 alternating series flips sign by lag parity") {
     // days 0..9 alternate 10, 30: acf(1) < 0 < acf(2), both near ±1
     val ev = (0L until 10L).map { d =>
