@@ -3403,6 +3403,32 @@ object Oracles {
          |GROUP BY dist ORDER BY dist""".stripMargin
     },
 
+    // q224: expanding z-score — strictly-prior centi-scaled integer
+    // moments, identical double math, NULL z under 2 priors / zero
+    // variance
+    "q224_expanding_zscore" -> {
+      val mean2 = "CAST(s_prior AS DOUBLE) / CAST(n_prior AS DOUBLE)"
+      val sd2 = s"sqrt(CAST(q_prior AS DOUBLE) / CAST(n_prior AS DOUBLE) - ($mean2) * ($mean2))"
+      val zRaw = s"(CAST(v2 AS DOUBLE) - ($mean2)) / ($sd2)"
+      val zCase =
+        s"CASE WHEN n_prior >= 2 AND $sd2 > CAST(0.0 AS DOUBLE) THEN ${t6(zRaw)} ELSE NULL END"
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, $tsUs AS us,
+         |         CAST(floor(value * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS v2
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, v2,
+         |         CAST(count(*) OVER w AS BIGINT) AS n_prior,
+         |         CAST(sum(v2) OVER w AS BIGINT) AS s_prior,
+         |         CAST(sum(v2 * v2) OVER w AS BIGINT) AS q_prior
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, $zCase AS z,
+         |       coalesce(abs($zCase) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
+         |FROM m ORDER BY user_id, event_id""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

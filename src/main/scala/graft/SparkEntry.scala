@@ -1743,6 +1743,12 @@ object SparkEntry {
         .groupBy("dist").agg(count(lit(1)).as("n_vertices"))
         .orderBy("dist")),
 
+    // ---- expanding z-score anomaly screen: each event vs its user's
+    // strictly-prior history, centi-scaled integer moments — the batch
+    // twin of StreamingIngest.streamingZscore (stream ≡ batch spec'd) ----
+    "q224_expanding_zscore" -> ((s, d) =>
+      EventOps.expandingZscore(Tables.events(s, d))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

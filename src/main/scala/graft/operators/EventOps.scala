@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.{davg, dsum, dsum12, trunc6, xsum}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -373,6 +373,40 @@ object EventOps {
       .select(col("t.touch").as("touch"), col("t.channel").as("channel"))
       .groupBy("touch", "channel").agg(count(lit(1)).as("n_conversions"))
       .orderBy("touch", "channel")
+  }
+
+  /** Expanding (history-so-far) z-score per event: each event scored
+    * against its user's STRICTLY PRIOR events — the batch twin of the
+    * streaming stateful anomaly screen
+    * ([[graft.streaming.StreamingIngest.streamingZscore]]), kept
+    * op-for-op identical so stream ≡ batch is a spec, not a hope.
+    * Moments ride centi-scaled LONGS (exact cumulative sums in any
+    * engine's window order); the z expression is the only double math.
+    * Events with under 2 prior observations or zero prior variance
+    * emit NULL z and never flag. */
+  def expandingZscore(events: DataFrame, zCut: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = (c: Column) => c.cast("double")
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v2"))
+    val withM = base
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s_prior", sum(col("v2")).over(w))
+      .withColumn("q_prior", sum(col("v2") * col("v2")).over(w))
+    val mean2 = d(col("s_prior")) / d(col("n_prior"))
+    val var2 = d(col("q_prior")) / d(col("n_prior")) - mean2 * mean2
+    val sd2 = sqrt(var2)
+    val z = (d(col("v2")) - mean2) / sd2
+    withM
+      .withColumn("z", when(col("n_prior") >= 2 && sd2 > lit(0.0),
+        trunc6(z)).otherwise(lit(null).cast("double")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > lit(zCut), lit(false)))
+      .select(col("user_id"), col("event_id"), col("z"), col("is_anomaly"))
+      .orderBy("user_id", "event_id")
   }
 
   /** Day-of-week seasonality profile per event type: mean value by

@@ -428,6 +428,52 @@ object StreamingIngest {
         col("r_ts"), col("right_id"))
   }
 
+  /** Stateful streaming anomaly screen — the stream twin of
+    * [[graft.operators.EventOps.expandingZscore]], kept OP-FOR-OP
+    * identical so StreamingSpec can assert stream ≡ batch instead of
+    * approximating it: per-user state is the same three centi-scaled
+    * LONG moments (n, Σv₂, Σv₂²) the batch window accumulates, each
+    * event is z-scored against strictly-prior history, z is trunc6'd
+    * before the cut, under-2-prior / zero-variance events emit NULL z
+    * and never flag. State is 3 longs per user — effectively unbounded
+    * retention is fine; swap in a timeout when user churn demands it.
+    * Within a micro-batch events sort by (ts, event_id), so in-order
+    * feeds reproduce the batch total order exactly. */
+  def streamingZscore(events: DataFrame, zCut: Double = 3.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v2"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (Long, Long, Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var (n, s, q) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = it.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, eid, _, v2) =>
+              val z: Option[Double] =
+                if (n >= 2) {
+                  val nD = n.toDouble
+                  val mean2 = s.toDouble / nD
+                  val var2 = q.toDouble / nD - mean2 * mean2
+                  val sd2 = math.sqrt(var2)
+                  if (sd2 > 0.0) Some(t6((v2.toDouble - mean2) / sd2))
+                  else None
+                } else None
+              n += 1; s += v2; q += v2 * v2
+              (uid, eid, z, z.exists(zz => math.abs(zz) > zCut))
+          }
+          state.update((n, s, q))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "z", "is_anomaly")
+  }
+
   /** Streaming exact dedup — the unbounded-stream twin of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was
     * already emitted inside the watermark horizon are dropped, and the

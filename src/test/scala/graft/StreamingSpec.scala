@@ -438,4 +438,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.find(_._1 == 3L).get._3.contains("[PHONE]"))
     } finally q.stop()
   }
+
+  test("streaming zscore ≡ batch expanding zscore across micro-batches") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: stable 10±1 history then a 100 spike; user 2: too little
+    // history to ever score
+    val rows = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(1), 11.0), (3L, 1L, ts(2), 9.0),
+      (4L, 1L, ts(3), 10.0), (5L, 1L, ts(4), 100.0),
+      (6L, 2L, ts(0), 50.0), (7L, 2L, ts(1), 60.0))
+    val batch = EventOps.expandingZscore(
+      rows.toDF("event_id", "user_id", "ts", "value"))
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+    val source = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamingIngest.streamingZscore(
+      source.toDS().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zscore_out").start()
+    try {
+      // the spike arrives in a LATER micro-batch — state must carry the
+      // exact integer moments across the batch boundary
+      source.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("zscore_out")
+        .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.exists { case (_, e, _, flag) => e == 5L && flag },
+        "the planted spike is flagged")
+      assert(streamed.filter(_._1 == 2L).forall(r => r._3.isEmpty && !r._4),
+        "under-2-prior users never score or flag")
+    } finally q.stop()
+  }
 }
