@@ -3429,6 +3429,186 @@ object Oracles {
          |FROM m ORDER BY user_id, event_id""".stripMargin
     },
 
+    // q225: Spearman rho — exact twice-the-midranks via cumulative
+    // counts over distinct values, Pearson on integer-valued doubles
+    "q225_spearman" -> {
+      def rankCte(src: String, c: String) =
+        s"""c$c AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS na FROM $src GROUP BY $c),
+           |r$c AS (SELECT v AS $c,
+           |          2 * (CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |               - na) + na + 1 AS r2$c
+           |        FROM c$c)""".stripMargin
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH r0 AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+         |${rankCte("r0", "x")},
+         |${rankCte("r0", "y")},
+         |j AS (SELECT r2x, r2y FROM r0 JOIN rx USING (x) JOIN ry USING (y)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+         |               ${dsum12(s"${dd("r2x")} * ${dd("r2y")}")} AS sxy,
+         |               ${dsum12(s"${dd("r2x")} * ${dd("r2x")}")} AS sxx,
+         |               ${dsum12(s"${dd("r2y")} * ${dd("r2y")}")} AS syy
+         |        FROM j)
+         |SELECT n,
+         |       ${t6(s"(${dd("n")} * sxy - ${dd("sx")} * ${dd("sy")}) / " +
+              s"sqrt((${dd("n")} * sxx - ${dd("sx")} * ${dd("sx")}) * " +
+              s"(${dd("n")} * syy - ${dd("sy")} * ${dd("sy")}))")} AS rho
+         |FROM agg""".stripMargin
+    },
+
+    // q226: chi-square independence + Cramér's V — q213's contingency
+    // plan with (O−E)²/E terms on the 12-decimal grid
+    "q226_chi_square" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val e = s"${dd("n_x")} * ${dd("n_y")} / ${dd("n")}"
+      s"""WITH base AS (SELECT event_type AS x,
+         |                     CAST($tsUs // 86400000000 % 7 AS BIGINT) AS y
+         |              FROM events),
+         |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM base GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+         |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+         |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+         |               CAST(count(DISTINCT x) AS BIGINT) AS r,
+         |               CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
+         |fx AS (SELECT mx.x, my.y, n_x, n_y, coalesce(n_xy, 0) AS n_xy
+         |         FROM mx CROSS JOIN my
+         |         LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+         |agg AS (SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+         |               ${dsum12(s"(${dd("n_xy")} - $e) * (${dd("n_xy")} - $e) / ($e)")} AS chi2_raw
+         |        FROM fx CROSS JOIN tot)
+         |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+         |       ${t6("chi2_raw")} AS chi2,
+         |       ${t6(s"sqrt(chi2_raw / (${dd("n")} * ${dd("least(r - 1, c - 1)")}))")} AS cramers_v
+         |FROM agg""".stripMargin
+    },
+
+    // q227: Welch two-sample t — exact centi-scaled long moments, the
+    // scale-invariant t/df computed in v2 units
+    "q227_welch_ttest" ->
+      s"""WITH base AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS a,
+         |                     CAST(floor(value * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS v2
+         |              FROM events),
+         |g AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(a * v2) AS BIGINT) AS sa,
+         |             CAST(sum(a * v2 * v2) AS BIGINT) AS qa,
+         |             CAST(sum(1 - a) AS BIGINT) AS nb, CAST(sum((1 - a) * v2) AS BIGINT) AS sb,
+         |             CAST(sum((1 - a) * v2 * v2) AS BIGINT) AS qb
+         |      FROM base),
+         |w AS (SELECT na, nb, sa, sb,
+         |             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+         |               / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(na AS DOUBLE) AS sea,
+         |             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |               / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(nb AS DOUBLE) AS seb
+         |      FROM g)
+         |SELECT na AS n_a, nb AS n_b,
+         |       ${t6("CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / CAST(100.0 AS DOUBLE)")} AS mean_a,
+         |       ${t6("CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / CAST(100.0 AS DOUBLE)")} AS mean_b,
+         |       ${t6("(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb)")} AS t,
+         |       ${t6("(sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE)) + seb * seb / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)))")} AS df
+         |FROM w""".stripMargin,
+
+    // q228: Benjamini–Hochberg over per-type weekend Welch tests — the
+    // A&S 26.2.17 tail polynomial in the identical Horner order, the
+    // step-up cut over the tiny per-key frame
+    "q228_bh_fdr" -> {
+      val tail = s"exp(-(abs(t_raw) * abs(t_raw)) / 2.0e0) * " +
+        s"${graft.operators.Stats.InvSqrt2Pi.toString}e0 * " +
+        "(kk * (0.31938153e0 + kk * (-0.356563782e0 + kk * (1.781477937e0 + " +
+        "kk * (-1.821255978e0 + kk * 1.330274429e0)))))"
+      s"""WITH base AS (SELECT event_type,
+         |                     CASE WHEN CAST($tsUs // 86400000000 % 7 AS BIGINT) IN (2, 3)
+         |                          THEN 0 ELSE 1 END AS a,
+         |                     CAST(floor(value * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS v2
+         |              FROM events),
+         |g AS (SELECT event_type,
+         |             CAST(sum(a) AS BIGINT) AS na, CAST(sum(a * v2) AS BIGINT) AS sa,
+         |             CAST(sum(a * v2 * v2) AS BIGINT) AS qa,
+         |             CAST(sum(1 - a) AS BIGINT) AS nb, CAST(sum((1 - a) * v2) AS BIGINT) AS sb,
+         |             CAST(sum((1 - a) * v2 * v2) AS BIGINT) AS qb
+         |      FROM base GROUP BY event_type
+         |      HAVING CAST(sum(a) AS BIGINT) >= 2 AND CAST(sum(1 - a) AS BIGINT) >= 2),
+         |w AS (SELECT event_type, na, nb, sa, sb,
+         |             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+         |               / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(na AS DOUBLE) AS sea,
+         |             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |               / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(nb AS DOUBLE) AS seb
+         |      FROM g),
+         |tst AS (SELECT event_type, na, nb,
+         |               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |                 / sqrt(sea + seb) AS t_raw
+         |        FROM w),
+         |p AS (SELECT event_type, na, nb, t_raw,
+         |             2.0e0 * ($tail) AS p_raw
+         |      FROM (SELECT *, 1.0e0 / (1.0e0 + 0.2316419e0 * abs(t_raw)) AS kk FROM tst)),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_raw, event_type) AS BIGINT) AS rank,
+         |             CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+         |ks AS (SELECT *, max(CASE WHEN p_raw <= CAST(rank AS DOUBLE) * 0.05e0 / CAST(m AS DOUBLE)
+         |                          THEN rank END) OVER () AS k_star
+         |       FROM r)
+         |SELECT event_type, rank, na AS n_a, nb AS n_b,
+         |       ${t6("t_raw")} AS t, ${t6("p_raw")} AS p,
+         |       coalesce(rank <= k_star, false) AS reject
+         |FROM ks ORDER BY rank""".stripMargin
+    },
+
+    // q229: Kaplan–Meier over session lifetimes (q214's gap sessions,
+    // minutes; last-hour sessions censored) — 12-decimal integer-grid
+    // running log-survival (window FP sums are engine-frame-order-
+    // dependent)
+    "q229_kaplan_meier" ->
+      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS us FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+         |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+         |         FROM s GROUP BY user_id, sid),
+         |h AS (SELECT max(e_us) AS h_us FROM sess),
+         |dur AS (SELECT CAST((e_us - s_us) // 60000000 AS BIGINT) AS t,
+         |               CASE WHEN h_us - e_us > 3600000000 THEN 1 ELSE 0 END AS ev
+         |        FROM sess CROSS JOIN h),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dur),
+         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t, CAST(sum(ev) AS BIGINT) AS d
+         |        FROM dur GROUP BY t),
+         |risk AS (SELECT t, n_t, d,
+         |                n_all - coalesce(CAST(sum(n_t) OVER (ORDER BY t
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+         |         FROM byt CROSS JOIN tot),
+         |lt AS (SELECT t, n_risk, d,
+         |              CASE WHEN d < n_risk THEN
+         |                CAST(floor(ln(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |                  * 1e12 + 0.5) AS BIGINT) END AS lt12
+         |       FROM risk WHERE d > 0),
+         |c AS (SELECT t, n_risk, d,
+         |             CASE WHEN d < n_risk THEN
+         |               CAST(CAST(sum(lt12) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |                 AS DOUBLE) / 1e12 END AS ln_s
+         |      FROM lt)
+         |SELECT t, n_risk, d, ${t6("ln_s")} AS ln_survival,
+         |       CASE WHEN d < n_risk THEN ${t6("exp(ln_s)")}
+         |            ELSE CAST(0.0 AS DOUBLE) END AS survival
+         |FROM c ORDER BY t""".stripMargin,
+
+    // q230: RFM segmentation — NTILE(4) quartile scores under the q218
+    // shared convention, 8-decimal exact monetary totals
+    "q230_rfm_segments" ->
+      s"""WITH per AS (SELECT o_custkey AS k, max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+         |                    CAST(count(*) AS BIGINT) AS f, ${xsum("o_totalprice")} AS m
+         |             FROM orders GROUP BY o_custkey),
+         |ref AS (SELECT max(last_us) AS ref_us FROM per),
+         |scored AS (SELECT k, f, m,
+         |                  CAST((ref_us - last_us) // 86400000000 AS BIGINT) AS recency_days
+         |           FROM per CROSS JOIN ref),
+         |nt AS (SELECT f, m,
+         |              CAST(ntile(4) OVER (ORDER BY recency_days, k) AS BIGINT) AS r_score,
+         |              CAST(ntile(4) OVER (ORDER BY f DESC, k) AS BIGINT) AS f_score,
+         |              CAST(ntile(4) OVER (ORDER BY m DESC, k) AS BIGINT) AS m_score
+         |       FROM scored)
+         |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_entities,
+         |       CAST(sum(f) AS BIGINT) AS n_actions, ${xsum("m")} AS monetary
+         |FROM nt GROUP BY r_score, f_score, m_score
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1749,6 +1749,60 @@ object SparkEntry {
     "q224_expanding_zscore" -> ((s, d) =>
       EventOps.expandingZscore(Tables.events(s, d))),
 
+    // ---- Spearman rank correlation: quantity vs price, exact integer
+    // midranks via the two-phase sweep — no global window ----
+    "q225_spearman" -> ((s, d) =>
+      Stats.spearman(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
+
+    // ---- chi-square independence of event type × day-of-week +
+    // Cramér's V — the categorical twin of q213's MI ----
+    "q226_chi_square" -> ((s, d) =>
+      Stats.chiSquareIndependence(
+        Tables.events(s, d)
+          .withColumn("dow", expr("unix_micros(ts) div 86400000000 % 7")),
+        "event_type", "dow")),
+
+    // ---- Welch two-sample t: error-event values vs the rest, exact
+    // centi-scaled moments, scale-invariant t/df ----
+    "q227_welch_ttest" -> ((s, d) =>
+      Stats.welchTTest(Tables.events(s, d), "value",
+        col("event_type") === "error")),
+
+    // ---- Benjamini–Hochberg FDR over per-type weekend-vs-weekday
+    // Welch tests (epoch-day%7: 2=Sat, 3=Sun) ----
+    "q228_bh_fdr" -> ((s, d) =>
+      Stats.bhFdr(
+        Tables.events(s, d)
+          .withColumn("dow", expr("unix_micros(ts) div 86400000000 % 7")),
+        "event_type", "value", col("dow") === 2 || col("dow") === 3)),
+
+    // ---- Kaplan–Meier survival of session lifetimes (q214's 1-hour
+    // gap sessions, duration in minutes): a session is an observed
+    // "death" unless it runs into the final hour before the horizon —
+    // those are right-censored and only feed the risk sets ----
+    "q229_kaplan_meier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("ns", when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 3600000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val horizon = sess.agg(max(col("e_us")).as("h_us"))
+      val dur = sess.crossJoin(broadcast(horizon))
+        .select(expr("(e_us - s_us) div 60000000").as("dur_min"),
+          (col("h_us") - col("e_us") > lit(3600000000L)).as("observed"))
+      Stats.kaplanMeier(dur, "dur_min", "observed")
+    }),
+
+    // ---- RFM segmentation of customers from their orders ----
+    "q230_rfm_segments" -> ((s, d) =>
+      EventOps.rfmSegments(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice")),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

