@@ -186,6 +186,83 @@ object SparkEntry {
         |       CAST(CAST(rev_i AS DOUBLE) + CAST(rev_f AS DOUBLE) / 1e8 AS DOUBLE) AS window_revenue
         |FROM win WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    // against lineitem inside a date band — the decorrelate-to-semi
+    // plan from one shared text (late-ship proxy: shipped after order)
+    ("q231_sql_tpch_q4", Seq("orders", "lineitem"),
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    // TPC-H Q14 shape (promotion effect): conditional-over-total exact
+    // revenue ratio for one ship month
+    ("q232_sql_tpch_q14", Seq("lineitem", "part"),
+      s"""SELECT ${sharedTrunc6("CAST(100.0 AS DOUBLE) * (" +
+           sharedXsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) ELSE CAST(0.0 AS DOUBLE) END") +
+           ") / (" + sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)") + ")")} AS promo_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+         |  AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'""".stripMargin),
+    // TPC-H Q16 shape (parts/supplier relationship): multi-column
+    // grouped COUNT DISTINCT with a NOT IN supplier exclusion
+    ("q233_sql_tpch_q16", Seq("lineitem", "part", "supplier"),
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < CAST(0.0 AS DOUBLE))
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    // TPC-H Q18 shape (large-volume customers): IN over a grouped
+    // HAVING subquery, integer-exact quantity sums
+    ("q234_sql_tpch_q18", Seq("customer", "orders", "lineitem"),
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    // TPC-H Q19 shape (discounted revenue): three disjunctive
+    // brand/size/quantity bands — the OR-pushdown plan
+    ("q235_sql_tpch_q19", Seq("lineitem", "part"),
+      s"""SELECT ${sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity >= CAST(1.0 AS DOUBLE) AND l_quantity <= CAST(11.0 AS DOUBLE))
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity >= CAST(10.0 AS DOUBLE) AND l_quantity <= CAST(20.0 AS DOUBLE))
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= CAST(20.0 AS DOUBLE) AND l_quantity <= CAST(30.0 AS DOUBLE))""".stripMargin),
+    // TPC-H Q22 shape (global-relationship check): scalar average
+    // subquery + correlated NOT EXISTS (anti on urgent orders — every
+    // positive-balance customer here has SOME order), country-code
+    // grouping proxied by custkey residue
+    ("q236_sql_tpch_q22", Seq("customer", "orders"),
+      s"""WITH pos AS (SELECT ${sharedXsum("c_acctbal")} AS s, CAST(count(*) AS BIGINT) AS n
+         |             FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE)),
+         |sel AS (SELECT CAST(c_custkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+         |        FROM customer, pos
+         |        WHERE c_acctbal > s / CAST(n AS DOUBLE)
+         |          AND c_custkey % 5 IN (1, 2, 3)
+         |          AND NOT EXISTS (SELECT 1 FROM orders
+         |                          WHERE o_custkey = c_custkey
+         |                            AND o_orderpriority = '1-URGENT'))
+         |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+         |       ${sharedXsum("c_acctbal")} AS totacctbal
+         |FROM sel GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
     ("q191_sql_correlated_scalar", Seq("customer", "orders"),
       """SELECT c_custkey,
         |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
