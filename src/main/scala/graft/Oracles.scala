@@ -3609,6 +3609,120 @@ object Oracles {
          |FROM nt GROUP BY r_score, f_score, m_score
          |ORDER BY r_score, f_score, m_score""".stripMargin,
 
+    // q237: Adamic–Adar link prediction — wedge join through the shared
+    // vertex over the q217 co-occurrence edges, inverse-log degree
+    // weights on the 12-decimal grid, existing edges anti'd out
+    "q237_adamic_adar" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+         |           FROM lineitem),
+         |pr AS (SELECT a.item AS ia, c.item AS ib
+         |       FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed0 AS (SELECT ia AS src, ib AS dst FROM pr
+         |        UNION ALL SELECT ib AS src, ia AS dst FROM pr),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed0 GROUP BY 1),
+         |wed AS (SELECT e1.src AS u, e1.dst AS w, e2.dst AS v
+         |        FROM ed0 e1 JOIN ed0 e2 ON e1.dst = e2.src
+         |        WHERE e1.src < e2.dst),
+         |cand AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         |                ${dsum12("CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE))")} AS aa_raw
+         |         FROM wed JOIN deg ON deg.src = wed.w
+         |         GROUP BY u, v),
+         |nonadj AS (SELECT * FROM cand
+         |           WHERE NOT EXISTS (SELECT 1 FROM ed0
+         |                             WHERE ed0.src = cand.u AND ed0.dst = cand.v))
+         |SELECT rank, u, v, n_common, ${t6("aa_raw")} AS aa FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY aa_raw DESC, u, v) AS BIGINT) AS rank
+         |  FROM nonadj)
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    // q238: HITS on the buyer→part bipartite graph — 5 unrolled
+    // rounds, L1-normalized decimal sums, full-outer hub/authority join
+    "q238_hits" -> {
+      val iters = (1 to 5).map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT ed.dst AS v, ${dsum12("h.h")} AS a_raw
+           |           FROM ed JOIN h${i - 1} h ON h.v = ed.src GROUP BY ed.dst),
+           |a${i}t AS (SELECT ${dsum12("a_raw")} AS a_tot FROM a${i}r),
+           |a$i AS (SELECT v, a_raw / a_tot AS a FROM a${i}r CROSS JOIN a${i}t),
+           |h${i}r AS MATERIALIZED (SELECT ed.src AS v, ${dsum12("a.a")} AS h_raw
+           |           FROM ed JOIN a$i a ON a.v = ed.dst GROUP BY ed.src),
+           |h${i}t AS (SELECT ${dsum12("h_raw")} AS h_tot FROM h${i}r),
+           |h$i AS (SELECT v, h_raw / h_tot AS h FROM h${i}r CROSS JOIN h${i}t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT DISTINCT o_custkey AS src, l_partkey + 1000000 AS dst
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |srcs AS (SELECT DISTINCT src AS v FROM ed),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM srcs),
+         |h0 AS (SELECT v, CAST(1.0 AS DOUBLE) / n_s AS h FROM srcs CROSS JOIN ns),
+         |$iters
+         |SELECT coalesce(h.v, a.v) AS v,
+         |       ${t6("coalesce(h.h, CAST(0.0 AS DOUBLE))")} AS hub,
+         |       ${t6("coalesce(a.a, CAST(0.0 AS DOUBLE))")} AS authority
+         |FROM h5 h FULL OUTER JOIN a5 a ON h.v = a.v
+         |ORDER BY v""".stripMargin
+    },
+
+    // q239: TextRank keywords — PageRank (q99's unrolled text) over the
+    // adjacent-content-token co-occurrence graph
+    "q239_textrank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT v, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_v
+           |            + CAST(0.85 AS DOUBLE) * s AS rank
+           |  FROM (SELECT ed.dst AS v, ${dsum12("r.rank / ed.outdeg")} AS s
+           |        FROM ed JOIN r${i - 1} r ON r.v = ed.src
+           |        GROUP BY ed.dst) CROSS JOIN nv)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT ${contentToks("text")} AS t FROM documents),
+         |p0 AS (SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+         |         SELECT unnest(list_transform(generate_series(2, len(t)),
+         |                i -> struct_pack(a := t[i - 1], b := t[i]))) AS p
+         |         FROM tk WHERE len(t) >= 2)),
+         |und AS (SELECT a, b FROM p0 WHERE a != b GROUP BY a, b HAVING count(*) >= 2),
+         |ed0 AS (SELECT a AS src, b AS dst FROM und
+         |        UNION ALL SELECT b AS src, a AS dst FROM und),
+         |deg AS (SELECT src, count(*) AS outdeg FROM ed0 GROUP BY src),
+         |nv AS (SELECT count(*) AS n_v FROM deg),
+         |ed AS (SELECT ed0.src, ed0.dst, deg.outdeg FROM ed0 JOIN deg USING (src)),
+         |r0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) / n_v AS rank FROM deg CROSS JOIN nv),
+         |$iters
+         |SELECT pos, v AS term, ${t6("rank")} AS score FROM (
+         |  SELECT v, rank,
+         |         CAST(row_number() OVER (ORDER BY rank DESC, v) AS BIGINT) AS pos
+         |  FROM r5)
+         |WHERE pos <= 20 ORDER BY pos""".stripMargin
+    },
+
+    // q240: MMR diversified rerank — the greedy steps unrolled, each a
+    // 1-row argmax over the bounded candidate pool; λ/(1−λ) pinned
+    "q240_mmr_rerank" -> {
+      def selPrev(i: Int) =
+        (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      val steps = (1 to 5).map { i =>
+        val ms =
+          if (i == 1) "CAST(0.0 AS DOUBLE)"
+          else s"coalesce((SELECT max(psim) FROM ps WHERE ps.ia = cv.id " +
+            s"AND ps.ib IN (${selPrev(i)})), CAST(0.0 AS DOUBLE))"
+        val notIn = if (i == 1) "" else s" WHERE cv.id NOT IN (${selPrev(i)})"
+        s"""s$i AS (SELECT id, mmr FROM (
+           |  SELECT cv.id, 0.7e0 * cv.score - 0.3e0 * $ms AS mmr
+           |  FROM cv$notIn)
+           |ORDER BY mmr DESC, id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 5)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, id, mmr FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH cand AS (${vectorScanSql(0, 20)}),
+         |cv AS (SELECT c.id, c.score, CAST(e.embedding AS DOUBLE[]) AS v
+         |       FROM cand c JOIN embeddings e ON e.vec_id = c.id),
+         |ps AS (SELECT a.id AS ia, b.id AS ib, ${t6(cosine("a.v", "b.v"))} AS psim
+         |       FROM cv a JOIN cv b ON a.id != b.id),
+         |$steps
+         |SELECT sel.rank, sel.id, ${t6("sel.mmr")} AS mmr, cv.score AS qsim
+         |FROM ($sel) sel JOIN cv ON cv.id = sel.id
+         |ORDER BY sel.rank""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

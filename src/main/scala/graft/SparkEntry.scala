@@ -1880,6 +1880,33 @@ object SparkEntry {
       EventOps.rfmSegments(Tables.orders(s, d), "o_custkey",
         "o_orderdate", "o_totalprice")),
 
+    // ---- Adamic–Adar link prediction on the cached co-occurrence
+    // graph (q217/q223's fixture): which non-linked part pairs the
+    // structure most expects to link next ----
+    "q237_adamic_adar" -> ((s, d) =>
+      GraphOps.adamicAdar(partCooccurrenceEdges(s, d))),
+
+    // ---- HITS on the directed buyer→part bipartite graph: hubs are
+    // broad buyers, authorities popular parts (ids disjoint by offset) ----
+    "q238_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      GraphOps.hits(e, iters = 5)
+    }),
+
+    // ---- TextRank keywords: PageRank over the adjacent-content-token
+    // co-occurrence graph, corpus-wide top terms ----
+    "q239_textrank" -> ((s, d) =>
+      TextAnalysis.textRank(Tables.documents(s, d))),
+
+    // ---- MMR diversified rerank of the q20 candidate pool ----
+    "q240_mmr_rerank" -> ((s, d) =>
+      Retrieval.mmrRerank(Tables.embeddings(s, d), KnnQueryId)),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -331,6 +331,84 @@ object GraphOps {
     * symmetry Σx = Σy and Σx² = Σy², so the denominator is one integer
     * too) with a single double division at the end — no engine can
     * drift it. Two joins against the broadcast-sized degree table. */
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * non-adjacent pair sharing ≥1 neighbor, Σ_w 1/ln(deg w) over the
+    * common neighbors — the inverse-log weighting that discounts hub
+    * intermediaries. One wedge self-join through the shared vertex
+    * (u→w, w→v, u<v), degree broadcast, anti-join against existing
+    * edges; terms sum on the 12-decimal order-free grid. Every common
+    * neighbor has degree ≥ 2 by construction (it touches both
+    * endpoints), so ln(deg) > 0 always. Scale note: wedge fan-out
+    * through a hub w is deg(w)² — at corpus scale cap or sample
+    * hub neighborhoods before the self-join (their 1/ln contribution
+    * is smallest, so the cap biases least where it prunes most);
+    * the q154-style pair graph here is support-thresholded, which is
+    * that cap. Expects a symmetrized (both-directions) edge list. */
+  def adamicAdar(edges: DataFrame, topK: Int = 15): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = e.toDF("u", "w")
+      .join(e.toDF("w", "v"), "w")
+      .filter(col("u") < col("v"))
+      .join(broadcast(deg.toDF("w", "degw")), "w")
+    val cand = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        dsum12(lit(1.0) / log(col("degw").cast("double"))).as("aa_raw"))
+      .join(e.filter(col("src") < col("dst")).toDF("u", "v"), Seq("u", "v"),
+        "left_anti")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("aa_raw").desc, col("u"), col("v"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("u"), col("v"), col("n_common"),
+        trunc6(col("aa_raw")).as("aa"))
+      .orderBy("rank")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999), fixed iteration count
+    * with L1 normalization (sum-to-one keeps the per-round rescale a
+    * single exact-decimal total instead of an L2 sqrt): auth(v) =
+    * Σ h(u) over in-edges, hub(u) = Σ a(v) over out-edges, each round
+    * one src-keyed join + one dst-keyed decimal-summed aggregation —
+    * the [[pageRank]] plan shape on a DIRECTED edge list (run it on a
+    * bipartite buyer→item graph and hubs are broad buyers, authorities
+    * popular items). Edge list materializes once and each half-round's
+    * raw scores are materialized before normalizing: the normalizer
+    * references the same frame the scores do, and without the lineage
+    * cut BOTH engines re-expand that shared subtree per reference —
+    * 2^(2·iters) plan blowup (measured 343 s → 27 s at sf0.01; the
+    * DuckDB twin needed CTE materialization for the same reason). The
+    * L1 total itself is a bounded 1-row scalar, the [[pageRank]] nV
+    * pattern. */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val srcs = e.select(col("src").as("v")).distinct().localCheckpoint()
+    val nS = lit(srcs.count())
+    var hub = srcs.select(col("v"), (lit(1.0) / nS).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("v")).agg(dsum12(col("h")).as("a_raw"))
+        .localCheckpoint()
+      val aTot = lit(aRaw.agg(dsum12(col("a_raw"))).head().getDouble(0))
+      auth = aRaw.select(col("v"), (col("a_raw") / aTot).as("a"))
+      val hRaw = e.join(auth.select(col("v").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h_raw"))
+        .localCheckpoint()
+      val hTot = lit(hRaw.agg(dsum12(col("h_raw"))).head().getDouble(0))
+      hub = hRaw.select(col("v"), (col("h_raw") / hTot).as("h"))
+    }
+    hub.toDF("v", "h").join(auth.toDF("v", "a"), Seq("v"), "full_outer")
+      .select(col("v"), trunc6(coalesce(col("h"), lit(0.0))).as("hub"),
+        trunc6(coalesce(col("a"), lit(0.0))).as("authority"))
+      .orderBy("v")
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val xy = edges

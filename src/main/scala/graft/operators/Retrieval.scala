@@ -424,4 +424,52 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    * greedy diversified selection from an exact top-`poolK` candidate
+    * pool — step score λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), ties by
+    * id. The pool and its poolK² pairwise cosines are BOUNDED by
+    * construction (topKPerQuery-sized, not corpus-sized), computed once
+    * and checkpointed; each of the `selectK` greedy steps is then one
+    * tiny aggregation + a 1-row argmax (the q84 bounded-head pattern).
+    * All similarities are trunc6'd on the 6-decimal grid before any
+    * comparison, and λ/(1−λ) are pinned literals, so the greedy path
+    * is engine-deterministic. At corpus scale only the pool query
+    * touches the data — MMR itself never scales past poolK. */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, poolK: Int = 20,
+      selectK: Int = 5, lambda: Double = 0.7,
+      lambdaComp: Double = 0.3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cands = cosineKnn(embeddings, queryId, poolK)
+      .join(embeddings.select(col("vec_id").as("id"), col("embedding")), "id")
+      .localCheckpoint()
+    val pairSims = cands.select(col("id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(cands.select(col("id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        trunc6(VectorFunctions.cosine(col("ea"), col("eb"))).as("psim"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Double, Long)]
+    for (step <- 1 to selectK) {
+      val selIds = selected.map(_._1)
+      val remaining = cands.filter(!col("id").isin(selIds: _*))
+      val maxSim =
+        if (selIds.isEmpty) remaining.select(col("id"), lit(0.0).as("ms"))
+        else pairSims.filter(col("ib").isin(selIds: _*))
+          .groupBy(col("ia").as("id")).agg(max(col("psim")).as("ms"))
+      val top = remaining.join(maxSim, Seq("id"), "left")
+        .withColumn("mmr", lit(lambda) * col("score") -
+          lit(lambdaComp) * coalesce(col("ms"), lit(0.0)))
+        .orderBy(col("mmr").desc, col("id"))
+        .select("id", "mmr")
+        .head() // bounded: argmax over ≤ poolK rows
+      selected :+= ((top.getLong(0), top.getDouble(1), step.toLong))
+    }
+    selected.toDF("id", "mmr_raw", "rank")
+      .join(cands.select(col("id"), col("score").as("qsim")), "id")
+      .select(col("rank"), col("id"), trunc6(col("mmr_raw")).as("mmr"),
+        col("qsim"))
+      .orderBy("rank")
+  }
 }

@@ -1422,4 +1422,52 @@ object TextAnalysis {
       .select(col("grp"), col("rank"), col("term"), col("y_wi"), col("z"))
       .orderBy("grp", "rank")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — vertices are content tokens
+    * (stop-words removed), undirected edges link tokens ADJACENT in the
+    * filtered sequence (window 2) that co-occur ≥ `minPairs` times
+    * corpus-wide; the support floor is the hub cap that keeps wedge
+    * fan-out bounded. Same iteration plan as [[GraphOps.pageRank]]
+    * (one src join + one decimal-summed aggregation per unrolled
+    * round) but keyed by the token STRING — no id remapping pass.
+    * The pair fan-out is row-local; everything after the first count
+    * is vocabulary-sized. */
+  def textRank(docs: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      minPairs: Long = 2, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = docs.select(contentTokens(col("text")).as("t"))
+      // sequence(1, 0) is DESCENDING in Spark — guard 1-token docs
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b))"))
+        .as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPairs)
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nV = lit(deg.count())
+    val ed = e.join(deg, "src")
+    var ranks = deg.select(col("src").as("v"))
+      .select(col("v"), (lit(1.0) / nV).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks.select(col("v").as("src"), col("rank")), "src")
+        .select(col("dst").as("v"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("v").agg(dsum12(col("c")).as("s"))
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / nV +
+            lit(damping) * col("s")).as("rank"))
+    }
+    ranks
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rank").desc, col("v"))).cast("long"))
+      .filter(col("pos") <= topK)
+      .select(col("pos"), col("v").as("term"), trunc6(col("rank")).as("score"))
+      .orderBy("pos")
+  }
 }

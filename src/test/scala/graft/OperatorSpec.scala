@@ -1745,6 +1745,70 @@ class OperatorSpec extends SparkSpec {
     assert(Stats.kaplanMeier(cens, "dur", "obs").count() == 0L)
   }
 
+  test("adamic-adar: shared-neighbor pair is predicted, adjacent pairs excluded") {
+    // path graph 1-3-2 plus hub 4 linked to 1,2,3: candidates are the
+    // non-edges; (1,2) shares neighbors {3,4}, both of degree 3 →
+    // AA = 2/ln3
+    val und = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.adamicAdar(edges)
+      .select("rank", "u", "v", "n_common", "aa")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got.head == ((1L, 1L, 2L, 2L,
+      t6(1.0 / math.log(3.0) + 1.0 / math.log(3.0)))), got.head.toString)
+    // every returned pair is a non-edge
+    val undSet = und.toSet
+    assert(got.forall { case (_, u, v, _, _) =>
+      !undSet.contains((u, v)) && !undSet.contains((v, u)) })
+  }
+
+  test("hits: bipartite star — the broad buyer out-hubs, the shared item out-auths") {
+    // buyers 1,2,3 → items 10,11; buyer 1 also → 12; item 10 bought by all
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L), (1L, 12L))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(e).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // hubs: buyer 1 (3 items) > buyer 2 (2) > buyer 3 (1)
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > got(3L)._1, got.toString)
+    // authorities: item 10 (3 buyers incl. best hub) tops 11 tops 12
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(12L)._2, got.toString)
+    // buyers have no authority, items no hub; L1 scale: scores in (0,1]
+    assert(got(1L)._2 == 0.0 && got(10L)._1 == 0.0)
+    assert(got.values.forall { case (h, a) => h <= 1.0 && a <= 1.0 })
+  }
+
+  test("textrank: the bridging content word outranks leaf words; stopwords never appear") {
+    // "core" is adjacent to every other content word at least twice
+    val docs = (1L to 4L).map(i =>
+      (i, "en", s"core alpha the core beta core gamma")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.textRank(docs)
+      .select("pos", "term").as[(Long, String)].collect().toSeq
+    assert(got.head._2 == "core", got.toString)
+    assert(!got.map(_._2).contains("the"), "stopwords must be filtered")
+  }
+
+  test("mmr rerank: first pick is the top cosine; later picks trade off redundancy") {
+    // query 0 at e1; 1,2 near-duplicates on e1; 3 off-axis but relevant
+    def vec(x: Double, y: Double) = Array.fill(2)(0.0f).zipWithIndex
+      .map { case (_, i) => if (i == 0) x.toFloat else y.toFloat }
+    val rows = Seq(
+      (0L, vec(1.0, 0.0), "q"), (1L, vec(0.99, 0.1), "a"),
+      (2L, vec(0.98, 0.12), "a"), (3L, vec(0.6, 0.8), "b"))
+      .toDF("vec_id", "embedding", "label")
+    // diversity-heavy λ: the redundancy penalty must outweigh the
+    // near-dup's raw-cosine edge (at λ=0.7 relevance legitimately wins
+    // in this 2-D geometry — both behaviors are the operator's contract)
+    val got = Retrieval.mmrRerank(rows, queryId = 0L, poolK = 3, selectK = 3,
+      lambda = 0.3, lambdaComp = 0.7)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2).head == 1L, s"first pick = top cosine: $got")
+    // the diverse vector 3 must be picked before the near-dup 2
+    val order = got.map(_._2)
+    assert(order.indexOf(3L) < order.indexOf(2L),
+      s"diversity must beat redundancy: $order")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
