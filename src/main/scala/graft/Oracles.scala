@@ -3637,28 +3637,32 @@ object Oracles {
          |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     // q238: HITS on the buyer→part bipartite graph — 5 unrolled
-    // rounds, L1-normalized decimal sums, full-outer hub/authority join
+    // UN-normalized rounds (linear CTE chain; per-round rescales are
+    // uniform scalars so the end-normalized result is identical), one
+    // L1 division per side at the end; the finals are MATERIALIZED
+    // because both the total and the output join reference them
     "q238_hits" -> {
       val iters = (1 to 5).map { i =>
-        s"""a${i}r AS MATERIALIZED (SELECT ed.dst AS v, ${dsum12("h.h")} AS a_raw
-           |           FROM ed JOIN h${i - 1} h ON h.v = ed.src GROUP BY ed.dst),
-           |a${i}t AS (SELECT ${dsum12("a_raw")} AS a_tot FROM a${i}r),
-           |a$i AS (SELECT v, a_raw / a_tot AS a FROM a${i}r CROSS JOIN a${i}t),
-           |h${i}r AS MATERIALIZED (SELECT ed.src AS v, ${dsum12("a.a")} AS h_raw
-           |           FROM ed JOIN a$i a ON a.v = ed.dst GROUP BY ed.src),
-           |h${i}t AS (SELECT ${dsum12("h_raw")} AS h_tot FROM h${i}r),
-           |h$i AS (SELECT v, h_raw / h_tot AS h FROM h${i}r CROSS JOIN h${i}t)""".stripMargin
+        val m = if (i == 5) " MATERIALIZED" else ""
+        s"""a$i AS$m (SELECT ed.dst AS v, ${dsum12("h.h")} AS a
+           |          FROM ed JOIN h${i - 1} h ON h.v = ed.src GROUP BY ed.dst),
+           |h$i AS$m (SELECT ed.src AS v, ${dsum12("a.a")} AS h
+           |          FROM ed JOIN a$i a ON a.v = ed.dst GROUP BY ed.src)""".stripMargin
       }.mkString(",\n")
       s"""WITH ed AS (SELECT DISTINCT o_custkey AS src, l_partkey + 1000000 AS dst
          |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |srcs AS (SELECT DISTINCT src AS v FROM ed),
          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM srcs),
          |h0 AS (SELECT v, CAST(1.0 AS DOUBLE) / n_s AS h FROM srcs CROSS JOIN ns),
-         |$iters
+         |$iters,
+         |at AS (SELECT ${dsum12("a")} AS a_tot FROM a5),
+         |ht AS (SELECT ${dsum12("h")} AS h_tot FROM h5),
+         |hn AS (SELECT v, h / h_tot AS h FROM h5 CROSS JOIN ht),
+         |an AS (SELECT v, a / a_tot AS a FROM a5 CROSS JOIN at)
          |SELECT coalesce(h.v, a.v) AS v,
          |       ${t6("coalesce(h.h, CAST(0.0 AS DOUBLE))")} AS hub,
          |       ${t6("coalesce(a.a, CAST(0.0 AS DOUBLE))")} AS authority
-         |FROM h5 h FULL OUTER JOIN a5 a ON h.v = a.v
+         |FROM hn h FULL OUTER JOIN an a ON h.v = a.v
          |ORDER BY v""".stripMargin
     },
 

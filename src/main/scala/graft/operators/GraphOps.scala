@@ -375,14 +375,20 @@ object GraphOps {
     * one src-keyed join + one dst-keyed decimal-summed aggregation —
     * the [[pageRank]] plan shape on a DIRECTED edge list (run it on a
     * bipartite buyer→item graph and hubs are broad buyers, authorities
-    * popular items). Edge list materializes once and each half-round's
-    * raw scores are materialized before normalizing: the normalizer
-    * references the same frame the scores do, and without the lineage
-    * cut BOTH engines re-expand that shared subtree per reference —
-    * 2^(2·iters) plan blowup (measured 343 s → 27 s at sf0.01; the
-    * DuckDB twin needed CTE materialization for the same reason). The
-    * L1 total itself is a bounded 1-row scalar, the [[pageRank]] nV
-    * pattern. */
+    * popular items).
+    *
+    * Normalization happens ONCE at the end, not per round: every
+    * per-round L1 rescale is a uniform scalar, so the final normalized
+    * scores are identical (exact arithmetic) while the iteration chain
+    * stays LINEAR — a per-round normalizer references its round's raw
+    * scores twice, and both engines re-expand that shared subtree per
+    * reference, 2^(2·iters) plan blowup (the first cut measured 343 s
+    * at sf0.01; this one runs the whole chain as one job). Values grow
+    * ~(avg deg)^iters between rescales — bounded within double/decimal
+    * range for any practical round count. The two finals are
+    * checkpointed (each is referenced by both its L1 total and the
+    * output join), and the totals are bounded 1-row scalars, the
+    * [[pageRank]] nV pattern. */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.dsum12
     val e = edges.select(col("src").cast("long").as("src"),
@@ -391,19 +397,19 @@ object GraphOps {
     val nS = lit(srcs.count())
     var hub = srcs.select(col("v"), (lit(1.0) / nS).as("h"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("v")).agg(dsum12(col("h")).as("a_raw"))
-        .localCheckpoint()
-      val aTot = lit(aRaw.agg(dsum12(col("a_raw"))).head().getDouble(0))
-      auth = aRaw.select(col("v"), (col("a_raw") / aTot).as("a"))
-      val hRaw = e.join(auth.select(col("v").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h_raw"))
-        .localCheckpoint()
-      val hTot = lit(hRaw.agg(dsum12(col("h_raw"))).head().getDouble(0))
-      hub = hRaw.select(col("v"), (col("h_raw") / hTot).as("h"))
+    for (i <- 1 to iters) {
+      auth = e.join(hub.select(col("v").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("v")).agg(dsum12(col("h")).as("a"))
+      if (i == iters) auth = auth.localCheckpoint()
+      hub = e.join(auth.select(col("v").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h"))
     }
-    hub.toDF("v", "h").join(auth.toDF("v", "a"), Seq("v"), "full_outer")
+    hub = hub.localCheckpoint()
+    val aTot = lit(auth.agg(dsum12(col("a"))).head().getDouble(0))
+    val hTot = lit(hub.agg(dsum12(col("h"))).head().getDouble(0))
+    hub.select(col("v"), (col("h") / hTot).as("h"))
+      .join(auth.select(col("v"), (col("a") / aTot).as("a")),
+        Seq("v"), "full_outer")
       .select(col("v"), trunc6(coalesce(col("h"), lit(0.0))).as("hub"),
         trunc6(coalesce(col("a"), lit(0.0))).as("authority"))
       .orderBy("v")
