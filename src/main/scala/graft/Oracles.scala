@@ -3727,6 +3727,74 @@ object Oracles {
          |ORDER BY sel.rank""".stripMargin
     },
 
+    // q241: additive seasonal decomposition — integer MA(7) window sum
+    // over the day frame, per-dow 12-decimal detrended means
+    "q241_seasonal_decompose" ->
+      s"""WITH daily AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+         |               FROM events GROUP BY 1),
+         |w AS (SELECT day, t8,
+         |             CAST(count(*) OVER win AS BIGINT) AS n_win,
+         |             CAST(sum(t8) OVER win AS BIGINT) AS ma8
+         |      FROM daily
+         |      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |tr AS (SELECT day, day % 7 AS dow,
+         |              CAST(t8 AS DOUBLE) / 1e8 AS value,
+         |              CAST(ma8 AS DOUBLE) / 7e8 AS trend
+         |       FROM w WHERE n_win = 7),
+         |tr2 AS (SELECT *, value - trend AS detr FROM tr),
+         |seas AS (SELECT dow, ${dsum12("detr")} / CAST(count(*) AS DOUBLE) AS seas
+         |         FROM tr2 GROUP BY dow)
+         |SELECT day, dow, ${t6("value")} AS value, ${t6("trend")} AS trend,
+         |       ${t6("seas")} AS seasonal,
+         |       ${t6("value - trend - seas")} AS residual
+         |FROM tr2 JOIN seas USING (dow) ORDER BY day""".stripMargin,
+
+    // q242: Mann–Kendall per type — integer S and tie sums, one
+    // continuity-corrected z, pinned 1.96 normal cut
+    "q242_mann_kendall" ->
+      s"""WITH daily AS (SELECT event_type, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+         |               FROM events GROUP BY 1, 2),
+         |st AS (SELECT a.event_type, CAST(sum(CAST(sign(b.t8 - a.t8) AS BIGINT)) AS BIGINT) AS s
+         |       FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+         |       GROUP BY 1),
+         |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         |ties AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+         |         FROM (SELECT event_type, t8, CAST(count(*) AS BIGINT) AS t
+         |               FROM daily GROUP BY 1, 2)
+         |         GROUP BY 1),
+         |vv AS (SELECT st.event_type, nn.n, st.s,
+         |              (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0e0)
+         |                 * (2.0e0 * CAST(nn.n AS DOUBLE) + 5.0e0)
+         |               - CAST(tie_sum AS DOUBLE)) / 18.0e0 AS var_s
+         |       FROM st JOIN nn USING (event_type) JOIN ties USING (event_type)),
+         |zc AS (SELECT *, CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0e0) / sqrt(var_s)
+         |                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0e0) / sqrt(var_s)
+         |                      ELSE 0.0e0 END AS z FROM vv)
+         |SELECT event_type, n, s, ${t6("var_s")} AS var_s, ${t6("z")} AS z,
+         |       CASE WHEN z > 1.959964e0 THEN 'increasing'
+         |            WHEN z < -1.959964e0 THEN 'decreasing'
+         |            ELSE 'no trend' END AS trend
+         |FROM zc ORDER BY event_type""".stripMargin,
+
+    // q243: Theil–Sen per type — pinned slope expression, lower-median
+    // rank pick under the fully tie-broken order
+    "q243_theil_sen" ->
+      s"""WITH daily AS (SELECT event_type, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+         |               FROM events GROUP BY 1, 2),
+         |sl AS (SELECT a.event_type, a.day AS ti, b.day AS tj,
+         |              ((CAST(b.t8 AS DOUBLE) - CAST(a.t8 AS DOUBLE)) / 1e8)
+         |                / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS slope
+         |       FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+         |                 ORDER BY slope, ti, tj) AS BIGINT) AS rn,
+         |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+         |      FROM sl)
+         |SELECT event_type, n_pairs, ${t6("slope")} AS median_slope
+         |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

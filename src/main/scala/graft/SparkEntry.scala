@@ -307,6 +307,15 @@ object SparkEntry {
     s.sql(text)
   }
 
+  /** Daily per-type totals on the 8-decimal integer grid — the shared
+    * input frame of the q242/q243 trend tests. */
+  private def dailyTotalsByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+      .groupBy("event_type", "day").agg(sum(col("v8")).as("t8"))
+
   // ---- shared constants (must match the literal values in Oracles) ----
   private[graft] val KwQuery = "spark join filter table scan the"
   private[graft] val Bm25Terms = Seq("join", "filter", "table", "scan")
@@ -1906,6 +1915,20 @@ object SparkEntry {
     // ---- MMR diversified rerank of the q20 candidate pool ----
     "q240_mmr_rerank" -> ((s, d) =>
       Retrieval.mmrRerank(Tables.embeddings(s, d), KnnQueryId)),
+
+    // ---- classical additive seasonal decomposition of daily totals ----
+    "q241_seasonal_decompose" -> ((s, d) =>
+      EventOps.seasonalDecompose(Tables.events(s, d))),
+
+    // ---- Mann–Kendall monotone-trend test per type on daily totals
+    // (α=0.05 normal cut pinned) ----
+    "q242_mann_kendall" -> ((s, d) =>
+      Stats.mannKendall(dailyTotalsByType(s, d), "event_type", "day", "t8",
+        zCrit = 1.959964)),
+
+    // ---- Theil–Sen robust slope per type on the same daily series ----
+    "q243_theil_sen" -> ((s, d) =>
+      Stats.theilSen(dailyTotalsByType(s, d), "event_type", "day", "t8")),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

@@ -444,6 +444,44 @@ object EventOps {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Classical additive seasonal decomposition of the daily total
+    * series (trend = centered 7-day moving average, seasonal = mean
+    * detrended value per weekday, residual = the rest) — the
+    * moving-average STL-lite every metrics stack runs before calling
+    * an anomaly. Daily totals ride 8-decimal scaled LONGS, the MA(7)
+    * is an integer window sum over the day-sized frame divided once,
+    * and the per-weekday seasonal means are 12-decimal order-free
+    * sums. Edge days (incomplete 7-day window) are dropped, so every
+    * emitted row has the full decomposition. The windows run over the
+    * bounded day frame; at multi-decade scale the same sweep rides
+    * the two-phase prefix path ([[Stats.orderedPrefixSums]]). Assumes
+    * a gap-free daily series (gap-fill first — q115 — if not). */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+      .groupBy("day").agg(sum(col("v8")).as("t8"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val d = (c: String) => col(c).cast("double")
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("ma8", sum(col("t8")).over(w7))
+      .filter(col("n_win") === 7)
+      .withColumn("dow", col("day") % 7)
+      .withColumn("value", d("t8") / lit(1e8))
+      .withColumn("trend", d("ma8") / lit(7.0e8))
+      .withColumn("detr", col("value") - col("trend"))
+    val seasonal = trended.groupBy("dow")
+      .agg((dsum12(col("detr")) / count(lit(1)).cast("double")).as("seas"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("dow"),
+        trunc6(col("value")).as("value"),
+        trunc6(col("trend")).as("trend"),
+        trunc6(col("seas")).as("seasonal"),
+        trunc6(col("value") - col("trend") - col("seas")).as("residual"))
+      .orderBy("day")
+  }
+
   /** Day-of-week seasonality profile per event type: mean value by
     * weekday index and its seasonal ratio against the type's overall
     * mean — the first chart read before any anomaly threshold is set

@@ -465,6 +465,71 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Mann–Kendall trend test per group over a (group, t, value) series
+    * with values pre-quantized to exact longs: S = Σ_{i<j}
+    * sign(x_j − x_i) stays INTEGER, the tie-corrected variance
+    * n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18 uses exact tie counts from
+    * the quantized values, and the continuity-corrected z is the only
+    * double math. The pairwise join is per-group over the bounded
+    * t-frame (days) — never over raw rows; a decade is ~3.7k points,
+    * 7M pairs per group, each a subtraction. `zCrit` must be pinned by
+    * the caller (e.g. 1.959964 for α=0.05). */
+  def mannKendall(series: DataFrame, key: String, tCol: String,
+      v8Col: String, zCrit: Double): DataFrame = {
+    val a = series.select(col(key), col(tCol).as("ti"), col(v8Col).as("xi"))
+    val b = series.select(col(key), col(tCol).as("tj"), col(v8Col).as("xj"))
+    val s = a.join(b, key).filter(col("ti") < col("tj"))
+      .groupBy(key)
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val n = series.groupBy(key).agg(count(lit(1)).as("n"))
+    val ties = series.groupBy(key, v8Col).agg(count(lit(1)).as("t"))
+      .groupBy(key)
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_sum"))
+    val d = (c: String) => col(c).cast("double")
+    val varS = (d("n") * (d("n") - lit(1.0)) * (lit(2.0) * d("n") + lit(5.0)) -
+      d("tie_sum")) / lit(18.0)
+    val z = when(col("s") > 0, (d("s") - lit(1.0)) / sqrt(varS))
+      .when(col("s") < 0, (d("s") + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.join(n, key).join(ties, key)
+      .select(col(key), col("n"), col("s"),
+        trunc6(varS).as("var_s"), trunc6(z).as("z"),
+        when(z > lit(zCrit), "increasing")
+          .when(z < -lit(zCrit), "decreasing")
+          .otherwise("no trend").as("trend"))
+      .orderBy(key)
+  }
+
+  /** Theil–Sen robust slope per group: the LOWER MEDIAN of all
+    * pairwise slopes (x_j − x_i)/(t_j − t_i), i<j — the estimator that
+    * shrugs off ~29% outliers where OLS folds. Values arrive as exact
+    * 8-decimal scaled longs, each slope is one pinned double
+    * expression, and the median is rank-picked under a fully
+    * tie-broken order (slope, ti, tj) — the q192 lower-rank
+    * convention, decided by integer comparison. Pairs are per-group
+    * over the bounded t-frame, same cost envelope as [[mannKendall]].
+    */
+  def theilSen(series: DataFrame, key: String, tCol: String,
+      v8Col: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = series.select(col(key), col(tCol).as("ti"), col(v8Col).as("xi"))
+    val b = series.select(col(key), col(tCol).as("tj"), col(v8Col).as("xj"))
+    val d = (c: String) => col(c).cast("double")
+    val slopes = a.join(b, key).filter(col("ti") < col("tj"))
+      .select(col(key), col("ti"), col("tj"),
+        (((d("xj") - d("xi")) / lit(1e8)) /
+          (d("tj") - d("ti"))).as("slope"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("slope"), col("ti"), col("tj"))
+    slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col(key), col("n_pairs"), trunc6(col("slope")).as("median_slope"))
+      .orderBy(key)
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

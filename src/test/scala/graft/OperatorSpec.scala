@@ -1809,6 +1809,44 @@ class OperatorSpec extends SparkSpec {
       s"diversity must beat redundancy: $order")
   }
 
+  test("seasonal decompose: pure weekly signal lands in seasonal, flat trend, zero residual") {
+    // 28 days, value depends only on weekday: 10 + dow
+    val ev = (0 until 28).map { d =>
+      (d.toLong, 1L, d.toLong * 86400L, 10.0 + (d % 7))
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.seasonalDecompose(ev)
+      .select("trend", "seasonal", "residual", "dow", "value")
+      .as[(Double, Double, Double, Long, Double)].collect().toSeq
+    // MA(7) of a weekly-periodic series is the constant 13; residual 0
+    assert(got.forall(r => math.abs(r._1 - 13.0) < 1e-5), got.take(3).toString)
+    assert(got.forall(r => math.abs(r._3) < 1e-5), "residual must vanish")
+    assert(got.forall(r => math.abs(r._2 - (r._5 - 13.0)) < 1e-5),
+      "seasonal carries the weekday offset")
+  }
+
+  test("mann-kendall: strictly rising series flags increasing, constant stays flat") {
+    val rising = (1 to 30).map(t => ("a", t.toLong, t.toLong * 100000000L))
+    val flat = (1 to 30).map(t => ("b", t.toLong, 500000000L))
+    val got = Stats.mannKendall((rising ++ flat).toDF("k", "day", "t8"),
+      "k", "day", "t8", zCrit = 1.959964)
+      .select("k", "s", "trend").as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((435L, "increasing")), got.toString) // C(30,2) all +1
+    assert(got("b") == ((0L, "no trend")), got.toString)
+  }
+
+  test("theil-sen: exact slope on a line; outlier-resistant on a contaminated line") {
+    val line = (1 to 20).map(t => ("a", t.toLong, t.toLong * 200000000L)) // slope 2
+    val noisy = (1 to 20).map(t => ("b", t.toLong,
+      if (t == 10) 99900000000L else t.toLong * 200000000L))
+    val got = Stats.theilSen((line ++ noisy).toDF("k", "day", "t8"),
+      "k", "day", "t8")
+      .select("k", "median_slope").as[(String, Double)].collect().toMap
+    assert(got("a") == 2.0, got.toString)
+    assert(math.abs(got("b") - 2.0) < 0.1, s"robust to the spike: ${got("b")}")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
