@@ -63,6 +63,31 @@ object Oracles {
     * truncation the Spark loader applies. */
   private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
 
+  /** Right-censored gap-session lifetimes + at-risk counts — the shared
+    * WITH-clause prefix of q229 (Kaplan–Meier) and q247 (Nelson–Aalen),
+    * ending in `risk` (t, n_t, d, n_risk). Mirrors
+    * SparkEntry.sessionDurations exactly. */
+  private lazy val survivalRiskCtes: String =
+    s"""e AS (SELECT user_id, event_id, $tsUs AS us FROM events),
+       |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+       |                     THEN 1 ELSE 0 END AS ns
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+       |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+       |         FROM s GROUP BY user_id, sid),
+       |h AS (SELECT max(e_us) AS h_us FROM sess),
+       |dur AS (SELECT CAST((e_us - s_us) // 60000000 AS BIGINT) AS t,
+       |               CASE WHEN h_us - e_us > 3600000000 THEN 1 ELSE 0 END AS ev
+       |        FROM sess CROSS JOIN h),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dur),
+       |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t, CAST(sum(ev) AS BIGINT) AS d
+       |        FROM dur GROUP BY t),
+       |risk AS (SELECT t, n_t, d,
+       |                n_all - coalesce(CAST(sum(n_t) OVER (ORDER BY t
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+       |         FROM byt CROSS JOIN tot)""".stripMargin
+
   /** Sign-LSH bucket id of embedding expression `e` — the exact SQL
     * mirror of Retrieval.lshBucket over the md5-derived hyperplanes.
     * (DuckDB parses plain decimal literals as DECIMAL; exponent notation
@@ -3555,25 +3580,7 @@ object Oracles {
     // running log-survival (window FP sums are engine-frame-order-
     // dependent)
     "q229_kaplan_meier" ->
-      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS us FROM events),
-         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
-         |                     THEN 1 ELSE 0 END AS ns
-         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
-         |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
-         |         FROM s GROUP BY user_id, sid),
-         |h AS (SELECT max(e_us) AS h_us FROM sess),
-         |dur AS (SELECT CAST((e_us - s_us) // 60000000 AS BIGINT) AS t,
-         |               CASE WHEN h_us - e_us > 3600000000 THEN 1 ELSE 0 END AS ev
-         |        FROM sess CROSS JOIN h),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dur),
-         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t, CAST(sum(ev) AS BIGINT) AS d
-         |        FROM dur GROUP BY t),
-         |risk AS (SELECT t, n_t, d,
-         |                n_all - coalesce(CAST(sum(n_t) OVER (ORDER BY t
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-         |         FROM byt CROSS JOIN tot),
+      s"""WITH $survivalRiskCtes,
          |lt AS (SELECT t, n_risk, d,
          |              CASE WHEN d < n_risk THEN
          |                CAST(floor(ln(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
@@ -3794,6 +3801,89 @@ object Oracles {
          |      FROM sl)
          |SELECT event_type, n_pairs, ${t6("slope")} AS median_slope
          |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin,
+
+    // q244: item–item cosine CF kernel — the q154 pair-mining
+    // equivalence (sorted-array fan-out ≡ a.item < c.item self-join),
+    // one final double per pair, rank on the truncated sim
+    "q244_item_cosine" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+         |pairs AS (SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sims AS (SELECT ia, ib, n_ab,
+         |                ${t6("CAST(n_ab AS DOUBLE) / sqrt(CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE))")} AS sim
+         |         FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib)
+         |SELECT rank, ia, ib, n_ab, sim FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY sim DESC, ia, ib) AS BIGINT) AS rank
+         |  FROM sims)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q245: item-based CF recommendations — held-item neighbors scored
+    // by decimal-summed link sims, holdings anti'd out, top-3 per user
+    "q245_recommendations" ->
+      s"""WITH bk AS (SELECT o_custkey AS u, o_orderkey AS bid, l_partkey AS item
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |b AS (SELECT DISTINCT bid, item FROM bk),
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+         |pairs AS (SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sims AS (SELECT ia, ib,
+         |                ${t6("CAST(n_ab AS DOUBLE) / sqrt(CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE))")} AS sim
+         |         FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib),
+         |dirs AS (SELECT ia AS item, ib AS cand, sim FROM sims
+         |         UNION ALL SELECT ib AS item, ia AS cand, sim FROM sims),
+         |held AS (SELECT DISTINCT u, item FROM bk),
+         |sc AS (SELECT h.u, d.cand, ${dsum12("d.sim")} AS score_raw,
+         |              CAST(count(*) AS BIGINT) AS n_links
+         |       FROM held h JOIN dirs d ON d.item = h.item
+         |       GROUP BY h.u, d.cand),
+         |fil AS (SELECT sc.*, ${t6("score_raw")} AS score FROM sc
+         |        WHERE NOT EXISTS (SELECT 1 FROM held
+         |                          WHERE held.u = sc.u AND held.item = sc.cand)),
+         |rk AS (SELECT u, cand, n_links, score,
+         |              CAST(row_number() OVER (PARTITION BY u
+         |                ORDER BY score DESC, cand) AS BIGINT) AS rank
+         |       FROM fil)
+         |SELECT u AS "user", rank, cand AS item, n_links, score
+         |FROM rk WHERE rank <= 3 ORDER BY "user", rank""".stripMargin,
+
+    // q246: seasonal-naive backtest — exact day joins (gap-safe),
+    // integer absolute errors, pinned sMAPE terms, naive-1 MASE scale
+    "q246_forecast_backtest" ->
+      s"""WITH daily AS (SELECT event_type, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+         |               FROM events GROUP BY 1, 2),
+         |j AS (SELECT c.event_type, c.t8 AS v8, se.t8 AS f8, o.t8 AS p8
+         |      FROM daily c
+         |      JOIN daily se ON se.event_type = c.event_type AND se.day + 7 = c.day
+         |      JOIN daily o ON o.event_type = c.event_type AND o.day + 1 = c.day),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(sum(abs(v8 - f8)) AS BIGINT) AS ae8,
+         |             CAST(sum(abs(v8 - p8)) AS BIGINT) AS naive8,
+         |             ${dsum12("2.0e0 * abs(CAST(v8 AS DOUBLE) - CAST(f8 AS DOUBLE)) / " +
+              "(abs(CAST(v8 AS DOUBLE)) + abs(CAST(f8 AS DOUBLE)))")} AS smape_raw
+         |      FROM j GROUP BY event_type)
+         |SELECT event_type, n_days,
+         |       ${t6("CAST(ae8 AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e8")} AS mae,
+         |       ${t6("smape_raw / CAST(n_days AS DOUBLE)")} AS smape,
+         |       ${t6("CAST(ae8 AS DOUBLE) / CAST(naive8 AS DOUBLE)")} AS mase
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    // q247: Nelson–Aalen cumulative hazard — q229's risk CTEs, d/n
+    // terms on the 12-decimal integer grid
+    "q247_nelson_aalen" ->
+      s"""WITH $survivalRiskCtes,
+         |ht AS (SELECT t, n_risk, d,
+         |              CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS h12
+         |       FROM risk WHERE d > 0),
+         |c AS (SELECT t, n_risk, d,
+         |             CAST(CAST(sum(h12) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |               AS DOUBLE) / 1e12 AS haz
+         |      FROM ht)
+         |SELECT t, n_risk, d, ${t6("haz")} AS cum_hazard
+         |FROM c ORDER BY t""".stripMargin,
 
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {

@@ -307,6 +307,27 @@ object SparkEntry {
     s.sql(text)
   }
 
+  /** Right-censored gap-session lifetimes (q214's 1-hour-gap sessions,
+    * minutes; a session ending inside the final hour is censored) —
+    * the shared survival frame of q229 (Kaplan–Meier) and q247
+    * (Nelson–Aalen). */
+  private def sessionDurations(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("ns", when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > 3600000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val horizon = sess.agg(max(col("e_us")).as("h_us"))
+    sess.crossJoin(broadcast(horizon))
+      .select(expr("(e_us - s_us) div 60000000").as("dur_min"),
+        (col("h_us") - col("e_us") > lit(3600000000L)).as("observed"))
+  }
+
   /** Daily per-type totals on the 8-decimal integer grid — the shared
     * input frame of the q242/q243 trend tests. */
   private def dailyTotalsByType(s: SparkSession, d: String): DataFrame =
@@ -1866,23 +1887,8 @@ object SparkEntry {
     // gap sessions, duration in minutes): a session is an observed
     // "death" unless it runs into the final hour before the horizon —
     // those are right-censored and only feed the risk sets ----
-    "q229_kaplan_meier" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val sess = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("ns", when(lag(col("us"), 1).over(w).isNull ||
-          col("us") - lag(col("us"), 1).over(w) > 3600000000L, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("ns")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
-        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-      val horizon = sess.agg(max(col("e_us")).as("h_us"))
-      val dur = sess.crossJoin(broadcast(horizon))
-        .select(expr("(e_us - s_us) div 60000000").as("dur_min"),
-          (col("h_us") - col("e_us") > lit(3600000000L)).as("observed"))
-      Stats.kaplanMeier(dur, "dur_min", "observed")
-    }),
+    "q229_kaplan_meier" -> ((s, d) =>
+      Stats.kaplanMeier(sessionDurations(s, d), "dur_min", "observed")),
 
     // ---- RFM segmentation of customers from their orders ----
     "q230_rfm_segments" -> ((s, d) =>
@@ -1929,6 +1935,33 @@ object SparkEntry {
     // ---- Theil–Sen robust slope per type on the same daily series ----
     "q243_theil_sen" -> ((s, d) =>
       Stats.theilSen(dailyTotalsByType(s, d), "event_type", "day", "t8")),
+
+    // ---- item–item cosine CF kernel: top co-purchase affinities ----
+    "q244_item_cosine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Stats.itemCosine(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("ia"), col("ib"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("ia"), col("ib"), col("n_ab"), col("sim"))
+        .orderBy("rank")
+    }),
+
+    // ---- item-based CF recommendations per customer ----
+    "q245_recommendations" -> ((s, d) => {
+      val baskets = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("l_partkey"))
+      Stats.recommendItems(baskets, "o_custkey", "o_orderkey", "l_partkey")
+    }),
+
+    // ---- seasonal-naive forecast backtest per type (MAE/sMAPE/MASE) ----
+    "q246_forecast_backtest" -> ((s, d) =>
+      Stats.forecastBacktest(dailyTotalsByType(s, d), "event_type", "day", "t8")),
+
+    // ---- Nelson–Aalen cumulative hazard on the q229 survival frame ----
+    "q247_nelson_aalen" -> ((s, d) =>
+      Stats.nelsonAalen(sessionDurations(s, d), "dur_min", "observed")),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

@@ -530,6 +530,124 @@ object Stats {
       .orderBy(key)
   }
 
+  /** Item–item cosine similarity over binary basket co-occurrence
+    * (the classic Sarwar et al. 2001 item-based CF kernel): sim(a,b) =
+    * n_ab / √(n_a·n_b), mined with the row-local sorted-pair fan-out
+    * (no basket self-join) and a support floor that doubles as the
+    * hub cap. Counts stay integer to the one final double expression.
+    * Returns the UNDIRECTED pair list above `minPairs`. */
+  def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long = 2): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
+      .distinct()
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val d = (c: String) => col(c).cast("double")
+    b.groupBy("bid")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      // sequence(1, 0) is DESCENDING in Spark — guard 1-item baskets
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ps) - 1), " +
+          "i -> transform(slice(ps, i + 1, size(ps) - i), " +
+          "x -> struct(ps[i - 1] AS ia, x AS ib))))")).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+      .join(broadcast(itemCnt.toDF("ia", "n_a")), "ia")
+      .join(broadcast(itemCnt.toDF("ib", "n_b")), "ib")
+      .select(col("ia"), col("ib"), col("n_ab"), col("n_a"), col("n_b"),
+        trunc6(d("n_ab") / sqrt(d("n_a") * d("n_b"))).as("sim"))
+  }
+
+  /** Item-based CF recommendations: each user's candidate items are
+    * the similarity-neighbors of what they already hold, scored by the
+    * SUM of link similarities (12-decimal order-free), already-held
+    * items anti'd out, top-`topN` per user via the per-key rank. The
+    * join fan-out is (holdings × neighbor degree) — bounded by the
+    * support floor inside [[itemCosine]]; user holdings and the pair
+    * graph co-partition on item, so at catalog scale this is two
+    * item-keyed shuffles and one user-keyed rank. */
+  def recommendItems(baskets: DataFrame, userCol: String, basketCol: String,
+      itemCol: String, minPairs: Long = 2, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = itemCosine(baskets, basketCol, itemCol, minPairs)
+    val directed = sims.select(col("ia").as("item"), col("ib").as("cand"), col("sim"))
+      .unionAll(sims.select(col("ib").as("item"), col("ia").as("cand"), col("sim")))
+    val held = baskets.select(col(userCol).as("user"), col(itemCol).as("item"))
+      .distinct()
+    val w = Window.partitionBy("user")
+      .orderBy(col("score").desc, col("cand"))
+    held.join(directed, "item")
+      .groupBy("user", "cand")
+      .agg(dsum12(col("sim")).as("score_raw"), count(lit(1)).as("n_links"))
+      .join(held.select(col("user"), col("item").as("cand")),
+        Seq("user", "cand"), "left_anti")
+      .withColumn("score", trunc6(col("score_raw")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("user"), col("rank"), col("cand").as("item"),
+        col("n_links"), col("score"))
+      .orderBy("user", "rank")
+  }
+
+  /** Seasonal-naive forecast backtest over a per-group daily series on
+    * the 8-decimal integer grid: forecast(t) = value(t − `season`),
+    * matched by exact day join (gap-safe, unlike a row lag). MAE rides
+    * integer absolute diffs; sMAPE terms are one pinned double
+    * expression on the 12-decimal grid; MASE scales MAE by the
+    * in-sample naive-1 MAE (day−1 join), the Hyndman & Koehler 2006
+    * denominator. One self-join per horizon over the bounded day
+    * frame. */
+  def forecastBacktest(series: DataFrame, key: String, tCol: String,
+      v8Col: String, season: Int = 7): DataFrame = {
+    val cur = series.select(col(key), col(tCol).as("t"), col(v8Col).as("v8"))
+    val sea = series.select(col(key), (col(tCol) + lit(season.toLong)).as("t"),
+      col(v8Col).as("f8"))
+    val one = series.select(col(key), (col(tCol) + lit(1L)).as("t"),
+      col(v8Col).as("p8"))
+    val d = (c: String) => col(c).cast("double")
+    val joined = cur.join(sea, Seq(key, "t")).join(one, Seq(key, "t"))
+    joined.groupBy(key)
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("v8") - col("f8"))).as("ae8"),
+        sum(abs(col("v8") - col("p8"))).as("naive8"),
+        dsum12(lit(2.0) * abs(d("v8") - d("f8")) /
+          (abs(d("v8")) + abs(d("f8")))).as("smape_raw"))
+      .select(col(key), col("n_days"),
+        trunc6(d("ae8") / d("n_days") / lit(1e8)).as("mae"),
+        trunc6(col("smape_raw") / d("n_days")).as("smape"),
+        trunc6(d("ae8") / d("naive8")).as("mase"))
+      .orderBy(key)
+  }
+
+  /** Nelson–Aalen cumulative hazard over the [[kaplanMeier]] input
+    * frame: H(t) = Σ_{tᵢ ≤ t} d/n, each term half-up quantized to the
+    * 12-decimal grid so the running sum rides exact longs (same
+    * order-free-window rationale as KM's log-survival). */
+  def nelsonAalen(durations: DataFrame, durCol: String,
+      observedCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = durations.select(col(durCol).cast("long").as("t"),
+      when(col(observedCol), 1L).otherwise(0L).as("ev"))
+    val tot = base.agg(count(lit(1)).as("n_all"))
+    val byT = base.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum(col("ev")).as("d"))
+    val d = (c: String) => col(c).cast("double")
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_all") -
+        coalesce(sum(col("n_t")).over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("h12", floor(d("d") / d("n_risk") * lit(1e12) + lit(0.5))
+        .cast("long"))
+      .withColumn("haz", sum(col("h12")).over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double") / lit(1e12))
+      .select(col("t"), col("n_risk"), col("d"),
+        trunc6(col("haz")).as("cum_hazard"))
+      .orderBy("t")
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

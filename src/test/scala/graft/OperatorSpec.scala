@@ -1847,6 +1847,59 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got("b") - 2.0) < 0.1, s"robust to the spike: ${got("b")}")
   }
 
+  test("item cosine: always-together pair scores 1, partial overlap scores n/sqrt product") {
+    // items 1,2 co-occur in all 4 baskets; item 3 joins 2 of them
+    val rows = (1L to 4L).flatMap(b => Seq((b, 1L), (b, 2L))) ++
+      Seq((1L, 3L), (2L, 3L))
+    val got = Stats.itemCosine(rows.toDF("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+      .select("ia", "ib", "sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got((1L, 2L)) == 1.0, got.toString)
+    assert(got((1L, 3L)) == t6(2.0 / math.sqrt(4.0 * 2.0)), got.toString)
+  }
+
+  test("recommendations: the co-purchase neighbor is suggested, held items never are") {
+    // users 1,2 buy {10,11}; user 3 buys only 10 → recommend 11 to 3
+    val rows = Seq((1L, 101L, 10L), (1L, 101L, 11L), (2L, 102L, 10L),
+      (2L, 102L, 11L), (3L, 103L, 10L))
+    val got = Stats.recommendItems(
+      rows.toDF("o_custkey", "o_orderkey", "l_partkey"),
+      "o_custkey", "o_orderkey", "l_partkey")
+      .select("user", "item").as[(Long, Long)].collect().toSeq
+    assert(got.contains((3L, 11L)), got.toString)
+    // users 1 and 2 hold everything in the sim graph → nothing to suggest
+    assert(got.forall(_._1 == 3L), s"held items must be excluded: $got")
+  }
+
+  test("forecast backtest: perfectly periodic series has zero seasonal-naive error") {
+    val series = (1 to 28).map(t => ("a", t.toLong, ((t % 7) + 1L) * 100000000L))
+    val got = Stats.forecastBacktest(series.toDF("k", "day", "t8"),
+      "k", "day", "t8")
+      .select("mae", "smape", "mase").as[(Double, Double, Double)].head()
+    assert(got == ((0.0, 0.0, 0.0)), got.toString)
+    // trending series: seasonal-naive lags by 7·slope → MAE = 7, MASE = 7
+    val trend = (1 to 28).map(t => ("b", t.toLong, t.toLong * 100000000L))
+    val g2 = Stats.forecastBacktest(trend.toDF("k", "day", "t8"),
+      "k", "day", "t8").select("mae", "mase").as[(Double, Double)].head()
+    assert(g2 == ((7.0, 7.0)), g2.toString)
+  }
+
+  test("nelson-aalen: uncensored deaths accumulate sum of d/n exactly") {
+    val ev = (1 to 4).map(t => (t.toLong, true)).toDF("dur", "obs")
+    val got = Stats.nelsonAalen(ev, "dur", "obs")
+      .select("t", "n_risk", "cum_hazard").as[(Long, Long, Double)]
+      .collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    // H = 1/4, 1/4+1/3, +1/2, +1/1 on the 1e-12 grid then trunc6
+    def g(x: Double) = math.rint(x * 1e12) / 1e12
+    val h = Seq(1.0 / 4, 1.0 / 3, 1.0 / 2, 1.0).map(g).scanLeft(0.0)(_ + _).tail
+    got.zip(h).foreach { case ((t, nr, ch), expect) =>
+      assert(nr == 5 - t && math.abs(ch - t6(expect)) < 2e-6, s"$t: $ch vs $expect")
+    }
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
