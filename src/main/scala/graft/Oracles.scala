@@ -3885,6 +3885,100 @@ object Oracles {
          |SELECT t, n_risk, d, ${t6("haz")} AS cum_hazard
          |FROM c ORDER BY t""".stripMargin,
 
+    // q248: PSI drift — reference-side decile edges by the q192 rank
+    // convention, smoothed proportions, 12-decimal-grid contributions
+    // with an order-free integer window total
+    "q248_psi_drift" -> {
+      def prop(c: String, t: String) =
+        s"(CAST($c AS DOUBLE) + 1.0e0) / (CAST($t AS DOUBLE) + 10.0e0)"
+      val p = prop("n_ref", "t_ref")
+      val q = prop("n_cur", "t_cur")
+      s"""WITH ev AS (SELECT value, CAST($tsUs // 86400000000 AS BIGINT) AS day FROM events),
+         |d0 AS (SELECT min(day) AS day0 FROM ev),
+         |base AS (SELECT CASE WHEN day < day0 + 15 THEN 1 ELSE 0 END AS ref,
+         |                CAST(floor(value * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS v2
+         |         FROM ev CROSS JOIN d0),
+         |ranked AS (SELECT v2, CAST(row_number() OVER (ORDER BY v2) AS BIGINT) AS rn,
+         |                  CAST(count(*) OVER () AS BIGINT) AS n
+         |           FROM base WHERE ref = 1),
+         |hit AS (SELECT k, min(rn) AS rn
+         |        FROM ranked, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k)
+         |        WHERE 10 * rn >= k * n GROUP BY k),
+         |edges AS (SELECT list(v2 ORDER BY v2) AS es FROM hit JOIN ranked USING (rn)),
+         |b2 AS (SELECT CAST(len(list_filter(es, e -> v2 > e)) AS BIGINT) AS bin,
+         |              CAST(sum(ref) AS BIGINT) AS n_ref,
+         |              CAST(sum(1 - ref) AS BIGINT) AS n_cur
+         |       FROM base CROSS JOIN edges GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         |               CAST(sum(n_cur) AS BIGINT) AS t_cur FROM b2),
+         |c AS (SELECT bin, n_ref, n_cur,
+         |             ($p - $q) * ln(($p) / ($q)) AS contrib_raw
+         |      FROM b2 CROSS JOIN tot),
+         |c2 AS (SELECT *, CAST(floor(contrib_raw * 1e12 + 0.5) AS BIGINT) AS c12 FROM c)
+         |SELECT bin, n_ref, n_cur, ${t6("contrib_raw")} AS contribution,
+         |       ${t6("CAST(CAST(sum(c12) OVER () AS BIGINT) AS DOUBLE) / 1e12")} AS psi
+         |FROM c2 ORDER BY bin""".stripMargin
+    },
+
+    // q249: OLS diagnostics per flag — centered moments from the same
+    // exact sums as q132, inference layer in pinned doubles
+    "q249_ols_diagnostics" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val cxx = s"(sxx - ${dd("sx")} * ${dd("sx")} / ${dd("n")})"
+      val cxy = s"(sxy - ${dd("sx")} * ${dd("sy")} / ${dd("n")})"
+      val cyy = s"(syy - ${dd("sy")} * ${dd("sy")} / ${dd("n")})"
+      val slope = s"($cxy / $cxx)"
+      val s2 = s"(($cyy - $slope * $cxy) / (${dd("n")} - 2.0e0))"
+      val se = s"sqrt($s2 / $cxx)"
+      s"""WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |                  ${xsum("l_quantity")} AS sx, ${xsum("l_extendedprice")} AS sy,
+         |                  ${psum6("l_quantity * l_extendedprice")} AS sxy,
+         |                  ${psum6("l_quantity * l_quantity")} AS sxx,
+         |                  ${psum6("l_extendedprice * l_extendedprice")} AS syy
+         |           FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |       ${t6(slope)} AS slope,
+         |       ${t6(s"(sy - $slope * sx) / ${dd("n")}")} AS intercept,
+         |       ${t6(s"$cxy * $cxy / ($cxx * $cyy)")} AS r2,
+         |       ${t6(s"sqrt($s2)")} AS resid_se,
+         |       ${t6(se)} AS slope_se,
+         |       ${t6(s"$slope / $se")} AS t_slope
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
+
+    // q250: information-gain feature screen — exact-count entropies
+    // with the 0·ln0 convention, 12-decimal conditional terms
+    "q250_information_gain" -> {
+      def h(pos: String, n: String) = {
+        val p = s"CAST($pos AS DOUBLE) / CAST($n AS DOUBLE)"
+        s"CASE WHEN $pos = 0 OR $pos = $n THEN 0.0e0 " +
+          s"ELSE -($p) * ln($p) - (1.0e0 - $p) * ln(1.0e0 - $p) END"
+      }
+      s"""WITH o AS (SELECT o_orderpriority, o_orderstatus, c_mktsegment,
+         |                  CASE WHEN o_totalprice > CAST(100000.0 AS DOUBLE) THEN 1 ELSE 0 END AS y
+         |           FROM orders JOIN customer ON o_custkey = c_custkey),
+         |m AS (SELECT 'priority' AS f, o_orderpriority AS v, y FROM o
+         |      UNION ALL SELECT 'status' AS f, o_orderstatus AS v, y FROM o
+         |      UNION ALL SELECT 'segment' AS f, c_mktsegment AS v, y FROM o),
+         |cells AS (SELECT f, v, CAST(count(*) AS BIGINT) AS n_v,
+         |                 CAST(sum(y) AS BIGINT) AS pos_v
+         |          FROM m GROUP BY f, v),
+         |perf AS (SELECT f, CAST(sum(n_v) AS BIGINT) AS n,
+         |                CAST(sum(pos_v) AS BIGINT) AS pos,
+         |                CAST(count(*) AS BIGINT) AS n_values
+         |         FROM cells GROUP BY f),
+         |cond AS (SELECT cells.f,
+         |                ${dsum12("(CAST(n_v AS DOUBLE) / CAST(perf.n AS DOUBLE)) * (" + h("pos_v", "n_v") + ")")} AS h_cond
+         |         FROM cells JOIN perf ON cells.f = perf.f GROUP BY cells.f),
+         |ig AS (SELECT perf.f, n_values,
+         |              greatest((${h("pos", "n")}) - h_cond, 0.0e0) AS ig_raw
+         |       FROM perf JOIN cond ON perf.f = cond.f)
+         |SELECT rank, f AS feature, n_values, ${t6("ig_raw")} AS info_gain FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY ig_raw DESC, f) AS BIGINT) AS rank
+         |  FROM ig)
+         |ORDER BY rank""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

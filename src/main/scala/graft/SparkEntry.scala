@@ -1963,6 +1963,35 @@ object SparkEntry {
     "q247_nelson_aalen" -> ((s, d) =>
       Stats.nelsonAalen(sessionDurations(s, d), "dur_min", "observed")),
 
+    // ---- PSI drift of event values: first 15 days = reference ----
+    "q248_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("value"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val d0 = ev.agg(min(col("day")).as("day0"))
+      Stats.psi(ev.crossJoin(broadcast(d0)), "value",
+        col("day") < col("day0") + lit(15L))
+    }),
+
+    // ---- OLS inference diagnostics per flag: R², stderr, slope t ----
+    "q249_ols_diagnostics" -> ((s, d) =>
+      Stats.olsDiagnostics(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
+    // ---- decision-stump feature screen: info gain of three
+    // categoricals against the big-order label ----
+    "q250_information_gain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("y", (col("o_totalprice") > lit(100000.0)).cast("long"))
+      val melted = o.select(lit("priority").as("f"),
+          col("o_orderpriority").as("v"), col("y"))
+        .unionAll(o.select(lit("status").as("f"),
+          col("o_orderstatus").as("v"), col("y")))
+        .unionAll(o.select(lit("segment").as("f"),
+          col("c_mktsegment").as("v"), col("y")))
+      Stats.informationGain(melted, "f", "v", "y")
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -530,6 +530,119 @@ object Stats {
       .orderBy(key)
   }
 
+  /** Population Stability Index between a reference and a current
+    * population of `valueCol` (the model-monitoring drift gate):
+    * decile edges come from the REFERENCE side by the q192 integer
+    * rank convention on centi-quantized values, both sides bin by
+    * integer comparison against the broadcast edge array, proportions
+    * are Laplace-smoothed (+1 / +bins — an empty current bin must
+    * contribute finitely), and each bin's (p−q)·ln(p/q) lands on the
+    * 12-decimal grid; the headline PSI is an order-free integer window
+    * sum of the quantized contributions. One rank sweep over the
+    * reference + one bin count — nothing scales past the two scans. */
+  def psi(df: DataFrame, valueCol: String, isRef: Column,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(when(isRef, 1L).otherwise(0L).as("ref"),
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("v2"))
+    val ref = base.filter(col("ref") === 1L)
+    val ranked = ref
+      .withColumn("rn", row_number().over(Window.orderBy("v2")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val edges = ranked
+      .select(col("v2"), col("rn"), col("n"),
+        explode(sequence(lit(1), lit(bins - 1))).as("k"))
+      .filter(lit(bins.toLong) * col("rn") >= col("k") * col("n"))
+      .groupBy("k").agg(min(col("rn")).as("rn"))
+      .join(ranked.select(col("rn"), col("v2")), "rn")
+      .agg(sort_array(collect_list(col("v2"))).as("es"))
+    val d = (c: String) => col(c).cast("double")
+    val binned = base.crossJoin(broadcast(edges))
+      .withColumn("bin", expr("size(filter(es, e -> v2 > e))").cast("long"))
+      .groupBy("bin")
+      .agg(sum(col("ref")).as("n_ref"), sum(lit(1L) - col("ref")).as("n_cur"))
+    val tot = binned.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val p = (d("n_ref") + lit(1.0)) / (d("t_ref") + lit(bins.toDouble))
+    val q = (d("n_cur") + lit(1.0)) / (d("t_cur") + lit(bins.toDouble))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("contrib_raw", (p - q) * log(p / q))
+      .withColumn("c12", floor(col("contrib_raw") * lit(1e12) + lit(0.5)).cast("long"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        trunc6(col("contrib_raw")).as("contribution"),
+        trunc6(sum(col("c12")).over(Window.partitionBy()).cast("double") / lit(1e12))
+          .as("psi"))
+      .orderBy("bin")
+  }
+
+  /** Grouped simple-OLS diagnostics beyond q132's slope/intercept:
+    * R², residual standard error, the slope's standard error and its
+    * t statistic — all from the SAME five exact moment sums (scaled-
+    * long / million-base), one aggregation, centered second moments in
+    * pinned double expressions. The inference layer every "the metric
+    * moved with X" claim should pass before shipping. */
+  def olsDiagnostics(df: DataFrame, key: String, xCol: String,
+      yCol: String): DataFrame = {
+    val (x, y) = (col(xCol), col(yCol))
+    val d = (c: String) => col(c).cast("double")
+    val sxx = col("sxx") - d("sx") * d("sx") / d("n")
+    val sxy = col("sxy") - d("sx") * d("sy") / d("n")
+    val syy = col("syy") - d("sy") * d("sy") / d("n")
+    val slope = sxy / sxx
+    val sse = syy - slope * sxy
+    val s2 = sse / (d("n") - lit(2.0))
+    val seSlope = sqrt(s2 / sxx)
+    df.groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        xsum(x).as("sx"), xsum(y).as("sy"),
+        psum6(x * y).as("sxy"), psum6(x * x).as("sxx"), psum6(y * y).as("syy"))
+      .select(col(key), col("n"),
+        trunc6(slope).as("slope"),
+        trunc6((col("sy") - slope * col("sx")) / d("n")).as("intercept"),
+        trunc6(sxy * sxy / (sxx * syy)).as("r2"),
+        trunc6(sqrt(s2)).as("resid_se"),
+        trunc6(seSlope).as("slope_se"),
+        trunc6(slope / seSlope).as("t_slope"))
+      .orderBy(key)
+  }
+
+  /** Information gain of each categorical feature against a binary
+    * label (the decision-stump screen run before any feature makes it
+    * into a model): IG = H(label) − Σ_v (n_v/n)·H(label|v), entropies
+    * from exact counts with the 0·ln0 convention, conditional terms on
+    * the 12-decimal order-free grid. Input is the melted
+    * (feature, value, label) frame; cells are vocabulary-sized after
+    * one count. */
+  def informationGain(df: DataFrame, featureCol: String, valueCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: String) => col(c).cast("double")
+    def h(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      when(pos === 0L || pos === n, lit(0.0))
+        .otherwise(-p * log(p) - (lit(1.0) - p) * log(lit(1.0) - p))
+    }
+    val cells = df.select(col(featureCol).as("f"), col(valueCol).as("v"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("f", "v")
+      .agg(count(lit(1)).as("n_v"), sum(col("y")).as("pos_v"))
+    val perF = cells.groupBy("f")
+      .agg(sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"),
+        count(lit(1)).as("n_values"))
+    val cond = cells.join(broadcast(perF.select(col("f"), col("n"))), "f")
+      .groupBy("f")
+      .agg(dsum12((d("n_v") / d("n")) * h(col("pos_v"), col("n_v"))).as("h_cond"))
+    perF.join(cond, "f")
+      // IG is provably ≥ 0; the 12-decimal grid can land an ulp below,
+      // which floor-truncation would show as −1e-6 — clamp it
+      .withColumn("ig_raw",
+        greatest(h(col("pos"), col("n")) - col("h_cond"), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ig_raw").desc, col("f"))).cast("long"))
+      .select(col("rank"), col("f").as("feature"), col("n_values"),
+        trunc6(col("ig_raw")).as("info_gain"))
+      .orderBy("rank")
+  }
+
   /** Item–item cosine similarity over binary basket co-occurrence
     * (the classic Sarwar et al. 2001 item-based CF kernel): sim(a,b) =
     * n_ab / √(n_a·n_b), mined with the row-local sorted-pair fan-out

@@ -474,6 +474,46 @@ object StreamingIngest {
       .toDF("user_id", "event_id", "z", "is_anomaly")
   }
 
+  /** Stateful streaming EWMA — the stream twin of
+    * [[graft.operators.EventOps.ewma]] (depth-limited lag form, α^j
+    * weights normalized over present lags), kept op-for-op identical:
+    * per-user state is the ≤`depth` most recent values, the weighted
+    * sums add in the same j = 0→depth order (absent lags contribute
+    * an exact +0.0, as in the batch `when`), and the result is
+    * trunc6'd. State is `depth` doubles per user. */
+  def streamingEwma(events: DataFrame, alpha: Double = 0.5,
+      depth: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = (0 to depth).map(j => math.pow(alpha, j))
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Double], (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first
+          val out = it.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, eid, us, v) =>
+              val vals = v :: hist
+              val num = weights.indices.map { j =>
+                if (j < vals.length) vals(j) * weights(j) else 0.0
+              }.reduce(_ + _)
+              val den = weights.indices.map { j =>
+                if (j < vals.length) weights(j) else 0.0
+              }.reduce(_ + _)
+              hist = vals.take(depth)
+              (uid, eid, us, t6(num / den))
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "ewma")
+  }
+
   /** Streaming exact dedup — the unbounded-stream twin of
     * [[graft.operators.Dedup.exact]]: rows whose content hash was
     * already emitted inside the watermark horizon are dropped, and the

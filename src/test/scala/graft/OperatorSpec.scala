@@ -1900,6 +1900,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("psi: identical populations ≈ 0; a shifted current population moves mass") {
+    // ref and cur drawn identically → only smoothing noise near zero
+    val same = (1 to 200).map(i => (true, (i % 40).toDouble)) ++
+      (1 to 200).map(i => (false, (i % 40).toDouble))
+    val p0 = Stats.psi(same.toDF("is_ref", "value"), "value", col("is_ref"))
+      .select("psi").as[Double].head()
+    assert(math.abs(p0) < 0.01, s"no drift: $p0")
+    // current shifted far right → large PSI
+    val drift = (1 to 200).map(i => (true, (i % 40).toDouble)) ++
+      (1 to 200).map(i => (false, (i % 40) + 100.0))
+    val p1 = Stats.psi(drift.toDF("is_ref", "value"), "value", col("is_ref"))
+      .select("psi").as[Double].head()
+    assert(p1 > 1.0, s"hard drift must dominate: $p1")
+  }
+
+  test("ols diagnostics: perfect line gives r2=1 and zero residual error") {
+    val rows = (1 to 30).map(i => ("A", i.toDouble, 3.0 * i + 2.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val got = Stats.olsDiagnostics(rows, "l_returnflag",
+      "l_quantity", "l_extendedprice")
+      .select("slope", "intercept", "r2", "resid_se")
+      .as[(Double, Double, Double, Double)].head()
+    assert(got._1 == 3.0 && got._2 == 2.0, got.toString)
+    assert(math.abs(got._3 - 1.0) < 1e-5 && got._4 < 1e-3, got.toString)
+  }
+
+  test("information gain: the label-determining feature maxes out, noise scores 0") {
+    val rows = (1 to 40).map { i =>
+      val y = i % 2L
+      Seq(("tell", if (y == 1) "hi" else "lo", y), ("noise", "x", y))
+    }.flatten.toDF("f", "v", "y")
+    val got = Stats.informationGain(rows, "f", "v", "y")
+      .select("feature", "info_gain").as[(String, Double)].collect().toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got("tell") == t6(math.log(2.0)), s"full bit: ${got("tell")}")
+    assert(got("noise") == 0.0, s"constant feature: ${got("noise")}")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>

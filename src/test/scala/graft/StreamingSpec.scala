@@ -473,4 +473,32 @@ class StreamingSpec extends SparkSpec {
         "under-2-prior users never score or flag")
     } finally q.stop()
   }
+
+  test("streaming ewma ≡ batch lag-form ewma across micro-batches") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1 has 8 events (beyond depth=5 so the window slides); user 2
+    // has a short history exercising the present-lag normalization
+    val rows = (0 until 8).map(i => (i + 1L, 1L, ts(i), 10.0 + i * 3.0)) ++
+      Seq((9L, 2L, ts(0), 5.0), (10L, 2L, ts(1), 7.0))
+    val batch = EventOps.ewma(
+      rows.toDF("event_id", "user_id", "ts", "value"), alpha = 0.5, depth = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val source = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamingIngest.streamingEwma(
+      source.toDS().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      // split mid-history: the lag window must carry across the boundary
+      source.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      source.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
