@@ -3979,6 +3979,42 @@ object Oracles {
          |ORDER BY rank""".stripMargin
     },
 
+    // q251: frequent 3-itemsets — the row-local triple fan-out ≡ the
+    // ordered 3-way self-join (the q154/q244 equivalence, one level up)
+    "q251_frequent_triples" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem),
+         |tri AS (SELECT x.item AS a, y.item AS b, z.item AS c,
+         |               CAST(count(*) AS BIGINT) AS n_baskets
+         |        FROM b x JOIN b y ON x.bid = y.bid AND x.item < y.item
+         |        JOIN b z ON y.bid = z.bid AND y.item < z.item
+         |        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         |SELECT rank, a, b, c, n_baskets FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY n_baskets DESC, a, b, c) AS BIGINT) AS rank
+         |  FROM tri)
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    // q252: two-proportion z — exact user-day conversion counts,
+    // pooled variance, pinned 1.96 cut
+    "q252_two_proportion_z" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val p1 = s"${dd("x1")} / ${dd("n1")}"
+      val p2 = s"${dd("x2")} / ${dd("n2")}"
+      val pp = s"(${dd("x1")} + ${dd("x2")}) / (${dd("n1")} + ${dd("n2")})"
+      val z = s"(($p1) - ($p2)) / sqrt(($pp) * (1.0e0 - ($pp)) * " +
+        s"(1.0e0 / ${dd("n1")} + 1.0e0 / ${dd("n2")}))"
+      s"""WITH ud AS (SELECT user_id, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |            FROM events GROUP BY 1, 2),
+         |g AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(a * s) AS BIGINT) AS x1,
+         |             CAST(sum(1 - a) AS BIGINT) AS n2, CAST(sum((1 - a) * s) AS BIGINT) AS x2
+         |      FROM (SELECT CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END AS a,
+         |                   CASE WHEN converted = 1 THEN 1 ELSE 0 END AS s
+         |            FROM ud))
+         |SELECT n1, x1, n2, x2, ${t6(p1)} AS p1, ${t6(p2)} AS p2,
+         |       ${t6(z)} AS z, abs($z) > 1.959964e0 AS significant
+         |FROM g""".stripMargin
+    },
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -1992,6 +1992,23 @@ object SparkEntry {
       Stats.informationGain(melted, "f", "v", "y")
     }),
 
+    // ---- frequent 3-itemsets: the lattice level above q205's pairs ----
+    "q251_frequent_triples" -> ((s, d) =>
+      Stats.frequentTriples(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+
+    // ---- weekend-vs-weekday purchase-rate A/B readout per user-day ----
+    "q252_two_proportion_z" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("pur"))
+        .groupBy("user_id", "day")
+        .agg(max(col("pur")).as("converted"))
+      Stats.twoProportionZ(ud,
+        col("day") % 7 === 2 || col("day") % 7 === 3,
+        col("converted") === 1L, zCrit = 1.959964)
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -761,6 +761,59 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Frequent 3-itemsets over (basket, item) pairs: the next lattice
+    * level above [[associationRules]]' pairs, mined with the same
+    * ROW-LOCAL fan-out — each basket's sorted distinct item array
+    * expands to its C(n,3) ordered triples in place, so no basket
+    * self-join ever happens and the only data-sized exchange is the
+    * basket groupBy. The support floor prunes before the global count
+    * ships anything wide. Top-k by support with full tie-breaks. */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long = 2, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy("bid")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ps) - 2), i -> " +
+          "flatten(transform(sequence(i + 1, size(ps) - 1), j -> " +
+          "transform(slice(ps, j + 1, size(ps) - j), x -> " +
+          "struct(ps[i - 1] AS a, ps[j - 1] AS b, x AS c))))))")).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_baskets").desc, col("a"), col("b"), col("c"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("a"), col("b"), col("c"), col("n_baskets"))
+      .orderBy("rank")
+  }
+
+  /** Two-proportion z-test (pooled variance): the A/B readout for
+    * binary outcomes — conversion in cohort A vs cohort B. All counts
+    * exact integers from one aggregation; the pooled rate, z and the
+    * verdict against the caller-pinned normal cut are the only double
+    * math. */
+  def twoProportionZ(df: DataFrame, isA: Column, isSuccess: Column,
+      zCrit: Double): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val g = df.select(when(isA, 1L).otherwise(0L).as("a"),
+        when(isSuccess, 1L).otherwise(0L).as("s"))
+      .agg(sum(col("a")).as("n1"), sum(col("a") * col("s")).as("x1"),
+        sum(lit(1L) - col("a")).as("n2"),
+        sum((lit(1L) - col("a")) * col("s")).as("x2"))
+    val p1 = d("x1") / d("n1")
+    val p2 = d("x2") / d("n2")
+    val pp = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d("n1") + lit(1.0) / d("n2")))
+    g.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      trunc6(p1).as("p1"), trunc6(p2).as("p2"), trunc6(z).as("z"),
+      (abs(z) > lit(zCrit)).as("significant"))
+  }
+
   /** Association rules over (basket, item) pairs (Agrawal & Srikant
     * 1994): support / confidence / lift for every directed rule whose
     * item pair co-occurs in ≥ `minPairs` baskets, top-k by lift. The

@@ -1938,6 +1938,30 @@ class OperatorSpec extends SparkSpec {
     assert(got("noise") == 0.0, s"constant feature: ${got("noise")}")
   }
 
+  test("frequent triples: the planted trio tops the count, sub-support trios vanish") {
+    // baskets 1-3 share {1,2,3}; basket 4 has {4,5,6} only once
+    val rows = (1L to 3L).flatMap(b => Seq((b, 1L), (b, 2L), (b, 3L))) ++
+      Seq((4L, 4L), (4L, 5L), (4L, 6L))
+    val got = Stats.frequentTriples(rows.toDF("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+      .select("a", "b", "c", "n_baskets").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L)), got.toString)
+  }
+
+  test("two-proportion z: equal rates are insignificant, a planted lift is") {
+    val same = (1 to 100).map(i => (i % 2 == 0, i % 5 == 0))
+    val s0 = Stats.twoProportionZ(same.toDF("is_a", "ok"),
+      col("is_a"), col("ok"), zCrit = 1.959964)
+      .select("z", "significant").as[(Double, Boolean)].head()
+    assert(s0 == ((0.0, false)), s0.toString)
+    val lift = (1 to 200).map(i => (i % 2 == 0, if (i % 2 == 0) i % 2 == 0 else i % 50 == 0))
+    val s1 = Stats.twoProportionZ(lift.toDF("is_a", "ok"),
+      col("is_a"), col("ok"), zCrit = 1.959964)
+      .select("p1", "p2", "significant").as[(Double, Double, Boolean)].head()
+    assert(s1._1 > s1._2 && s1._3, s1.toString)
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
