@@ -4015,6 +4015,54 @@ object Oracles {
          |FROM g""".stripMargin
     },
 
+    // q253: one-vs-rest AUC of the NB 'en' score — the shared NB CTEs
+    // feeding the q211 midrank identity verbatim
+    "q253_nb_auc" ->
+      s"""$naiveBayesCtes,
+         |lab AS (SELECT s.score AS v,
+         |               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |        FROM scored s JOIN documents d USING (doc_id)
+         |        WHERE s.cls = 'en'),
+         |counts AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |                  CAST(sum(pos) AS BIGINT) AS n_pos
+         |           FROM lab GROUP BY v),
+         |r AS (SELECT cnt, n_pos,
+         |        2 * (CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |             - cnt) + cnt + 1 AS r2
+         |      FROM counts)
+         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |       CAST(sum(cnt - n_pos) AS BIGINT) AS n_neg,
+         |       ${t6("CAST(CAST(sum(n_pos * r2) AS BIGINT) - CAST(sum(n_pos) AS BIGINT) * (CAST(sum(n_pos) AS BIGINT) + 1) AS DOUBLE) / " +
+            "CAST(2 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(cnt - n_pos) AS BIGINT) AS DOUBLE)")} AS auc
+         |FROM r""".stripMargin,
+
+    // q254: cumulative gains / lift deciles of the NB 'en' ranking —
+    // rank-derived integer decile bins, integer cumulative counts
+    "q254_gains_deciles" ->
+      s"""$naiveBayesCtes,
+         |lab AS (SELECT s.doc_id, s.score,
+         |               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |        FROM scored s JOIN documents d USING (doc_id)
+         |        WHERE s.cls = 'en'),
+         |ranked AS (SELECT pos,
+         |                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+         |                  CAST(count(*) OVER () AS BIGINT) AS n
+         |           FROM lab),
+         |bydec AS (SELECT (rn - 1) * 10 // n AS decile,
+         |                 CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(pos) AS BIGINT) AS n_pos
+         |          FROM ranked GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         |               CAST(sum(n_pos) AS BIGINT) AS pos_all FROM bydec),
+         |c AS (SELECT decile, n_docs, n_pos, n_all, pos_all,
+         |             CAST(sum(n_docs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |             CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+         |      FROM bydec CROSS JOIN tot)
+         |SELECT decile, n_docs, n_pos,
+         |       ${t6("CAST(cum_pos AS DOUBLE) / CAST(pos_all AS DOUBLE)")} AS gain,
+         |       ${t6("(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE))")} AS lift
+         |FROM c ORDER BY decile""".stripMargin,
+
     // q165: per-vertex triangles / wedges over the same graph
     "q165_clustering_coeff" -> {
       val corpus =

@@ -263,6 +263,26 @@ object SparkEntry {
          |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
          |       ${sharedXsum("c_acctbal")} AS totacctbal
          |FROM sel GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+    ("q255_sql_except", Seq("supplier", "lineitem"),
+      """SELECT CAST(s_suppkey AS BIGINT) AS key FROM supplier
+        |WHERE s_acctbal > CAST(1000.0 AS DOUBLE)
+        |EXCEPT
+        |SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
+        |WHERE l_quantity >= CAST(50.0 AS DOUBLE) AND l_returnflag = 'R'
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-07-01'
+        |ORDER BY key""".stripMargin),
+    // cume_dist from one shared text: both engines define it as
+    // rows-with-value-≤-current / partition rows, so ties share a value
+    ("q256_sql_cume_dist", Seq("orders"),
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(floor(cd * 1e6) / 1e6 AS DOUBLE) AS cume
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |             cume_dist() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice) AS cd
+        |      FROM orders)
+        |WHERE o_orderkey % 101 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
     ("q191_sql_correlated_scalar", Seq("customer", "orders"),
       """SELECT c_custkey,
         |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
@@ -1990,6 +2010,47 @@ object SparkEntry {
         .unionAll(o.select(lit("segment").as("f"),
           col("c_mktsegment").as("v"), col("y")))
       Stats.informationGain(melted, "f", "v", "y")
+    }),
+
+    // ---- one-vs-rest AUC of the q107 NB classifier's 'en' score:
+    // model evaluation end-to-end through the q211 exact rank sweep ----
+    "q253_nb_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lab = TextAnalysis.naiveBayesScores(docs)
+        .filter(col("cls") === "en")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      Stats.aucRankSum(lab, "score", col("is_en"))
+    }),
+
+    // ---- cumulative gains / lift deciles of the same ranking ----
+    "q254_gains_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val lab = TextAnalysis.naiveBayesScores(docs)
+        .filter(col("cls") === "en")
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos")), "doc_id")
+      val ranked = lab
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("decile", expr("(rn - 1) * 10 div n"))
+      val byDec = ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      val tot = byDec.agg(sum(col("n_docs")).as("n_all"),
+        sum(col("n_pos")).as("pos_all"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = (c: String) => col(c).cast("double")
+      byDec.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n_docs")).over(wc))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          trunc6(dd("cum_pos") / dd("pos_all")).as("gain"),
+          trunc6((dd("cum_pos") / dd("cum_n")) /
+            (dd("pos_all") / dd("n_all"))).as("lift"))
+        .orderBy("decile")
     }),
 
     // ---- frequent 3-itemsets: the lattice level above q205's pairs ----
