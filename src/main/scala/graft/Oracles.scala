@@ -63,6 +63,31 @@ object Oracles {
     * truncation the Spark loader applies. */
   private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
 
+  /** q241's additive seasonal decomposition as a WITH-clause prefix
+    * ending in `dec` (day, dow, value, trend, seasonal, residual — all
+    * trunc6'd), shared with q257's anomaly screen. Mirrors
+    * EventOps.seasonalDecompose exactly. */
+  private lazy val seasonalDecomposeCtes: String =
+    s"""daily AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
+       |                 CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
+       |          FROM events GROUP BY 1),
+       |w AS (SELECT day, t8,
+       |             CAST(count(*) OVER win AS BIGINT) AS n_win,
+       |             CAST(sum(t8) OVER win AS BIGINT) AS ma8
+       |      FROM daily
+       |      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |tr AS (SELECT day, day % 7 AS dow,
+       |              CAST(t8 AS DOUBLE) / 1e8 AS value,
+       |              CAST(ma8 AS DOUBLE) / 7e8 AS trend
+       |       FROM w WHERE n_win = 7),
+       |tr2 AS (SELECT *, value - trend AS detr FROM tr),
+       |seas AS (SELECT dow, ${dsum12("detr")} / CAST(count(*) AS DOUBLE) AS seas
+       |         FROM tr2 GROUP BY dow),
+       |dec AS (SELECT day, dow, ${t6("value")} AS value, ${t6("trend")} AS trend,
+       |               ${t6("seas")} AS seasonal,
+       |               ${t6("value - trend - seas")} AS residual
+       |        FROM tr2 JOIN seas USING (dow))""".stripMargin
+
   /** Right-censored gap-session lifetimes + at-risk counts — the shared
     * WITH-clause prefix of q229 (Kaplan–Meier) and q247 (Nelson–Aalen),
     * ending in `risk` (t, n_t, d, n_risk). Mirrors
@@ -3737,25 +3762,28 @@ object Oracles {
     // q241: additive seasonal decomposition — integer MA(7) window sum
     // over the day frame, per-dow 12-decimal detrended means
     "q241_seasonal_decompose" ->
-      s"""WITH daily AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
-         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8
-         |               FROM events GROUP BY 1),
-         |w AS (SELECT day, t8,
-         |             CAST(count(*) OVER win AS BIGINT) AS n_win,
-         |             CAST(sum(t8) OVER win AS BIGINT) AS ma8
-         |      FROM daily
-         |      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |tr AS (SELECT day, day % 7 AS dow,
-         |              CAST(t8 AS DOUBLE) / 1e8 AS value,
-         |              CAST(ma8 AS DOUBLE) / 7e8 AS trend
-         |       FROM w WHERE n_win = 7),
-         |tr2 AS (SELECT *, value - trend AS detr FROM tr),
-         |seas AS (SELECT dow, ${dsum12("detr")} / CAST(count(*) AS DOUBLE) AS seas
-         |         FROM tr2 GROUP BY dow)
-         |SELECT day, dow, ${t6("value")} AS value, ${t6("trend")} AS trend,
-         |       ${t6("seas")} AS seasonal,
-         |       ${t6("value - trend - seas")} AS residual
-         |FROM tr2 JOIN seas USING (dow) ORDER BY day""".stripMargin,
+      s"""WITH $seasonalDecomposeCtes
+         |SELECT day, dow, value, trend, seasonal, residual
+         |FROM dec ORDER BY day""".stripMargin,
+
+    // q257: seasonal-adjusted anomaly flags — z of the q241 residuals
+    // on their own exact 6-decimal moments, pinned 2σ cut
+    "q257_seasonal_anomalies" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val mean = s"${dd("s")} / ${dd("n")}"
+      val sd = s"sqrt(${dd("q")} / ${dd("n")} - ($mean) * ($mean))"
+      val zc = s"CASE WHEN $sd > CAST(0.0 AS DOUBLE) THEN " +
+        s"${t6(s"(${dd("r6")} - $mean) / ($sd)")} ELSE NULL END"
+      s"""WITH $seasonalDecomposeCtes,
+         |r AS (SELECT day, residual,
+         |             CAST(floor(residual * 1e3 + 0.5) AS BIGINT) AS r6
+         |      FROM dec),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r6) AS BIGINT) AS s,
+         |               CAST(sum(r6 * r6) AS BIGINT) AS q FROM r)
+         |SELECT day, residual, $zc AS z,
+         |       coalesce(abs($zc) > 2.0e0, false) AS is_anomaly
+         |FROM r CROSS JOIN mom ORDER BY day""".stripMargin
+    },
 
     // q242: Mann–Kendall per type — integer S and tie sums, one
     // continuity-corrected z, pinned 1.96 normal cut

@@ -283,6 +283,15 @@ object SparkEntry {
         |      FROM orders)
         |WHERE o_orderkey % 101 = 0
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+    // share-of-total from one shared text: a window aggregate OVER a
+    // grouped aggregate — sum(count(*)) over the partition
+    ("q258_sql_share_of_total", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(floor(CAST(count(*) AS DOUBLE)
+        |         / CAST(sum(count(*)) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |         * 1e6) / 1e6 AS DOUBLE) AS share
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     ("q191_sql_correlated_scalar", Seq("customer", "orders"),
       """SELECT c_custkey,
         |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
@@ -1945,6 +1954,10 @@ object SparkEntry {
     // ---- classical additive seasonal decomposition of daily totals ----
     "q241_seasonal_decompose" -> ((s, d) =>
       EventOps.seasonalDecompose(Tables.events(s, d))),
+
+    // ---- seasonal-adjusted anomaly flags on the q241 residuals ----
+    "q257_seasonal_anomalies" -> ((s, d) =>
+      EventOps.seasonalAnomalies(Tables.events(s, d))),
 
     // ---- Mann–Kendall monotone-trend test per type on daily totals
     // (α=0.05 normal cut pinned) ----

@@ -482,6 +482,33 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Seasonal-adjusted anomaly screen: z-score of each day's
+    * [[seasonalDecompose]] residual against the residual series' own
+    * exact moments (residuals already sit on the 6-decimal grid, so
+    * the moments ride MILLI-scaled longs — the q224/q227 pattern, but
+    * at 1e3 because daily-total residuals are value-sum-sized and the
+    * squared micro-grid moment overflows a long; z is computed in grid
+    * units because it is scale-invariant). The
+    * honest version of "alert when today deviates": trend and weekday
+    * effects are removed BEFORE the threshold, so a busy Monday never
+    * pages. */
+  def seasonalAnomalies(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val dec = seasonalDecompose(events)
+      .select(col("day"), col("residual"),
+        floor(col("residual") * lit(1e3) + lit(0.5)).cast("long").as("r6"))
+    val mom = dec.agg(count(lit(1)).as("n"), sum(col("r6")).as("s"),
+      sum(col("r6") * col("r6")).as("q"))
+    val d = (c: String) => col(c).cast("double")
+    val mean = d("s") / d("n")
+    val sd = sqrt(d("q") / d("n") - mean * mean)
+    val z = when(sd > lit(0.0), trunc6((d("r6") - mean) / sd))
+      .otherwise(lit(null).cast("double"))
+    dec.crossJoin(broadcast(mom))
+      .select(col("day"), col("residual"), z.as("z"),
+        coalesce(abs(z) > lit(zCut), lit(false)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Day-of-week seasonality profile per event type: mean value by
     * weekday index and its seasonal ratio against the type's overall
     * mean — the first chart read before any anomaly threshold is set

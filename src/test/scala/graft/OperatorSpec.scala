@@ -1962,6 +1962,21 @@ class OperatorSpec extends SparkSpec {
     assert(s1._1 > s1._2 && s1._3, s1.toString)
   }
 
+  test("seasonal anomalies: the planted off-pattern day flags, clean weeks don't") {
+    // weekly pattern 10+dow, except day 17 spikes by +500
+    val ev = (0 until 28).map { d =>
+      (d.toLong, 1L, d.toLong * 86400L,
+        10.0 + (d % 7) + (if (d == 17) 500.0 else 0.0))
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.seasonalAnomalies(ev)
+      .select("day", "is_anomaly").as[(Long, Boolean)].collect().toSeq
+    val flagged = got.filter(_._2).map(_._1)
+    assert(flagged.contains(17L), s"spike day must flag: $flagged")
+    assert(flagged.size <= 3, s"clean days mostly stay quiet: $flagged")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
