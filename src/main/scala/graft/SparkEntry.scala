@@ -56,6 +56,14 @@ object SparkEntry {
   private def sharedXsum(x: String): String =
     s"(CAST(SUM(CAST(floor($x) AS BIGINT)) AS DOUBLE) + " +
       s"CAST(SUM(CAST(floor((($x) - floor($x)) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)"
+  /** Signed exact sum on a 6-decimal grid: round-half-up each term to a
+    * scaled long, integer-sum (order-free), divide once. For terms that
+    * may be negative — [[sharedXsum]]'s int/frac split assumes x ≥ 0.
+    * Headroom: |term| ≤ ~1e7 → 1e13 scaled; 2^63/1e13 ≈ 9e5 rows per
+    * group at worst — fine for grouped sums, would need a wider grid
+    * for a single global sum over billions of rows. */
+  private def sharedZsum6(x: String): String =
+    s"(CAST(SUM(CAST(floor(($x) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)"
   private def sharedTrunc6(x: String): String =
     s"CAST(floor(($x) * 1e6) / 1e6 AS DOUBLE)"
   private[graft] val SharedSqlQueries: Seq[(String, Seq[String], String)] = Seq(
@@ -308,7 +316,121 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY returnflag, linestatus""".stripMargin))
+        |ORDER BY returnflag, linestatus""".stripMargin),
+    // TPC-H Q7 (volume shipping): bilateral trade flow between two
+    // nations by ship year — the 6-table snowflake join; both nation
+    // roles resolved from ONE dimension via two aliases
+    ("q259_sql_tpch_q7", Seq("lineitem", "orders", "customer", "supplier", "nation"),
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |       CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+         |       ${sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+         |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+         |GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+    // TPC-H Q8 (national market share): one nation's share of regional
+    // PROMO revenue per order year — conditional-over-total inside one
+    // grouped pass, exact on the shared scaled-long grid
+    ("q260_sql_tpch_q8", Seq("lineitem", "part", "orders", "customer", "supplier", "nation", "region"),
+      s"""WITH all_nations AS (
+         |  SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         |         l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS volume,
+         |         ns.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+         |SELECT o_year,
+         |       ${sharedTrunc6("(" +
+             sharedXsum("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0.0 AS DOUBLE) END") +
+             ") / (" + sharedXsum("volume") + ")")} AS mkt_share
+         |FROM all_nations GROUP BY o_year ORDER BY o_year""".stripMargin),
+    // TPC-H Q9 shape (product-type profit): signed profit per supplier
+    // nation and year; the testdata has no partsupp, so supply cost is
+    // proxied as 1% of retail price per unit — the shape (LIKE-filtered
+    // part, signed grouped sum over a 4-way join) is what's exercised
+    ("q261_sql_tpch_q9", Seq("lineitem", "part", "supplier", "nation", "orders"),
+      s"""SELECT nation, o_year, ${sharedZsum6("amount")} AS sum_profit
+         |FROM (
+         |  SELECT ns.n_name AS nation,
+         |         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         |         l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+         |           - p_retailprice * CAST(0.01 AS DOUBLE) * l_quantity AS amount
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey) profit
+         |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin),
+    // TPC-H Q13 (customer order distribution): LEFT JOIN with an extra
+    // ON-clause predicate, then a histogram of the per-customer counts
+    ("q262_sql_tpch_q13", Seq("customer", "orders"),
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    // TPC-H Q15 (top supplier): quarterly revenue CTE consumed twice —
+    // once for the rows, once for the scalar max; exact grid sums make
+    // the double equality engine-portable
+    ("q263_sql_tpch_q15", Seq("supplier", "lineitem"),
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         ${sharedXsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin),
+    // TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    // average-quantity scalar subquery as the filter; quantities are
+    // integral doubles so the average is order-free exact
+    ("q264_sql_tpch_q17", Seq("lineitem", "part"),
+      s"""SELECT ${sharedTrunc6("(" + sharedXsum("l_extendedprice") + ") / CAST(7.0 AS DOUBLE)")} AS avg_yearly,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#1'
+         |  AND l_quantity < (
+         |    SELECT CAST(0.2 AS DOUBLE) * (CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |                                   / CAST(count(*) AS DOUBLE))
+         |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin),
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the testdata
+    // has no receipt/commit dates, so "late" is shipped >120 days after
+    // the order date; the double-correlated EXISTS / NOT EXISTS pair is
+    // the exercised machinery
+    ("q265_sql_tpch_q21", Seq("supplier", "lineitem", "orders"),
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 120
+        |  AND s_nationkey = 3
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 120)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin))
 
   /** The two mechanical token substitutions separating the dialects on
     * the shared texts (see [[SharedSqlQueries]]). */
