@@ -3785,6 +3785,141 @@ object Oracles {
          |FROM r CROSS JOIN mom ORDER BY day""".stripMargin
     },
 
+    // q266: one-way ANOVA F — centi-grid moments per group (Σv² exact
+    // as integer-valued doubles), SS in original units, 12-dec grid on
+    // the k-row reduction. Mirrors Stats.anovaF.
+    "q266_anova_f" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val ssb = s"(sg - ${dd("s")} * ${dd("s")} / ${dd("n")})"
+      s"""WITH base AS (SELECT event_type AS g,
+         |                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+         |              FROM events),
+         |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         |              CAST(sum(v2) AS BIGINT) AS s_i,
+         |              sum(${dd("v2")} * ${dd("v2")}) AS q_i
+         |       FROM base GROUP BY g),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n,
+         |               CAST(sum(s_i) AS BIGINT) AS s, ${dsum12("q_i")} AS q,
+         |               ${dsum12(s"${dd("s_i")} * ${dd("s_i")} / ${dd("n_i")}")} AS sg
+         |        FROM pg)
+         |SELECT k, n, k - 1 AS df1, n - k AS df2,
+         |       ${t6(s"$ssb / 1e4")} AS ss_between,
+         |       ${t6("(q - sg) / 1e4")} AS ss_within,
+         |       ${t6(s"($ssb / CAST(k - 1 AS DOUBLE)) / " +
+             "((q - sg) / CAST(n - k AS DOUBLE))")} AS f
+         |FROM agg""".stripMargin
+    },
+
+    // q267: Kruskal–Wallis — doubled midranks over the centi-grid
+    // value frame (the q225 rank CTE), exact per-group rank sums,
+    // exact tie correction, pinned χ²₀.₀₅(4) cut. Mirrors
+    // Stats.kruskalWallis.
+    "q267_kruskal_wallis" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH rows0 AS (SELECT event_type AS g,
+         |                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+         |               FROM events),
+         |c AS (SELECT v2 AS v, CAST(count(*) AS BIGINT) AS na FROM rows0 GROUP BY v2),
+         |r AS (SELECT v AS v2,
+         |             2 * (CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |                  - na) + na + 1 AS r2
+         |      FROM c),
+         |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         |              CAST(sum(r2) AS BIGINT) AS s_i
+         |       FROM rows0 JOIN r USING (v2) GROUP BY g),
+         |ties AS (SELECT CAST(sum(na * na * na - na) AS BIGINT) AS tsum FROM c),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n,
+         |               ${dsum12(s"${dd("s_i")} * ${dd("s_i")} / (CAST(4.0 AS DOUBLE) * ${dd("n_i")})")} AS sr
+         |        FROM pg),
+         |hh AS (SELECT k, n,
+         |              CAST(12.0 AS DOUBLE) / (${dd("n")} * (${dd("n")} + CAST(1.0 AS DOUBLE))) * sr
+         |                - CAST(3.0 AS DOUBLE) * (${dd("n")} + CAST(1.0 AS DOUBLE)) AS h_raw,
+         |              CAST(1.0 AS DOUBLE) -
+         |                ${dd("tsum")} / (${dd("n")} * ${dd("n")} * ${dd("n")} - ${dd("n")}) AS cf
+         |       FROM agg CROSS JOIN ties)
+         |SELECT k, n, k - 1 AS df, ${t6("h_raw")} AS h,
+         |       ${t6("h_raw / cf")} AS h_tie_corrected,
+         |       (h_raw / cf) > 9.487729036781154e0 AS reject
+         |FROM hh""".stripMargin
+    },
+
+    // q268: Kendall tau-b between daily event volume and value total —
+    // integer pair counts on the bounded day frame, tie-aware
+    // denominator, normal-approximation z. Mirrors Stats.kendallTau
+    // (x = n_events, y = t8).
+    "q268_kendall_tau" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val num = s"(${dd("nc")} - ${dd("nd")})"
+      s"""WITH daily AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS t8,
+         |                      CAST(count(*) AS BIGINT) AS n_events
+         |               FROM events GROUP BY 1),
+         |p AS (SELECT CASE WHEN (a.n_events < b.n_events AND a.t8 < b.t8)
+         |                    OR (a.n_events > b.n_events AND a.t8 > b.t8) THEN 1 ELSE 0 END AS c,
+         |             CASE WHEN (a.n_events < b.n_events AND a.t8 > b.t8)
+         |                    OR (a.n_events > b.n_events AND a.t8 < b.t8) THEN 1 ELSE 0 END AS dc,
+         |             CASE WHEN a.n_events = b.n_events THEN 1 ELSE 0 END AS tx,
+         |             CASE WHEN a.t8 = b.t8 THEN 1 ELSE 0 END AS ty
+         |      FROM daily a JOIN daily b ON a.day < b.day),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         |agg AS (SELECT CAST(sum(c) AS BIGINT) AS nc, CAST(sum(dc) AS BIGINT) AS nd,
+         |               CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty
+         |        FROM p),
+         |wn AS (SELECT n, nc, nd, ntx, nty,
+         |              CAST(n * (n - 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS n0
+         |       FROM agg CROSS JOIN cnt)
+         |SELECT n, nc, nd,
+         |       ${t6(s"$num / sqrt((n0 - ${dd("ntx")}) * (n0 - ${dd("nty")}))")} AS tau_b,
+         |       ${t6(s"CAST(3.0 AS DOUBLE) * $num / " +
+             s"sqrt(${dd("n")} * (${dd("n")} - CAST(1.0 AS DOUBLE)) * " +
+             s"(CAST(2.0 AS DOUBLE) * ${dd("n")} + CAST(5.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))")} AS z
+         |FROM wn""".stripMargin
+    },
+
+    // q269: two-arm log-rank on the q229 gap-session lifetimes (arm =
+    // user parity) — grouped risk sets off one cumulative window,
+    // hypergeometric E/V terms on the 12-dec grid, pinned 1.959964
+    // cut. Mirrors Stats.logRank over the survivalRiskCtes pipeline.
+    "q269_log_rank" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val p1 = s"(${dd("n1_risk")} / ${dd("n_risk")})"
+      val zc = s"(${dd("o1")} - e1) / sqrt(v)"
+      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS us FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+         |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+         |         FROM s GROUP BY user_id, sid),
+         |h AS (SELECT max(e_us) AS h_us FROM sess),
+         |dur AS (SELECT CAST((e_us - s_us) // 60000000 AS BIGINT) AS t,
+         |               CASE WHEN h_us - e_us > 3600000000 THEN 1 ELSE 0 END AS ev,
+         |               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS a1
+         |        FROM sess CROSS JOIN h),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+         |               CAST(sum(a1) AS BIGINT) AS n1_all FROM dur),
+         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t, CAST(sum(ev) AS BIGINT) AS d,
+         |               CAST(sum(a1) AS BIGINT) AS n1_t, CAST(sum(ev * a1) AS BIGINT) AS d1
+         |        FROM dur GROUP BY t),
+         |risk AS (SELECT t, d, d1, n_all, n1_all,
+         |                n_all - coalesce(CAST(sum(n_t) OVER wpre AS BIGINT), 0) AS n_risk,
+         |                n1_all - coalesce(CAST(sum(n1_t) OVER wpre AS BIGINT), 0) AS n1_risk
+         |         FROM byt CROSS JOIN tot
+         |         WINDOW wpre AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |f AS (SELECT * FROM risk WHERE d > 0 AND n_risk >= 2),
+         |agg AS (SELECT max(n_all) AS n, max(n1_all) AS n_1, CAST(sum(d1) AS BIGINT) AS o1,
+         |               ${dsum12(s"${dd("d")} * $p1")} AS e1,
+         |               ${dsum12(s"${dd("d")} * $p1 * (CAST(1.0 AS DOUBLE) - $p1) * " +
+             s"(${dd("n_risk")} - ${dd("d")}) / (${dd("n_risk")} - CAST(1.0 AS DOUBLE))")} AS v
+         |        FROM f)
+         |SELECT n, n_1, o1, ${t6("e1")} AS e1,
+         |       ${t6(zc)} AS z,
+         |       ${t6(s"(${dd("o1")} - e1) * (${dd("o1")} - e1) / v")} AS chi2,
+         |       abs($zc) > 1.959964e0 AS reject
+         |FROM agg""".stripMargin
+    },
+
     // q242: Mann–Kendall per type — integer S and tie sums, one
     // continuity-corrected z, pinned 1.96 normal cut
     "q242_mann_kendall" ->

@@ -476,7 +476,8 @@ object SparkEntry {
     val horizon = sess.agg(max(col("e_us")).as("h_us"))
     sess.crossJoin(broadcast(horizon))
       .select(expr("(e_us - s_us) div 60000000").as("dur_min"),
-        (col("h_us") - col("e_us") > lit(3600000000L)).as("observed"))
+        (col("h_us") - col("e_us") > lit(3600000000L)).as("observed"),
+        (col("user_id") % 2).as("arm"))
   }
 
   /** Daily per-type totals on the 8-decimal integer grid — the shared
@@ -2080,6 +2081,33 @@ object SparkEntry {
     // ---- seasonal-adjusted anomaly flags on the q241 residuals ----
     "q257_seasonal_anomalies" -> ((s, d) =>
       EventOps.seasonalAnomalies(Tables.events(s, d))),
+
+    // ---- one-way ANOVA F: does mean event value differ by type ----
+    "q266_anova_f" -> ((s, d) =>
+      Stats.anovaF(Tables.events(s, d), "value", "event_type")),
+
+    // ---- Kruskal–Wallis (rank one-way ANOVA) on the same split;
+    // χ²₀.₀₅ at df=4 pinned ----
+    "q267_kruskal_wallis" -> ((s, d) =>
+      Stats.kruskalWallis(Tables.events(s, d), "value", "event_type",
+        hCrit = 9.487729036781154)),
+
+    // ---- Kendall tau-b between daily event volume and daily value
+    // total on the bounded day frame ----
+    "q268_kendall_tau" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+        .groupBy("day")
+        .agg(sum(col("v8")).as("t8"), count(lit(1)).as("n_events"))
+      Stats.kendallTau(daily, "day", "n_events", "t8")
+    }),
+
+    // ---- two-arm log-rank on the q229 session lifetimes: do
+    // even/odd-user cohorts churn at the same rate ----
+    "q269_log_rank" -> ((s, d) =>
+      Stats.logRank(sessionDurations(s, d), "dur_min", "observed",
+        "arm", zCrit = 1.959964)),
 
     // ---- Mann–Kendall monotone-trend test per type on daily totals
     // (α=0.05 normal cut pinned) ----

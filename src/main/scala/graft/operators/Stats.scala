@@ -862,4 +862,155 @@ object Stats {
         col("n_ab"), col("support"), col("confidence"), col("lift"))
       .orderBy("rank")
   }
+
+  /** One-way ANOVA F across the groups of `groupCol`: does the group
+    * mean differ anywhere. Values ride the centi-scaled long grid (the
+    * q227 Welch convention), so per-group n/Σv are exact integers and
+    * Σv² is an exactly-representable double (each v2² ≤ ~2.4e9 < 2^53);
+    * the between/within sums of squares come off those moments —
+    * reported in ORIGINAL units (one /1e4 rescale at the end) — and F
+    * is the only ratio. ONE map-side-combinable aggregation per group +
+    * a k-row reduction: nothing scales with rows. Cross-group term sums
+    * ride the 12-decimal decimal grid so the k-row reduction is
+    * order-free. */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v2 = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val d = (c: String) => col(c).cast("double")
+    val perGroup = df.select(col(groupCol).as("g"), v2.as("v2"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_i"), sum(col("v2")).as("s_i"),
+        sum(d("v2") * d("v2")).as("q_i"))
+    perGroup
+      .agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        sum(col("s_i")).as("s"), dsum12(col("q_i")).as("q"),
+        dsum12(d("s_i") * d("s_i") / d("n_i")).as("sg"))
+      .select(col("k"), col("n"),
+        (col("k") - lit(1L)).as("df1"), (col("n") - col("k")).as("df2"),
+        trunc6((col("sg") - d("s") * d("s") / d("n")) / lit(1e4))
+          .as("ss_between"),
+        trunc6((col("q") - col("sg")) / lit(1e4)).as("ss_within"),
+        trunc6(((col("sg") - d("s") * d("s") / d("n")) /
+            (col("k") - lit(1L)).cast("double")) /
+          ((col("q") - col("sg")) / (col("n") - col("k")).cast("double")))
+          .as("f"))
+  }
+
+  /** Kruskal–Wallis H (rank-based one-way ANOVA): the distribution-free
+    * twin of [[anovaF]] for when normality is off the table. Values are
+    * centi-quantized, DOUBLED midranks come from the same two-phase
+    * distributed prefix-sum as [[spearman]] (grid-value frame only —
+    * never a row-sized sort), per-group rank sums are exact longs, and
+    * the tie correction 1 − Σ(t³−t)/(N³−N) uses exact tie counts. The
+    * per-group terms (Σr)²/(4n_i) are deterministic double casts of
+    * exact longs, reduced on the 12-decimal grid. `hCrit` is the
+    * chi-square critical value at k−1 df, pinned by the caller. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+      hCrit: Double): DataFrame = {
+    val v2 = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val rows = df.select(col(groupCol).as("g"), v2.as("v2"))
+    val counts = rows.groupBy(col("v2").as("v")).agg(count(lit(1)).as("na"))
+      .withColumn("nb", lit(0L))
+    val ranks = orderedPrefixSums(counts)
+      .select(col("v").as("v2"),
+        (lit(2L) * (col("ca") - col("na")) + col("na") + lit(1L)).as("r2"))
+    val d = (c: String) => col(c).cast("double")
+    val perGroup = rows.join(ranks, "v2")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_i"), sum(col("r2")).as("s_i"))
+    val ties = counts
+      .agg(sum(col("na") * col("na") * col("na") - col("na")).as("tsum"))
+    val h = perGroup
+      .agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        dsum12(d("s_i") * d("s_i") / (lit(4.0) * d("n_i"))).as("sr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_raw",
+        lit(12.0) / (d("n") * (d("n") + lit(1.0))) * col("sr") -
+          lit(3.0) * (d("n") + lit(1.0)))
+      .withColumn("cf", lit(1.0) -
+        d("tsum") / (d("n") * d("n") * d("n") - d("n")))
+    h.select(col("k"), col("n"), (col("k") - lit(1L)).as("df"),
+      trunc6(col("h_raw")).as("h"),
+      trunc6(col("h_raw") / col("cf")).as("h_tie_corrected"),
+      (col("h_raw") / col("cf") > lit(hCrit)).as("reject"))
+  }
+
+  /** Kendall tau-b between two INTEGER-grid columns of a bounded frame
+    * (daily aggregates, not raw rows — the pair join is O(frame²), so
+    * the caller aggregates first; a decade of days is ~7M pairs).
+    * Concordant/discordant/tie counts are pure integer comparisons;
+    * tau-b and the normal-approximation z are the only doubles.
+    * Complements [[spearman]] (which needs no pair join but is less
+    * robust to ties) and [[mannKendall]] (x = time). */
+  def kendallTau(frame: DataFrame, ordCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = frame.select(col(ordCol).as("o1"), col(xCol).as("x1"),
+      col(yCol).as("y1"))
+    val b = frame.select(col(ordCol).as("o2"), col(xCol).as("x2"),
+      col(yCol).as("y2"))
+    val d = (c: String) => col(c).cast("double")
+    val pairs = a.join(b, col("o1") < col("o2"))
+      .select(
+        (when(col("x1") < col("x2") && col("y1") < col("y2"), 1L)
+          .when(col("x1") > col("x2") && col("y1") > col("y2"), 1L)
+          .otherwise(0L)).as("c"),
+        (when(col("x1") < col("x2") && col("y1") > col("y2"), 1L)
+          .when(col("x1") > col("x2") && col("y1") < col("y2"), 1L)
+          .otherwise(0L)).as("dc"),
+        when(col("x1") === col("x2"), 1L).otherwise(0L).as("tx"),
+        when(col("y1") === col("y2"), 1L).otherwise(0L).as("ty"))
+    val n = frame.agg(count(lit(1)).as("n"))
+    pairs
+      .agg(sum(col("c")).as("nc"), sum(col("dc")).as("nd"),
+        sum(col("tx")).as("ntx"), sum(col("ty")).as("nty"))
+      .crossJoin(broadcast(n))
+      .withColumn("n0", (col("n") * (col("n") - lit(1L)) / lit(2L)))
+      .select(col("n"), col("nc"), col("nd"),
+        trunc6((d("nc") - d("nd")) /
+          sqrt((d("n0") - d("ntx")) * (d("n0") - d("nty")))).as("tau_b"),
+        trunc6(lit(3.0) * (d("nc") - d("nd")) /
+          sqrt(d("n") * (d("n") - lit(1.0)) *
+            (lit(2.0) * d("n") + lit(5.0)) / lit(2.0))).as("z"))
+  }
+
+  /** Two-arm log-rank test on right-censored (duration, observed, arm)
+    * rows — "do the two survival curves differ": the hypothesis test
+    * that belongs next to [[kaplanMeier]]. At each duration with ≥1
+    * observed event and ≥2 at risk: O1 = arm-1 deaths, E1 = d·n1/n,
+    * hypergeometric variance d·(n1/n)·(1−n1/n)·(n−d)/(n−1); z =
+    * (ΣO1−ΣE1)/√ΣV. Risk counts come from ONE cumulative window over
+    * the duration-valued frame (bounded, the q229 argument); the E/V
+    * term sums ride the 12-decimal grid so the reduction is order-free.
+    * `zCrit` pinned by the caller (1.959964 at α=0.05). */
+  def logRank(durations: DataFrame, durCol: String, observedCol: String,
+      armCol: String, zCrit: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = durations.select(col(durCol).cast("long").as("t"),
+      when(col(observedCol), 1L).otherwise(0L).as("ev"),
+      when(col(armCol) === 1, 1L).otherwise(0L).as("a1"))
+    val tot = base.agg(count(lit(1)).as("n_all"), sum(col("a1")).as("n1_all"))
+    val byT = base.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum(col("ev")).as("d"),
+        sum(col("a1")).as("n1_t"), sum(col("ev") * col("a1")).as("d1"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val d = (c: String) => col(c).cast("double")
+    val p1 = d("n1_risk") / d("n_risk")
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_all") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+      .withColumn("n1_risk",
+        col("n1_all") - coalesce(sum(col("n1_t")).over(w), lit(0L)))
+      .filter(col("d") > 0 && col("n_risk") >= 2)
+      .agg(max(col("n_all")).as("n"), max(col("n1_all")).as("n_1"),
+        sum(col("d1")).as("o1"),
+        dsum12(d("d") * p1).as("e1"),
+        dsum12(d("d") * p1 * (lit(1.0) - p1) *
+          (d("n_risk") - d("d")) / (d("n_risk") - lit(1.0))).as("v"))
+      .select(col("n"), col("n_1"), col("o1"),
+        trunc6(col("e1")).as("e1"),
+        trunc6((d("o1") - col("e1")) / sqrt(col("v"))).as("z"),
+        trunc6((d("o1") - col("e1")) * (d("o1") - col("e1")) / col("v"))
+          .as("chi2"),
+        (abs((d("o1") - col("e1")) / sqrt(col("v"))) > lit(zCrit))
+          .as("reject"))
+  }
 }

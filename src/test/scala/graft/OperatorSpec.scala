@@ -1977,6 +1977,65 @@ class OperatorSpec extends SparkSpec {
     assert(flagged.size <= 3, s"clean days mostly stay quiet: $flagged")
   }
 
+  test("anova f: identical group means → F≈0; one shifted group → big F") {
+    val same = (1 to 30).map(i => (s"g${i % 3}", (i % 10).toDouble))
+      .toDF("event_type", "value")
+    val f0 = Stats.anovaF(same, "value", "event_type")
+      .select("f").as[Double].head()
+    assert(f0 < 0.5, s"balanced groups should have small F: $f0")
+    val apart = (1 to 30).map(i =>
+      (s"g${i % 3}", (i % 10).toDouble + (if (i % 3 == 0) 100.0 else 0.0)))
+      .toDF("event_type", "value")
+    val r = Stats.anovaF(apart, "value", "event_type")
+      .select("f", "df1", "df2", "ss_between").as[(Double, Long, Long, Double)].head()
+    assert(r._1 > 100.0 && r._2 == 2L && r._3 == 27L && r._4 > 0.0, r.toString)
+  }
+
+  test("kruskal-wallis: shifted group rejects, permuted labels don't") {
+    val apart = (1 to 60).map(i =>
+      (s"g${i % 3}", (i % 20).toDouble + (if (i % 3 == 0) 1000.0 else 0.0)))
+      .toDF("event_type", "value")
+    val r = Stats.kruskalWallis(apart, "value", "event_type",
+      hCrit = 5.991464547107979) // χ²₀.₀₅ df=2
+    val (h, rej) = r.select("h_tie_corrected", "reject").as[(Double, Boolean)].head()
+    assert(rej && h > 5.99, s"shifted group must reject: h=$h")
+    val flat = (1 to 60).map(i => (s"g${i % 3}", (i % 5).toDouble))
+      .toDF("event_type", "value")
+    val rej0 = Stats.kruskalWallis(flat, "value", "event_type",
+      hCrit = 5.991464547107979).select("reject").as[Boolean].head()
+    assert(!rej0, "round-robin labels over a cyclic value can't reject")
+  }
+
+  test("kendall tau: monotone pair → 1, reversed → -1, ties shrink |tau|") {
+    val up = (1 to 10).map(i => (i.toLong, i.toLong, (i * 2).toLong))
+      .toDF("day", "x", "y")
+    val t1 = Stats.kendallTau(up, "day", "x", "y").select("tau_b").as[Double].head()
+    assert(t1 == 1.0, s"perfect concordance: $t1")
+    val down = (1 to 10).map(i => (i.toLong, i.toLong, (100 - i).toLong))
+      .toDF("day", "x", "y")
+    val t2 = Stats.kendallTau(down, "day", "x", "y").select("tau_b").as[Double].head()
+    assert(t2 == -1.0, s"perfect discordance: $t2")
+    val tied = (1 to 10).map(i => (i.toLong, (i / 2).toLong, i.toLong))
+      .toDF("day", "x", "y")
+    val t3 = Stats.kendallTau(tied, "day", "x", "y").select("tau_b").as[Double].head()
+    assert(t3 > 0.8 && t3 < 1.0, s"x ties shrink below 1: $t3")
+  }
+
+  test("log-rank: identical arms → z≈0; hazard-separated arms reject") {
+    // same 20 durations in both arms → O1 = E1 exactly
+    val same = (1 to 20).flatMap(i => Seq((i.toLong, true, 0L), (i.toLong, true, 1L)))
+      .toDF("dur_min", "observed", "arm")
+    val z0 = Stats.logRank(same, "dur_min", "observed", "arm", zCrit = 1.959964)
+      .select("z").as[Double].head()
+    assert(math.abs(z0) < 1e-9, s"identical arms: $z0")
+    // arm 1 dies at 1..20, arm 0 survives to 100..119 → strong separation
+    val apart = ((1 to 20).map(i => (i.toLong, true, 1L)) ++
+      (1 to 20).map(i => (99L + i, true, 0L))).toDF("dur_min", "observed", "arm")
+    val r = Stats.logRank(apart, "dur_min", "observed", "arm", zCrit = 1.959964)
+      .select("z", "reject").as[(Double, Boolean)].head()
+    assert(r._2 && r._1 > 1.96, s"separated hazards must reject: $r")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
