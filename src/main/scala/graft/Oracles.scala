@@ -3920,6 +3920,95 @@ object Oracles {
          |FROM agg""".stripMargin
     },
 
+    // q270: truncated-memory Holt backtest — the decay-weight arrays
+    // are the SAME doubles the Spark plan pins (Stats.holtWeights),
+    // interpolated as e0 literals; weighted sums on the signed 8-dec
+    // grid. Mirrors Stats.holtForecast (α=0.3, β=0.2, h=7).
+    "q270_holt_forecast" -> {
+      def dlit(x: Double) = { val s = x.toString; if (s.contains("E")) s else s + "e0" }
+      val wl = graft.operators.Stats.holtWeights(0.3, 60).map(dlit).mkString("[", ", ", "]")
+      val wb = graft.operators.Stats.holtWeights(0.2, 60).map(dlit).mkString("[", ", ", "]")
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val fc = s"(level + CAST(t - t_split AS DOUBLE) * trend)"
+      s"""WITH daily AS (SELECT event_type AS k, CAST($tsUs // 86400000000 AS BIGINT) AS t,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS v8
+         |               FROM events GROUP BY 1, 2),
+         |spl AS (SELECT k, max(t) - 7 AS t_split FROM daily GROUP BY k),
+         |trn AS (SELECT daily.k AS k, t, v8, t_split
+         |        FROM daily JOIN spl USING (k) WHERE t <= t_split),
+         |tr AS (SELECT k, t, v8, t_split,
+         |              v8 - lag(v8) OVER (PARTITION BY k ORDER BY t) AS d8,
+         |              t_split - t AS kk
+         |       FROM trn),
+         |anc AS (SELECT k, t_split,
+         |               ${zsum8(s"($wl)[CAST(kk + 1 AS INT)] * ${dd("v8")} / 1e8")} AS lv_num,
+         |               ${zsum8(s"($wl)[CAST(kk + 1 AS INT)]")} AS lv_den,
+         |               ${zsum8(s"($wl)[CAST(kk + 1 AS INT)] * ${dd("kk")}")} AS mu_num,
+         |               ${zsum8(s"CASE WHEN d8 IS NOT NULL THEN ($wb)[CAST(kk + 1 AS INT)] * ${dd("d8")} / 1e8 ELSE CAST(0.0 AS DOUBLE) END")} AS tr_num,
+         |               ${zsum8(s"CASE WHEN d8 IS NOT NULL THEN ($wb)[CAST(kk + 1 AS INT)] ELSE CAST(0.0 AS DOUBLE) END")} AS tr_den
+         |        FROM tr GROUP BY k, t_split),
+         |anc2 AS (SELECT k, t_split,
+         |                lv_num / lv_den + (tr_num / tr_den) * (mu_num / lv_den) AS level,
+         |                tr_num / tr_den AS trend
+         |         FROM anc)
+         |SELECT daily.k AS event_type, t AS day,
+         |       ${t6(s"${dd("v8")} / 1e8")} AS actual,
+         |       ${t6(fc)} AS forecast,
+         |       ${t6(s"abs(${dd("v8")} / 1e8 - $fc)")} AS abs_err
+         |FROM daily JOIN anc2 USING (k) WHERE t > t_split
+         |ORDER BY event_type, day""".stripMargin
+    },
+
+    // q271: lead/lag cross-correlation view→purchase — centi-grid
+    // moments are exact longs on the day frame, one double ratio per
+    // lag. Mirrors Stats.crossCorrelation.
+    "q271_cross_correlation" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH daily AS (SELECT event_type AS k, CAST($tsUs // 86400000000 AS BIGINT) AS t,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS v8
+         |               FROM events GROUP BY 1, 2),
+         |x AS (SELECT t, v8 // 1000000 AS x2 FROM daily WHERE k = 'view'),
+         |y AS (SELECT t AS ty, v8 // 1000000 AS y2 FROM daily WHERE k = 'purchase'),
+         |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, 8)),
+         |agg AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(x2) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+         |               CAST(sum(x2 * y2) AS BIGINT) AS sxy,
+         |               CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+         |               CAST(sum(y2 * y2) AS BIGINT) AS syy
+         |        FROM x CROSS JOIN l JOIN y ON ty = t + lag
+         |        GROUP BY lag)
+         |SELECT lag, n,
+         |       ${t6(s"(${dd("n")} * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")}) / " +
+             s"sqrt((${dd("n")} * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")}) * " +
+             s"(${dd("n")} * ${dd("syy")} - ${dd("sy")} * ${dd("sy")}))")} AS ccf
+         |FROM agg ORDER BY lag""".stripMargin
+    },
+
+    // q272: binary-segmentation changepoint — prefix moments off one
+    // cumulative window, between-SS gain in original units, trunc6
+    // before the top-3 cut. Mirrors Stats.binarySegmentation.
+    "q272_changepoint" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val gain = s"(${dd("cs")} * ${dd("cs")} / ${dd("cn")} + " +
+        s"(${dd("s_all")} - ${dd("cs")}) * (${dd("s_all")} - ${dd("cs")}) / " +
+        s"(${dd("n_all")} - ${dd("cn")}) - " +
+        s"${dd("s_all")} * ${dd("s_all")} / ${dd("n_all")}) / 1e4"
+      s"""WITH daily AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS t,
+         |                      CAST(sum(CAST(floor(value * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS v8
+         |               FROM events GROUP BY 1),
+         |b AS (SELECT t, v8 // 1000000 AS v2 FROM daily),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(v2) AS BIGINT) AS s_all FROM b),
+         |c AS (SELECT t, CAST(count(*) OVER wc AS BIGINT) AS cn,
+         |             CAST(sum(v2) OVER wc AS BIGINT) AS cs
+         |      FROM b WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+         |SELECT t AS split_day, cn AS n_left, n_all - cn AS n_right,
+         |       ${t6(s"${dd("cs")} / ${dd("cn")} / CAST(100.0 AS DOUBLE)")} AS mean_left,
+         |       ${t6(s"(${dd("s_all")} - ${dd("cs")}) / (${dd("n_all")} - ${dd("cn")}) / CAST(100.0 AS DOUBLE)")} AS mean_right,
+         |       ${t6(gain)} AS gain
+         |FROM c CROSS JOIN tot WHERE cn < n_all
+         |ORDER BY gain DESC, split_day LIMIT 3""".stripMargin
+    },
+
     // q242: Mann–Kendall per type — integer S and tie sums, one
     // continuity-corrected z, pinned 1.96 normal cut
     "q242_mann_kendall" ->

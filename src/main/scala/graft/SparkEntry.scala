@@ -2109,6 +2109,27 @@ object SparkEntry {
       Stats.logRank(sessionDurations(s, d), "dur_min", "observed",
         "arm", zCrit = 1.959964)),
 
+    // ---- truncated-memory Holt linear backtest per type: level+trend
+    // forecast over the last week, weights pinned driver-side ----
+    "q270_holt_forecast" -> ((s, d) =>
+      Stats.holtForecast(dailyTotalsByType(s, d), "event_type", "day",
+        "t8", alpha = 0.3, beta = 0.2, horizon = 7)),
+
+    // ---- lead/lag cross-correlation: do views predict purchase value
+    // h days later ----
+    "q271_cross_correlation" -> ((s, d) =>
+      Stats.crossCorrelation(dailyTotalsByType(s, d), "event_type",
+        "day", "t8", typeX = "view", typeY = "purchase")),
+
+    // ---- binary-segmentation changepoint on the global daily total ----
+    "q272_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * lit(1e8) + lit(0.5)).cast("long").as("v8"))
+        .groupBy("day").agg(sum(col("v8")).as("t8"))
+      Stats.binarySegmentation(daily, "day", "t8")
+    }),
+
     // ---- Mann–Kendall monotone-trend test per type on daily totals
     // (α=0.05 normal cut pinned) ----
     "q242_mann_kendall" -> ((s, d) =>

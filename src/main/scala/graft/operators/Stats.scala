@@ -972,6 +972,145 @@ object Stats {
             (lit(2.0) * d("n") + lit(5.0)) / lit(2.0))).as("z"))
   }
 
+  /** Geometric decay weights (1−α)^k, k = 0..maxK, computed ONCE
+    * driver-side so the Spark plan and the SQL oracle interpolate the
+    * SAME doubles — pow() inside either engine is not guaranteed
+    * correctly rounded, a pinned literal array is. */
+  def holtWeights(alpha: Double, maxK: Int): Array[Double] = {
+    val r = 1.0 - alpha
+    Iterator.iterate(1.0)(_ * r).take(maxK + 1).toArray
+  }
+
+  /** Truncated-memory Holt linear forecast backtest per key: level =
+    * decay-weighted mean of the train values, trend = decay-weighted
+    * mean of the train first-differences (weights anchored at the
+    * split day), forecast = level + h·trend over the held-out horizon.
+    * This is the fixed-anchor variant of Holt's recursion — the
+    * geometric weights are exactly Holt's when the memory covers the
+    * frame, and here maxK ≥ the whole bounded day frame. Weights ride
+    * a pinned literal array (see [[holtWeights]]); weighted sums are
+    * 8-decimal-quantized per term so the reduction is order-free. One
+    * window pass for the diffs, one grouped aggregation per key —
+    * nothing scales with raw rows, the series frame is day-valued. */
+  def holtForecast(series: DataFrame, key: String, tCol: String,
+      v8Col: String, alpha: Double = 0.3, beta: Double = 0.2,
+      horizon: Int = 7, maxK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = holtWeights(alpha, maxK)
+    val wb = holtWeights(beta, maxK)
+    def wAt(ws: Array[Double], k: Column): Column =
+      when(k.between(0, maxK),
+        element_at(array(ws.map(lit).toIndexedSeq: _*),
+          (k + lit(1L)).cast("int"))).otherwise(lit(0.0))
+    val d = (c: String) => col(c).cast("double")
+    val base = series.select(col(key).as("k"), col(tCol).as("t"),
+      col(v8Col).as("v8"))
+    val split = base.groupBy("k")
+      .agg((max(col("t")) - lit(horizon.toLong)).as("t_split"))
+    val wOrd = Window.partitionBy("k").orderBy("t")
+    val train = base.join(split, "k").filter(col("t") <= col("t_split"))
+      .withColumn("d8", col("v8") - lag(col("v8"), 1).over(wOrd))
+      .withColumn("kk", col("t_split") - col("t"))
+    val anchor = train.groupBy("k", "t_split")
+      .agg(
+        zsum8(wAt(wl, col("kk")) * d("v8") / lit(1e8)).as("lv_num"),
+        zsum8(wAt(wl, col("kk"))).as("lv_den"),
+        zsum8(wAt(wl, col("kk")) * d("kk")).as("mu_num"),
+        zsum8(when(col("d8").isNotNull,
+          wAt(wb, col("kk")) * d("d8") / lit(1e8)).otherwise(lit(0.0)))
+          .as("tr_num"),
+        zsum8(when(col("d8").isNotNull, wAt(wb, col("kk")))
+          .otherwise(lit(0.0))).as("tr_den"))
+      // the raw weighted mean lags the anchor by the weighted mean
+      // age μ = Σw·k/Σw on any trending series; adding trend·μ
+      // re-centers the level AT the split day (exact for a linear
+      // series — the steady-state Holt level)
+      .select(col("k"), col("t_split"),
+        (col("lv_num") / col("lv_den") +
+          (col("tr_num") / col("tr_den")) * (col("mu_num") / col("lv_den")))
+          .as("level"),
+        (col("tr_num") / col("tr_den")).as("trend"))
+    base.join(anchor, "k").filter(col("t") > col("t_split"))
+      .select(col("k").as(key), col("t").as("day"),
+        trunc6(d("v8") / lit(1e8)).as("actual"),
+        trunc6(col("level") +
+          (col("t") - col("t_split")).cast("double") * col("trend"))
+          .as("forecast"),
+        trunc6(abs(d("v8") / lit(1e8) - (col("level") +
+          (col("t") - col("t_split")).cast("double") * col("trend"))))
+          .as("abs_err"))
+      .orderBy(key, "day")
+  }
+
+  /** Lead/lag cross-correlation between two keyed series of one
+    * (key, t, v8) frame: Pearson corr(x_t, y_{t+lag}) for lag =
+    * 0..maxLag — "does X move Y h days later". Values drop to the
+    * centi grid (8-grid div 1e6) so every moment — Σxy, Σx², cross
+    * products — stays an exact long on the bounded day frame; the
+    * correlation ratio is the only double math. The lag fan-out is a
+    * tiny crossJoin (maxLag+1 rows) against the day frame. */
+  def crossCorrelation(series: DataFrame, key: String, tCol: String,
+      v8Col: String, typeX: String, typeY: String,
+      maxLag: Int = 7): DataFrame = {
+    val v2 = expr(s"$v8Col div 1000000")
+    val x = series.filter(col(key) === typeX)
+      .select(col(tCol).as("t"), v2.as("x2"))
+    val y = series.filter(col(key) === typeY)
+      .select(col(tCol).as("ty"), v2.as("y2"))
+    val lags = series.sparkSession.range(maxLag + 1)
+      .select(col("id").as("lag"))
+    val d = (c: String) => col(c).cast("double")
+    x.crossJoin(broadcast(lags))
+      .join(y, col("ty") === col("t") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x2")).as("sx"), sum(col("y2")).as("sy"),
+        sum(col("x2") * col("y2")).as("sxy"),
+        sum(col("x2") * col("x2")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"))
+      .select(col("lag"), col("n"),
+        trunc6((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+            (d("n") * d("syy") - d("sy") * d("sy")))).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Binary-segmentation changepoint (one split) on a (t, v8) series:
+    * the split day maximizing the between-segment sum-of-squares gain
+    * S_l²/n_l + S_r²/n_r − S²/n — equivalently the largest SSE drop of
+    * any single cut, the first step of classic binary segmentation and
+    * the offline complement of [[EventOps]]' CUSUM. Prefix moments off
+    * one cumulative window over the bounded day frame; gains reported
+    * in original units, trunc6'd BEFORE the top-k cut (ranking rule),
+    * day ascending as the tie-break. */
+  def binarySegmentation(series: DataFrame, tCol: String, v8Col: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = series.select(col(tCol).as("t"),
+      expr(s"$v8Col div 1000000").as("v2"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(count(lit(1)).as("n_all"), sum(col("v2")).as("s_all"))
+    val d = (c: String) => col(c).cast("double")
+    val gain = (d("cs") * d("cs") / d("cn") +
+      (d("s_all") - d("cs")) * (d("s_all") - d("cs")) /
+        (d("n_all") - d("cn")) -
+      d("s_all") * d("s_all") / d("n_all")) / lit(1e4)
+    base
+      .withColumn("cn", count(lit(1)).over(w))
+      .withColumn("cs", sum(col("v2")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cn") < col("n_all"))
+      .select(col("t").as("split_day"), col("cn").as("n_left"),
+        (col("n_all") - col("cn")).as("n_right"),
+        trunc6(d("cs") / d("cn") / lit(100.0)).as("mean_left"),
+        trunc6((d("s_all") - d("cs")) / (d("n_all") - d("cn")) / lit(100.0))
+          .as("mean_right"),
+        trunc6(gain).as("gain"))
+      .orderBy(col("gain").desc, col("split_day"))
+      .limit(topK)
+  }
+
   /** Two-arm log-rank test on right-censored (duration, observed, arm)
     * rows — "do the two survival curves differ": the hypothesis test
     * that belongs next to [[kaplanMeier]]. At each duration with ≥1

@@ -2036,6 +2036,43 @@ class OperatorSpec extends SparkSpec {
     assert(r._2 && r._1 > 1.96, s"separated hazards must reject: $r")
   }
 
+  test("holt forecast: linear series extrapolates near-exactly") {
+    // y = 100 + 5t on days 0..29, horizon 7 → forecast ≈ actual
+    val rows = (0 until 30).map(t =>
+      ("view", t.toLong, ((100.0 + 5.0 * t) * 1e8).round))
+      .toDF("event_type", "day", "t8")
+    val got = Stats.holtForecast(rows, "event_type", "day", "t8")
+      .select("day", "abs_err").as[(Long, Double)].collect()
+    assert(got.length == 7 && got.map(_._1).min == 23L, got.mkString(","))
+    assert(got.map(_._2).max < 1.0,
+      s"linear trend must extrapolate: ${got.mkString(",")}")
+  }
+
+  test("cross-correlation: planted 3-day lead shows peak ccf at lag 3") {
+    // x leads y by 3 days: y_t = x_{t-3}
+    val x = (0 until 40).map(t => ("view", t.toLong,
+      (((t * 37) % 11 + 1) * 1e8).toLong))
+    val y = x.map { case (_, t, v) => ("purchase", t + 3, v) }
+    val rows = (x ++ y).toDF("event_type", "day", "t8")
+    val ccf = Stats.crossCorrelation(rows, "event_type", "day", "t8",
+      "view", "purchase").select("lag", "ccf").as[(Long, Double)].collect().toMap
+    assert(ccf(3L) > 0.999, s"lag-3 must peak: $ccf")
+    assert(math.abs(ccf(0L)) < 0.9, s"lag-0 must not: $ccf")
+  }
+
+  test("binary segmentation: the planted level shift wins the cut") {
+    // flat 10 until day 19, flat 50 after → split at day 19
+    val rows = (0 until 40).map(t =>
+      (t.toLong, ((if (t < 20) 10.0 else 50.0) * 1e8).toLong))
+      .toDF("day", "t8")
+    val top = Stats.binarySegmentation(rows, "day", "t8")
+      .select("split_day", "mean_left", "mean_right", "gain")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(top.head._1 == 19L, s"cut must land on the shift: ${top.head}")
+    assert(top.head._2 == 10.0 && top.head._3 == 50.0, top.head.toString)
+    assert(top.head._4 > top(1)._4, "best gain strictly ahead")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
