@@ -4009,6 +4009,74 @@ object Oracles {
          |ORDER BY gain DESC, split_day LIMIT 3""".stripMargin
     },
 
+    // q273: Zipf slope — OLS of ln(freq) on ln(rank) over the pinned
+    // top-200, ln terms on the 12-dec grid. Mirrors
+    // TextAnalysis.zipfSlope.
+    "q273_zipf_slope" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val nT = dd("n_terms")
+      val num = s"($nT * sxy - sx * sy)"
+      val den = s"($nT * sxx - sx * sx)"
+      s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+         |            FROM (SELECT unnest(${toks("text")}) AS term FROM documents)
+         |            GROUP BY term),
+         |top AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(${dd("n")}) AS y
+         |        FROM (SELECT n, term,
+         |                     CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+         |              FROM tf)
+         |        WHERE rank <= 200),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |               ${dsum12("x")} AS sx, ${dsum12("y")} AS sy,
+         |               ${dsum12("x * y")} AS sxy, ${dsum12("x * x")} AS sxx,
+         |               ${dsum12("y * y")} AS syy
+         |        FROM top)
+         |SELECT n_terms,
+         |       ${t6(s"$num / $den")} AS slope,
+         |       ${t6(s"(sy - $num / $den * sx) / $nT")} AS intercept,
+         |       ${t6(s"$num * $num / ($den * ($nT * syy - sy * sy))")} AS r2
+         |FROM agg""".stripMargin
+    },
+
+    // q274: Flesch / FK readability — words = space tokens, sentences =
+    // [.!?]+ runs (floor 1), syllables = [aeiouy]+ vowel groups;
+    // constants as e0 literals. Mirrors TextAnalysis.readability.
+    "q274_readability" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val wps = s"(${dd("n_words")} / ${dd("n_sentences")})"
+      val spw = s"(${dd("n_syllables")} / ${dd("n_words")})"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(len(${toks("text")}) AS BIGINT) AS n_words,
+         |         greatest(CAST(1 AS BIGINT),
+         |           CAST(len(regexp_split_to_array(text, '[.!?]+')) - 1 AS BIGINT)) AS n_sentences,
+         |         greatest(CAST(1 AS BIGINT),
+         |           CAST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1 AS BIGINT)) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |       ${t6(s"206.835e0 - 1.015e0 * $wps - 84.6e0 * $spw")} AS flesch,
+         |       ${t6(s"0.39e0 * $wps + 11.8e0 * $spw - 15.59e0")} AS fk_grade
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // q275: lexical richness per language — vocabulary-sized grouped
+    // counts, Herdan's C as the size-robust richness. Mirrors
+    // TextAnalysis.lexicalRichness.
+    "q275_lexical_richness" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+         |            FROM (SELECT lang, unnest(${toks("text")}) AS term FROM documents)
+         |            GROUP BY lang, term),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS types,
+         |               CAST(sum(c) AS BIGINT) AS tokens,
+         |               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+         |        FROM tf GROUP BY lang)
+         |SELECT lang, types, tokens, hapax,
+         |       ${t6(s"${dd("types")} / ${dd("tokens")}")} AS ttr,
+         |       ${t6(s"${dd("hapax")} / ${dd("types")}")} AS hapax_share,
+         |       ${t6(s"ln(${dd("types")}) / ln(${dd("tokens")})")} AS herdan_c
+         |FROM agg ORDER BY lang""".stripMargin
+    },
+
     // q242: Mann–Kendall per type — integer S and tie sums, one
     // continuity-corrected z, pinned 1.96 normal cut
     "q242_mann_kendall" ->

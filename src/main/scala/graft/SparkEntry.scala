@@ -2121,6 +2121,18 @@ object SparkEntry {
       Stats.crossCorrelation(dailyTotalsByType(s, d), "event_type",
         "day", "t8", typeX = "view", typeY = "purchase")),
 
+    // ---- Zipf rank–frequency slope over the top-200 terms ----
+    "q273_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, d))),
+
+    // ---- Flesch / FK readability per document ----
+    "q274_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+
+    // ---- lexical richness per language (TTR, hapax, Herdan's C) ----
+    "q275_lexical_richness" -> ((s, d) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, d))),
+
     // ---- binary-segmentation changepoint on the global daily total ----
     "q272_changepoint" -> ((s, d) => {
       val daily = Tables.events(s, d)

@@ -507,6 +507,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf rank–frequency fit over the top-N corpus terms: OLS of
+    * ln(freq) on ln(rank) — a healthy natural-language corpus slopes
+    * near −1, and a drifting slope is an early machine-generated /
+    * template-spam signal (alongside [[tokenEntropy]] and
+    * [[compressionRatio]]). One term-count aggregation, a single
+    * bounded top-N cut (N pinned, so the OLS frame is N rows BY
+    * CONSTRUCTION at any corpus size), ln terms reduced on the
+    * 12-decimal grid. Rank ties break lexicographically. */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val top = tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val d = (c: String) => col(c).cast("double")
+    top
+      .agg(count(lit(1)).as("n_terms"),
+        dsum12(col("x")).as("sx"), dsum12(col("y")).as("sy"),
+        dsum12(col("x") * col("y")).as("sxy"),
+        dsum12(col("x") * col("x")).as("sxx"),
+        dsum12(col("y") * col("y")).as("syy"))
+      .select(col("n_terms"),
+        trunc6((d("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (d("n_terms") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        trunc6((col("sy") - (d("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (d("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          d("n_terms")).as("intercept"),
+        trunc6((d("n_terms") * col("sxy") - col("sx") * col("sy")) *
+          (d("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          ((d("n_terms") * col("sxx") - col("sx") * col("sx")) *
+            (d("n_terms") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per document, with the
+    * classic heuristics made engine-portable: words = space tokens,
+    * sentences = [.!?]+ separator runs (floor 1), syllables = vowel
+    * groups [aeiouy]+ over the lowercased text (the standard
+    * approximation — counts every vowel cluster as one syllable).
+    * Pure row-local regex work, runs at scan speed; the constants ride
+    * as pinned literals in both engines. */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = size(tokens(t)).cast("long")
+    val sentences = greatest(lit(1L),
+      (size(split(t, "[.!?]+")) - lit(1)).cast("long"))
+    val syllables = greatest(lit(1L),
+      (size(split(lower(t), "[aeiouy]+")) - lit(1)).cast("long"))
+    val d = (c: Column) => c.cast("double")
+    val wps = d(col("n_words")) / d(col("n_sentences"))
+    val spw = d(col("n_syllables")) / d(col("n_words"))
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        trunc6(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .as("flesch"),
+        trunc6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  /** Lexical-richness profile per language: types, tokens, hapax
+    * legomena (single-occurrence terms), type–token ratio, hapax
+    * share, and Herdan's C (ln V / ln N — the size-robust richness
+    * measure; raw TTR shrinks with corpus size, so comparing corpora
+    * on TTR alone misleads). Two grouped counts over the (lang, term)
+    * frame — vocabulary-sized, never row-sized. */
+  def lexicalRichness(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val d = (c: String) => col(c).cast("double")
+    tf.groupBy("lang")
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("types"), col("tokens"), col("hapax"),
+        trunc6(d("types") / d("tokens")).as("ttr"),
+        trunc6(d("hapax") / d("types")).as("hapax_share"),
+        trunc6(log(d("types")) / log(d("tokens"))).as("herdan_c"))
+      .orderBy("lang")
+  }
+
   /** Per-language top-k word bigrams by corpus frequency — the
     * collocation/phrase-mining profile of a multilingual corpus (and
     * the input to phrase-aware tokenizer vocab decisions). Bigram

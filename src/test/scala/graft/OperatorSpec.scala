@@ -2073,6 +2073,41 @@ class OperatorSpec extends SparkSpec {
     assert(top.head._4 > top(1)._4, "best gain strictly ahead")
   }
 
+  test("zipf slope: an exact power law recovers its exponent") {
+    // term t_r repeated floor(1000/r) times → ln f ≈ -1·ln r + ln 1000
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"w$r%03d"))
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), "en") }.toSeq
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfSlope(docs, topN = 50)
+      .select("slope", "r2").as[(Double, Double)].head()
+    assert(r._1 < -0.9 && r._1 > -1.1, s"slope must sit near -1: $r")
+    assert(r._2 > 0.99, s"power law must fit tightly: $r")
+  }
+
+  test("readability: simple short sentences score easier than long polysyllables") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran. it was fun.", "en"),
+      (2L, "extraordinarily sophisticated methodological considerations necessitate comprehensive organizational restructuring initiatives", "en"))
+      .toDF("doc_id", "text", "lang")
+    val f = TextAnalysis.readability(docs)
+      .select("doc_id", "flesch").as[(Long, Double)].collect().toMap
+    assert(f(1L) > 80.0, s"simple text reads easy: $f")
+    assert(f(2L) < 0.0, s"polysyllabic wall reads hard: $f")
+  }
+
+  test("lexical richness: repeated vocab → low TTR, all-unique → TTR 1 and all hapax") {
+    val docs = Seq(
+      (1L, Seq.fill(50)("same word pair").mkString(" "), "aa"),
+      (2L, (1 to 30).map(i => s"u$i").mkString(" "), "bb"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.lexicalRichness(docs)
+      .select("lang", "ttr", "hapax_share").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("aa")._1 < 0.05 && m("aa")._2 == 0.0, s"repetition: $m")
+    assert(m("bb")._1 == 1.0 && m("bb")._2 == 1.0, s"all-unique: $m")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
