@@ -113,6 +113,24 @@ object Oracles {
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
        |         FROM byt CROSS JOIN tot)""".stripMargin
 
+  /** Row-stochastic event-type transition matrix as a WITH-clause
+    * prefix ending in `p` (prev_type, next_type, p) — shared by
+    * q276/q277. Mirrors EventOps.transitionMatrix. */
+  private lazy val markovCtes: String =
+    s"""e0 AS (SELECT user_id, event_id, event_type, $tsUs AS us FROM events),
+       |lg AS (SELECT event_type,
+       |              lag(event_type) OVER (PARTITION BY user_id
+       |                ORDER BY us, event_id) AS prev_type
+       |       FROM e0),
+       |trans AS (SELECT prev_type, event_type AS next_type,
+       |                 CAST(count(*) AS BIGINT) AS n
+       |          FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+       |       FROM trans GROUP BY 1),
+       |p AS (SELECT trans.prev_type, next_type,
+       |             CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |      FROM trans JOIN tt USING (prev_type))""".stripMargin
+
   /** Sign-LSH bucket id of embedding expression `e` — the exact SQL
     * mirror of Retrieval.lshBucket over the md5-derived hyperplanes.
     * (DuckDB parses plain decimal literals as DECIMAL; exponent notation
@@ -4007,6 +4025,87 @@ object Oracles {
          |       ${t6(gain)} AS gain
          |FROM c CROSS JOIN tot WHERE cn < n_all
          |ORDER BY gain DESC, split_day LIMIT 3""".stripMargin
+    },
+
+    // q276: Markov stationary distribution — 20 unrolled power-iteration
+    // CTEs (linear chain, each referenced once — the q238 lesson) over
+    // the row-stochastic transition CTE prefix, stationary vs empirical
+    // share. Mirrors EventOps.markovStationary.
+    "q276_markov_stationary" -> {
+      val its = (1 to 20).map { i =>
+        val prev = if (i == 1) "it0" else s"it${i - 1}"
+        s"""it$i AS (SELECT next_type AS state, ${dsum12("pi * p")} AS pi
+           |         FROM p JOIN $prev ON p.prev_type = $prev.state
+           |         GROUP BY next_type)""".stripMargin
+      }.mkString(",\n")
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH $markovCtes,
+         |states AS (SELECT DISTINCT prev_type AS state FROM p),
+         |nsc AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM states),
+         |it0 AS (SELECT state, CAST(1.0 AS DOUBLE) / ${dd("ns")} AS pi
+         |        FROM states CROSS JOIN nsc),
+         |$its,
+         |emp AS (SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n
+         |        FROM events GROUP BY 1),
+         |etot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM emp)
+         |SELECT state, ${t6("pi")} AS stationary,
+         |       ${t6(s"${dd("n")} / ${dd("n_all")}")} AS empirical,
+         |       ${t6(s"pi - ${dd("n")} / ${dd("n_all")}")} AS gap
+         |FROM it20 JOIN emp USING (state) CROSS JOIN etot
+         |ORDER BY state""".stripMargin
+    },
+
+    // q277: finite-horizon absorption — 7 unrolled steps of
+    // pᵢ₊₁(s) = Σ P(s,t)·pᵢ(t) with the target pinned at 1. Mirrors
+    // EventOps.conversionWithin.
+    "q277_conversion_within" -> {
+      val its = (1 to 7).map { i =>
+        val prev = if (i == 1) "it0" else s"it${i - 1}"
+        s"""nx$i AS (SELECT p.prev_type AS state, ${dsum12("p * pr")} AS cont
+           |         FROM p JOIN $prev ON p.next_type = $prev.state
+           |         GROUP BY p.prev_type),
+           |it$i AS (SELECT s.state,
+           |                CASE WHEN s.state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+           |                     ELSE coalesce(cont, CAST(0.0 AS DOUBLE)) END AS pr
+           |         FROM states s LEFT JOIN nx$i USING (state))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $markovCtes,
+         |states AS (SELECT DISTINCT prev_type AS state FROM p),
+         |it0 AS (SELECT state,
+         |               CASE WHEN state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+         |                    ELSE CAST(0.0 AS DOUBLE) END AS pr
+         |        FROM states),
+         |$its
+         |SELECT state, ${t6("pr")} AS p_within_k
+         |FROM it7 ORDER BY state""".stripMargin
+    },
+
+    // q278: per-transition dwell times (within-session gaps only) —
+    // exact integer micros behind the mean, rank-picked lower median.
+    // Mirrors EventOps.transitionDwell.
+    "q278_transition_dwell" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $tsUs AS us FROM events),
+         |g AS (SELECT event_type, event_id,
+         |             lag(event_type) OVER w AS prev_type,
+         |             us - lag(us) OVER w AS gap_us
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |f AS (SELECT prev_type, event_type AS next_type, gap_us, event_id
+         |      FROM g WHERE prev_type IS NOT NULL AND gap_us <= 3600000000),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY prev_type, next_type
+         |                     ORDER BY gap_us, event_id) AS BIGINT) AS rn
+         |      FROM f),
+         |agg AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(gap_us) AS BIGINT) AS sum_us
+         |        FROM f GROUP BY 1, 2),
+         |med AS (SELECT r.prev_type, r.next_type, gap_us AS p50_us
+         |        FROM r JOIN agg USING (prev_type, next_type)
+         |        WHERE rn = (n + 1) // 2)
+         |SELECT prev_type, next_type, n,
+         |       ${t6(s"${dd("sum_us")} / ${dd("n")} / 1e6")} AS mean_sec,
+         |       ${t6(s"${dd("p50_us")} / 1e6")} AS p50_sec
+         |FROM agg JOIN med USING (prev_type, next_type)
+         |ORDER BY prev_type, next_type""".stripMargin
     },
 
     // q273: Zipf slope — OLS of ln(freq) on ln(rank) over the pinned

@@ -2121,6 +2121,21 @@ object SparkEntry {
       Stats.crossCorrelation(dailyTotalsByType(s, d), "event_type",
         "day", "t8", typeX = "view", typeY = "purchase")),
 
+    // ---- stationary distribution of the event-type Markov chain vs
+    // the empirical type share ----
+    "q276_markov_stationary" -> ((s, d) =>
+      EventOps.markovStationary(Tables.events(s, d))),
+
+    // ---- probability of reaching 'purchase' within 7 transitions,
+    // by starting state ----
+    "q277_conversion_within" -> ((s, d) =>
+      EventOps.conversionWithin(Tables.events(s, d))),
+
+    // ---- dwell time per transition (within-session), mean + lower
+    // median ----
+    "q278_transition_dwell" -> ((s, d) =>
+      EventOps.transitionDwell(Tables.events(s, d))),
+
     // ---- Zipf rank–frequency slope over the top-200 terms ----
     "q273_zipf_slope" -> ((s, d) =>
       TextAnalysis.zipfSlope(Tables.documents(s, d))),

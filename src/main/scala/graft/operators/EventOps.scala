@@ -509,6 +509,124 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Markov transition frame shared by [[markovStationary]] and
+    * [[conversionWithin]]: per-user lag pairs → row-stochastic
+    * P(prev → next) with exact integer counts behind each double
+    * ratio. Checkpointed so the fixed-unroll iterations reference a
+    * materialized 25-row frame, not the re-derived window subtree
+    * (the q99 lineage-cut lesson). */
+  private def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+    trans.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .localCheckpoint()
+  }
+
+  /** Stationary distribution of the event-type Markov chain via a
+    * fixed 20-step power iteration from uniform, next to the empirical
+    * type share — "where does behavior settle vs where is it today";
+    * a gap between the two flags a population mid-shift. The chain is
+    * type-valued (states = event types), so every iteration is a
+    * 25-row join + 5-row decimal-summed aggregation — the [[GraphOps]]
+    * PageRank shape on a bounded state space; the raw event pass
+    * happens ONCE in [[transitionMatrix]]. */
+  def markovStationary(events: DataFrame, iters: Int = 20): DataFrame = {
+    val pm = transitionMatrix(events)
+    val states = pm.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    val nS = lit(states.count())
+    var pi = states.select(col("state"), (lit(1.0) / nS).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = pm.join(pi.select(col("state").as("prev_type"), col("pi")),
+          "prev_type")
+        .select(col("next_type").as("state"), (col("pi") * col("p")).as("c"))
+        .groupBy("state").agg(dsum12(col("c")).as("pi"))
+    }
+    val emp = events.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n"))
+    val empTot = emp.agg(sum(col("n")).as("n_all"))
+    pi.join(emp.crossJoin(broadcast(empTot)), "state")
+      .select(col("state"), trunc6(col("pi")).as("stationary"),
+        trunc6(col("n").cast("double") / col("n_all").cast("double"))
+          .as("empirical"),
+        trunc6(col("pi") -
+          col("n").cast("double") / col("n_all").cast("double")).as("gap"))
+      .orderBy("state")
+  }
+
+  /** Finite-horizon absorption: probability that a user starting at
+    * each state reaches `target` within `k` transitions — the
+    * funnel-free "how close is each behavior to converting" readout
+    * with exact semantics (no convergence cutoff: the k-step
+    * probability IS the quantity). p₀ = 1{target}; pᵢ₊₁(s) =
+    * Σ_t P(s,t)·pᵢ(t) for s ≠ target, target pinned at 1. Same
+    * bounded-state iteration shape as [[markovStationary]]. */
+  def conversionWithin(events: DataFrame, target: String = "purchase",
+      k: Int = 7): DataFrame = {
+    val pm = transitionMatrix(events)
+    val states = pm.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    var pi = states.select(col("state"),
+      when(col("state") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to k) {
+      val nxt = pm.join(pi.select(col("state").as("next_type"), col("pr")),
+          "next_type")
+        .select(col("prev_type").as("state"), (col("p") * col("pr")).as("c"))
+        .groupBy("state").agg(dsum12(col("c")).as("cont"))
+      pi = states.join(nxt, Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === target, lit(1.0))
+            .otherwise(coalesce(col("cont"), lit(0.0))).as("pr"))
+    }
+    pi.select(col("state"), trunc6(col("pr")).as("p_within_k"))
+      .orderBy("state")
+  }
+
+  /** Dwell time per transition: how long users linger on `prev` before
+    * `next`, within-session only (gaps past `gapSeconds` are session
+    * breaks, the q124 convention, and would poison the means). Exact
+    * integer micros behind the mean; the p50 is the LOWER median —
+    * picked by rank, engine-portable, no interpolation. The per-pair
+    * rank window partitions by transition pair, so it distributes. */
+  def transitionDwell(events: DataFrame,
+      gapSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("gap_us") <= gapSeconds * 1000000L)
+    val byPair = Window.partitionBy("prev_type", "next_type")
+      .orderBy(col("gap_us"), col("event_id"))
+    val ranked = gaps
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("gap_us"), col("event_id"))
+      .withColumn("rn", row_number().over(byPair).cast("long"))
+    val agg = ranked.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("sum_us"))
+    val med = ranked.join(agg, Seq("prev_type", "next_type"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("prev_type"), col("next_type"),
+        col("gap_us").as("p50_us"))
+    agg.join(med, Seq("prev_type", "next_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        trunc6(col("sum_us").cast("double") / col("n").cast("double") /
+          lit(1e6)).as("mean_sec"),
+        trunc6(col("p50_us").cast("double") / lit(1e6)).as("p50_sec"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Day-of-week seasonality profile per event type: mean value by
     * weekday index and its seasonal ratio against the type's overall
     * mean — the first chart read before any anomaly threshold is set

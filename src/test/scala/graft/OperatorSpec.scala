@@ -2108,6 +2108,51 @@ class OperatorSpec extends SparkSpec {
     assert(m("bb")._1 == 1.0 && m("bb")._2 == 1.0, s"all-unique: $m")
   }
 
+  test("markov stationary: a biased chain settles where the bias points") {
+    // users cycle a->a (80%) / a->b (20%), b always ->a: π(a)≈0.833
+    val types = Seq("a", "a", "a", "a", "b", "a", "a", "a", "a", "b")
+    val ev = (0 until 200).map { i =>
+      (i.toLong, (i / 50).toLong, i.toLong * 60L, types(i % 10))
+    }.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("value", lit(1.0))
+    val pi = EventOps.markovStationary(ev)
+      .select("state", "stationary").as[(String, Double)].collect().toMap
+    assert(math.abs(pi("a") - 0.8) < 0.05, s"heavy state dominates: $pi")
+    assert(math.abs(pi.values.sum - 1.0) < 1e-6, s"must stay a distribution: $pi")
+  }
+
+  test("conversion within: the state adjacent to target beats the distant one") {
+    // chain a->b->c->purchase deterministic; within 7 steps all reach it,
+    // within 1 step only c does
+    val types = Seq("a", "b", "c", "purchase")
+    val ev = (0 until 80).map { i =>
+      (i.toLong, (i / 20).toLong, i.toLong * 60L, types(i % 4))
+    }.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("value", lit(1.0))
+    val p7 = EventOps.conversionWithin(ev, "purchase", 7)
+      .select("state", "p_within_k").as[(String, Double)].collect().toMap
+    assert(p7("c") > 0.99 && p7("a") > 0.9, s"all reach within 7: $p7")
+    val p1 = EventOps.conversionWithin(ev, "purchase", 1)
+      .select("state", "p_within_k").as[(String, Double)].collect().toMap
+    assert(p1("c") > 0.99 && p1("a") < 0.05, s"only c reaches in 1: $p1")
+  }
+
+  test("transition dwell: planted gaps produce exact mean and lower median") {
+    // a->b gaps of 10, 20, 40 seconds (odd count → median 20)
+    val rows = Seq((1L, 0L, "a"), (2L, 10L, "b"), (3L, 30L, "a"),
+      (4L, 50L, "b"), (5L, 70L, "a"), (6L, 110L, "b"))
+    val ev = rows.map { case (id, sec, t) => (id, 1L, sec, t) }
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("value", lit(1.0))
+    val m = EventOps.transitionDwell(ev)
+      .filter(col("prev_type") === "a" && col("next_type") === "b")
+      .select("n", "mean_sec", "p50_sec").as[(Long, Double, Double)].head()
+    assert(m._1 == 3L && m._2 > 23.3 && m._2 < 23.4 && m._3 == 20.0, m.toString)
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
