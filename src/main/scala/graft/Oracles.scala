@@ -1176,6 +1176,44 @@ object Oracles {
          |  FROM picked)
          |WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
 
+    // q279: centroid silhouette of the q77 clustering — component-frame
+    // distances to all k centroids, trunc6 before the other-cluster
+    // min, per-cluster means on the 12-dec grid. Mirrors
+    // Retrieval.silhouette.
+    "q279_silhouette" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      s"""${pqPipelineSqlFor(1, 8, 2, 256, withLut = false)},
+         |labeled AS (
+         |  SELECT c.vec_id, CAST(c.code AS BIGINT) AS cluster,
+         |         CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id),
+         |dims AS (SELECT vec_id, cluster,
+         |                CAST(generate_subscripts(emb, 1) AS BIGINT) AS i,
+         |                CAST(unnest(emb) AS DOUBLE) AS x
+         |         FROM labeled),
+         |cent AS (SELECT cluster AS c2, i, ${davg("x")} AS c
+         |         FROM dims GROUP BY cluster, i),
+         |dt AS (SELECT vec_id, c2,
+         |              ${t6(s"sqrt(${dsum12("(x - c) * (x - c)")})")} AS d
+         |       FROM (SELECT vec_id, i, x FROM dims) dx JOIN cent USING (i)
+         |       GROUP BY vec_id, c2),
+         |ab AS (SELECT l.vec_id, l.cluster,
+         |              max(CASE WHEN c2 = cluster THEN d END) AS a,
+         |              min(CASE WHEN c2 <> cluster THEN d END) AS b
+         |       FROM dt JOIN labeled l USING (vec_id)
+         |       GROUP BY l.vec_id, l.cluster),
+         |sil AS (SELECT cluster,
+         |               CASE WHEN greatest(a, b) > CAST(0.0 AS DOUBLE)
+         |                    THEN (b - a) / greatest(a, b)
+         |                    ELSE CAST(0.0 AS DOUBLE) END AS sil, a, b
+         |        FROM ab)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |       ${t6(s"${dsum12("sil")} / ${dd("count(*)")}")} AS mean_silhouette,
+         |       ${t6(s"${dsum12("a")} / ${dd("count(*)")}")} AS mean_a,
+         |       ${t6(s"${dsum12("b")} / ${dd("count(*)")}")} AS mean_b
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+    },
+
     // q89 SemDeDup: the q77 clustering replay + within-cluster pairwise
     // cosine — an item is dropped iff some lower-id cluster-mate exceeds
     // the trunc6'd threshold (the one-pass, non-transitive rule)

@@ -430,7 +430,35 @@ object SparkEntry {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 120)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin))
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin),
+    // first/nth/last_value over an explicit full frame from one shared
+    // text — the value-window surface beyond rank/sum
+    ("q280_sql_value_windows", Seq("lineitem"),
+      """SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_extendedprice, top_price, second_price, bottom_price
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         first_value(l_extendedprice) OVER w AS top_price,
+        |         nth_value(l_extendedprice, 2) OVER w AS second_price,
+        |         last_value(l_extendedprice) OVER w AS bottom_price,
+        |         row_number() OVER w2 AS rn
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |         w2 AS (PARTITION BY l_returnflag
+        |                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+        |WHERE rn <= 5 ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin),
+    // correlated LATERAL top-2: per-customer dependent subquery with
+    // ORDER BY + LIMIT — the lateral-join surface both engines share
+    ("q281_sql_lateral_top2", Seq("customer", "orders"),
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin))
 
   /** The two mechanical token substitutions separating the dialects on
     * the shared texts (see [[SharedSqlQueries]]). */
@@ -1160,6 +1188,11 @@ object SparkEntry {
     // the same SQL-replayable k-means with one full-vector subspace ----
     "q77_kmeans_clusters" -> ((s, d) =>
       Retrieval.kmeansClusters(Tables.embeddings(s, d), k = 8)),
+
+    // ---- centroid-silhouette audit of the q77 clustering: was k=8
+    // right before SemDeDup trusts the cells ----
+    "q279_silhouette" -> ((s, d) =>
+      Retrieval.silhouette(Tables.embeddings(s, d), k = 8)),
 
     // ---- cluster-balanced diversity sampling: ≤10 vectors per
     // cluster in md5 order, cut through the bounded-heap operator ----

@@ -123,6 +123,53 @@ object Retrieval {
       .orderBy("vec_id")
   }
 
+  /** Simplified (centroid-based) silhouette per cluster over the
+    * [[kmeansClusters]] labeling: a = distance to own centroid, b =
+    * nearest other centroid, s = (b−a)/max(a,b) — the cluster-quality
+    * readout that says whether k was right BEFORE any downstream
+    * SemDeDup/diversity step trusts the cells. The vector-vs-centroid
+    * distances ride the component frame (vec_id, dim, x) joined to the
+    * k×d centroid table — k·d rows, broadcast-sized for any sane k —
+    * with order-free 12-dec grid inner sums; distances are trunc6'd
+    * BEFORE the min over other clusters (the ranking rule). Medoid-free
+    * by design: the exact silhouette's all-pairs term is corpus², this
+    * variant is O(n·k·d) and is the form large-scale cluster audits
+    * actually run. */
+  def silhouette(embeddings: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.{davg, dsum12, trunc6}
+    val labels = kmeansClusters(embeddings, k)
+    val labeled = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(labels, "vec_id")
+    val dims = labeled.select(col("vec_id"), col("cluster"),
+      posexplode(col("emb")).as(Seq("i", "x")))
+    val cent = dims.groupBy(col("cluster").as("c2"), col("i"))
+      .agg(davg(col("x")).as("c"))
+    val dist = dims.select(col("vec_id"), col("i"), col("x"))
+      .join(broadcast(cent), "i")
+      .groupBy("vec_id", "c2")
+      .agg(sqrt(dsum12((col("x") - col("c")) * (col("x") - col("c"))))
+        .as("dd"))
+      .select(col("vec_id"), col("c2"), trunc6(col("dd")).as("d"))
+    val ab = dist.join(labels, "vec_id")
+      .groupBy("vec_id", "cluster")
+      .agg(max(when(col("c2") === col("cluster"), col("d"))).as("a"),
+        min(when(col("c2") =!= col("cluster"), col("d"))).as("b"))
+    val sil = when(greatest(col("a"), col("b")) > lit(0.0),
+      (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .otherwise(lit(0.0))
+    val d = (c: String) => col(c).cast("double")
+    ab.select(col("cluster"), sil.as("sil"), col("a"), col("b"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), dsum12(col("sil")).as("ss"),
+        dsum12(col("a")).as("sa"), dsum12(col("b")).as("sb"))
+      .select(col("cluster"), col("n"),
+        trunc6(col("ss") / d("n")).as("mean_silhouette"),
+        trunc6(col("sa") / d("n")).as("mean_a"),
+        trunc6(col("sb") / d("n")).as("mean_b"))
+      .orderBy("cluster")
+  }
+
   /** Cluster-balanced diversity sampling: up to `perCluster` vectors
     * per k-means cluster, picked in md5 order (a reproducible
     * pseudo-random draw) — the "keep a spread, not the head" sampling

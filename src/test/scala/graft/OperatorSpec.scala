@@ -2153,6 +2153,21 @@ class OperatorSpec extends SparkSpec {
     assert(m._1 == 3L && m._2 > 23.3 && m._2 < 23.4 && m._3 == 20.0, m.toString)
   }
 
+  test("silhouette: tight well-separated blobs score near 1") {
+    // two far-apart tight blobs in 64-d → mean silhouette ≈ 1 for both
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      val jitter = (i % 5) * 0.01f
+      (i.toLong, Array.fill(64)(base + jitter))
+    }.toDF("vec_id", "embedding")
+    val r = Retrieval.silhouette(vecs, k = 2)
+      .select("cluster", "n", "mean_silhouette")
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 2 && r.map(_._2).sum == 40L, r.mkString(","))
+    assert(r.forall(_._3 > 0.9),
+      s"separated blobs must score high: ${r.mkString(",")}")
+  }
+
   test("rfm: quartile scores partition entities; monetary totals stay exact") {
     // 16 customers, recency/frequency/monetary all aligned by rank
     val orders = (1 to 16).flatMap { c =>
