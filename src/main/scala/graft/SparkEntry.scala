@@ -458,7 +458,86 @@ object SparkEntry {
         |         WHERE o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_custkey <= 100
-        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin))
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin),
+    // TPC-H Q6 (forecast revenue change): the classic single-pass
+    // selective scan-and-sum — predicate pushdown straight to parquet,
+    // revenue exact on the shared scaled-long grid
+    ("q282_sql_tpch_q6", Seq("lineitem"),
+      s"""SELECT ${sharedXsum("l_extendedprice * l_discount")} AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+         |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+         |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+         |  AND l_quantity < CAST(24.0 AS DOUBLE)""".stripMargin),
+    // TPC-H Q2 shape (min-cost supplier): the testdata has no partsupp,
+    // so the part-supplier relation is derived from lineitem with unit
+    // cost = min(extendedprice/quantity); the exercised machinery is the
+    // region-filtered snowflake plus the correlated scalar-min subquery
+    // over a CTE consumed twice
+    ("q283_sql_tpch_q2", Seq("lineitem", "part", "supplier", "nation", "region"),
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |         min(l_extendedprice / l_quantity) AS ps_supplycost
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+         |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+         |       ${sharedTrunc6("ps_supplycost")} AS supplycost
+         |FROM part p
+         |JOIN ps ON p_partkey = ps_partkey
+         |JOIN supplier s ON s_suppkey = ps_suppkey
+         |JOIN nation n ON s_nationkey = n_nationkey
+         |JOIN region r ON n_regionkey = r_regionkey
+         |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+         |  AND ps_supplycost = (
+         |    SELECT min(ps2.ps_supplycost) FROM ps ps2
+         |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+         |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+         |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+         |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey""".stripMargin),
+    // TPC-H Q11 shape (important stock): per-part value restricted to
+    // one supplier region vs a scalar fraction of the total — the
+    // grouped-CTE + scalar-threshold HAVING pattern; the total re-sums
+    // the already-grid-exact per-part values on a 1e6 grid so the
+    // threshold is order-free in both engines
+    ("q284_sql_tpch_q11", Seq("lineitem", "supplier", "nation"),
+      s"""WITH value AS (
+         |  SELECT l_partkey, ${sharedXsum("l_extendedprice")} AS val
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_regionkey = 1
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, val FROM value
+         |WHERE val > (SELECT (CAST(SUM(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+         |                    * CAST(0.001 AS DOUBLE) FROM value)
+         |ORDER BY val DESC, l_partkey""".stripMargin),
+    // TPC-H Q12 shape (shipping-priority counts): the testdata has no
+    // l_shipmode, so lines group by return flag; the exercised machinery
+    // is the date-windowed join with dual conditional counts
+    ("q285_sql_tpch_q12", Seq("orders", "lineitem"),
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    // TPC-H Q20 shape (potential part promotion): nested IN subqueries
+    // with a grouped-HAVING quantity floor — suppliers who moved more
+    // than 60 units of any red part in the window; quantities are
+    // integral doubles so the HAVING sum is BIGINT-exact
+    ("q286_sql_tpch_q20", Seq("supplier", "lineitem", "part"),
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 60)
+        |ORDER BY s_name""".stripMargin))
 
   /** The two mechanical token substitutions separating the dialects on
     * the shared texts (see [[SharedSqlQueries]]). */
