@@ -5133,6 +5133,105 @@ object Oracles {
          |FROM q JOIN tk USING (doc_id), th
          |WHERE q.quality >= th.threshold
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q287: Cohen's κ — exact cell/marginal counts, three double
+    // ratios; kappa from the RAW po/pe (trunc6 display-only)
+    "q287_cohen_kappa" -> {
+      val po = "CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)"
+      val pe = "CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+      s"""WITH r AS (
+         |  SELECT CASE WHEN n_chars < 220 THEN 'S'
+         |              WHEN n_chars < 380 THEN 'M' ELSE 'L' END AS a,
+         |         CASE WHEN length(text) - length(replace(text, ' ', '')) < 38 THEN 'S'
+         |              WHEN length(text) - length(replace(text, ' ', '')) < 67 THEN 'M'
+         |              ELSE 'L' END AS b
+         |  FROM documents),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY a, b),
+         |agree AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |                 CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS n_agree
+         |          FROM cells),
+         |rs AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS row_n FROM cells GROUP BY a),
+         |cs AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS col_n FROM cells GROUP BY b),
+         |chance AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS rc
+         |           FROM rs JOIN cs ON a = b)
+         |SELECT n, n_agree, ${t6(po)} AS po, ${t6(pe)} AS pe,
+         |       ${t6(s"(($po) - ($pe)) / (1.0e0 - ($pe))")} AS kappa
+         |FROM agree, chance""".stripMargin
+    },
+
+    // q288: MCC of the NB 'en' score at the top-quartile rank cut —
+    // integer confusion counts, one double MCC expression
+    "q288_nb_mcc" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val mcc = s"(${dd("tp")} * ${dd("tn")} - ${dd("fp")} * ${dd("fn")}) / " +
+        s"sqrt((${dd("tp")} + ${dd("fp")}) * (${dd("tp")} + ${dd("fn")}) * " +
+        s"(${dd("tn")} + ${dd("fp")}) * (${dd("tn")} + ${dd("fn")}))"
+      s"""$naiveBayesCtes,
+         |lab AS (SELECT s.doc_id AS id, s.score,
+         |               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |        FROM scored s JOIN documents d USING (doc_id)
+         |        WHERE s.cls = 'en'),
+         |rk AS (SELECT y,
+         |              CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rn,
+         |              CAST(count(*) OVER () AS BIGINT) AS n
+         |       FROM lab),
+         |conf AS (SELECT CAST(sum(p * y) AS BIGINT) AS tp,
+         |                CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+         |                CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+         |                CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+         |         FROM (SELECT CASE WHEN rn * 4 <= n THEN 1 ELSE 0 END AS p, y FROM rk))
+         |SELECT tp, fp, fn, tn, ${t6(mcc)} AS mcc FROM conf""".stripMargin
+    },
+
+    // q289: temporal-holdout Brier — per-weekday base rate from the
+    // first 15 days, squared errors on a 1e-12 grid over the rest
+    "q289_brier_holdout" -> {
+      val phat = "CAST(x_train AS DOUBLE) / CAST(n_train AS DOUBLE)"
+      val err = s"($phat - CAST(y AS DOUBLE))"
+      s"""WITH ud AS (SELECT user_id, CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |            FROM events GROUP BY 1, 2),
+         |b AS (SELECT day % 7 AS seg,
+         |             CASE WHEN day < 19738 THEN 1 ELSE 0 END AS tr,
+         |             converted AS y FROM ud),
+         |fit AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_train,
+         |               CAST(sum(y) AS BIGINT) AS x_train
+         |        FROM b WHERE tr = 1 GROUP BY seg),
+         |te AS (SELECT b.seg, b.y, n_train, x_train,
+         |              CAST(floor($err * $err * 1e12 + 0.5) AS BIGINT) AS se8
+         |       FROM b JOIN fit USING (seg) WHERE tr = 0)
+         |SELECT seg, n_train, x_train, CAST(count(*) AS BIGINT) AS n_test,
+         |       CAST(sum(y) AS BIGINT) AS x_test,
+         |       ${t6(phat)} AS p_hat,
+         |       ${t6("CAST(CAST(sum(se8) AS BIGINT) AS DOUBLE) / 1e12 / CAST(count(*) AS DOUBLE)")} AS brier
+         |FROM te GROUP BY seg, n_train, x_train ORDER BY seg""".stripMargin
+    },
+
+    // q290: CART best Gini split on order value vs urgency — distinct-
+    // value candidates, integer cumulative tallies, double impurities
+    "q290_best_split" -> {
+      val nlD = "CAST(ca + cb AS DOUBLE)"
+      val nrD = "CAST(n_all - (ca + cb) AS DOUBLE)"
+      val gl = s"(1.0e0 - ((CAST(ca AS DOUBLE) / $nlD) * (CAST(ca AS DOUBLE) / $nlD) + " +
+        s"(CAST(cb AS DOUBLE) / $nlD) * (CAST(cb AS DOUBLE) / $nlD)))"
+      val gr = s"(1.0e0 - ((CAST(ta - ca AS DOUBLE) / $nrD) * (CAST(ta - ca AS DOUBLE) / $nrD) + " +
+        s"(CAST(tb - cb AS DOUBLE) / $nrD) * (CAST(tb - cb AS DOUBLE) / $nrD)))"
+      val wg = s"(($nlD * $gl + $nrD * $gr) / CAST(n_all AS DOUBLE))"
+      s"""WITH lab AS (SELECT o_totalprice AS v,
+         |                    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+         |             FROM orders),
+         |counts AS (SELECT v, CAST(sum(y) AS BIGINT) AS na,
+         |                  CAST(count(*) - sum(y) AS BIGINT) AS nb
+         |           FROM lab GROUP BY v),
+         |c AS (SELECT v, CAST(sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         |             CAST(sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+         |      FROM counts),
+         |tot AS (SELECT CAST(max(ca + cb) AS BIGINT) AS n_all,
+         |               CAST(max(ca) AS BIGINT) AS ta, CAST(max(cb) AS BIGINT) AS tb FROM c)
+         |SELECT v AS split_value, ${t6(wg)} AS gini,
+         |       ca + cb AS n_left, n_all - (ca + cb) AS n_right
+         |FROM c, tot WHERE ca + cb < n_all
+         |ORDER BY gini, split_value LIMIT 1""".stripMargin
+    },
   ) ++ SparkEntry.SharedSqlQueries.map { case (name, _, text) =>
     // the verbatim shared-SQL family: the oracle twin is the SAME text
     // modulo the two documented token substitutions (see

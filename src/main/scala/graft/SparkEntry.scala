@@ -2393,6 +2393,51 @@ object SparkEntry {
         col("converted") === 1L, zCrit = 1.959964)
     }),
 
+    // ---- Cohen's κ: do the char-count and word-count size buckets
+    // agree — two independent raters over the same documents ----
+    "q287_cohen_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("spaces",
+          length(col("text")) -
+            length(expr("replace(text, ' ', '')")))
+      Stats.cohenKappa(docs,
+        when(col("n_chars") < 220, "S")
+          .when(col("n_chars") < 380, "M").otherwise("L"),
+        when(col("spaces") < 38, "S")
+          .when(col("spaces") < 67, "M").otherwise("L"))
+    }),
+
+    // ---- MCC of the q107 NB 'en' classifier at the top-quartile
+    // rank cut: the balance-proof confusion-matrix summary ----
+    "q288_nb_mcc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lab = TextAnalysis.naiveBayesScores(docs)
+        .filter(col("cls") === "en")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          "doc_id")
+      Stats.mccAtRankCut(lab, "score", "doc_id", col("is_en"), cutDiv = 4)
+    }),
+
+    // ---- temporal-holdout Brier score of a weekday base-rate
+    // conversion model: train on the first 15 days, score the rest ----
+    "q289_brier_holdout" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("pur"))
+        .groupBy("user_id", "day")
+        .agg(max(col("pur")).as("converted"))
+        .withColumn("seg", col("day") % 7)
+      Stats.brierBySegment(ud, "seg",
+        col("day") < 19738L, col("converted") === 1L)
+    }),
+
+    // ---- CART best-split scan: the order-value threshold that best
+    // separates urgent orders, by weighted Gini over all candidates ----
+    "q290_best_split" -> ((s, d) =>
+      Stats.bestGiniSplit(Tables.orders(s, d), "o_totalprice",
+        col("o_orderpriority") === "1-URGENT")),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

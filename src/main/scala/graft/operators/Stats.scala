@@ -1152,4 +1152,137 @@ object Stats {
         (abs((d("o1") - col("e1")) / sqrt(col("v"))) > lit(zCrit))
           .as("reject"))
   }
+
+  /** Cohen's κ inter-rater agreement (Cohen 1960) between two
+    * categorical labelings of the same rows: observed agreement po =
+    * Σ n_kk / n against chance agreement pe = Σ rowₖ·colₖ / n². The
+    * label space is data-derived (no fixed class list), so the plan is
+    * one grouped count over (a, b) plus two marginal re-aggregations of
+    * that tiny cell frame — at 100 TB exactly one data-sized shuffle
+    * (the cell groupBy), everything downstream is label-cardinality-
+    * sized. Counts are exact longs; the three ratios are single double
+    * divisions, trunc6'd. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val cells = df.select(raterA.as("a"), raterB.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rows = cells.groupBy("a").agg(sum(col("cnt")).as("row_n"))
+    val cols = cells.groupBy("b").agg(sum(col("cnt")).as("col_n"))
+    val agree = cells.agg(
+      sum(col("cnt")).as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val chance = rows.join(cols, col("a") === col("b"))
+      .agg(sum(col("row_n") * col("col_n")).as("rc"))
+    val po = d("n_agree") / d("n")
+    val pe = d("rc") / (d("n") * d("n"))
+    agree.crossJoin(chance)
+      .select(col("n"), col("n_agree"),
+        trunc6(po).as("po"), trunc6(pe).as("pe"),
+        trunc6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Matthews correlation coefficient of a scored binary classifier at
+    * a rank cut: the top ⌈n/cutDiv⌉ rows by (score desc, id) are
+    * predicted positive, the 2×2 confusion counts are exact longs, and
+    * MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) rides one
+    * double expression. The global rank is a single window over the
+    * scored frame — classifier-eval frames are labeled-set-sized, not
+    * corpus-sized (the q254 precedent); for corpus-scale screens use a
+    * scalar threshold instead. */
+  def mccAtRankCut(df: DataFrame, scoreCol: String, idCol: String,
+      isPos: Column, cutDiv: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: String) => col(c).cast("double")
+    val ranked = df.select(col(scoreCol).as("score"), col(idCol).as("id"),
+        when(isPos, 1L).otherwise(0L).as("y"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val conf = ranked
+      .select(when(col("rn") * lit(cutDiv.toLong) <= col("n"), 1L)
+        .otherwise(0L).as("p"), col("y"))
+      .agg(sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("p")) * col("y")).as("fn"),
+        sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+    conf.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      trunc6((d("tp") * d("tn") - d("fp") * d("fn")) /
+        sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+          (d("tn") + d("fp")) * (d("tn") + d("fn")))).as("mcc"))
+  }
+
+  /** Temporal-holdout Brier score of a per-segment base-rate model:
+    * fit p̂(seg) = successes/total on the train slice, score the test
+    * slice with mean (p̂ − y)². The canonical probability-forecast
+    * audit (Brier 1950) for a segment model — two grouped aggregations
+    * joined on the segment key, so the only data-sized exchanges are
+    * the two segment groupBys. Each squared error is quantized to a
+    * 1e-12 grid before summation so the reduction is order-free in any
+    * engine; p̂ itself is a single long/long double division. Segments
+    * with no train rows are dropped (no model to score). */
+  def brierBySegment(df: DataFrame, segCol: String, isTrain: Column,
+      yCol: Column): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val base = df.select(col(segCol).as("seg"),
+      when(isTrain, 1L).otherwise(0L).as("tr"),
+      when(yCol, 1L).otherwise(0L).as("y"))
+    val fit = base.filter(col("tr") === 1L).groupBy("seg")
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("x_train"))
+    val phat = d("x_train") / d("n_train")
+    val err = phat - d("y")
+    base.filter(col("tr") === 0L)
+      .join(fit, "seg")
+      .withColumn("se8",
+        floor(err * err * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_test"), sum(col("y")).as("x_test"),
+        max(col("n_train")).as("n_train"), max(col("x_train")).as("x_train"),
+        sum(col("se8")).as("se_sum"))
+      .select(col("seg"), col("n_train"), col("x_train"),
+        col("n_test"), col("x_test"),
+        trunc6(phat).as("p_hat"),
+        trunc6(d("se_sum") / lit(1e12) / d("n_test")).as("brier"))
+      .orderBy("seg")
+  }
+
+  /** Exhaustive best-split scan for a one-level decision stump: over
+    * every distinct value t of `xCol`, the weighted Gini impurity of
+    * the (x ≤ t | x > t) partition against a binary label, minimized.
+    * The CART split-finder primitive (Breiman et al. 1984). Candidate
+    * counts come from one value-keyed aggregation and the left/right
+    * tallies from the [[orderedPrefixSums]] two-phase sweep — no global
+    * window, so the scan holds at 100 TB where candidates are
+    * distinct-value-sized. Impurities are pure double expressions over
+    * exact long counts, trunc6'd before the argmin so the (gini, t)
+    * tie-break is grid-deterministic. */
+  def bestGiniSplit(df: DataFrame, xCol: String, yCol: Column): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val counts = df.select(col(xCol).cast("double").as("v"),
+        when(yCol, 1L).otherwise(0L).as("y"))
+      .groupBy("v")
+      .agg(sum(col("y")).as("na"), sum(lit(1L) - col("y")).as("nb"))
+    val cum = orderedPrefixSums(counts)
+    val tot = cum.agg(max(col("ca") + col("cb")).as("n_all"),
+      max(col("ca")).as("ta"), max(col("cb")).as("tb"))
+    val nl = col("ca") + col("cb")
+    val nr = col("n_all") - nl
+    val gl = lit(1.0) -
+      ((d("ca") / nl.cast("double")) * (d("ca") / nl.cast("double")) +
+        (d("cb") / nl.cast("double")) * (d("cb") / nl.cast("double")))
+    val ra = col("ta") - col("ca")
+    val rb = col("tb") - col("cb")
+    val gr = lit(1.0) -
+      ((ra.cast("double") / nr.cast("double")) * (ra.cast("double") / nr.cast("double")) +
+        (rb.cast("double") / nr.cast("double")) * (rb.cast("double") / nr.cast("double")))
+    cum.crossJoin(broadcast(tot))
+      .filter(nl < col("n_all"))
+      .select(col("v").as("split_value"),
+        trunc6((nl.cast("double") * gl + nr.cast("double") * gr) /
+          d("n_all")).as("gini"),
+        nl.as("n_left"), nr.as("n_right"))
+      .orderBy(col("gini"), col("split_value"))
+      .limit(1)
+  }
 }

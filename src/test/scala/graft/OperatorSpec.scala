@@ -2184,4 +2184,60 @@ class OperatorSpec extends SparkSpec {
     val expect = (1 to 16).map(c => c * (c * 10.0 + 0.25)).sum
     assert(math.abs(total - expect) < 1e-6, s"$total vs $expect")
   }
+
+  test("cohen kappa: identical raters → 1, independent raters → ≈0") {
+    val same = (1 to 60).map(i => (s"c${i % 3}", s"c${i % 3}"))
+      .toDF("a", "b")
+    val k1 = Stats.cohenKappa(same, col("a"), col("b"))
+      .select("kappa").as[Double].head()
+    assert(k1 == 1.0, s"perfect agreement: $k1")
+    // a cycles mod 2, b cycles mod 3 over 60 rows → exactly the chance
+    // agreement rate, kappa = 0
+    val indep = (0 until 60).map(i => (s"c${i % 2}", s"c${i % 3}"))
+      .toDF("a", "b")
+    val k0 = Stats.cohenKappa(indep, col("a"), col("b"))
+      .select("po", "pe", "kappa").as[(Double, Double, Double)].head()
+    assert(math.abs(k0._3) < 1e-6, s"independent raters: $k0")
+  }
+
+  test("mcc at rank cut: perfect ranking → 1 at the matched cut, inverted → -1") {
+    // 40 rows, 10 positives with the 10 best scores, cut at n/4 = 10
+    val good = (1 to 40).map(i => (100.0 - i, i.toLong, i <= 10))
+      .toDF("score", "id", "is_pos")
+    val m1 = Stats.mccAtRankCut(good, "score", "id", col("is_pos"), cutDiv = 4)
+      .select("tp", "fp", "mcc").as[(Long, Long, Double)].head()
+    assert(m1._1 == 10L && m1._2 == 0L && m1._3 == 1.0, m1.toString)
+    // positives at the BOTTOM 10 ranks: tp=0, fp=10, fn=10, tn=20 →
+    // MCC = -100/√(10·10·30·30) = -1/3 (trunc6 floors to -0.333334)
+    val bad = (1 to 40).map(i => (100.0 - i, i.toLong, i > 30))
+      .toDF("score", "id", "is_pos")
+    val m2 = Stats.mccAtRankCut(bad, "score", "id", col("is_pos"), cutDiv = 4)
+      .select("mcc").as[Double].head()
+    assert(m2 == -0.333334, s"anti-ranking: $m2")
+  }
+
+  test("brier by segment: a perfectly-calibrated constant segment scores p(1-p)") {
+    // seg 0: rate 1/2 in train AND test → brier = 0.25; seg 1: all
+    // zeros both slices → brier = 0
+    val rows = (0 until 80).map { i =>
+      val seg = i % 2L
+      val train = i < 40
+      val y = seg == 0L && (i / 2) % 2 == 0
+      (seg, train, y)
+    }.toDF("seg", "is_train", "y")
+    val got = Stats.brierBySegment(rows, "seg", col("is_train"), col("y"))
+      .select("seg", "p_hat", "brier").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((0.5, 0.25)), got.toString)
+    assert(got(1L) == ((0.0, 0.0)), got.toString)
+  }
+
+  test("best gini split: the planted threshold wins with pure sides") {
+    // y = x > 55; candidates 1..100 → best split at x = 55 (left pure 0s)
+    val rows = (1 to 100).map(i => (i.toDouble, i > 55)).toDF("x", "y")
+    val got = Stats.bestGiniSplit(rows, "x", col("y"))
+      .select("split_value", "gini", "n_left", "n_right")
+      .as[(Double, Double, Long, Long)].head()
+    assert(got == ((55.0, 0.0, 55L, 45L)), got.toString)
+  }
 }
