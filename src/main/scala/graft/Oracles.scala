@@ -5108,6 +5108,29 @@ object Oracles {
 
   /** Derived entries that WRAP other oracles (audit / composition
     * queries) — built after `base` so they can quote its SQL. */
+  /** The q291/q292 power-iteration CTE chain: full symmetric covariance
+    * (q121's grid-quantized upper triangle mirrored), uniform unit v0
+    * (0.125 = 1/√64 exact), then `iters` normalized rounds — each a
+    * matvec on the 12-decimal grid plus an L2 rescale. cov and every w
+    * are MATERIALIZED because they are referenced twice per round (the
+    * q238 re-expansion lesson). */
+  private def pcaCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT cov.i AS i, ${dsum12("cov.cov * v.x")} AS w
+         |     FROM cov JOIN v${k - 1} v ON v.j = cov.j GROUP BY cov.i),
+         |n$k AS (SELECT sqrt(${dsum12("w * w")}) AS nrm FROM w$k),
+         |v$k AS (SELECT i AS j, w / nrm AS x FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cov_u AS MATERIALIZED (${base("q121_covariance_matrix")}),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, cov FROM cov_u
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cov_u WHERE i < j),
+       |v0 AS (SELECT CAST(t.j AS BIGINT) AS j, CAST(0.125 AS DOUBLE) AS x
+       |       FROM (SELECT unnest(generate_series(0, 63)) AS j) t),
+       |$rounds""".stripMargin
+  }
+
   val sql: Map[String, String] = base ++ Map(
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
@@ -5232,6 +5255,20 @@ object Oracles {
          |FROM c, tot WHERE ca + cb < n_all
          |ORDER BY gini, split_value LIMIT 1""".stripMargin
     },
+    // q291: top principal component — the final normalized v of the
+    // power-iteration chain, trunc6'd per dim
+    "q291_pca_component" ->
+      s"""${pcaCtes(6)}
+         |SELECT j AS dim, ${t6("x")} AS loading FROM v6 ORDER BY dim""".stripMargin,
+
+    // q292: spectral summary — λ₁ = ‖C·v₅‖ from round 6, trace from
+    // the diagonal, explained ratio as one division
+    "q292_pca_explained" ->
+      s"""${pcaCtes(6)},
+         |tr AS (SELECT ${dsum12("cov")} AS trace FROM cov WHERE i = j)
+         |SELECT ${t6("nrm")} AS lambda1, ${t6("trace")} AS trace,
+         |       ${t6("nrm / trace")} AS explained_ratio
+         |FROM n6 CROSS JOIN tr""".stripMargin,
   ) ++ SparkEntry.SharedSqlQueries.map { case (name, _, text) =>
     // the verbatim shared-SQL family: the oracle twin is the SAME text
     // modulo the two documented token substitutions (see

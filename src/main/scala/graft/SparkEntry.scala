@@ -2438,6 +2438,16 @@ object SparkEntry {
       Stats.bestGiniSplit(Tables.orders(s, d), "o_totalprice",
         col("o_orderpriority") === "1-URGENT")),
 
+    // ---- top principal component of the embedding cloud: power
+    // iteration over the exact q121 covariance matrix ----
+    "q291_pca_component" -> ((s, d) =>
+      Retrieval.pcaTopComponent(Tables.embeddings(s, d))),
+
+    // ---- spectral summary of the same chain: λ₁, trace, and the
+    // explained-variance ratio that prices matryoshka truncation ----
+    "q292_pca_explained" -> ((s, d) =>
+      Retrieval.pcaExplained(Tables.embeddings(s, d))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -336,6 +336,78 @@ object Retrieval {
       .orderBy("i", "j")
   }
 
+  /** The full symmetric covariance matrix as a (i, j, cov) frame: the
+    * [[covarianceMatrix]] upper triangle (already grid-quantized to
+    * 1e-6, which pins every downstream iteration to the same doubles
+    * in any engine) mirrored across the diagonal. 64×64 rows —
+    * checkpointed once so the power-iteration chain below references a
+    * materialized frame instead of re-expanding the pair join per
+    * round (the q238 lesson). */
+  private def covFull(embeddings: DataFrame, dim: Int): DataFrame = {
+    val up = covarianceMatrix(embeddings, dim)
+    val lower = up.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov"))
+    up.select("i", "j", "cov").unionAll(lower).localCheckpoint()
+  }
+
+  /** One normalized power-iteration chain over the covariance matrix
+    * (von Mises & Pollaczek-Geiringer 1929): v₀ uniform (0.125 = 1/√64
+    * exactly representable), each round w = C·v via a dim-keyed join +
+    * 12-decimal exact sum, then an L2 renormalization — the rescale
+    * keeps components O(0.1) so the DECIMAL(38,12) grid never loses
+    * the signal (an UN-normalized chain would decay like λᵏ into the
+    * quantization floor). Every v is a dim-sized frame, checkpointed
+    * per round: the matvec is the only join, so the chain is linear in
+    * both engines. Returns (v_final, norm_final); ‖C·v‖ of the last
+    * round is the Rayleigh-quotient estimate of λ₁ for a unit v. */
+  private def powerIterate(cov: DataFrame, dim: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val spark = cov.sparkSession
+    var v = spark.range(dim).toDF("j")
+      .select(col("j").cast("long").as("j"), lit(0.125).as("x"))
+      .localCheckpoint()
+    var nrm = v.agg(lit(1.0).as("nrm"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "j").groupBy(col("i"))
+        .agg(dsum12(col("cov") * col("x")).as("w"))
+      nrm = w.agg(sqrt(dsum12(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("w") / col("nrm")).as("x"))
+        .localCheckpoint()
+    }
+    (v, nrm)
+  }
+
+  /** Top principal component of the embedding cloud: the dominant
+    * eigenvector of the exact [[covarianceMatrix]], by [[powerIterate]].
+    * At 100 TB the only data-sized work is the covariance pass itself
+    * (one pair-join aggregation); the iteration runs entirely on the
+    * dim²-sized matrix frame. Loadings are trunc6'd per dim. */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 6): DataFrame = {
+    val (v, _) = powerIterate(covFull(embeddings, dim), dim, iters)
+    v.select(col("j").cast("long").as("dim"),
+        trunc6(col("x")).as("loading"))
+      .orderBy("dim")
+  }
+
+  /** Spectral summary of the same chain: λ₁ ≈ ‖C·v‖ from the final
+    * round, the trace Σᵢ C(i,i) as the total variance, and the
+    * explained-variance ratio λ₁/tr(C) — the "how much does one axis
+    * carry" number that decides whether matryoshka truncation is safe
+    * (the q80/q81 design input). */
+  def pcaExplained(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 6): DataFrame = {
+    val cov = covFull(embeddings, dim)
+    val (_, nrm) = powerIterate(cov, dim, iters)
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(dsum12(col("cov")).as("trace"))
+    nrm.crossJoin(tr)
+      .select(trunc6(col("nrm")).as("lambda1"),
+        trunc6(col("trace")).as("trace"),
+        trunc6(col("nrm") / col("trace")).as("explained_ratio"))
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

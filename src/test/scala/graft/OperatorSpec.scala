@@ -2232,6 +2232,26 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((0.0, 0.0)), got.toString)
   }
 
+  test("pca power iteration: a planted dominant axis carries the component") {
+    // variance lives on dim 0 (±10), everything else is a small
+    // deterministic ripple → the top component points along dim 0
+    val vecs = (0 until 40).map { i =>
+      val arr = Array.tabulate(64)(d =>
+        if (d == 0) (if (i % 2 == 0) 10.0f else -10.0f)
+        else ((i * 7 + d) % 5 - 2) * 0.01f)
+      (i.toLong, arr.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val load = Retrieval.pcaTopComponent(vecs)
+      .select("dim", "loading").as[(Long, Double)].collect().toMap
+    assert(math.abs(load(0L)) > 0.99, s"dim-0 loading: ${load(0L)}")
+    assert(load.filter(_._1 != 0L).values.forall(v => math.abs(v) < 0.1),
+      "off-axis loadings stay small")
+    val ex = Retrieval.pcaExplained(vecs)
+      .select("lambda1", "trace", "explained_ratio")
+      .as[(Double, Double, Double)].head()
+    assert(ex._3 > 0.99 && ex._1 <= ex._2, ex.toString)
+  }
+
   test("best gini split: the planted threshold wins with pure sides") {
     // y = x > 55; candidates 1..100 → best split at x = 55 (left pure 0s)
     val rows = (1 to 100).map(i => (i.toDouble, i > 55)).toDF("x", "y")
