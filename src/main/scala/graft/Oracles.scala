@@ -5131,6 +5131,21 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** The q293/q294 duel frame: each order's top-2 lineitems by price,
+    * winner flag vs runner-up flag, same-flag and single-line orders
+    * dropped. */
+  private val duelsCtes: String =
+    """ranked AS (
+      |  SELECT l_orderkey, l_returnflag,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      |  FROM lineitem),
+      |duels AS (SELECT wf, lf FROM (
+      |    SELECT max(CASE WHEN rn = 1 THEN l_returnflag END) AS wf,
+      |           max(CASE WHEN rn = 2 THEN l_returnflag END) AS lf
+      |    FROM ranked WHERE rn <= 2 GROUP BY l_orderkey)
+      |  WHERE lf IS NOT NULL AND wf != lf)""".stripMargin
+
   val sql: Map[String, String] = base ++ Map(
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
@@ -5255,6 +5270,55 @@ object Oracles {
          |FROM c, tot WHERE ca + cb < n_all
          |ORDER BY gini, split_value LIMIT 1""".stripMargin
     },
+    // q293: Bradley–Terry MM fixpoint over the per-order top-2-price
+    // duels — un-normalized linear chain (scale-invariant likelihood),
+    // one Σp division at the end; every p-frame MATERIALIZED because
+    // each round references its predecessor twice
+    "q293_bradley_terry" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT g.a, pa.w,
+           |         CAST(pa.w AS DOUBLE) / ${dsum12("CAST(g.n AS DOUBLE) / (pa.x + pb.x)")} AS x
+           |  FROM games g JOIN p${k - 1} pa ON pa.a = g.a
+           |  JOIN p${k - 1} pb ON pb.a = g.b
+           |  GROUP BY g.a, pa.w)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duelsCtes,
+         |wins AS (SELECT wf AS p, CAST(count(*) AS BIGINT) AS w FROM duels GROUP BY wf),
+         |games AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT wf AS a, lf AS b FROM duels
+         |    UNION ALL SELECT lf AS a, wf AS b FROM duels)
+         |  GROUP BY a, b),
+         |p0 AS MATERIALIZED (
+         |  SELECT pl.a, coalesce(w.w, 0) AS w, CAST(1.0 AS DOUBLE) AS x
+         |  FROM (SELECT DISTINCT a FROM games) pl LEFT JOIN wins w ON w.p = pl.a),
+         |$rounds,
+         |tot AS (SELECT ${dsum12("x")} AS tot FROM p8)
+         |SELECT a AS player, w AS n_wins, ${t6("x / tot")} AS strength
+         |FROM p8 CROSS JOIN tot ORDER BY player""".stripMargin
+    },
+
+    // q294: directed pairwise win rates + Wilson 95% lower bound over
+    // the same duels — integer counts, one pinned-z double expression
+    "q294_winrate_wilson" -> {
+      val z = "1.959964e0"
+      val z2 = s"${(1.959964 * 1.959964).toString}e0"
+      val nD = "CAST(n AS DOUBLE)"
+      val phat = s"(CAST(w AS DOUBLE) / $nD)"
+      val low = s"(($phat + $z2 / (2.0e0 * $nD) - " +
+        s"$z * sqrt($phat * (1.0e0 - $phat) / $nD + $z2 / (4.0e0 * $nD * $nD))) / " +
+        s"(1.0e0 + $z2 / $nD))"
+      s"""WITH $duelsCtes,
+         |g AS (SELECT a, b, CAST(sum(won) AS BIGINT) AS w,
+         |             CAST(count(*) AS BIGINT) AS n FROM (
+         |        SELECT wf AS a, lf AS b, 1 AS won FROM duels
+         |        UNION ALL SELECT lf AS a, wf AS b, 0 AS won FROM duels)
+         |      GROUP BY a, b)
+         |SELECT a, b, w, n, ${t6(phat)} AS win_rate, ${t6(low)} AS wilson_low
+         |FROM g ORDER BY a, b""".stripMargin
+    },
+
     // q291: top principal component — the final normalized v of the
     // power-iteration chain, trunc6'd per dim
     "q291_pca_component" ->

@@ -565,6 +565,25 @@ object SparkEntry {
     s.sql(text)
   }
 
+  /** q293/q294 input: each order's top-2 lineitems by price define a
+    * preference "duel" — the return flag of the most expensive line
+    * beats the runner-up's. Orders with one line or a same-flag top-2
+    * contribute nothing. The per-order window is key-partitioned
+    * (never global), so the reduction from line-level data to the
+    * players×players preference frame is one shuffle at any scale. */
+  private def duelsFor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("l_orderkey")
+      .agg(max(when(col("rn") === 1, col("l_returnflag"))).as("wf"),
+        max(when(col("rn") === 2, col("l_returnflag"))).as("lf"))
+      .filter(col("lf").isNotNull && col("wf") =!= col("lf"))
+  }
+
   /** Right-censored gap-session lifetimes (q214's 1-hour-gap sessions,
     * minutes; a session ending inside the final hour is censored) —
     * the shared survival frame of q229 (Kaplan–Meier) and q247
@@ -2447,6 +2466,16 @@ object SparkEntry {
     // explained-variance ratio that prices matryoshka truncation ----
     "q292_pca_explained" -> ((s, d) =>
       Retrieval.pcaExplained(Tables.embeddings(s, d))),
+
+    // ---- Bradley–Terry preference strengths over the per-order
+    // top-2-price "duels": the RLHF pairwise-preference reduction ----
+    "q293_bradley_terry" -> ((s, d) =>
+      Stats.bradleyTerry(duelsFor(s, d), "wf", "lf")),
+
+    // ---- directed pairwise win rates with the Wilson lower bound:
+    // the preference-data QC table over the same duels ----
+    "q294_winrate_wilson" -> ((s, d) =>
+      Stats.pairwiseWilson(duelsFor(s, d), "wf", "lf", z = 1.959964)),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

@@ -1247,6 +1247,75 @@ object Stats {
       .orderBy("seg")
   }
 
+  /** Bradley–Terry preference strengths from (winner, loser) duel rows
+    * via the MM algorithm (Bradley & Terry 1952; Hunter 2004): p_i ←
+    * W_i / Σ_j n_ij/(p_i+p_j). The likelihood is scale-invariant and
+    * the MM update propagates a uniform rescale linearly, so the chain
+    * runs UN-normalized and divides by Σp once at the end — the q238
+    * lesson applied (no per-round double-reference, every frame in the
+    * loop is player-cardinality-sized and checkpointed). The only
+    * data-sized work is the two duel aggregations; preference corpora
+    * at 100 TB reduce to a players×players frame before any iteration.
+    * Per-round denominators ride the 12-decimal grid so the fixpoint
+    * is engine-deterministic. */
+  def bradleyTerry(duels: DataFrame, winCol: String, loseCol: String,
+      iters: Int = 8): DataFrame = {
+    val wins = duels.groupBy(col(winCol).as("p"))
+      .agg(count(lit(1)).as("w"))
+    val games = duels.select(col(winCol).as("a"), col(loseCol).as("b"))
+      .unionAll(duels.select(col(loseCol).as("a"), col(winCol).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    var p = games.select(col("a")).distinct()
+      .join(wins, col("a") === col("p"), "left")
+      .select(col("a"), coalesce(col("w"), lit(0L)).as("w"),
+        lit(1.0).as("x"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val pa = p.select(col("a"), col("w"), col("x").as("xa"))
+      val pb = p.select(col("a").as("b"), col("x").as("xb"))
+      p = games.join(pa, "a").join(pb, "b")
+        .groupBy(col("a"), col("w"))
+        .agg(dsum12(col("n").cast("double") / (col("xa") + col("xb")))
+          .as("den"))
+        .select(col("a"), col("w"),
+          (col("w").cast("double") / col("den")).as("x"))
+        .localCheckpoint()
+    }
+    val tot = p.agg(dsum12(col("x")).as("tot"))
+    p.crossJoin(broadcast(tot))
+      .select(col("a").as("player"), col("w").as("n_wins"),
+        trunc6(col("x") / col("tot")).as("strength"))
+      .orderBy("player")
+  }
+
+  /** Directed pairwise win rates with the Wilson 95% lower bound
+    * (Wilson 1927) — the preference-data QC table: for every ordered
+    * pair that met at least once, wins/games and the score-interval
+    * floor that a downstream filter can threshold without being fooled
+    * by tiny samples. Counts are exact longs from one grouped pass
+    * over the doubled duel frame; the bound is a single pinned-z
+    * double expression. */
+  def pairwiseWilson(duels: DataFrame, winCol: String, loseCol: String,
+      z: Double): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    val directed = duels.select(col(winCol).as("a"), col(loseCol).as("b"),
+        lit(1L).as("won"))
+      .unionAll(duels.select(col(loseCol).as("a"), col(winCol).as("b"),
+        lit(0L).as("won")))
+    val g = directed.groupBy("a", "b")
+      .agg(sum(col("won")).as("w"), count(lit(1)).as("n"))
+    val z2 = z * z
+    val phat = d("w") / d("n")
+    val low = (phat + lit(z2) / (lit(2.0) * d("n")) -
+      lit(z) * sqrt(phat * (lit(1.0) - phat) / d("n") +
+        lit(z2) / (lit(4.0) * d("n") * d("n")))) /
+      (lit(1.0) + lit(z2) / d("n"))
+    g.select(col("a"), col("b"), col("w"), col("n"),
+        trunc6(phat).as("win_rate"), trunc6(low).as("wilson_low"))
+      .orderBy("a", "b")
+  }
+
   /** Exhaustive best-split scan for a one-level decision stump: over
     * every distinct value t of `xCol`, the weighted Gini impurity of
     * the (x ≤ t | x > t) partition against a binary label, minimized.

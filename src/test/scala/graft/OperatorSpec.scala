@@ -2232,6 +2232,32 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((0.0, 0.0)), got.toString)
   }
 
+  test("bradley-terry: a transitive dominance order comes back ranked") {
+    // A beats B 9/10, B beats C 9/10, A beats C 10/10
+    val duels = (1 to 9).flatMap(_ => Seq(("A", "B"), ("B", "C"))) ++
+      Seq(("B", "A"), ("C", "B")) ++ (1 to 10).map(_ => ("A", "C"))
+    val got = Stats.bradleyTerry(duels.toDF("wf", "lf"), "wf", "lf")
+      .select("player", "strength").as[(String, Double)].collect().toMap
+    assert(got("A") > got("B") && got("B") > got("C"), got.toString)
+    val tot = got.values.sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"normalized: $tot")
+  }
+
+  test("wilson pairwise: the bound sits below the rate and tightens with n") {
+    val small = (1 to 4).map(_ => ("A", "B")) ++ Seq(("B", "A"))
+    val big = (1 to 40).map(_ => ("C", "D")) ++ (1 to 10).map(_ => ("D", "C"))
+    val got = Stats.pairwiseWilson((small ++ big).toDF("wf", "lf"),
+      "wf", "lf", z = 1.959964)
+      .select("a", "b", "win_rate", "wilson_low")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (rAB, lowAB) = got(("A", "B"))
+    val (rCD, lowCD) = got(("C", "D"))
+    assert(rAB == 0.8 && rCD == 0.8, s"$rAB $rCD")
+    assert(lowAB < rAB && lowCD < rCD, "bound below the rate")
+    assert(lowCD > lowAB, s"50 games beat 5: $lowCD vs $lowAB")
+  }
+
   test("pca power iteration: a planted dominant axis carries the component") {
     // variance lives on dim 0 (±10), everything else is a small
     // deterministic ripple → the top component points along dim 0
