@@ -5270,6 +5270,96 @@ object Oracles {
          |FROM c, tot WHERE ca + cb < n_all
          |ORDER BY gini, split_value LIMIT 1""".stripMargin
     },
+    // q295: Markov entropy rate — the q276 stationary chain joined to
+    // per-state conditional entropies from one 25-row aggregation
+    "q295_markov_entropy" -> {
+      val its = (1 to 20).map { i =>
+        val prev = if (i == 1) "it0" else s"it${i - 1}"
+        s"""it$i AS (SELECT next_type AS state, ${dsum12("pi * p")} AS pi
+           |         FROM p JOIN $prev ON p.prev_type = $prev.state
+           |         GROUP BY next_type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $markovCtes,
+         |states AS (SELECT DISTINCT prev_type AS state FROM p),
+         |nsc AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM states),
+         |it0 AS (SELECT state, CAST(1.0 AS DOUBLE) / CAST(ns AS DOUBLE) AS pi
+         |        FROM states CROSS JOIN nsc),
+         |$its,
+         |rowh AS (SELECT prev_type AS state, ${dsum12("-(p * ln(p))")} AS h_state
+         |         FROM p GROUP BY prev_type)
+         |SELECT state, ${t6("pi")} AS stationary, ${t6("h_state")} AS h_state,
+         |       ${t6("pi * h_state")} AS contribution
+         |FROM it20 JOIN rowh USING (state) ORDER BY state""".stripMargin
+    },
+
+    // q296: difference-in-differences — one conditional aggregation,
+    // four 12-decimal cell sums, pinned-form mean divisions
+    "q296_diff_in_diff" -> {
+      def cnt(t: Int, p: Int) =
+        s"CAST(sum(CASE WHEN tr = $t AND post = $p THEN 1 END) AS BIGINT)"
+      def s12(t: Int, p: Int) = dsum12(
+        s"CASE WHEN tr = $t AND post = $p THEN value ELSE CAST(0.0 AS DOUBLE) END")
+      def m(sc: String, nc: String) = s"($sc / CAST($nc AS DOUBLE))"
+      s"""WITH b AS (SELECT value,
+         |             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS tr,
+         |             CASE WHEN CAST($tsUs // 86400000000 AS BIGINT) >= 19738
+         |                  THEN 1 ELSE 0 END AS post
+         |           FROM events),
+         |g AS (SELECT ${cnt(1, 0)} AS n_t_pre, ${cnt(1, 1)} AS n_t_post,
+         |             ${cnt(0, 0)} AS n_c_pre, ${cnt(0, 1)} AS n_c_post,
+         |             ${s12(1, 0)} AS s_t_pre, ${s12(1, 1)} AS s_t_post,
+         |             ${s12(0, 0)} AS s_c_pre, ${s12(0, 1)} AS s_c_post
+         |      FROM b)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |       ${t6(m("s_t_pre", "n_t_pre"))} AS m_t_pre,
+         |       ${t6(m("s_t_post", "n_t_post"))} AS m_t_post,
+         |       ${t6(m("s_c_pre", "n_c_pre"))} AS m_c_pre,
+         |       ${t6(m("s_c_post", "n_c_post"))} AS m_c_post,
+         |       ${t6(s"((${m("s_t_post", "n_t_post")} - ${m("s_t_pre", "n_t_pre")}) - " +
+              s"(${m("s_c_post", "n_c_post")} - ${m("s_c_pre", "n_c_pre")}))")} AS did
+         |FROM g""".stripMargin
+    },
+
+    // q297: CUPED — per-user pre/post means, pooled moment sums on the
+    // 12-decimal grid, θ / lifts / ρ² as pinned-form double expressions
+    "q297_cuped" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val nT = "CAST(n_t AS DOUBLE)"
+      val nC = "CAST((n - n_t) AS DOUBLE)"
+      val covxy = s"(($nD * sxy - sx * sy) / ($nD * $nD))"
+      val varx = s"(($nD * sxx - sx * sx) / ($nD * $nD))"
+      val vary = s"(($nD * syy - sy * sy) / ($nD * $nD))"
+      val theta = s"($covxy / $varx)"
+      val rawLift = s"(sy_t / $nT - (sy - sy_t) / $nC)"
+      val adjLift = s"($rawLift - $theta * (sx_t / $nT - (sx - sx_t) / $nC))"
+      s"""WITH bu AS (
+         |  SELECT user_id,
+         |         CAST(sum(pre) AS BIGINT) AS nx, CAST(sum(1 - pre) AS BIGINT) AS ny,
+         |         ${dsum12("CASE WHEN pre = 1 THEN value ELSE CAST(0.0 AS DOUBLE) END")} AS sx,
+         |         ${dsum12("CASE WHEN pre = 0 THEN value ELSE CAST(0.0 AS DOUBLE) END")} AS sy
+         |  FROM (SELECT user_id, value,
+         |          CASE WHEN CAST($tsUs // 86400000000 AS BIGINT) < 19738
+         |               THEN 1 ELSE 0 END AS pre
+         |        FROM events)
+         |  GROUP BY user_id),
+         |u AS (SELECT user_id, sx / CAST(nx AS DOUBLE) AS x,
+         |             sy / CAST(ny AS DOUBLE) AS y,
+         |             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS tr
+         |      FROM bu WHERE nx > 0 AND ny > 0),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             ${dsum12("x")} AS sx, ${dsum12("y")} AS sy,
+         |             ${dsum12("x * y")} AS sxy, ${dsum12("x * x")} AS sxx,
+         |             ${dsum12("y * y")} AS syy,
+         |             CAST(sum(tr) AS BIGINT) AS n_t,
+         |             ${dsum12("CASE WHEN tr = 1 THEN x ELSE CAST(0.0 AS DOUBLE) END")} AS sx_t,
+         |             ${dsum12("CASE WHEN tr = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sy_t
+         |      FROM u)
+         |SELECT n AS n_users, n_t AS n_treat, ${t6(theta)} AS theta,
+         |       ${t6(rawLift)} AS raw_lift, ${t6(adjLift)} AS adj_lift,
+         |       ${t6(s"($covxy * $covxy / ($varx * $vary))")} AS var_reduction
+         |FROM g""".stripMargin
+    },
+
     // q293: Bradley–Terry MM fixpoint over the per-order top-2-price
     // duels — un-normalized linear chain (scale-invariant likelihood),
     // one Σp division at the end; every p-frame MATERIALIZED because

@@ -2477,6 +2477,23 @@ object SparkEntry {
     "q294_winrate_wilson" -> ((s, d) =>
       Stats.pairwiseWilson(duelsFor(s, d), "wf", "lf", z = 1.959964)),
 
+    // ---- entropy rate of the behavior Markov chain, decomposed per
+    // state: π · h(state) over the q276 stationary chain ----
+    "q295_markov_entropy" -> ((s, d) =>
+      EventOps.markovEntropyRate(Tables.events(s, d))),
+
+    // ---- difference-in-differences on event value around the
+    // mid-window day, user_id%3 as the synthetic treatment arm ----
+    "q296_diff_in_diff" -> ((s, d) =>
+      EventOps.diffInDiff(Tables.events(s, d),
+        col("user_id") % 3 === 0, splitDay = 19738L)),
+
+    // ---- CUPED: pre-period covariate adjustment of the same
+    // experiment — θ, adjusted lift, variance-reduction ratio ----
+    "q297_cuped" -> ((s, d) =>
+      EventOps.cuped(Tables.events(s, d),
+        col("user_id") % 3 === 0, splitDay = 19738L)),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

@@ -859,4 +859,120 @@ object EventOps {
         count(when(col("delta") === 1L, 1)).as("n_starts"))
       .orderBy("day")
   }
+
+  /** Entropy rate of the event-type Markov chain (Shannon 1948):
+    * H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ, with π from the same 20-step power
+    * iteration as [[markovStationary]]. Per-state conditional entropy
+    * h(i) = −Σⱼ P ln P comes from one 25-row aggregation; the raw
+    * event pass happens once in [[transitionMatrix]]. Output is
+    * per-state (π, h, contribution) so the rate decomposes — the
+    * "how predictable is behavior from each state" readout. */
+  def markovEntropyRate(events: DataFrame, iters: Int = 20): DataFrame = {
+    val pm = transitionMatrix(events)
+    val states = pm.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    val nS = lit(states.count())
+    var pi = states.select(col("state"), (lit(1.0) / nS).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = pm.join(pi.select(col("state").as("prev_type"), col("pi")),
+          "prev_type")
+        .select(col("next_type").as("state"), (col("pi") * col("p")).as("c"))
+        .groupBy("state").agg(dsum12(col("c")).as("pi"))
+    }
+    val rowH = pm.groupBy(col("prev_type").as("state"))
+      .agg(dsum12(-(col("p") * log(col("p")))).as("h_state"))
+    pi.join(rowH, "state")
+      .select(col("state"), trunc6(col("pi")).as("stationary"),
+        trunc6(col("h_state")).as("h_state"),
+        trunc6(col("pi") * col("h_state")).as("contribution"))
+      .orderBy("state")
+  }
+
+  /** Difference-in-differences on the event-value metric: mean value
+    * per (treatment × period) cell around `splitDay`, and the DiD
+    * estimate (ΔT − ΔC) — the parallel-trends experiment readout
+    * (Card & Krueger 1994). Assignment is a caller-supplied row
+    * predicate; the whole computation is ONE conditional aggregation
+    * over the stream (four filtered sum/count pairs), so at 100 TB it
+    * is a single map-side-combinable pass. Cell sums ride the
+    * 12-decimal grid; means and the estimate are pinned-form double
+    * divisions. */
+  def diffInDiff(events: DataFrame, isTreat: Column,
+      splitDay: Long): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val base = events.select(col("value"),
+      when(isTreat, 1L).otherwise(0L).as("tr"),
+      when(day >= splitDay, 1L).otherwise(0L).as("post"))
+    def cell(t: Int, p: Int, agg: Column) =
+      sum(when(col("tr") === t && col("post") === p, agg))
+    val g = base.agg(
+      cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 1, lit(1L)).as("n_t_post"),
+      cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 1, lit(1L)).as("n_c_post"),
+      dsum12(when(col("tr") === 1L && col("post") === 0L, col("value"))
+        .otherwise(lit(0.0))).as("s_t_pre"),
+      dsum12(when(col("tr") === 1L && col("post") === 1L, col("value"))
+        .otherwise(lit(0.0))).as("s_t_post"),
+      dsum12(when(col("tr") === 0L && col("post") === 0L, col("value"))
+        .otherwise(lit(0.0))).as("s_c_pre"),
+      dsum12(when(col("tr") === 0L && col("post") === 1L, col("value"))
+        .otherwise(lit(0.0))).as("s_c_post"))
+    def m(s: String, n: String) = col(s) / col(n).cast("double")
+    g.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      trunc6(m("s_t_pre", "n_t_pre")).as("m_t_pre"),
+      trunc6(m("s_t_post", "n_t_post")).as("m_t_post"),
+      trunc6(m("s_c_pre", "n_c_pre")).as("m_c_pre"),
+      trunc6(m("s_c_post", "n_c_post")).as("m_c_post"),
+      trunc6((m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre")) -
+        (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre"))).as("did"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): per
+    * user, x = pre-period mean value and y = post-period mean value;
+    * θ = cov(x,y)/var(x) pooled over users, adjusted lift =
+    * (ȳT − ȳC) − θ(x̄T − x̄C), and the theoretical variance-reduction
+    * ratio ρ² = cov²/(var(x)·var(y)). Only users observed in BOTH
+    * periods enter. Two grouped passes (user rollup, then one global
+    * moment aggregation on the user-sized frame) — the user frame is
+    * population-sized, not event-sized, so the moments pass is cheap
+    * at any scale. All moment sums ride the 12-decimal grid. */
+  def cuped(events: DataFrame, isTreat: Column,
+      splitDay: Long): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val byUser = events
+      .select(col("user_id"), col("value"),
+        when(day < splitDay, 1L).otherwise(0L).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(col("pre")).as("nx"), sum(lit(1L) - col("pre")).as("ny"),
+        dsum12(when(col("pre") === 1L, col("value")).otherwise(lit(0.0)))
+          .as("sx"),
+        dsum12(when(col("pre") === 0L, col("value")).otherwise(lit(0.0)))
+          .as("sy"))
+      .filter(col("nx") > 0L && col("ny") > 0L)
+      .select(col("user_id"),
+        (col("sx") / col("nx").cast("double")).as("x"),
+        (col("sy") / col("ny").cast("double")).as("y"),
+        when(isTreat, 1L).otherwise(0L).as("tr"))
+    val g = byUser.agg(count(lit(1)).as("n"),
+      dsum12(col("x")).as("sx"), dsum12(col("y")).as("sy"),
+      dsum12(col("x") * col("y")).as("sxy"),
+      dsum12(col("x") * col("x")).as("sxx"),
+      dsum12(col("y") * col("y")).as("syy"),
+      sum(col("tr")).as("n_t"),
+      dsum12(when(col("tr") === 1L, col("x")).otherwise(lit(0.0))).as("sx_t"),
+      dsum12(when(col("tr") === 1L, col("y")).otherwise(lit(0.0))).as("sy_t"))
+    val nD = col("n").cast("double")
+    val nT = col("n_t").cast("double")
+    val nC = (col("n") - col("n_t")).cast("double")
+    val covxy = (nD * col("sxy") - col("sx") * col("sy")) / (nD * nD)
+    val varx = (nD * col("sxx") - col("sx") * col("sx")) / (nD * nD)
+    val vary = (nD * col("syy") - col("sy") * col("sy")) / (nD * nD)
+    val theta = covxy / varx
+    val rawLift = col("sy_t") / nT - (col("sy") - col("sy_t")) / nC
+    val adjLift = rawLift -
+      theta * (col("sx_t") / nT - (col("sx") - col("sx_t")) / nC)
+    g.select(col("n").as("n_users"), col("n_t").as("n_treat"),
+      trunc6(theta).as("theta"), trunc6(rawLift).as("raw_lift"),
+      trunc6(adjLift).as("adj_lift"),
+      trunc6(covxy * covxy / (varx * vary)).as("var_reduction"))
+  }
 }

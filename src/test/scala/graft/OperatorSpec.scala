@@ -2232,6 +2232,54 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((0.0, 0.0)), got.toString)
   }
 
+  test("markov entropy rate: a deterministic cycle is perfectly predictable") {
+    // every user alternates a→b→a→… → both rows are point masses, h = 0
+    val ev = (0 until 40).map { i =>
+      (i.toLong, (i % 4).toLong, i.toLong * 3600L,
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("value", lit(1.0))
+    val got = EventOps.markovEntropyRate(ev)
+      .select("state", "stationary", "h_state")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set("a", "b"), got.toString)
+    assert(got.values.forall(_._2 == 0.0), s"deterministic chain: $got")
+    assert(got.values.forall(v => math.abs(v._1 - 0.5) < 1e-6), got.toString)
+  }
+
+  test("diff-in-diff: a planted post-period treatment lift is recovered exactly") {
+    // treated users (even ids) gain +5 after the split; control flat
+    val ev = (0 until 200).map { i =>
+      val u = (i % 4).toLong
+      val day = (i / 4 % 10).toLong
+      val treat = u % 2 == 0
+      val v = 10.0 + u + (if (treat && day >= 5) 5.0 else 0.0)
+      (i.toLong, u, day * 86400L, v)
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.diffInDiff(ev, col("user_id") % 2 === 0, splitDay = 5L)
+      .select("did").as[Double].head()
+    assert(got == 5.0, s"planted lift: $got")
+  }
+
+  test("cuped: with arm-balanced covariates the adjusted lift equals the planted effect") {
+    // x = u % 4 identically in both arms; y = x + 3 for treated users
+    val rows = (1 to 8).flatMap { u =>
+      val x = (u % 4).toDouble
+      val y = x + (if (u > 4) 3.0 else 0.0)
+      Seq((u.toLong * 10, u.toLong, 0L, x), (u.toLong * 10 + 1, u.toLong, 6L * 86400L, y))
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("event_type", lit("view"))
+    val got = EventOps.cuped(rows, col("user_id") > 4, splitDay = 3L)
+      .select("theta", "raw_lift", "adj_lift")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(got._1 - 1.0) < 1e-6, s"theta: $got")
+    assert(got._2 == 3.0 && got._3 == 3.0, s"balanced arms: $got")
+  }
+
   test("bradley-terry: a transitive dominance order comes back ranked") {
     // A beats B 9/10, B beats C 9/10, A beats C 10/10
     val duels = (1 to 9).flatMap(_ => Seq(("A", "B"), ("B", "C"))) ++
