@@ -5270,6 +5270,93 @@ object Oracles {
          |FROM c, tot WHERE ca + cb < n_all
          |ORDER BY gini, split_value LIMIT 1""".stripMargin
     },
+    // q298: split-conformal OLS interval — q249's exact moments on the
+    // train slice, integer-grid residual order statistic on the
+    // calibration slice, coverage on the test slice
+    "q298_conformal_ols" -> {
+      val dd = (c: String) => s"CAST($c AS DOUBLE)"
+      val cxx = s"(sxx - ${dd("sx")} * ${dd("sx")} / ${dd("n")})"
+      val cxy = s"(sxy - ${dd("sx")} * ${dd("sy")} / ${dd("n")})"
+      val slope = s"($cxy / $cxx)"
+      val r8 = "CAST(floor(abs(y - (a + b * x)) * 1e8 + 0.5) AS BIGINT)"
+      s"""WITH base AS (SELECT l_returnflag AS k, l_quantity AS x,
+         |                     l_extendedprice AS y, l_orderkey % 4 AS sp
+         |              FROM lineitem),
+         |fit0 AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |                ${xsum("x")} AS sx, ${xsum("y")} AS sy,
+         |                ${psum6("x * y")} AS sxy, ${psum6("x * x")} AS sxx
+         |         FROM base WHERE sp <= 1 GROUP BY k),
+         |fit AS (SELECT k, n AS n_train, $slope AS b,
+         |               (sy - $slope * sx) / ${dd("n")} AS a
+         |        FROM fit0),
+         |cal AS (SELECT k, $r8 AS r8 FROM base JOIN fit USING (k) WHERE sp = 2),
+         |cc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY k),
+         |hist AS (SELECT k, r8, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY k, r8),
+         |cum AS (SELECT k, r8,
+         |               CAST(sum(c) OVER (PARTITION BY k ORDER BY r8
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |        FROM hist),
+         |qh AS (SELECT k, CAST(min(r8) AS BIGINT) AS q8,
+         |              CAST(max(n_cal) AS BIGINT) AS n_cal
+         |       FROM cum JOIN cc USING (k)
+         |       WHERE cum >= (n_cal * 9 + 9) // 10 GROUP BY k)
+         |SELECT k, n_train, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+         |       ${t6(s"${dd("q8")} / 1e8")} AS q_hat,
+         |       ${t6("CAST(CAST(sum(CASE WHEN " + r8 + " <= q8 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS coverage
+         |FROM base JOIN fit USING (k) JOIN qh USING (k)
+         |WHERE sp = 3
+         |GROUP BY k, n_train, n_cal, q8 ORDER BY k""".stripMargin
+    },
+
+    // q299: greedy k-center — 4 unrolled farthest-point rounds, each a
+    // per-vector exact squared distance on the 1e-8 integer grid and a
+    // deterministic 1-row argmax; MATERIALIZED because every m-frame
+    // feeds both its argmax and the next round's least()
+    "q299_k_center" -> {
+      val d8 = dsum12("(p.x - c.x) * (p.x - c.x)")
+      def distTo(sel: String) =
+        s"""SELECT p.vec_id, CAST(floor($d8 * 1e8 + 0.5) AS BIGINT) AS d8
+           |    FROM pe p JOIN (SELECT i, x FROM pe WHERE vec_id = $sel) c USING (i)
+           |    GROUP BY p.vec_id""".stripMargin
+      val rounds = (2 to 4).map { r =>
+        s"""m$r AS MATERIALIZED (
+           |  SELECT m.vec_id, least(m.d8, n.d8) AS d8 FROM m${r - 1} m JOIN (
+           |    ${distTo(s"(SELECT vec_id FROM s${r - 1})")}) n ON n.vec_id = m.vec_id),
+           |s$r AS MATERIALIZED (SELECT vec_id, d8 FROM m$r ORDER BY d8 DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pe AS MATERIALIZED (
+         |  SELECT vec_id, CAST(t.i AS BIGINT) AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) t),
+         |m1 AS MATERIALIZED (
+         |  ${distTo("0")}),
+         |s1 AS MATERIALIZED (SELECT vec_id, d8 FROM m1 ORDER BY d8 DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS vec_id,
+         |         CAST(0.0 AS DOUBLE) AS dist2
+         |  UNION ALL SELECT 1, vec_id, CAST(d8 AS DOUBLE) / 1e8 FROM s1
+         |  UNION ALL SELECT 2, vec_id, CAST(d8 AS DOUBLE) / 1e8 FROM s2
+         |  UNION ALL SELECT 3, vec_id, CAST(d8 AS DOUBLE) / 1e8 FROM s3
+         |  UNION ALL SELECT 4, vec_id, CAST(d8 AS DOUBLE) / 1e8 FROM s4)
+         |ORDER BY pos""".stripMargin
+    },
+
+    // q300: Good–Turing smoothed counts — term counts, then the
+    // frequency-of-frequencies table and r* for the low-count band
+    "q300_good_turing" ->
+      s"""WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS r
+         |            FROM (SELECT unnest(list_transform(generate_series(2, len(s)),
+         |                           i -> s[i - 1] || ' ' || s[i])) AS t
+         |                  FROM (SELECT ${toks("text")} AS s FROM documents)
+         |                  WHERE len(s) >= 2)
+         |            GROUP BY t),
+         |ff AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM ff)
+         |SELECT f.r, f.n_r, g.n_r AS n_r1, n_tokens,
+         |       ${t6("CAST(f.r + 1 AS DOUBLE) * CAST(g.n_r AS DOUBLE) / CAST(f.n_r AS DOUBLE)")} AS r_star
+         |FROM ff f JOIN ff g ON g.r = f.r + 1 CROSS JOIN tot
+         |WHERE f.r <= 5 ORDER BY f.r""".stripMargin,
+
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation
     "q295_markov_entropy" -> {

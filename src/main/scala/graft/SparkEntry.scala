@@ -2494,6 +2494,22 @@ object SparkEntry {
       EventOps.cuped(Tables.events(s, d),
         col("user_id") % 3 === 0, splitDay = 19738L)),
 
+    // ---- split-conformal interval for the per-flag price~quantity
+    // OLS: q̂ from the calibration slice, coverage on the test slice ----
+    "q298_conformal_ols" -> ((s, d) =>
+      Stats.conformalOls(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice", col("l_orderkey") % 4)),
+
+    // ---- greedy k-center coreset over the embeddings: the
+    // farthest-point diverse-subset picker ----
+    "q299_k_center" -> ((s, d) =>
+      Retrieval.kCenterGreedy(Tables.embeddings(s, d), k = 5)),
+
+    // ---- Good–Turing smoothed counts for the low-frequency band:
+    // how much mass rare terms really deserve ----
+    "q300_good_turing" -> ((s, d) =>
+      TextAnalysis.goodTuring(Tables.documents(s, d))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

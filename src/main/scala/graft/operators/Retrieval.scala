@@ -408,6 +408,53 @@ object Retrieval {
         trunc6(col("nrm") / col("trace")).as("explained_ratio"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    * farthest-point heuristic): start from `startId`, then repeatedly
+    * take the point farthest from its nearest chosen center — the
+    * classic diverse-subset picker for training-data selection. Each
+    * round is one 64-row broadcast join + one per-vector exact
+    * squared-distance sum, then a 1-ROW argmax collect (bounded: k
+    * iterations of one scalar each, never a data-sized collect); the
+    * min-distance frame updates by a single `least`. Distances ride
+    * the 12-decimal sum grid and are quantized to integer 1e-8 before
+    * the argmax, so selection is engine-deterministic. At 100 TB the
+    * candidate pool would be LSH-bucketed first (q49's path); the
+    * greedy loop itself touches each vector k times — linear, no
+    * pairwise blowup. */
+  def kCenterGreedy(embeddings: DataFrame, k: Int = 5,
+      startId: Long = 0L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pos = embeddings.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .localCheckpoint()
+    def dist8To(cid: Long): DataFrame = {
+      val c = pos.filter(col("vec_id") === cid)
+        .select(col("i"), col("x").as("cx"))
+      pos.join(broadcast(c), "i")
+        .groupBy("vec_id")
+        .agg(floor(dsum12((col("x") - col("cx")) * (col("x") - col("cx"))) *
+          lit(1e8) + lit(0.5)).cast("long").as("d8"))
+    }
+    var centers = Seq((0L, startId, 0L))
+    var mind = dist8To(startId).localCheckpoint()
+    for (step <- 1 until k) {
+      val top = mind.orderBy(col("d8").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      val (cid, d8) = (top.getLong(0), top.getLong(1))
+      centers = centers :+ ((step.toLong, cid, d8))
+      if (step < k - 1)
+        mind = mind.join(dist8To(cid).withColumnRenamed("d8", "nd8"),
+            "vec_id")
+          .select(col("vec_id"), least(col("d8"), col("nd8")).as("d8"))
+          .localCheckpoint()
+    }
+    centers.toDF("pos", "vec_id", "d8")
+      .select(col("pos"), col("vec_id"),
+        (col("d8").cast("double") / lit(1e8)).as("dist2"))
+      .orderBy("pos")
+  }
+
   /** Deterministic random-hyperplane family for sign-LSH: plane p,
     * dim d → md5-derived value in [-1, 1). Derived from the digest so
     * Spark and any SQL oracle can reproduce the exact same planes. */

@@ -1247,6 +1247,55 @@ object Stats {
       .orderBy("seg")
   }
 
+  /** Split-conformal prediction interval for a per-key OLS fit
+    * (Vovk et al. 2005; Lei et al. 2018): fit y ≈ a + b·x on the train
+    * slice, take the ⌈0.9·n⌉-th smallest absolute calibration residual
+    * as the interval half-width q̂, and report empirical coverage on
+    * the held-out test slice — the distribution-free "are my error
+    * bars honest" audit. Residuals are quantized to an integer 1e-8
+    * grid BEFORE ranking, so the order statistic is engine-exact
+    * (ties collapse: the k-th smallest VALUE needs no tie-break); the
+    * rank itself is integer arithmetic (⌈9n/10⌉ = (9n+9) div 10).
+    * Plan: one moment aggregation, one per-key histogram + cumulative
+    * window over DISTINCT residual values (bounded by the grid, not
+    * the data), one test-slice pass. */
+  def conformalOls(df: DataFrame, key: String, xCol: String, yCol: String,
+      splitCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: String) => col(c).cast("double")
+    val base = df.select(col(key).as("k"), col(xCol).as("x"),
+      col(yCol).as("y"), splitCol.as("sp"))
+    val fit0 = base.filter(col("sp") <= 1).groupBy("k")
+      .agg(count(lit(1)).as("n"), xsum(col("x")).as("sx"),
+        xsum(col("y")).as("sy"), psum6(col("x") * col("y")).as("sxy"),
+        psum6(col("x") * col("x")).as("sxx"))
+    val sxxC = col("sxx") - d("sx") * d("sx") / d("n")
+    val sxyC = col("sxy") - d("sx") * d("sy") / d("n")
+    val slope = sxyC / sxxC
+    val fit = fit0.select(col("k"), col("n").as("n_train"),
+      slope.as("b"), ((col("sy") - slope * col("sx")) / d("n")).as("a"))
+    val r8 = floor(abs(col("y") - (col("a") + col("b") * col("x"))) *
+      lit(1e8) + lit(0.5)).cast("long")
+    val cal = base.filter(col("sp") === 2).join(fit, "k")
+      .select(col("k"), r8.as("r8"))
+    val calCnt = cal.groupBy("k").agg(count(lit(1)).as("n_cal"))
+    val wcum = Window.partitionBy("k").orderBy("r8")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = cal.groupBy("k", "r8").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(calCnt, "k")
+      .filter(col("cum") >= expr("(n_cal * 9 + 9) div 10"))
+      .groupBy("k").agg(min(col("r8")).as("q8"), max(col("n_cal")).as("n_cal"))
+    base.filter(col("sp") === 3).join(fit, "k").join(qhat, "k")
+      .groupBy(col("k"), col("n_train"), col("n_cal"), col("q8"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(r8 <= col("q8"), 1L).otherwise(0L)).as("n_cov"))
+      .select(col("k"), col("n_train"), col("n_cal"), col("n_test"),
+        trunc6(d("q8") / lit(1e8)).as("q_hat"),
+        trunc6(d("n_cov") / d("n_test")).as("coverage"))
+      .orderBy("k")
+  }
+
   /** Bradley–Terry preference strengths from (winner, loser) duel rows
     * via the MM algorithm (Bradley & Terry 1952; Hunter 2004): p_i ←
     * W_i / Σ_j n_ij/(p_i+p_j). The likelihood is scale-invariant and

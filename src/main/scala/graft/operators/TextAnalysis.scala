@@ -1554,4 +1554,36 @@ object TextAnalysis {
       .select(col("pos"), col("v").as("term"), trunc6(col("rank")).as("score"))
       .orderBy("pos")
   }
+
+  /** Good–Turing frequency re-estimation over the corpus vocabulary
+    * (Good 1953): from the frequency-of-frequencies table S(r), the
+    * smoothed count r* = (r+1)·S(r+1)/S(r) for the low-count band —
+    * the "how much mass do rare words really deserve" correction that
+    * prices unseen-vocabulary probability (S(1)/N, readable from the
+    * r=1 row). Two grouped counts (term, then count-of-counts); the
+    * S-table is count-band-sized, so everything past the term count is
+    * free at any scale. */
+  def goodTuring(docs: DataFrame, maxR: Int = 5): DataFrame = {
+    // bigram events: unigram counts in a synthetic corpus never reach
+    // the low-count band, bigrams have a genuine rare tail (the Katz
+    // backoff context GT was built for); adjacent bands absent from
+    // the S-table drop out of the inner join (r* undefined there)
+    val tf = docs.select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(t[i - 1], ' ', t[i]))")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val ff = tf.groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val tot = ff.agg(sum(col("r") * col("n_r")).as("n_tokens"))
+    val nxt = ff.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+    ff.join(nxt, "r")
+      .filter(col("r") <= maxR)
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r1"), col("n_tokens"),
+        trunc6((col("r") + 1L).cast("double") * col("n_r1").cast("double") /
+          col("n_r").cast("double")).as("r_star"))
+      .orderBy("r")
+  }
 }

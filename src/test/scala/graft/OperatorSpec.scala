@@ -2232,6 +2232,49 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((0.0, 0.0)), got.toString)
   }
 
+  test("conformal ols: exact-linear data gives a zero interval with full coverage") {
+    val clean = (1 to 200).map(i =>
+      ("g", (i % 20).toDouble, 2.0 * (i % 20) + 5.0, i.toLong))
+      .toDF("k", "x", "y", "id")
+    val got = Stats.conformalOls(clean, "k", "x", "y", col("id") % 4)
+      .select("q_hat", "coverage").as[(Double, Double)].head()
+    assert(got == ((0.0, 1.0)), got.toString)
+    // ±1 alternating noise → every |residual| is exactly 1
+    val noisy = (1 to 200).map(i =>
+      ("g", (i % 20).toDouble,
+        2.0 * (i % 20) + 5.0 + (if (i % 2 == 0) 1.0 else -1.0), i.toLong))
+      .toDF("k", "x", "y", "id")
+    val n = Stats.conformalOls(noisy, "k", "x", "y", col("id") % 4)
+      .select("q_hat", "coverage").as[(Double, Double)].head()
+    assert(math.abs(n._1 - 1.0) < 0.2 && n._2 == 1.0, n.toString)
+  }
+
+  test("k-center greedy: one pick lands in each planted far cluster") {
+    // 3 clusters: cluster c lives at 100·c on axis c (ids 0-9, 10-19, 20-29)
+    val vecs = (0 until 30).map { i =>
+      val c = i / 10
+      val arr = Array.tabulate(64)(d =>
+        if (d == c) 100.0f * c + (i % 10) * 0.1f
+        else (i % 3) * 0.01f)
+      (i.toLong, arr.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Retrieval.kCenterGreedy(vecs, k = 3)
+      .select("pos", "vec_id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val clusters = got.map(_._2 / 10).toSet
+    assert(clusters == Set(0L, 1L, 2L),
+      s"one center per cluster: $got")
+  }
+
+  test("good-turing: a planted singleton band reproduces r* = (r+1)S(r+1)/S(r)") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = TextAnalysis.goodTuring(docs)
+      .select("r", "n_r", "n_r1", "r_star")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // bigrams: "a b"×2, "c d"×1 → S(1)=1, S(2)=1 → r*=2 for the singletons
+    assert(got == Seq((1L, 1L, 1L, 2.0)), got.toString)
+  }
+
   test("markov entropy rate: a deterministic cycle is perfectly predictable") {
     // every user alternates a→b→a→… → both rows are point masses, h = 0
     val ev = (0 until 40).map { i =>
