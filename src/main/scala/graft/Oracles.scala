@@ -3080,14 +3080,15 @@ object Oracles {
          |        GROUP BY l_returnflag)
          |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
          |       ${t6("max(med)")} AS median, ${t6("max(mad)")} AS mad,
-         |       CAST(count(CASE WHEN abs(CAST(0.6745 AS DOUBLE) * (v - med) / mad)
+         |       CAST(count(CASE WHEN mad > 0 AND abs(CAST(0.6745 AS DOUBLE) * (v - med) / mad)
          |         > CAST(3.5 AS DOUBLE) THEN 1 END) AS BIGINT) AS n_outliers
          |FROM dev d JOIN mad USING (l_returnflag)
          |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
 
     // q203: Poisson-bootstrap CI — inverse-CDF Poisson(1) weights at
-    // md5-derived uniforms (thresholds interpolated from the SAME
-    // pinned Stats.PoissonCdf1 array the Spark when-chain uses)
+    // Lehmer-stream uniforms off ONE md5 seed per row (thresholds and
+    // the 48271^(r+1) mod 2³¹−1 multipliers are the SAME pinned arrays
+    // the Spark plan inlines; all modular math is exact BIGINT)
     "q203_poisson_bootstrap" -> {
       val cdf = graft.operators.Stats.PoissonCdf1
       val wCase = "CASE " + cdf.zipWithIndex.map { case (c, k) =>
@@ -3095,14 +3096,20 @@ object Oracles {
       }.mkString + s"ELSE CAST(${cdf.length} AS BIGINT) END"
       val lo = math.max(1, math.ceil(0.05 * 32).toInt)
       val hi = math.max(1, math.ceil(0.95 * 32).toInt)
+      val m = graft.operators.Stats.LehmerM
+      val mults = graft.operators.Stats.lehmerPowers(32).zipWithIndex
+        .map { case (a, r) => s"($r, $a)" }.mkString(", ")
       s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
          |                     CAST(o_totalprice AS DOUBLE) AS x FROM orders),
          |overall AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |                   ${xsum("x")} / count(*) AS mean_raw FROM base),
-         |reps AS (SELECT id, x, r
-         |         FROM base, (SELECT unnest(generate_series(0, 31)) AS r)),
+         |seeded AS (SELECT x,
+         |             CAST(${md5Long("concat('pb|', id)")} % $m AS BIGINT) AS h
+         |           FROM base),
+         |reps AS (SELECT x, h, r, ar
+         |         FROM seeded, (VALUES $mults) AS t(r, ar)),
          |uw AS (SELECT r, x,
-         |         CAST(${md5Long("concat('pb|', CAST(r AS VARCHAR), '|', id)")} % 1000000 AS DOUBLE) / 1e6 AS u
+         |         CAST((h * ar) % $m AS DOUBLE) / CAST($m AS DOUBLE) AS u
          |       FROM reps),
          |ww AS (SELECT r, x, $wCase AS w FROM uw),
          |means AS (
@@ -5356,6 +5363,91 @@ object Oracles {
          |       ${t6("CAST(f.r + 1 AS DOUBLE) * CAST(g.n_r AS DOUBLE) / CAST(f.n_r AS DOUBLE)")} AS r_star
          |FROM ff f JOIN ff g ON g.r = f.r + 1 CROSS JOIN tot
          |WHERE f.r <= 5 ORDER BY f.r""".stripMargin,
+
+    // q301: Newman modularity of the q109 LP communities — replays the
+    // LP rounds verbatim, then per-community integer edge/degree sums
+    // and one pinned double expression per row
+    "q301_modularity" -> {
+      val corpus =
+        s"""SELECT doc_id, text FROM ($nearDupCorpus)
+           |WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT v, label FROM (
+           |    SELECT ed.dst AS v, l.label, count(*) AS n,
+           |           row_number() OVER (PARTITION BY ed.dst
+           |             ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM ed0 ed JOIN l${i - 1} l ON l.v = ed.src
+           |    GROUP BY ed.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${shinglesSql(corpus)},
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, ${t6("CAST(ni AS DOUBLE) / (ca.n + cb.n - ni)")} AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM ed0),
+         |$rounds,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ed0),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed0 GROUP BY src),
+         |dc AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_vertices,
+         |              CAST(sum(deg) AS BIGINT) AS d_c
+         |       FROM deg JOIN l3 l ON l.v = deg.src GROUP BY l.label),
+         |intra AS (SELECT ls.label,
+         |                 CAST(count(*) // 2 AS BIGINT) AS intra_edges
+         |          FROM ed0 e JOIN l3 ls ON ls.v = e.src
+         |                     JOIN l3 ld ON ld.v = e.dst
+         |          WHERE ls.label = ld.label GROUP BY ls.label)
+         |SELECT dc.label, n_vertices,
+         |       COALESCE(intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |       d_c AS degree_sum,
+         |       ${t6("CAST(2 * COALESCE(intra_edges, 0) AS DOUBLE) / CAST(m2 AS DOUBLE) - " +
+                  "(CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE)) * " +
+                  "(CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))")} AS contribution
+         |FROM dc LEFT JOIN intra USING (label) CROSS JOIN tot
+         |ORDER BY dc.label""".stripMargin
+    },
+
+    // q302: 2-D Pareto frontier — per-price max size, running-max cut
+    // over strictly-cheaper rows, item counts at each frontier point
+    "q302_pareto_frontier" ->
+      s"""WITH g AS (SELECT CAST(p_retailprice AS DOUBLE) AS v,
+         |                  CAST(max(p_size) AS BIGINT) AS s
+         |           FROM part GROUP BY 1),
+         |w AS (SELECT v, s, max(s) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+         |      FROM g),
+         |f AS (SELECT v, s FROM w WHERE prevmax IS NULL OR s > prevmax)
+         |SELECT f.v AS p_retailprice, f.s AS p_size,
+         |       CAST(count(*) AS BIGINT) AS n_items
+         |FROM f JOIN part p ON CAST(p.p_retailprice AS DOUBLE) = f.v
+         |                  AND CAST(p.p_size AS BIGINT) = f.s
+         |GROUP BY f.v, f.s ORDER BY p_retailprice""".stripMargin,
+
+    // q303: sorted-neighborhood candidates — q30's simhash, global
+    // (simhash, doc_id) rank, window-2 band pairs, hamming ≤ 2
+    "q303_simhash_neighborhood" ->
+      s"""WITH tok AS (SELECT doc_id, ${md5Long("t")} AS h
+         |            FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM documents)),
+         |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+         |          GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
+         |                  CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS r
+         |           FROM sig)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation

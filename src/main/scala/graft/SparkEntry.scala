@@ -2033,7 +2033,7 @@ object SparkEntry {
     // (Iglewicz–Hoaglin), immune to the outliers it hunts ----
     "q202_mad_outliers" -> ((s, d) =>
       Profile.madOutliers(Tables.lineitem(s, d), "l_returnflag",
-        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
+        "l_extendedprice")),
 
     // ---- Poisson-bootstrap CI for the mean order value: the
     // resampling scheme that distributes (row-local Poisson(1)
@@ -2087,7 +2087,7 @@ object SparkEntry {
     // cumulative-weight thresholds, no FP at the boundary ----
     "q212_weighted_quantiles" -> ((s, d) =>
       Stats.weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
-        "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))),
+        "l_extendedprice", "l_quantity")),
 
     // ---- MI between quantity and return flag: the feature-dependence
     // screen with normalized score ----
@@ -2509,6 +2509,24 @@ object SparkEntry {
     // how much mass rare terms really deserve ----
     "q300_good_turing" -> ((s, d) =>
       TextAnalysis.goodTuring(Tables.documents(s, d))),
+
+    // ---- Newman modularity of the q109 label-propagation communities:
+    // per-community intra-edge share vs degree expectation; Σ = Q ----
+    "q301_modularity" -> ((s, d) => {
+      val e = nearDupPairEdges(s, d)
+      GraphOps.modularity(e, GraphOps.labelPropagation(e, rounds = 3))
+    }),
+
+    // ---- 2-D Pareto frontier of parts (cheapest price per size level):
+    // prefix-max sweep, no dominance self-join ----
+    "q302_pareto_frontier" -> ((s, d) =>
+      Stats.paretoFrontier2d(Tables.part(s, d), "p_retailprice", "p_size")),
+
+    // ---- sorted-neighborhood near-dup candidates: rank docs by their
+    // simhash, pair each with the next 2, keep pairs ≤ 2 bits apart ----
+    "q303_simhash_neighborhood" -> ((s, d) =>
+      Dedup.simhashNeighborhood(Tables.documents(s, d),
+        bits = 16, window = 2, maxHamming = 2)),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>

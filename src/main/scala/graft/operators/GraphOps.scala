@@ -388,23 +388,36 @@ object GraphOps {
     * range for any practical round count. The two finals are
     * checkpointed (each is referenced by both its L1 total and the
     * output join), and the totals are bounded 1-row scalars, the
-    * [[pageRank]] nV pattern. */
-  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    * [[pageRank]] nV pattern.
+    *
+    * Each round's score vector is VERTEX-sized — orders of magnitude
+    * under the edge list — so every iteration checkpoints its vector
+    * and rebroadcasts it (`broadcastVectors`), keeping the cached edge
+    * list shuffle-FREE across all 2·iters joins: the only per-round
+    * exchange is the map-side-combined partial aggregation. (The
+    * r6-bench shuffle-join chain re-exchanged the edge list 10×: 7.2 s
+    * → this plan. For web-scale vertex sets that outgrow a broadcast,
+    * pass broadcastVectors = false to fall back to shuffle joins.) */
+  def hits(edges: DataFrame, iters: Int = 5,
+      broadcastVectors: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions.dsum12
+    val side = (df: DataFrame) =>
+      if (broadcastVectors) broadcast(df) else df
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     val srcs = e.select(col("src").as("v")).distinct().localCheckpoint()
     val nS = lit(srcs.count())
     var hub = srcs.select(col("v"), (lit(1.0) / nS).as("h"))
+      .localCheckpoint()
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      auth = e.join(hub.select(col("v").as("src"), col("h")), "src")
+      auth = e.join(side(hub.select(col("v").as("src"), col("h"))), "src")
         .groupBy(col("dst").as("v")).agg(dsum12(col("h")).as("a"))
-      if (i == iters) auth = auth.localCheckpoint()
-      hub = e.join(auth.select(col("v").as("dst"), col("a")), "dst")
+        .localCheckpoint()
+      hub = e.join(side(auth.select(col("v").as("dst"), col("a"))), "dst")
         .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h"))
+        .localCheckpoint()
     }
-    hub = hub.localCheckpoint()
     val aTot = lit(auth.agg(dsum12(col("a"))).head().getDouble(0))
     val hTot = lit(hub.agg(dsum12(col("h"))).head().getDouble(0))
     hub.select(col("v"), (col("h") / hTot).as("h"))
@@ -413,6 +426,48 @@ object GraphOps {
       .select(col("v"), trunc6(coalesce(col("h"), lit(0.0))).as("hub"),
         trunc6(coalesce(col("a"), lit(0.0))).as("authority"))
       .orderBy("v")
+  }
+
+  /** Newman modularity (Newman & Girvan 2004) of a community
+    * assignment over a SYMMETRIC edge list: per community c,
+    * Q_c = e_c/m − (d_c/2m)² where e_c counts intra-community
+    * undirected edges, d_c sums member degrees and m is the undirected
+    * edge total — the standard score for judging [[labelPropagation]]
+    * output (Q > 0.3 ≈ real structure). Everything stays INTEGER
+    * (directed-edge counts, degree sums) until one pinned double
+    * expression per community; Σ contribution = Q. Plan: one degree
+    * aggregation + one two-sided label join + two label-keyed
+    * aggregations — the labels frame is vertex-sized and each join is
+    * key-partitioned, so the shape survives any graph that fits its
+    * edge list. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val lab = labels.select(col("v").cast("long").as("v"),
+      col("label").cast("long").as("label"))
+    // m2 = directed edge count = 2m; a 1-row bounded scalar
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dC = deg.join(lab.withColumnRenamed("v", "src"), "src")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("d_c"))
+    val intra = e
+      .join(lab.select(col("v").as("src"), col("label").as("ls")), "src")
+      .join(lab.select(col("v").as("dst"), col("label").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label"))
+      // the symmetric list counts every intra edge twice — exact halve
+      .agg(expr("count(1) div 2").as("intra_edges"))
+    val m2d = col("m2").cast("double")
+    dC.join(intra, Seq("label"), "left_outer")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_vertices"), col("intra_edges"),
+        col("d_c").as("degree_sum"),
+        trunc6((lit(2L) * col("intra_edges")).cast("double") / m2d -
+          (col("d_c").cast("double") / m2d) *
+            (col("d_c").cast("double") / m2d)).as("contribution"))
+      .orderBy("label")
   }
 
   def degreeAssortativity(edges: DataFrame): DataFrame = {

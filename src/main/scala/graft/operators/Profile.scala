@@ -71,38 +71,44 @@ object Profile {
   /** Robust per-group outlier screen on the modified z-score
     * (Iglewicz & Hoaglin 1993): median and MAD replace mean/stddev so a
     * few extreme rows can't inflate their own yardstick — the failure
-    * mode of the plain z-score screen. Medians are exact, via the same
-    * mid-rank convention as the exact-median report (average of ranks
-    * ⌈n/2⌉ and ⌈(n+1)/2⌉ under a tie-broken total order); two ranked
-    * window passes + two small joins, no corpus-wide collect. `mad = 0`
-    * groups (over half the values identical) yield ±Inf/NaN z whose
-    * comparisons are false — no row flags, by design. */
+    * mode of the plain z-score screen. Medians are exact (average of
+    * ranks ⌈n/2⌉ and ⌈(n+1)/2⌉), and because the screen keys are
+    * LOW-cardinality flags with data-sized groups, each median rides
+    * the [[Stats.keyedExactMedian]] two-phase prefix-count sweep — a
+    * `Window.partitionBy(key)` here would collapse to |keys|
+    * single-task sorts of the whole corpus. Two sweeps (value, then
+    * absolute deviation) + two key-sized broadcast joins. `mad = 0`
+    * groups (over half the values identical) flag NO rows, by
+    * explicit contract — the modified z is undefined there, and the
+    * guard is a lazy CASE so the division never evaluates (ANSI-safe)
+    * rather than an IEEE ±Inf comparison. */
   def madOutliers(df: DataFrame, key: String, value: String,
-      tieBreaks: Seq[String], zCut: Double = 3.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select((key +: value +: tieBreaks).map(col): _*)
-    def midAvg(in: DataFrame, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(key)
-        .orderBy((col(v) +: tieBreaks.map(col)): _*)
-      in.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(n + 2) div 2"))
-        .groupBy(key)
-        .agg(((min(col(v)) + max(col(v))) / lit(2.0)).as(out))
-    }
-    val med = midAvg(base, value, "med")
-    val dev = base.join(med, key)
-      .withColumn("dev", abs(col(value) - col("med")))
-    val mad = midAvg(dev, "dev", "mad")
+      zCut: Double = 3.5): DataFrame = {
+    // everything past the first rollup is VALUE-level: the z flag
+    // depends only on |x − med| (IEEE |a·b/c| = |a|·|b|/|c| bit-exact
+    // for c > 0), so rows collapse to (k, value, count) once and the
+    // sweeps, the deviation rollup and the final flag count all work
+    // on checkpointed count frames — no second scan of the input
+    val vc = df.select(col(key).cast("string").as("k"),
+        col(value).cast("double").as("v"))
+      .groupBy("k", "v").agg(count(lit(1)).as("na"))
+      .localCheckpoint()
+    val med = Stats.keyedExactMedian(vc, "med", preMaterialized = true)
+    val devc = vc.join(broadcast(med), "k")
+      .groupBy(col("k"), abs(col("v") - col("med")).as("v"))
+      .agg(sum(col("na")).as("na"))
+      .localCheckpoint()
+    val mad = Stats.keyedExactMedian(devc, "mad", preMaterialized = true)
     import graft.functions.TextFunctions.trunc6
-    val z = lit(0.6745) * (col(value) - col("med")) / col("mad")
-    dev.join(mad, key)
-      .groupBy(key)
-      .agg(count(lit(1)).as("n"),
+    val z = lit(0.6745) * col("v") / col("mad")
+    val flagged = when(col("mad") > lit(0.0), abs(z) > lit(zCut))
+      .otherwise(lit(false))
+    devc.join(broadcast(mad), "k").join(broadcast(med), "k")
+      .groupBy(col("k").as(key))
+      .agg(sum(col("na")).as("n"),
         trunc6(max(col("med"))).as("median"),
         trunc6(max(col("mad"))).as("mad"),
-        count(when(abs(z) > lit(zCut), 1)).as("n_outliers"))
+        sum(when(flagged, col("na")).otherwise(lit(0L))).as("n_outliers"))
       .orderBy(key)
   }
 }

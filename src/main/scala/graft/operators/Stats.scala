@@ -21,6 +21,14 @@ object Stats {
     fact.scanLeft(0.0)((acc, f) => acc + 1.0 / f).tail.map(_ * eInv).toArray
   }
 
+  /** MINSTD-Lehmer modulus 2³¹−1 — shared with the oracle SQL. */
+  val LehmerM: Long = 2147483647L
+
+  /** 48271^(r+1) mod 2³¹−1 for r = 0 until n: the pinned per-replicate
+    * multipliers of [[poissonBootstrap]]'s row-seeded Lehmer stream. */
+  def lehmerPowers(n: Int): Array[Long] =
+    Array.iterate(48271L, n)(p => p * 48271L % LehmerM)
+
   /** Bootstrap confidence interval for the mean via the POISSON
     * bootstrap (Chamandy et al. 2012; the resampling scheme that
     * distributes): instead of drawing n rows with replacement — which
@@ -35,20 +43,31 @@ object Stats {
     * (the q192 rule). */
   def poissonBootstrap(df: DataFrame, valueCol: String, idCol: String,
       replicates: Int = 32, salt: String = "pb"): DataFrame = {
+    // ONE md5 per ROW (not per row×replicate — at R=32 that was 32×
+    // the hash/concat cost for the same scan); the R per-replicate
+    // uniforms are MINSTD-Lehmer steps off the shared 31-bit seed:
+    // u_r = (h · 48271^(r+1) mod 2³¹−1) / (2³¹−1), i.e. element r+1 of
+    // the Park–Miller sequence seeded at h (Park & Miller 1988). The
+    // multiplier powers are pinned driver-side LITERALS, products stay
+    // < 2⁶² so the modular math is exact BIGINT in every engine.
     val base = df.select(col(idCol).cast("string").as("id"),
       col(valueCol).cast("double").as("x"))
     val overall = base.agg(count(lit(1)).as("n"),
       (xsum(col("x")) / count(lit(1))).as("mean_raw"))
-    val u = (md5Long(concat(lit(salt + "|"), col("r").cast("string"),
-      lit("|"), col("id"))) % 1000000L).cast("double") / lit(1e6)
+    val aPow = lehmerPowers(replicates)
+    val u = ((col("h") * col("ar")) % lit(LehmerM)).cast("double") /
+      lit(LehmerM.toDouble)
     val weight = PoissonCdf1.zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (c, k)) =>
         Some(acc.fold(when(col("u") < lit(c), k.toLong))(
           _.when(col("u") < lit(c), k.toLong)))
       }.get.otherwise(lit(PoissonCdf1.length.toLong))
     val means = base
-      .select(col("id"), col("x"),
+      .withColumn("h",
+        md5Long(concat(lit(salt + "|"), col("id"))) % lit(LehmerM))
+      .select(col("x"), col("h"),
         explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("ar", element_at(array(aPow.map(lit): _*), col("r") + 1))
       .withColumn("u", u)
       .withColumn("w", weight)
       .groupBy("r")
@@ -89,6 +108,9 @@ object Stats {
     val sized = counts
       .select(col("v").cast("double"), col("na").cast("long"),
         col("nb").cast("long"))
+      // materialize before the range exchange — boundary sampling would
+      // otherwise run the upstream plan a second time
+      .localCheckpoint()
       .repartitionByRange(col("v"))
       .sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd.localCheckpoint()
@@ -104,6 +126,128 @@ object Stats {
       var ca = bc.value._1(i); var cb = bc.value._2(i)
       it.map { case (v, a, b) => ca += a; cb += b; (v, a, b, ca, cb) }
     }.toDF("v", "na", "nb", "ca", "cb")
+  }
+
+  /** KEYED variant of [[orderedPrefixSums]]: exact cumulative (ca, cb)
+    * within each key in ascending-v order, without a per-key global
+    * window. A `Window.partitionBy(key)` over a LOW-cardinality key
+    * degenerates to |keys| single-task sorts of data-sized groups —
+    * the exact-median-per-flag trap — so instead the frame is
+    * range-partitioned by (k, v) (a key may span partitions), each
+    * partition ships its per-key subtotal to the driver (≤ partitions
+    * × |keys| pairs — this path is FOR the few-big-groups regime;
+    * many-small-groups should keep the plain window, whose groups fit
+    * a task), and the second pass seeds per-row running sums from the
+    * broadcast offsets. Checkpointed between phases for the same
+    * boundary-resampling reason as [[orderedPrefixSums]]. Input
+    * (k, v, na, nb) with (k, v) distinct. */
+  private[operators] def keyedPrefixSums(counts: DataFrame,
+      preMaterialized: Boolean = false): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val base = counts
+      .select(col("k").cast("string"), col("v").cast("double"),
+        col("na").cast("long"), col("nb").cast("long"))
+    // checkpoint BEFORE the range exchange: RangePartitioner SAMPLES
+    // its child to pick boundaries, so an unmaterialized input would
+    // execute its whole upstream plan twice (once to sample, once to
+    // exchange); callers that already hold a checkpointed frame skip
+    // the extra copy
+    val sized = (if (preMaterialized) base else base.localCheckpoint())
+      .repartitionByRange(col("k"), col("v"))
+      .sortWithinPartitions("k", "v")
+      .as[(String, Double, Long, Long)].rdd.localCheckpoint()
+    val partSums = sized.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      it.foreach { case (k, _, a, b) =>
+        val (pa, pb) = m.getOrElse(k, (0L, 0L)); m(k) = (pa + a, pb + b)
+      }
+      m.iterator.map { case (k, (a, b)) => (i, k, a, b) }
+    }.collect().sortBy(_._1)
+    val run = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val off = Map.newBuilder[(Int, String), (Long, Long)]
+    partSums.foreach { case (i, k, a, b) =>
+      val cur = run.getOrElse(k, (0L, 0L))
+      off += (((i, k), cur))
+      run(k) = (cur._1 + a, cur._2 + b)
+    }
+    val bc = spark.sparkContext.broadcast(off.result())
+    sized.mapPartitionsWithIndex { case (i, it) =>
+      var curK: String = null; var ca = 0L; var cb = 0L
+      it.map { case (k, v, a, b) =>
+        if (k != curK) {
+          curK = k
+          val o = bc.value((i, k)); ca = o._1; cb = o._2
+        }
+        ca += a; cb += b; (k, v, a, b, ca, cb)
+      }
+    }.toDF("k", "v", "na", "nb", "ca", "cb")
+  }
+
+  /** 2-D Pareto frontier (skyline, Börzsönyi et al. 2001): the points
+    * not dominated under (minimize `minCol`, maximize `maxCol`) —
+    * j dominates i when v_j ≤ v_i ∧ s_j ≥ s_i with one strict. In 2-D
+    * the skyline is exactly the rows whose s exceeds the running max
+    * of s over all strictly-cheaper rows, so instead of the naive
+    * O(n²) dominance self-join the plan is: one (v → max s) value
+    * rollup, a range-partitioned PREFIX-MAX sweep (per-partition max
+    * to the driver — one long per partition — then a seeded running
+    * max; the [[orderedPrefixSums]] two-phase shape), and one join
+    * back to count the items at each frontier point. */
+  def paretoFrontier2d(df: DataFrame, minCol: String,
+      maxCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(minCol).cast("double").as("v"),
+      col(maxCol).cast("long").as("s"))
+    val sized = pts.groupBy("v").agg(max(col("s")).as("s"))
+      // materialized before the range exchange's boundary sampling
+      .localCheckpoint()
+      .repartitionByRange(col("v")).sortWithinPartitions("v")
+      .as[(Double, Long)].rdd.localCheckpoint()
+    val partMax = sized.mapPartitionsWithIndex { case (i, it) =>
+      var m = Long.MinValue
+      it.foreach(r => if (r._2 > m) m = r._2)
+      Iterator((i, m))
+    }.collect().sortBy(_._1)
+    val off = partMax.map(_._2).scanLeft(Long.MinValue)(math.max)
+    val bc = spark.sparkContext.broadcast(off)
+    val frontier = sized.mapPartitionsWithIndex { case (i, it) =>
+      var m = bc.value(i)
+      it.flatMap { case (v, s) =>
+        val keep = s > m
+        if (keep) m = s
+        if (keep) Some((v, s)) else None
+      }
+    }.toDF("v", "s")
+    frontier.join(pts, Seq("v", "s"))
+      .groupBy("v", "s").agg(count(lit(1)).as("n_items"))
+      .select(col("v").as(minCol), col("s").as(maxCol), col("n_items"))
+      .orderBy(minCol)
+  }
+
+  /** Exact per-key medians off a (k, v, na)-count frame via the
+    * [[keyedPrefixSums]] sweep: the value at global rank r within key
+    * k is the first v whose cumulative count reaches r, so the
+    * lower/upper middle ranks (n+1)÷2 and (n+2)÷2 select ≤ 2 rows per
+    * key and the median is their min/max midpoint — rank-identical to
+    * a partitioned row_number window, because equal values are
+    * adjacent under ANY tiebreak and the value at a rank never depends
+    * on intra-tie order. Output (k, med). */
+  private[operators] def keyedExactMedian(countsIn: DataFrame,
+      out: String, preMaterialized: Boolean = false): DataFrame = {
+    val counts = countsIn.select(col("k"), col("v"), col("na"))
+      .withColumn("nb", lit(0L))
+    val tot = counts.groupBy("k").agg(sum(col("na")).as("n"))
+    val r1 = expr("(n + 1) div 2")
+    val r2 = expr("(n + 2) div 2")
+    val covers = (r: Column) =>
+      col("ca") >= r && (col("ca") - col("na")) < r
+    keyedPrefixSums(counts, preMaterialized)
+      .join(broadcast(tot), "k")
+      .filter(covers(r1) || covers(r2))
+      .groupBy("k")
+      .agg(((min(col("v")) + max(col("v"))) / lit(2.0)).as(out))
   }
 
   /** Two-sample Kolmogorov–Smirnov test, exact: D = max |F₁(v) − F₂(v)|
@@ -198,34 +342,35 @@ object Stats {
           (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
   }
 
-  /** Exact weighted quantiles per group: the value at the first ranked
-    * row whose cumulative weight reaches q·W — the lower weighted
-    * median convention, decided entirely in INTEGER arithmetic
-    * (`4·cumw ≥ k·W` for quarters), so no engine's floating point can
-    * flip a boundary row. One ranked window pass over the group, one
-    * tiny argmin join back; the probe fan-out is row-local. Weights
-    * must be non-negative integers (cast-checked by the caller). */
+  /** Exact weighted quantiles per group: the value whose cumulative
+    * weight first reaches q·W — the lower weighted median convention,
+    * decided entirely in INTEGER arithmetic (`4·cumw ≥ k·W` for
+    * quarters), so no engine's floating point can flip a boundary row.
+    * Group keys here are LOW-cardinality (return flags) with
+    * data-sized groups, so a partitioned window would collapse to
+    * |keys| single-task sorts; instead per-(key, value) weight totals
+    * ride the [[keyedPrefixSums]] two-phase sweep and the crossing
+    * value is the unique row with 4·prev < k·W ≤ 4·cum — identical to
+    * the first-ranked-row rule, because every row of a value tie-group
+    * shares its value. Weights must be non-negative integers
+    * (cast-checked by the caller). */
   def weightedQuantiles(df: DataFrame, key: String, value: String,
-      weight: String, tieBreaks: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy(key)
-      .orderBy((col(value) +: tieBreaks.map(col)): _*)
-    val ranked = df
-      .select((key +: value +: weight +: tieBreaks).map(col): _*)
-      .withColumn("wgt", col(weight).cast("long"))
-      .withColumn("rn", row_number().over(ord).cast("long"))
-      .withColumn("cumw", sum(col("wgt")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = ranked.groupBy(key).agg(sum(col("wgt")).as("w_total"))
-    val hit = ranked.join(broadcast(tot), key)
-      .select(col(key), col("rn"), col("cumw"), col("w_total"),
-        explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
-      .filter(lit(4L) * col("cumw") >= col("k") * col("w_total"))
-      .groupBy(key, "k").agg(min(col("rn")).as("rn"))
-    hit.join(ranked.select(col(key), col("rn"), col(value).as("v")),
-        Seq(key, "rn"))
-      .join(broadcast(tot), key)
-      .select(col(key), (col("k").cast("double") / lit(4.0)).as("q"),
+      weight: String): DataFrame = {
+    val counts = df
+      .select(col(key).cast("string").as("k"),
+        col(value).cast("double").as("v"),
+        col(weight).cast("long").as("na"))
+      .groupBy("k", "v").agg(sum(col("na")).as("na"))
+      .withColumn("nb", lit(0L))
+    val tot = counts.groupBy("k").agg(sum(col("na")).as("w_total"))
+    keyedPrefixSums(counts)
+      .join(broadcast(tot), "k")
+      .select(col("k"), col("v"), col("na"), col("ca"), col("w_total"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("qk"))
+      .filter(lit(4L) * col("ca") >= col("qk") * col("w_total") &&
+        lit(4L) * (col("ca") - col("na")) < col("qk") * col("w_total"))
+      .select(col("k").as(key),
+        (col("qk").cast("double") / lit(4.0)).as("q"),
         col("w_total"), col("v").as("value"))
       .orderBy(key, "q")
   }
@@ -692,7 +837,10 @@ object Stats {
       .orderBy(col("score").desc, col("cand"))
     held.join(directed, "item")
       .groupBy("user", "cand")
-      .agg(dsum12(col("sim")).as("score_raw"), count(lit(1)).as("n_links"))
+      // sims sit on the trunc6 grid, so the 8-decimal scaled-long sum
+      // is exact and bit-equal to the oracle's decimal sum — without
+      // dsum12's per-row BigDecimal cast on the holdings×degree fan-out
+      .agg(zsum8(col("sim")).as("score_raw"), count(lit(1)).as("n_links"))
       .join(held.select(col("user"), col("item").as("cand")),
         Seq("user", "cand"), "left_anti")
       .withColumn("score", trunc6(col("score_raw")))

@@ -1430,7 +1430,7 @@ class OperatorSpec extends SparkSpec {
       .zipWithIndex.map { case ((v, w), i) => ("A", v, w, i.toLong, 0L) }
       .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
     val got = Stats.weightedQuantiles(rows, "l_returnflag",
-      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      "l_extendedprice", "l_quantity")
       .select("q", "w_total", "value").as[(Double, Long, Double)].collect().toSeq
     assert(got == Seq((0.25, 104L, 10.0), (0.5, 104L, 10.0), (0.75, 104L, 10.0)),
       got.toString)
@@ -1438,7 +1438,7 @@ class OperatorSpec extends SparkSpec {
     val unif = (1 to 8).map(i => ("B", i.toDouble, 1L, i.toLong, 0L))
       .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
     val g2 = Stats.weightedQuantiles(unif, "l_returnflag",
-      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      "l_extendedprice", "l_quantity")
       .select("q", "value").as[(Double, Double)].collect().toSeq
     assert(g2 == Seq((0.25, 2.0), (0.5, 4.0), (0.75, 6.0)), g2.toString)
   }
@@ -1640,7 +1640,7 @@ class OperatorSpec extends SparkSpec {
       .zipWithIndex.map { case (v, i) => ("A", v, i.toLong, 0L) }
     val got = Profile.madOutliers(
       rows.toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
-      "l_returnflag", "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+      "l_returnflag", "l_extendedprice")
       .as[(String, Long, Double, Double, Long)].collect().toSeq
     assert(got == Seq(("A", 12L, 10.0, 2.0, 1L)), got.toString)
   }
@@ -2376,5 +2376,60 @@ class OperatorSpec extends SparkSpec {
       .select("split_value", "gini", "n_left", "n_right")
       .as[(Double, Double, Long, Long)].head()
     assert(got == ((55.0, 0.0, 55L, 45L)), got.toString)
+  }
+
+  test("modularity: two triangles + bridge score the textbook Q; one blob scores 0") {
+    // triangles {1,2,3} and {4,5,6} bridged 3–4: per community
+    // Q_c = 3/7 − (7/14)² = 0.178571…, Q = 2·Q_c ≈ 0.357
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("v", "label")
+    val got = GraphOps.modularity(e, lab)
+      .select("label", "n_vertices", "intra_edges", "degree_sum", "contribution")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    val qc = t6(3.0 / 7.0 - 0.25)
+    assert(got == Seq((1L, 3L, 3L, 7L), (4L, 3L, 3L, 7L)).map(r =>
+      (r._1, r._2, r._3, r._4, qc)), got.toString)
+    // everything in ONE community: e_c/m = 1, d_c = 2m → Q = 1 − 1 = 0
+    val one = lab.withColumn("label", lit(9L))
+    val q0 = GraphOps.modularity(e, one)
+      .select("contribution").as[Double].collect().toSeq
+    assert(q0 == Seq(0.0), q0.toString)
+  }
+
+  test("pareto frontier: dominated points drop, duplicates count at their point") {
+    // (2,3) is beaten by (2,7); (3,7) by (2,7) on price and (3,8) on size
+    val pts = Seq((1.0, 5L), (1.0, 5L), (2.0, 3L), (2.0, 7L), (3.0, 7L),
+      (3.0, 8L)).toDF("p_retailprice", "p_size")
+    val got = Stats.paretoFrontier2d(pts, "p_retailprice", "p_size")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(got == Seq((1.0, 5L, 2L), (2.0, 7L, 1L), (3.0, 8L, 1L)),
+      got.toString)
+  }
+
+  test("simhash neighborhood: identical docs pair at hamming 0, the stranger doesn't") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated wording about ships and harbors tonight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNeighborhood(docs, bits = 16, window = 2,
+      maxHamming = 0).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
+  }
+
+  test("keyed prefix sweep: medians/MAD survive partition-spanning keys") {
+    // 13-way scrambled input forces keys to straddle range partitions:
+    // A = 1..1000 (median 500.5, MAD 250), B = fifty 5s (MAD 0 → no flags)
+    val rows = ((1 to 1000).map(i => ("A", i.toDouble)) ++
+      (1 to 50).map(_ => ("B", 5.0)))
+    val df = rows.toDF("l_returnflag", "l_extendedprice").repartition(13)
+    val got = Profile.madOutliers(df, "l_returnflag", "l_extendedprice")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("A", 1000L, 500.5, 250.0, 0L), ("B", 50L, 5.0, 0.0, 0L)),
+      got.toString)
   }
 }
