@@ -1901,27 +1901,9 @@ object SparkEntry {
     // ---- exact multi-quantiles per group from ONE window sort: the
     // ddQuantiles rank convention (max(1, ⌈q·n⌉)) joined back against
     // the ranked frame — the exact twin of q114 at arbitrary probes ----
-    "q192_exact_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val qs = Seq(0.25, 0.5, 0.75, 0.95)
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-      val probes = ranked.groupBy("l_returnflag").agg(max(col("rn")).as("n"))
-        .withColumn("q", explode(array(qs.map(lit): _*)))
-        .withColumn("rank", greatest(lit(1L),
-          ceil(col("q") * col("n").cast("double")).cast("long")))
-        .select(col("l_returnflag").as("flag"), col("q"), col("rank"))
-      probes.join(ranked,
-          probes("flag") === ranked("l_returnflag") &&
-            probes("rank") === ranked("rn"))
-        .select(col("flag").as("l_returnflag"), col("q"),
-          col("l_extendedprice").as("value"))
-        .orderBy("l_returnflag", "q")
-    }),
+    "q192_exact_quantiles" -> ((s, d) =>
+      Stats.exactQuantilesPerKey(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))),
 
     // ---- per-user z-score outlier report: moments in one pass
     // (scaled-long exact), z computed row-local after a user-keyed
@@ -2722,27 +2704,12 @@ object SparkEntry {
             lit(0.0))).as("mrr"))
     }),
 
-    // ---- exact per-group median via rank math (one partition-parallel
-    // window sort; the (n+1)/2,(n+2)/2 middle rows averaged — the exact
-    // twin of the q114 DDSketch scale path) ----
-    "q183_exact_median" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val wAll = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(n + 2) div 2"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_mid"),
-          trunc6((min(col("l_extendedprice")) + max(col("l_extendedprice"))) /
-            lit(2.0)).as("median"))
-        .orderBy("l_returnflag")
-    }),
+    // ---- exact per-group median via the keyed prefix-count sweep
+    // (the (n+1)/2,(n+2)/2 middle ranks averaged — the exact twin of
+    // the q114 DDSketch scale path, with no per-key window sort) ----
+    "q183_exact_median" -> ((s, d) =>
+      Stats.exactMedianReport(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")),
 
     // ---- pairwise Pearson matrix over four measures in ONE pass:
     // 15 map-side-combinable moment accumulators (scaled-long exact —

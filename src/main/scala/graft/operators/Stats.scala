@@ -184,6 +184,58 @@ object Stats {
     }.toDF("k", "v", "na", "nb", "ca", "cb")
   }
 
+  /** Exact per-group median report — the [[Sketches]] DDSketch path's
+    * exact twin — on the [[keyedPrefixSums]] sweep: group keys here
+    * are few and data-sized, where a partitioned window collapses to
+    * |keys| single-task sorts. n_mid (1 for odd groups, 2 for even)
+    * and the mid-rank midpoint match the row-level convention
+    * bit-for-bit, because the value at a rank never depends on
+    * intra-tie order. */
+  def exactMedianReport(df: DataFrame, key: String,
+      value: String): DataFrame = {
+    val vc = df.select(col(key).cast("string").as("k"),
+        col(value).cast("double").as("v"))
+      .groupBy("k", "v").agg(count(lit(1)).as("na"))
+      .withColumn("nb", lit(0L))
+      .localCheckpoint()
+    val tot = vc.groupBy("k").agg(sum(col("na")).as("n"))
+    val r1 = expr("(n + 1) div 2")
+    val r2 = expr("(n + 2) div 2")
+    val covers = (r: Column) =>
+      col("ca") >= r && (col("ca") - col("na")) < r
+    keyedPrefixSums(vc, preMaterialized = true)
+      .join(broadcast(tot), "k")
+      .filter(covers(r1) || covers(r2))
+      .groupBy(col("k").as(key))
+      .agg((lit(2L) - max(col("n")) % lit(2L)).as("n_mid"),
+        trunc6((min(col("v")) + max(col("v"))) / lit(2.0)).as("median"))
+      .orderBy(key)
+  }
+
+  /** Exact per-group quantiles at arbitrary probes (rank = ⌈q·n⌉,
+    * floored at 1 — the lower-value convention) via the same sweep:
+    * the probe fan-out joins key-locally, so the only data-sized work
+    * is the one count rollup and the two sweep passes. */
+  def exactQuantilesPerKey(df: DataFrame, key: String, value: String,
+      qs: Seq[Double]): DataFrame = {
+    val vc = df.select(col(key).cast("string").as("k"),
+        col(value).cast("double").as("v"))
+      .groupBy("k", "v").agg(count(lit(1)).as("na"))
+      .withColumn("nb", lit(0L))
+      .localCheckpoint()
+    val probes = vc.groupBy("k").agg(sum(col("na")).as("n"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("rank", greatest(lit(1L),
+        ceil(col("q") * col("n").cast("double")).cast("long")))
+      .select(col("k"), col("q"), col("rank"))
+    keyedPrefixSums(vc, preMaterialized = true)
+      .join(broadcast(probes), "k")
+      .filter(col("ca") >= col("rank") &&
+        col("ca") - col("na") < col("rank"))
+      .select(col("k").as(key), col("q"), col("v").as("value"))
+      .orderBy(key, "q")
+  }
+
   /** 2-D Pareto frontier (skyline, Börzsönyi et al. 2001): the points
     * not dominated under (minimize `minCol`, maximize `maxCol`) —
     * j dominates i when v_j ≤ v_i ∧ s_j ≥ s_i with one strict. In 2-D
@@ -429,11 +481,15 @@ object Stats {
     rows
       .join(ranks("x").toDF("x", "r2x"), "x")
       .join(ranks("y").toDF("y", "r2y"), "y")
+      // the doubled midranks are integers, so their double products are
+      // exact (≤ 2⁵³ up to ~9·10⁷ rows) and psum6's scaled-long sum is
+      // bit-equal to the oracle's decimal sum — minus the per-row
+      // BigDecimal cast dsum12 paid on all three moment columns
       .agg(count(lit(1)).as("n"),
         sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
-        dsum12(d("r2x") * d("r2y")).as("sxy"),
-        dsum12(d("r2x") * d("r2x")).as("sxx"),
-        dsum12(d("r2y") * d("r2y")).as("syy"))
+        psum6(d("r2x") * d("r2y")).as("sxy"),
+        psum6(d("r2x") * d("r2x")).as("sxx"),
+        psum6(d("r2y") * d("r2y")).as("syy"))
       .select(col("n"),
         trunc6((d("n") * col("sxy") - d("sx") * d("sy")) /
           sqrt((d("n") * col("sxx") - d("sx") * d("sx")) *
