@@ -676,6 +676,32 @@ object Oracles {
          |ORDER BY lang""".stripMargin
     }
 
+  /** Register/rho case + estimate fragments at b = 10 (m = 1024),
+    * mirroring Sketches.hllSketch/hllEstimate — shared by the
+    * q304/q305 sketch-family oracles. */
+  private val hll10Rho: String = (1 to 52).map { k =>
+    s"WHEN body % ${1L << k} = ${1L << (k - 1)} THEN $k"
+  }.mkString("CASE ", " ", " ELSE 53 END")
+
+  private def hll10Est(aggFrom: String, key: String): String = {
+    val m = 1024
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    s"""SELECT $key,
+       |  ${t6(s"CASE WHEN rawE <= ${2.5 * m} AND zeros > 0 " +
+          s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE)) " +
+          "ELSE rawE END")} AS est_distinct
+       |FROM (
+       |  SELECT $key, $m - n_present AS zeros,
+       |    (${alpha * m * m} * power(2.0, 53)) /
+       |      CAST(present_scaled + ($m - n_present) *
+       |           CAST(power(2.0, 53) AS BIGINT) AS DOUBLE) AS rawE
+       |  FROM (SELECT $key,
+       |          CAST(SUM(CAST(power(2.0, 53 - max_rho) AS BIGINT)) AS BIGINT)
+       |            AS present_scaled,
+       |          count(*) AS n_present
+       |        FROM $aggFrom GROUP BY $key))""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     "q44_conflicts" -> conflictsSql,
 
@@ -5448,6 +5474,61 @@ object Oracles {
          |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q304: HLL set overlap — tagged b=10 sketches, a register-max
+    // union merge, inclusion–exclusion, exact-join audit column
+    "q304_hll_overlap" ->
+      s"""WITH hs AS (
+         |  SELECT tag,
+         |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 1024 AS register,
+         |    $hll10Rho AS r
+         |  FROM (SELECT event_type AS tag,
+         |          md5(concat('hll|', CAST(user_id AS VARCHAR))) AS h,
+         |          CAST(concat('0x', substr(md5(concat('hll|', CAST(user_id AS VARCHAR))), 9, 13)) AS BIGINT) AS body
+         |        FROM events WHERE event_type IN ('click', 'purchase'))),
+         |sk AS (SELECT tag, register, max(r) AS max_rho FROM hs GROUP BY tag, register),
+         |allsk AS (SELECT * FROM sk
+         |          UNION ALL
+         |          SELECT 'union' AS tag, register, max(max_rho) AS max_rho
+         |          FROM sk GROUP BY register),
+         |est AS (${hll10Est("allsk", "tag")}),
+         |exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
+         |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') ca
+         |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') cb
+         |  USING (user_id))
+         |SELECT a.est_distinct AS est_a, b.est_distinct AS est_b,
+         |       u.est_distinct AS est_union,
+         |       ${t6("a.est_distinct + b.est_distinct - u.est_distinct")} AS est_intersection,
+         |       exact_intersection
+         |FROM est a, est b, est u, exact
+         |WHERE a.tag = 'click' AND b.tag = 'purchase' AND u.tag = 'union'""".stripMargin,
+
+    // q305: rolling 7-day HLL WAU — per-day register tables, day→window
+    // fan-out, register-max merge per target day, exact-twin audit
+    "q305_rolling_hll_wau" ->
+      s"""WITH days AS (SELECT CAST($tsUs // 86400000000 AS BIGINT) AS day,
+         |                     CAST(user_id AS VARCHAR) AS u FROM events),
+         |hs AS (SELECT day,
+         |         CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 1024 AS register,
+         |         $hll10Rho AS r
+         |       FROM (SELECT day, md5(concat('hll|', u)) AS h,
+         |               CAST(concat('0x', substr(md5(concat('hll|', u)), 9, 13)) AS BIGINT) AS body
+         |             FROM days)),
+         |sk AS (SELECT day, register, max(r) AS max_rho FROM hs GROUP BY day, register),
+         |rolled AS (SELECT day_t AS day, register, max(max_rho) AS max_rho
+         |           FROM (SELECT unnest(generate_series(day, day + 6)) AS day_t,
+         |                        register, max_rho FROM sk)
+         |           GROUP BY day_t, register),
+         |est AS (${hll10Est("rolled", "day")}),
+         |exact AS (SELECT day_t AS day, CAST(count(DISTINCT u) AS BIGINT) AS exact_wau
+         |          FROM (SELECT unnest(generate_series(day, day + 6)) AS day_t, u
+         |                FROM (SELECT DISTINCT day, u FROM days))
+         |          GROUP BY day_t),
+         |obs AS (SELECT DISTINCT day FROM days)
+         |SELECT est.day, est.est_distinct AS est_wau, exact_wau,
+         |       ${t6("abs(est.est_distinct - CAST(exact_wau AS DOUBLE)) / CAST(exact_wau AS DOUBLE)")} AS rel_error
+         |FROM est JOIN exact USING (day) JOIN obs USING (day)
+         |ORDER BY est.day""".stripMargin,
 
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation

@@ -2510,6 +2510,25 @@ object SparkEntry {
       Dedup.simhashNeighborhood(Tables.documents(s, d),
         bits = 16, window = 2, maxHamming = 2)),
 
+    // ---- HLL set overlap: click∩purchase users by inclusion–exclusion
+    // on register-max-merged sketches, audited against the exact join ----
+    "q304_hll_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_intersection"))
+      Sketches.hllOverlap(ev, "event_type", "click", "purchase",
+        col("user_id").cast("string"), b = 10)
+        .crossJoin(broadcast(exact))
+    }),
+
+    // ---- rolling 7-day active users from mergeable per-day HLL
+    // sketches — q105's exact report at sketch cost, audit included ----
+    "q305_rolling_hll_wau" -> ((s, d) =>
+      Sketches.rollingHllWau(Tables.events(s, d))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

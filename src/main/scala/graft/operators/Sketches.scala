@@ -80,6 +80,69 @@ object Sketches {
   def hllDistinct(df: DataFrame, keys: Seq[String], value: Column, b: Int = 6): DataFrame =
     hllEstimate(hllSketch(df, keys, value, b), keys, b)
 
+  /** Set-overlap estimate by inclusion–exclusion over HLL sketches
+    * (Flajolet et al. 2007 — register tables merge by MAX, so |A∪B|
+    * reads off the same two sketches without touching the stream
+    * again): one tagged sketch pass over the filtered rows, one
+    * register-max merge, three estimates, |A∩B| ≈ Ea + Eb − E∪. The
+    * intersection's relative error inflates as the true overlap
+    * shrinks (difference of estimates) — callers pair it with the
+    * exact count, the q152 audit convention. */
+  def hllOverlap(df: DataFrame, tagCol: String, tagA: String,
+      tagB: String, value: Column, b: Int = 10): DataFrame = {
+    val tagged = df.filter(col(tagCol).isin(tagA, tagB))
+      .select(col(tagCol).as("tag"), value.as("v"))
+    // register table is tags × m rows — checkpointed so the per-tag
+    // estimates and the union merge don't re-scan the stream
+    val sk = hllSketch(tagged, Seq("tag"), col("v"), b).localCheckpoint()
+    val est = hllEstimate(sk, Seq("tag"), b)
+    val estU = hllEstimate(
+      sk.groupBy("register").agg(max(col("max_rho")).as("max_rho"))
+        .withColumn("tag", lit("union")),
+      Seq("tag"), b)
+    est.filter(col("tag") === tagA)
+      .select(col("est_distinct").as("est_a"))
+      .crossJoin(est.filter(col("tag") === tagB)
+        .select(col("est_distinct").as("est_b")))
+      .crossJoin(estU.select(col("est_distinct").as("est_union")))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        trunc6(col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
+  }
+
+  /** Rolling window-distinct users via MERGEABLE per-day HLL sketches
+    * — the 100 TB path for the exact rolling-actives report: each day
+    * keeps m registers, and a w-day window is a register-max merge of
+    * w day sketches (a row-local day → day..day+w−1 fan-out of the
+    * day-sized register table), never a re-scan of raw events. The
+    * exact twin rides the same fan-out so the report ships its own
+    * accuracy audit. */
+  def rollingHllWau(events: DataFrame, windowDays: Int = 7,
+      b: Int = 10): DataFrame = {
+    val days = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("user_id").cast("string").as("u"))
+    val observed = days.select("day").distinct()
+    val span = lit((windowDays - 1).toLong)
+    val rolled = hllSketch(days, Seq("day"), col("u"), b)
+      .select(explode(sequence(col("day"), col("day") + span)).as("day_t"),
+        col("register"), col("max_rho"))
+      .groupBy(col("day_t").as("day"), col("register"))
+      .agg(max(col("max_rho")).as("max_rho"))
+    val est = hllEstimate(rolled, Seq("day"), b)
+    val exact = days.distinct()
+      .select(explode(sequence(col("day"), col("day") + span)).as("day_t"),
+        col("u"))
+      .groupBy(col("day_t").as("day"))
+      .agg(countDistinct(col("u")).as("exact_wau"))
+    est.join(exact, "day").join(observed, Seq("day"), "left_semi")
+      .select(col("day"), col("est_distinct").as("est_wau"),
+        col("exact_wau"),
+        trunc6(abs(col("est_distinct") - col("exact_wau").cast("double")) /
+          col("exact_wau").cast("double")).as("rel_error"))
+      .orderBy("day")
+  }
+
   /** Count–min sketch (Cormode & Muthukrishnan 2005): a depth×width
     * counter table over a value stream. Like [[hllSketch]], every hash
     * is a salted md5 slice, so the sketch computes bit-identically in

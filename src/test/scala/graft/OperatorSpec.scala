@@ -2421,6 +2421,36 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("hll overlap: inclusion–exclusion lands near the planted intersection") {
+    // |A|=2000, |B|=2000, |A∩B|=1000 — m=1024 registers put each
+    // estimate within a few percent, the difference within ~25%
+    val rows = ((1 to 2000).map(i => ("click", i.toLong)) ++
+      (1001 to 3000).map(i => ("purchase", i.toLong)))
+      .toDF("event_type", "user_id")
+    val got = Sketches.hllOverlap(rows, "event_type", "click", "purchase",
+      col("user_id").cast("string")).head()
+    val inter = got.getAs[Double]("est_intersection")
+    assert(math.abs(inter - 1000.0) < 250.0, got.toString)
+    assert(got.getAs[Double]("est_union") <=
+      got.getAs[Double]("est_a") + got.getAs[Double]("est_b"), got.toString)
+  }
+
+  test("rolling hll wau: window merges track the exact cumulative distinct") {
+    // 3 days of disjoint users; a 7-day window ⇒ exact = cumulative
+    val evs = (for { d <- 0 until 3; u <- 0 until 500 } yield
+      (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d * 86400L + 60)), d * 500L + u))
+      .toDF("ts", "user_id")
+    val got = Sketches.rollingHllWau(evs)
+      .select("day", "exact_wau", "rel_error")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(19723L, 19724L, 19725L).zip(Seq(500L, 1000L, 1500L)) ||
+      got.map(r => r._1 -> r._2) ==
+      Seq(0L -> 500L, 1L -> 1000L, 2L -> 1500L), got.toString)
+    assert(got.forall(_._3 < 0.15), got.toString)
+  }
+
   test("keyed prefix sweep: medians/MAD survive partition-spanning keys") {
     // 13-way scrambled input forces keys to straddle range partitions:
     // A = 1..1000 (median 500.5, MAD 250), B = fifty 5s (MAD 0 → no flags)

@@ -414,14 +414,18 @@ class PlanSpec extends SparkSpec {
       "the registered function must be on the SQL plan: " + p.take(2000))
   }
 
-  test("q183/q185: stacked windows share ONE exchange; q184 is a single scan") {
+  test("q183/q185: sweep queries stay window-free; q184 is a single scan") {
     def plan(q: String) = SparkEntry.queries(q)(spark, sf())
       .queryExecution.executedPlan.toString()
-    // exact median: rank + count windows must reuse one user-keyed
-    // exchange (3 total: window shuffle, post-agg shuffle, final sort)
-    val med = plan("q183_exact_median")
-    assert(med.sliding("Exchange".length).count(_ == "Exchange") <= 4,
-      "median must not add per-window exchanges: " + med.take(1500))
+    // the exact-median/MAD/quantile family rides the keyed prefix
+    // sweep — a partitioned window over the 3-value flag would be
+    // |keys| single-task corpus sorts, the trap this guard pins shut
+    Seq("q183_exact_median", "q192_exact_quantiles", "q202_mad_outliers",
+      "q212_weighted_quantiles").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must ride the prefix sweep, not a window: " + p.take(1500))
+    }
     // scd2: change-detect and version-close windows share the key sort
     val scd = plan("q185_scd2")
     assert(scd.sliding("Exchange".length).count(_ == "Exchange") <= 3,
