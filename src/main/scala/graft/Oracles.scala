@@ -5530,6 +5530,95 @@ object Oracles {
          |FROM est JOIN exact USING (day) JOIN obs USING (day)
          |ORDER BY est.day""".stripMargin,
 
+    // q306: join-cardinality estimate — left-side equi-depth cuts at
+    // the exact q192 ranks, value-level bucket fan-out on both sides,
+    // per-bucket containment formula, real-join audit columns
+    "q306_join_cardinality" -> {
+      val qs = (1 until 16).map(k => (k.toDouble / 16).toString).mkString(", ")
+      s"""WITH lv AS (SELECT CAST(user_id AS BIGINT) AS v,
+         |                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |rv AS (SELECT CAST(o_custkey AS BIGINT) AS v,
+         |              CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+         |ltot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM lv),
+         |lcum AS (SELECT v, n, CAST(sum(n) OVER (ORDER BY v
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca FROM lv),
+         |probes AS (SELECT GREATEST(1, CAST(ceil(q * CAST(nt AS DOUBLE)) AS BIGINT)) AS rnk
+         |           FROM (SELECT unnest([$qs]) AS q) CROSS JOIN ltot),
+         |cuts AS (SELECT CAST(l.v AS DOUBLE) AS cut
+         |         FROM probes p JOIN lcum l ON l.ca >= p.rnk AND l.ca - l.n < p.rnk),
+         |lbk AS (SELECT v, n, CAST(sum(CASE WHEN CAST(v AS DOUBLE) > cut THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM lv CROSS JOIN cuts GROUP BY v, n),
+         |rbk AS (SELECT v, n, CAST(sum(CASE WHEN CAST(v AS DOUBLE) > cut THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM rv CROSS JOIN cuts GROUP BY v, n),
+         |lb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n1,
+         |              CAST(count(*) AS BIGINT) AS d1 FROM lbk GROUP BY bucket),
+         |rb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n2,
+         |              CAST(count(*) AS BIGINT) AS d2 FROM rbk GROUP BY bucket),
+         |est AS (SELECT ${dsum12("CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / GREATEST(CAST(d1 AS DOUBLE), CAST(d2 AS DOUBLE))")} AS est_rows_raw
+         |        FROM lb JOIN rb USING (bucket)),
+         |act AS (SELECT CAST(sum(l.n * r.n) AS BIGINT) AS actual_rows
+         |        FROM lv l JOIN rv r ON l.v = r.v)
+         |SELECT CAST(16 AS BIGINT) AS n_buckets, ${t6("est_rows_raw")} AS est_rows,
+         |       actual_rows,
+         |       ${t6("abs(est_rows_raw - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE)")} AS rel_error
+         |FROM est CROSS JOIN act""".stripMargin
+    },
+
+    // q307: expectations gate — one aggregate scan, five audit rows
+    "q307_expectations_audit" -> {
+      val dom = "('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"
+      s"""WITH agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS du,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN $dom THEN 1 ELSE 0 END) AS DOUBLE) AS pd,
+         |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+         |  CAST(SUM(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS pp
+         |  FROM orders)
+         |SELECT * FROM (
+         |  SELECT 'order_count' AS expectation, ${t6("n")} AS observed,
+         |         (${t6("n")} >= 1000.0 AND ${t6("n")} <= 1e15) AS pass FROM agg
+         |  UNION ALL SELECT 'orderkey_unique', ${t6("du / n")},
+         |         (${t6("du / n")} >= 1.0 AND ${t6("du / n")} <= 1.0) FROM agg
+         |  UNION ALL SELECT 'priority_domain_share', ${t6("pd / n")},
+         |         (${t6("pd / n")} >= 1.0 AND ${t6("pd / n")} <= 1.0) FROM agg
+         |  UNION ALL SELECT 'totalprice_nonnull_share', ${t6("nn / n")},
+         |         (${t6("nn / n")} >= 0.999 AND ${t6("nn / n")} <= 1.0) FROM agg
+         |  UNION ALL SELECT 'totalprice_positive_share', ${t6("pp / n")},
+         |         (${t6("pp / n")} >= 0.999 AND ${t6("pp / n")} <= 1.0) FROM agg)
+         |ORDER BY expectation""".stripMargin
+    },
+
+    // q308: stratified k-fold — salted-hash folds, per-stratum shares
+    "q308_stratified_kfold" ->
+      s"""WITH tagged AS (SELECT o_orderpriority AS stratum,
+         |  CAST(${md5Long("concat('fold|', CAST(o_orderkey AS VARCHAR))")} % 5 AS BIGINT) AS fold
+         |  FROM orders),
+         |tot AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_stratum
+         |        FROM tagged GROUP BY 1)
+         |SELECT t.stratum, fold, CAST(count(*) AS BIGINT) AS n,
+         |       ${t6("CAST(count(*) AS DOUBLE) / CAST(max(n_stratum) AS DOUBLE)")} AS share
+         |FROM tagged t JOIN tot USING (stratum)
+         |GROUP BY t.stratum, fold ORDER BY stratum, fold""".stripMargin,
+
+    // q309: hash-gated class rebalance — integer keep threshold on the
+    // 1e-6 grid, per-class audit with the King–Zeng logit correction
+    "q309_balanced_downsample" ->
+      s"""WITH base AS (SELECT (l_returnflag = 'R') AS pos,
+         |  ${md5Long("concat('bal|', concat_ws('-', l_orderkey, l_linenumber))")} AS h
+         |  FROM lineitem),
+         |counts AS (SELECT pos, CAST(count(*) AS BIGINT) AS n_before
+         |           FROM base GROUP BY pos),
+         |sizes AS (SELECT CAST(min(n_before) AS BIGINT) AS n_min FROM counts),
+         |kept AS (SELECT b.pos, n_before,
+         |  CASE WHEN n_before = n_min THEN TRUE
+         |       ELSE (h % 1000000) < CAST(floor(CAST(n_min AS DOUBLE) / CAST(n_before AS DOUBLE) * 1e6) AS BIGINT)
+         |  END AS keep
+         |  FROM base b JOIN counts USING (pos) CROSS JOIN sizes)
+         |SELECT pos AS is_positive, CAST(max(n_before) AS BIGINT) AS n_before,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  ${t6("CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(n_before) AS DOUBLE)")} AS keep_rate,
+         |  ${t6("ln(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(n_before) AS DOUBLE))")} AS logit_correction
+         |FROM kept GROUP BY pos ORDER BY is_positive""".stripMargin,
+
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation
     "q295_markov_entropy" -> {

@@ -2529,6 +2529,45 @@ object SparkEntry {
     "q305_rolling_hll_wau" -> ((s, d) =>
       Sketches.rollingHllWau(Tables.events(s, d))),
 
+    // ---- join-cardinality estimate: 16-bucket equi-depth histograms
+    // on the shared user key, containment formula vs the real join ----
+    "q306_join_cardinality" -> ((s, d) =>
+      Profile.joinCardinalityEstimate(
+        Tables.events(s, d), "user_id",
+        Tables.orders(s, d), "o_custkey")),
+
+    // ---- declarative expectations gate over orders: volume, key
+    // uniqueness, null/positivity shares, domain membership ----
+    "q307_expectations_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val n = count(lit(1)).cast("double")
+      def share(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("double") / n
+      Profile.expectationsAudit(o, Seq(
+        ("order_count", count(lit(1)).cast("double"), 1000.0, 1e15),
+        ("orderkey_unique",
+          countDistinct(col("o_orderkey")).cast("double") / n, 1.0, 1.0),
+        ("priority_domain_share", share(col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+          1.0, 1.0),
+        ("totalprice_nonnull_share",
+          share(col("o_totalprice").isNotNull), 0.999, 1.0),
+        ("totalprice_positive_share",
+          share(col("o_totalprice") > 0.0), 0.999, 1.0)))
+    }),
+
+    // ---- reproducible stratified 5-fold assignment + balance report ----
+    "q308_stratified_kfold" -> ((s, d) =>
+      Profile.stratifiedKfold(Tables.orders(s, d), "o_orderpriority",
+        col("o_orderkey"), k = 5)),
+
+    // ---- hash-gated majority downsampling toward 1:1 with the
+    // logit correction reported per class ----
+    "q309_balanced_downsample" -> ((s, d) =>
+      Profile.balancedDownsample(Tables.lineitem(s, d),
+        col("l_returnflag") === "R",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

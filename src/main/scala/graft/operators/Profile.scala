@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.trunc6
 
 /** Column-level data profiling — the pre-flight report run before any
   * pipeline touches an unfamiliar table (null density, cardinality,
@@ -110,5 +111,120 @@ object Profile {
         trunc6(max(col("mad"))).as("mad"),
         sum(when(flagged, col("na")).otherwise(lit(0L))).as("n_outliers"))
       .orderBy(key)
+  }
+
+  /** Join-cardinality estimate from equi-depth histograms — the
+    * System-R statistics pass an engine runs BEFORE choosing a join
+    * strategy (Selinger et al. 1979; per-bucket containment
+    * assumption: |b₁⋈b₂| ≈ n₁·n₂ / max(d₁, d₂)). Cut points are the
+    * left side's exact `buckets`-quantiles (the q192 rank rule);
+    * BOTH sides bucket at VALUE level (distinct keys × buckets
+    * row-local fan-out — never a row-level expansion), so the whole
+    * estimate reads two key-count rollups plus bounded bucket math,
+    * while the audit column pays the real join once. */
+  def joinCardinalityEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, buckets: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    val lv = left.select(col(leftKey).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n")).localCheckpoint()
+    val rv = right.select(col(rightKey).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n")).localCheckpoint()
+    val qs = (1 until buckets).map(k => k.toDouble / buckets)
+    val cuts = Stats.exactQuantilesPerKey(
+      left.select(col(leftKey).cast("long").as("x"))
+        .withColumn("k0", lit("all")), "k0", "x", qs)
+      .select(col("value").as("cut"))
+    def bucketed(vals: DataFrame) = vals
+      .crossJoin(broadcast(cuts))
+      .groupBy("v", "n")
+      .agg(sum(when(col("v").cast("double") > col("cut"), 1L)
+        .otherwise(0L)).as("bucket"))
+    val lb = bucketed(lv).groupBy("bucket")
+      .agg(sum(col("n")).as("n1"), count(lit(1)).as("d1"))
+    val rb = bucketed(rv).groupBy("bucket")
+      .agg(sum(col("n")).as("n2"), count(lit(1)).as("d2"))
+    val d = (c: String) => col(c).cast("double")
+    val est = lb.join(rb, "bucket")
+      .agg(dsum12(d("n1") * d("n2") / greatest(d("d1"), d("d2")))
+        .as("est_rows_raw"))
+    val actual = lv.toDF("v", "n1").join(rv.toDF("v", "n2"), "v")
+      .agg(sum(col("n1") * col("n2")).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(lit(buckets.toLong).as("n_buckets"),
+        trunc6(col("est_rows_raw")).as("est_rows"),
+        col("actual_rows"),
+        trunc6(abs(col("est_rows_raw") - col("actual_rows").cast("double")) /
+          col("actual_rows").cast("double")).as("rel_error"))
+  }
+
+  /** One-pass declarative expectations gate (the great-expectations
+    * shape): every metric is an aggregate column over a SINGLE scan,
+    * pass = observed ∈ [lo, hi] on the trunc6 grid. The audit is the
+    * contract a pipeline checks before trusting a new drop of data —
+    * row volume, key uniqueness, null shares, domain membership. */
+  def expectationsAudit(df: DataFrame,
+      metrics: Seq[(String, Column, Double, Double)]): DataFrame = {
+    val agg = df.agg(metrics.head._2.as(metrics.head._1),
+      metrics.tail.map(m => m._2.as(m._1)): _*)
+    val rows = metrics.map { case (name, _, lo, hi) =>
+      struct(lit(name).as("expectation"),
+        trunc6(col(name).cast("double")).as("observed"),
+        lit(lo).as("lo"), lit(hi).as("hi"))
+    }
+    agg.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.expectation").as("expectation"),
+        col("e.observed").as("observed"),
+        (col("e.observed") >= col("e.lo") &&
+          col("e.observed") <= col("e.hi")).as("pass"))
+      .orderBy("expectation")
+  }
+
+  /** Deterministic stratified k-fold assignment + balance report: the
+    * fold of a row is a salted hash of its id (engine-portable, no
+    * RNG state), so folds are reproducible across runs AND engines;
+    * the report shows each stratum's fold shares so a skewed stratum
+    * is caught before training. One tag pass + two bounded rollups. */
+  def stratifiedKfold(df: DataFrame, stratum: String, id: Column,
+      k: Int = 5, salt: String = "fold"): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val tagged = df.select(col(stratum).as("stratum"),
+      (md5Long(concat(lit(salt + "|"), id.cast("string"))) % k).as("fold"))
+    val tot = tagged.groupBy("stratum").agg(count(lit(1)).as("n_stratum"))
+    tagged.groupBy("stratum", "fold").agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), "stratum")
+      .select(col("stratum"), col("fold"), col("n"),
+        trunc6(col("n").cast("double") / col("n_stratum").cast("double"))
+          .as("share"))
+      .orderBy("stratum", "fold")
+  }
+
+  /** Majority-class downsampling by hash gate toward 1:1 — the
+    * imbalance fix that distributes (each row decides locally from a
+    * salted hash; no global shuffle, no RNG coordination). The keep
+    * probability n_min/n_maj is floored to the 10⁻⁶ grid so both
+    * engines compare the SAME integer threshold, and the report ships
+    * ln(keep_rate) — the logit correction that undoes the prior shift
+    * at scoring time (King & Zeng 2001). */
+  def balancedDownsample(df: DataFrame, isPos: Column, id: Column,
+      salt: String = "bal"): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val base = df.select(isPos.as("pos"),
+      md5Long(concat(lit(salt + "|"), id.cast("string"))).as("h"))
+    val counts = base.groupBy("pos").agg(count(lit(1)).as("n_before"))
+    val sizes = counts.agg(min(col("n_before")).as("n_min"))
+    val d = (c: String) => col(c).cast("double")
+    base.join(broadcast(counts), "pos")
+      .crossJoin(broadcast(sizes))
+      .withColumn("thr",
+        floor(d("n_min") / d("n_before") * lit(1e6)).cast("long"))
+      .withColumn("keep", col("n_before") === col("n_min") ||
+        col("h") % lit(1000000L) < col("thr"))
+      .groupBy(col("pos").as("is_positive"))
+      .agg(max(col("n_before")).as("n_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
+      .select(col("is_positive"), col("n_before"), col("n_after"),
+        trunc6(d("n_after") / d("n_before")).as("keep_rate"),
+        trunc6(log(d("n_after") / d("n_before"))).as("logit_correction"))
+      .orderBy("is_positive")
   }
 }

@@ -2421,6 +2421,58 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("join cardinality: uniform buckets estimate the join exactly") {
+    // 100 keys × 2 rows join 100 keys × 3 rows: every equi-depth bucket
+    // is uniform, so containment n1·n2/max(d1,d2) is EXACT → 600 rows
+    val left = (1 to 100).flatMap(k => Seq(k, k)).toDF("user_id")
+    val right = (1 to 100).flatMap(k => Seq(k, k, k)).toDF("o_custkey")
+    val got = Profile.joinCardinalityEstimate(left, "user_id",
+      right, "o_custkey", buckets = 4)
+      .select("est_rows", "actual_rows", "rel_error")
+      .as[(Double, Long, Double)].head()
+    assert(got == ((600.0, 600L, 0.0)), got.toString)
+  }
+
+  test("expectations audit: the planted duplicate key fails exactly one gate") {
+    val rows = Seq((1L, 10.0), (2L, 20.0), (2L, 30.0)).toDF("id", "x")
+    val n = count(lit(1)).cast("double")
+    val got = Profile.expectationsAudit(rows, Seq(
+      ("count_min", count(lit(1)).cast("double"), 3.0, 1e9),
+      ("id_unique", countDistinct(col("id")).cast("double") / n, 1.0, 1.0),
+      ("x_positive", sum(when(col("x") > 0, 1L).otherwise(0L)).cast("double") / n,
+        1.0, 1.0)))
+      .select("expectation", "pass").as[(String, Boolean)].collect().toMap
+    assert(got == Map("count_min" -> true, "id_unique" -> false,
+      "x_positive" -> true), got.toString)
+  }
+
+  test("stratified kfold: folds stay in range and shares sum to one") {
+    val rows = (1 to 500).map(i => (s"s${i % 3}", i.toLong)).toDF("grp", "id")
+    val got = Profile.stratifiedKfold(rows, "grp", col("id"), k = 5)
+      .select("stratum", "fold", "n", "share")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.forall(r => r._2 >= 0 && r._2 < 5), got.toString)
+    val byStratum = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(byStratum.toMap.values.toSet == Set(167L, 167L, 166L).toSet ||
+      byStratum.values.sum == 500L, byStratum.toString)
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s > 0.99 && s <= 1.0 + 1e-9, s.toString)
+    }
+  }
+
+  test("balanced downsample: minority survives whole, majority lands near 1:1") {
+    val rows = ((1 to 100).map(i => (true, i.toLong)) ++
+      (1 to 1000).map(i => (false, 1000L + i))).toDF("pos", "id")
+    val got = Profile.balancedDownsample(rows, col("pos"), col("id"))
+      .select("is_positive", "n_before", "n_after")
+      .as[(Boolean, Long, Long)].collect()
+      .map { case (p, b, a) => p -> ((b, a)) }.toMap
+    assert(got(true) == ((100L, 100L)), got.toString)
+    val (nb, na) = got(false)
+    assert(nb == 1000L && math.abs(na - 100L) < 40L, got.toString)
+  }
+
   test("hll overlap: inclusion–exclusion lands near the planted intersection") {
     // |A|=2000, |B|=2000, |A∩B|=1000 — m=1024 registers put each
     // estimate within a few percent, the difference within ~25%
