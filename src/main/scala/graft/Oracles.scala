@@ -5619,6 +5619,31 @@ object Oracles {
          |  ${t6("ln(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(n_before) AS DOUBLE))")} AS logit_correction
          |FROM kept GROUP BY pos ORDER BY is_positive""".stripMargin,
 
+    // q310: sorted-neighborhood candidates → connected components —
+    // q303's pair SQL closed transitively (the q62 closure pattern)
+    "q310_neighborhood_clusters" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, ${md5Long("t")} AS h
+         |            FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM documents)),
+         |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+         |          GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
+         |                  CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS r
+         |           FROM sig),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, rr) AS (
+         |  SELECT DISTINCT src AS id, src AS rr FROM edges
+         |  UNION
+         |  SELECT e.src, reach.rr FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(rr) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation
     "q295_markov_entropy" -> {

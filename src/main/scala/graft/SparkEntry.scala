@@ -2568,6 +2568,13 @@ object SparkEntry {
         col("l_returnflag") === "R",
         concat_ws("-", col("l_orderkey"), col("l_linenumber")))),
 
+    // ---- the blocking→resolution ER pipeline end-to-end: q303's
+    // sorted-neighborhood candidates feed star-contraction clusters ----
+    "q310_neighborhood_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.simhashNeighborhood(Tables.documents(s, d),
+          bits = 16, window = 2, maxHamming = 2))),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),
