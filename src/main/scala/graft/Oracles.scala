@@ -5644,6 +5644,28 @@ object Oracles {
          |SELECT id AS doc_id, min(rr) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // q311: per-fold midrank AUC — the q211 integer rank algebra with
+    // the salted-hash fold as the partition key
+    "q311_kfold_auc" ->
+      s"""WITH f AS (SELECT
+         |    CAST(${md5Long("concat('fold|', CAST(o_orderkey AS VARCHAR))")} % 5 AS BIGINT) AS fold,
+         |    o_totalprice AS v,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+         |  FROM orders),
+         |counts AS (SELECT fold, v, CAST(count(*) AS BIGINT) AS cnt,
+         |                  CAST(sum(pos) AS BIGINT) AS n_pos
+         |           FROM f GROUP BY fold, v),
+         |cum AS (SELECT fold, cnt, n_pos,
+         |          CAST(sum(cnt) OVER (PARTITION BY fold ORDER BY v
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |        FROM counts),
+         |r AS (SELECT fold, cnt, n_pos, 2 * (cum - cnt) + cnt + 1 AS r2 FROM cum)
+         |SELECT fold, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |       CAST(sum(cnt - n_pos) AS BIGINT) AS n_neg,
+         |       ${t6("CAST(CAST(sum(n_pos * r2) AS BIGINT) - CAST(sum(n_pos) AS BIGINT) * (CAST(sum(n_pos) AS BIGINT) + 1) AS DOUBLE) / " +
+              "CAST(2 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(cnt - n_pos) AS BIGINT) AS DOUBLE)")} AS auc
+         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+
     // q295: Markov entropy rate — the q276 stationary chain joined to
     // per-state conditional entropies from one 25-row aggregation
     "q295_markov_entropy" -> {

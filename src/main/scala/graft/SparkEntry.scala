@@ -2575,6 +2575,16 @@ object SparkEntry {
         Dedup.simhashNeighborhood(Tables.documents(s, d),
           bits = 16, window = 2, maxHamming = 2))),
 
+    // ---- cross-validated ranking metric: per-fold exact midrank AUC
+    // of order value → urgency, all five folds in ONE keyed sweep ----
+    "q311_kfold_auc" -> ((s, d) => {
+      import graft.functions.TextFunctions.md5Long
+      val o = Tables.orders(s, d).withColumn("fold",
+        md5Long(concat(lit("fold|"), col("o_orderkey").cast("string"))) % 5)
+      Stats.aucByKey(o, col("fold"), "o_totalprice",
+        col("o_orderpriority") === "1-URGENT")
+    }),
+
     // ---- time-travel diff: what did the q126 MERGE actually touch ----
     "q141_snapshot_diff" -> ((s, d) =>
       pipeline.TableOps.snapshotDiff(s, mergeTableFor(s, d),

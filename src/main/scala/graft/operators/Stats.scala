@@ -184,6 +184,32 @@ object Stats {
     }.toDF("k", "v", "na", "nb", "ca", "cb")
   }
 
+  /** Per-key exact midrank AUC — [[aucRankSum]] generalized over the
+    * [[keyedPrefixSums]] sweep, so a k-fold cross-validated ranking
+    * metric (key = fold) runs as ONE plan: one (key, score) count
+    * rollup, one keyed sweep, integer rank algebra per key, a single
+    * double division per output row. */
+  def aucByKey(df: DataFrame, key: Column, scoreCol: String,
+      isPos: Column): DataFrame = {
+    val counts = df.select(key.as("k"), col(scoreCol).as("v"),
+        when(isPos, 1L).otherwise(0L).as("pos"))
+      .groupBy("k", "v")
+      .agg(count(lit(1)).as("na"), sum(col("pos")).as("nb"))
+    keyedPrefixSums(counts)
+      .select(col("k"), col("na").as("cnt"), col("nb").as("n_pos"),
+        col("ca").as("cum"))
+      .withColumn("r2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .groupBy(col("k").cast("long").as("fold"))
+      .agg(sum(col("n_pos") * col("r2")).as("sum_r2"),
+        sum(col("n_pos")).as("np"),
+        sum(col("cnt") - col("n_pos")).as("nn"))
+      .select(col("fold"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        trunc6((col("sum_r2") - col("np") * (col("np") + lit(1L))).cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double")).as("auc"))
+      .orderBy("fold")
+  }
+
   /** Exact per-group median report — the [[Sketches]] DDSketch path's
     * exact twin — on the [[keyedPrefixSums]] sweep: group keys here
     * are few and data-sized, where a partitioned window collapses to

@@ -2421,6 +2421,15 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("auc by key: per-fold rank algebra matches the planted separations") {
+    val rows = ((1 to 20).map(i => (0L, i.toDouble, i > 10)) ++
+      (1 to 20).map(i => (1L, i.toDouble, i <= 10)))
+      .toDF("fold", "score", "is_pos")
+    val got = Stats.aucByKey(rows, col("fold"), "score", col("is_pos"))
+      .select("fold", "auc").as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 1.0, 1L -> 0.0), got.toString)
+  }
+
   test("join cardinality: uniform buckets estimate the join exactly") {
     // 100 keys × 2 rows join 100 keys × 3 rows: every equi-depth bucket
     // is uniform, so containment n1·n2/max(d1,d2) is EXACT → 600 rows
