@@ -5644,6 +5644,28 @@ object Oracles {
          |SELECT id AS doc_id, min(rr) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // q312: contrastive triplets — q161's exact top-1 cosine positive,
+    // salted-hash-ranked negatives excluding query and positive
+    "q312_triplet_mine" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id IN (0, 7, 11, 23, 42)),
+         |sc AS (SELECT q.qid, e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |       FROM embeddings e, qs q WHERE e.vec_id != q.qid),
+         |pos AS (SELECT qid, id AS pos_id, score AS pos_score FROM (
+         |  SELECT qid, id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |cand AS (SELECT p.qid, p.pos_id, p.pos_score, e.vec_id AS neg_id,
+         |           ${md5Long("concat('neg|', CAST(p.qid AS VARCHAR), '|', CAST(e.vec_id AS VARCHAR))")} AS h
+         |         FROM embeddings e, pos p
+         |         WHERE e.vec_id != p.qid AND e.vec_id != p.pos_id)
+         |SELECT qid, pos_id, pos_score, CAST(rn AS BIGINT) AS neg_rank, neg_id
+         |FROM (SELECT qid, pos_id, pos_score, neg_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY h, neg_id) AS rn
+         |      FROM cand)
+         |WHERE rn <= 4 ORDER BY qid, neg_rank""".stripMargin,
+
     // q311: per-fold midrank AUC — the q211 integer rank algebra with
     // the salted-hash fold as the partition key
     "q311_kfold_auc" ->

@@ -2575,6 +2575,12 @@ object SparkEntry {
         Dedup.simhashNeighborhood(Tables.documents(s, d),
           bits = 16, window = 2, maxHamming = 2))),
 
+    // ---- contrastive triplets: exact top-1 positive + 4 hash-ranked
+    // negatives per query — the DPR/InfoNCE training-data shape ----
+    "q312_triplet_mine" -> ((s, d) =>
+      Retrieval.tripletMine(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 7L, 11L, 23L, 42L), negatives = 4)),
+
     // ---- cross-validated ranking metric: per-fold exact midrank AUC
     // of order value → urgency, all five folds in ONE keyed sweep ----
     "q311_kfold_auc" -> ((s, d) => {

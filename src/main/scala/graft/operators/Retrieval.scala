@@ -72,6 +72,36 @@ object Retrieval {
     cut.orderBy("qid", "rank")
   }
 
+  /** Contrastive-training triplet construction — the DPR/InfoNCE data
+    * shape (Karpukhin et al. 2020): per query vector, the POSITIVE is
+    * its exact cosine top-1 neighbor and the `negatives` NEGATIVES are
+    * hash-ranked draws from the corpus (salted md5 per (query,
+    * candidate) — deterministic across runs AND engines, no RNG
+    * state), excluding the query itself and its positive. The negative
+    * draw is a per-query top-k by hash, so it rides the same bounded-
+    * heap TopK path as retrieval; at corpus scale gate candidates by
+    * hash threshold first so the ranked set is ~k·oversample per
+    * query, never the corpus. */
+  def tripletMine(embeddings: DataFrame, queryIds: Seq[Long],
+      negatives: Int = 4, salt: String = "neg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.md5Long
+    val pos = cosineKnnBatch(embeddings, queryIds, topK = 1)
+      .select(col("qid"), col("id").as("pos_id"),
+        col("score").as("pos_score"))
+    val w = Window.partitionBy("qid").orderBy(col("h"), col("neg_id"))
+    embeddings.select(col("vec_id").as("neg_id"))
+      .crossJoin(broadcast(pos))
+      .filter(col("neg_id") =!= col("qid") && col("neg_id") =!= col("pos_id"))
+      .withColumn("h", md5Long(concat(lit(salt + "|"),
+        col("qid").cast("string"), lit("|"), col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= negatives)
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** Matryoshka-truncated KNN (Kusupati et al. 2022): cosine top-k
     * over only the FIRST `dims` components of every embedding — the
     * coarse stage of matryoshka retrieval, where an MRL-trained

@@ -2421,6 +2421,18 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("triplet mine: positive is the true top-1, negatives exclude both") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)),
+      (4L, Array(0.5f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.tripletMine(vecs, Seq(0L), negatives = 2)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got.forall(_._2 == 1L), got.toString)
+    assert(got.map(_._5).toSet.intersect(Set(0L, 1L)).isEmpty, got.toString)
+    assert(got.map(_._4) == Seq(1L, 2L), got.toString)
+  }
+
   test("auc by key: per-fold rank algebra matches the planted separations") {
     val rows = ((1 to 20).map(i => (0L, i.toDouble, i > 10)) ++
       (1 to 20).map(i => (1L, i.toDouble, i <= 10)))
