@@ -5666,6 +5666,58 @@ object Oracles {
          |      FROM cand)
          |WHERE rn <= 4 ORDER BY qid, neg_rank""".stripMargin,
 
+    // q313: stutter audit — 1-based list twin of the 0-based Spark
+    // adjacent-equality lambda, per-language rollup
+    "q313_stutter_audit" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       CAST(sum(st) AS BIGINT) AS n_stutter,
+         |       ${t6("CAST(sum(st) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS stutter_rate
+         |FROM (SELECT lang, CAST(len(s) AS BIGINT) AS n,
+         |        CASE WHEN len(s) >= 2
+         |             THEN CAST(len(list_filter(list_transform(generate_series(2, len(s)),
+         |                    i -> s[i] = s[i - 1]), x -> x)) AS BIGINT)
+         |             ELSE CAST(0 AS BIGINT) END AS st
+         |      FROM (SELECT lang, ${toks("text")} AS s FROM documents))
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q314: materialized-column integrity — n_chars vs the text length
+    "q314_field_consistency" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_chars != len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |       CAST(max(abs(n_chars - len(text))) AS BIGINT) AS max_abs_diff
+        |FROM documents""".stripMargin,
+
+    // q315: per-source Gopher pass rates — the q88 battery joined back
+    // to the acquisition feed
+    "q315_source_quality_gate" ->
+      s"""WITH w AS (SELECT doc_id, ${toks("text")} AS words FROM documents),
+         |b AS (SELECT doc_id, words, len(words) AS n_words,
+         |        CASE WHEN len(words) >= 2
+         |             THEN list_transform(range(1, len(words)),
+         |                    i -> concat(words[i], ' ', words[i + 1]))
+         |             ELSE CAST([] AS VARCHAR[]) END AS bigrams
+         |      FROM w),
+         |m AS (SELECT doc_id,
+         |        CAST(n_words AS BIGINT) AS n_words,
+         |        ${t6("CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / n_words")} AS mean_word_len,
+         |        ${t6("1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words")} AS dup_word_frac,
+         |        CASE WHEN n_words >= 2 THEN
+         |          ${t6("CAST(list_max(list_transform(list_distinct(bigrams), bg -> len(list_filter(bigrams, x -> x = bg)))) AS DOUBLE) / (n_words - 1)")}
+         |        ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+         |        CAST(len(list_filter(['the','be','to','of','and','that','have','with','a','in'],
+         |          s -> list_contains(words, s))) AS BIGINT) AS stop_hits
+         |      FROM b),
+         |k AS (SELECT doc_id,
+         |        (n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |         AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.10 AND stop_hits >= 1) AS keep
+         |      FROM m)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       ${t6("CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pass_rate
+         |FROM documents d JOIN k USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     // q311: per-fold midrank AUC — the q211 integer rank algebra with
     // the salted-hash fold as the partition key
     "q311_kfold_auc" ->

@@ -2581,6 +2581,36 @@ object SparkEntry {
       Retrieval.tripletMine(Tables.embeddings(s, d),
         queryIds = Seq(0L, 7L, 11L, 23L, 42L), negatives = 4)),
 
+    // ---- stutter audit: what a consecutive-duplicate-token collapse
+    // (C4-style repetition trim) would remove, per language ----
+    "q313_stutter_audit" -> ((s, d) =>
+      TextAnalysis.stutterAudit(Tables.documents(s, d))),
+
+    // ---- ingest-integrity audit: does the materialized n_chars
+    // column still agree with the text it describes ----
+    "q314_field_consistency" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        max(abs(col("n_chars") - length(col("text")))).cast("long")
+          .as("max_abs_diff"))),
+
+    // ---- per-source Gopher gate pass rates: which feeds are worth
+    // ingesting at all — the acquisition-level quality report ----
+    "q315_source_quality_gate" -> ((s, d) => {
+      val g = TextAnalysis.gopherQuality(Tables.documents(s, d))
+        .select(col("doc_id"), col("keep"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(g, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_rate", trunc6(
+          col("n_pass").cast("double") / col("n_docs").cast("double")))
+        .orderBy("source")
+    }),
+
     // ---- cross-validated ranking metric: per-fold exact midrank AUC
     // of order value → urgency, all five folds in ONE keyed sweep ----
     "q311_kfold_auc" -> ((s, d) => {

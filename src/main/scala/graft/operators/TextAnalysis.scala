@@ -1586,4 +1586,27 @@ object TextAnalysis {
           col("n_r").cast("double")).as("r_star"))
       .orderBy("r")
   }
+
+  /** Consecutive-duplicate token audit — what a stutter-collapse
+    * cleaning pass (the C4 whitespace/repetition trim) would remove,
+    * rolled up per language. Row-local array lambda (Spark's 0-based
+    * indexing mirrors the twin's 1-based list form shifted by one),
+    * one lang-keyed aggregation; single-token docs contribute zero by
+    * the explicit CASE (Spark's sequence(1, 0) DESCENDS — never build
+    * it). */
+  def stutterAudit(docs: DataFrame): DataFrame = {
+    val d = (c: String) => col(c).cast("double")
+    docs.select(col("lang"), tokens(col("text")).as("t"))
+      .select(col("lang"), size(col("t")).cast("long").as("n"),
+        when(size(col("t")) >= 2,
+          expr("size(filter(transform(sequence(1, size(t) - 1), " +
+            "i -> t[i] = t[i - 1]), x -> x))").cast("long"))
+          .otherwise(lit(0L)).as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("s")).as("n_stutter"))
+      .withColumn("stutter_rate",
+        trunc6(d("n_stutter") / d("n_tokens")))
+      .orderBy("lang")
+  }
 }

@@ -2421,6 +2421,17 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("stutter audit: planted adjacent repeats are counted, singles aren't") {
+    val docs = Seq(
+      (1L, "en", "a a b c c c"),
+      (2L, "en", "x"),
+      (3L, "de", "q w e")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.stutterAudit(docs)
+      .select("lang", "n_docs", "n_tokens", "n_stutter")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("de", 1L, 3L, 0L), ("en", 2L, 7L, 3L)), got.toString)
+  }
+
   test("triplet mine: positive is the true top-1, negatives exclude both") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
