@@ -5666,6 +5666,42 @@ object Oracles {
          |      FROM cand)
          |WHERE rn <= 4 ORDER BY qid, neg_rank""".stripMargin,
 
+    // q316: blocking recall — md5-group ground-truth pairs vs the q303
+    // candidate set over the exact-copy corpus
+    "q316_blocking_recall" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |                UNION ALL
+         |                SELECT doc_id + 10000, text FROM documents),
+         |grp AS (SELECT md5(text) AS h, list_sort(list(doc_id)) AS ids
+         |        FROM corpus GROUP BY md5(text) HAVING count(*) >= 2),
+         |tp AS (SELECT CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi
+         |       FROM (SELECT unnest(flatten(list_transform(generate_series(1, len(ids) - 1),
+         |               i -> list_transform(ids[i + 1:],
+         |                      x -> {'lo': ids[i], 'hi': x})))) AS p
+         |             FROM grp)),
+         |tok AS (SELECT doc_id, ${md5Long("t")} AS h
+         |        FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM corpus)),
+         |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+         |          GROUP BY doc_id, i),
+         |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM votes GROUP BY doc_id),
+         |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
+         |                  CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS r
+         |           FROM sig),
+         |cands AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS lo,
+         |                 greatest(a.doc_id, b.doc_id) AS hi
+         |          FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tp),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM tp WHERE EXISTS (SELECT 1 FROM cands c
+         |                             WHERE c.lo = tp.lo AND c.hi = tp.hi))
+         |SELECT n_true_pairs, n_candidates, n_hit,
+         |       ${t6("CAST(n_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")} AS recall
+         |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin,
+
     // q313: stutter audit — 1-based list twin of the 0-based Spark
     // adjacent-equality lambda, per-language rollup
     "q313_stutter_audit" ->

@@ -2596,6 +2596,16 @@ object SparkEntry {
         max(abs(col("n_chars") - length(col("text")))).cast("long")
           .as("max_abs_diff"))),
 
+    // ---- blocking-recall audit: q303's sorted-neighborhood candidates
+    // scored against exact-duplicate ground truth (planted copies) ----
+    "q316_blocking_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.blockingRecallAudit(corpus, bits = 16, window = 2,
+        maxHamming = 2)
+    }),
+
     // ---- per-source Gopher gate pass rates: which feeds are worth
     // ingesting at all — the acquisition-level quality report ----
     "q315_source_quality_gate" -> ((s, d) => {

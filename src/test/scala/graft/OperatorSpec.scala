@@ -2421,6 +2421,17 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L)) || got == Seq((2L, 1L, 0L)), got.toString)
   }
 
+  test("blocking recall: a window-2 neighborhood misses the far ends of a 4-run") {
+    // 4 identical docs = 6 true pairs; adjacent-rank window 2 yields
+    // (1,2)(1,3)(2,3)(2,4)(3,4) — (1,4) is out of reach → recall 5/6
+    val docs = ((1L to 4L).map(i => (i, "same exact text here")) :+
+      ((9L, "something different entirely"))).toDF("doc_id", "text")
+    val got = Dedup.blockingRecallAudit(docs, window = 2)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((6L, 5L, 5L, math.floor(5.0 / 6 * 1e6) / 1e6)),
+      got.toString)
+  }
+
   test("stutter audit: planted adjacent repeats are counted, singles aren't") {
     val docs = Seq(
       (1L, "en", "a a b c c c"),
