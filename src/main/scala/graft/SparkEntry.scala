@@ -2606,6 +2606,15 @@ object SparkEntry {
         maxHamming = 2)
     }),
 
+    // ---- the recall/cost frontier over blocking window sizes: one
+    // shared ranking, every operating point a filter (q168 pattern) ----
+    "q317_blocking_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.blockingRecallSweep(corpus, windows = Seq(1, 2, 4, 8))
+    }),
+
     // ---- per-source Gopher gate pass rates: which feeds are worth
     // ingesting at all — the acquisition-level quality report ----
     "q315_source_quality_gate" -> ((s, d) => {

@@ -2432,6 +2432,16 @@ class OperatorSpec extends SparkSpec {
       got.toString)
   }
 
+  test("blocking sweep: recall climbs monotonically to 1 as the window covers the run") {
+    val docs = ((1L to 4L).map(i => (i, "same exact text here")) :+
+      ((9L, "something different entirely"))).toDF("doc_id", "text")
+    val got = Dedup.blockingRecallSweep(docs, windows = Seq(1, 2, 3))
+      .select("window", "n_hit", "recall")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(3L, 5L, 6L), got.toString)
+    assert(got.last._3 == 1.0, got.toString)
+  }
+
   test("stutter audit: planted adjacent repeats are counted, singles aren't") {
     val docs = Seq(
       (1L, "en", "a a b c c c"),
