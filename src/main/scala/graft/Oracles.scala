@@ -5666,6 +5666,79 @@ object Oracles {
          |      FROM cand)
          |WHERE rn <= 4 ORDER BY qid, neg_rank""".stripMargin,
 
+    // q318: tokenizer fertility — the q60 exact-BPE replay rolled up
+    // per language against whitespace word counts
+    "q318_tokenizer_fertility" -> {
+      val pat = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      val merges = graft.operators.TextAnalysis.BpeMergeRanks.toSeq
+        .sortBy(_._2).map(_._1)
+      val mergesList = merges
+        .map(m => "'" + m.replace("'", "''") + "'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |pieces AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS piece
+         |  FROM documents WHERE doc_id < 60),
+         |cores AS (
+         |  SELECT doc_id, row_number() OVER () AS pidx,
+         |         CASE WHEN starts_with(piece, ' ') THEN substr(piece, 2)
+         |              ELSE piece END AS core
+         |  FROM pieces WHERE NOT regexp_matches(piece, '^\\s+$$')),
+         |r AS (
+         |  SELECT doc_id, pidx, regexp_extract_all(core, '(?s).') AS syms, 0 AS iter
+         |  FROM cores
+         |  UNION ALL
+         |  SELECT doc_id, pidx,
+         |         syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:],
+         |         iter + 1
+         |  FROM (SELECT doc_id, pidx, syms, iter,
+         |               list_min(ranks) AS best,
+         |               list_position(ranks, list_min(ranks)) AS pos
+         |        FROM (SELECT doc_id, pidx, syms, iter,
+         |                     list_transform(generate_series(1, len(syms) - 1),
+         |                       i -> coalesce(nullif(list_position($mergesList,
+         |                              syms[i] || ' ' || syms[i+1]), 0), 999999)) AS ranks
+         |              FROM r WHERE len(syms) >= 2))
+         |  WHERE best < 999999),
+         |merged AS (SELECT doc_id, pidx, arg_max(len(syms), iter) AS n
+         |           FROM r GROUP BY doc_id, pidx),
+         |bpe AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens_exact FROM (
+         |  SELECT doc_id, n FROM merged
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS n FROM pieces WHERE regexp_matches(piece, '^\\s+$$'))
+         |GROUP BY doc_id),
+         |words AS (SELECT doc_id, lang,
+         |            CAST(len(${toks("text")}) AS BIGINT) AS n_words
+         |          FROM documents WHERE doc_id < 60)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tokens_exact) AS BIGINT) AS n_bpe_tokens,
+         |       ${t6("CAST(sum(n_tokens_exact) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)")} AS fertility
+         |FROM words JOIN bpe USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // q319: packing-budget sweep — the q68 offset formula at four
+    // budgets, per-budget fragmentation rollup
+    "q319_packing_sweep" -> {
+      val arms = Seq(512L, 1024L, 2048L, 4096L).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS budget,
+           |       CAST(count(*) AS BIGINT) AS n_seqs,
+           |       CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           |       CAST(SUM(CASE WHEN seq_tokens > $b THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+           |       ${t6(s"CAST(sum(seq_tokens) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${b.toDouble})")} AS mean_fill
+           |FROM (SELECT start // $b AS shard, CAST(sum(n) AS BIGINT) AS seq_tokens
+           |      FROM cum GROUP BY 1)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id,
+         |                CAST(len(${toks("text")}) AS BIGINT) AS n FROM documents),
+         |cum AS (SELECT doc_id, n,
+         |          CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+         |               AS BIGINT) AS start
+         |        FROM toks)
+         |$arms
+         |ORDER BY budget""".stripMargin
+    },
+
     // q316: blocking recall — md5-group ground-truth pairs vs the q303
     // candidate set over the exact-copy corpus
     "q316_blocking_recall" ->

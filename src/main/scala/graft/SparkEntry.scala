@@ -2606,6 +2606,42 @@ object SparkEntry {
         maxHamming = 2)
     }),
 
+    // ---- tokenizer fertility per language: exact BPE tokens per
+    // whitespace word — the multilingual-tokenizer health metric
+    // (capped corpus, the q60 convention) ----
+    "q318_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(TextAnalysis.bpeExactTokenCount(docs), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens_exact")).as("n_bpe_tokens"))
+        .withColumn("fertility", trunc6(
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
+        .orderBy("lang")
+    }),
+
+    // ---- packing-budget sweep: sequences, overflow count and mean
+    // fill at budget ∈ {512,1024,2048,4096} — the fragmentation data
+    // behind choosing a training sequence length ----
+    "q319_packing_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Seq(512L, 1024L, 2048L, 4096L).map { b =>
+        TextAnalysis.shardByTokens(docs, b)
+          .groupBy("shard").agg(sum(col("n_tokens")).as("seq_tokens"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("seq_tokens")).as("total_tokens"),
+            sum(when(col("seq_tokens") > b, 1L).otherwise(0L))
+              .as("n_overflow"))
+          .select(lit(b).as("budget"), col("n_seqs"), col("total_tokens"),
+            col("n_overflow"),
+            trunc6(col("total_tokens").cast("double") /
+              (col("n_seqs").cast("double") * lit(b.toDouble)))
+              .as("mean_fill"))
+      }.reduce(_ unionByName _).orderBy("budget")
+    }),
+
     // ---- the recall/cost frontier over blocking window sizes: one
     // shared ranking, every operating point a filter (q168 pattern) ----
     "q317_blocking_sweep" -> ((s, d) => {
