@@ -2625,22 +2625,9 @@ object SparkEntry {
     // ---- packing-budget sweep: sequences, overflow count and mean
     // fill at budget ∈ {512,1024,2048,4096} — the fragmentation data
     // behind choosing a training sequence length ----
-    "q319_packing_sweep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Seq(512L, 1024L, 2048L, 4096L).map { b =>
-        TextAnalysis.shardByTokens(docs, b)
-          .groupBy("shard").agg(sum(col("n_tokens")).as("seq_tokens"))
-          .agg(count(lit(1)).as("n_seqs"),
-            sum(col("seq_tokens")).as("total_tokens"),
-            sum(when(col("seq_tokens") > b, 1L).otherwise(0L))
-              .as("n_overflow"))
-          .select(lit(b).as("budget"), col("n_seqs"), col("total_tokens"),
-            col("n_overflow"),
-            trunc6(col("total_tokens").cast("double") /
-              (col("n_seqs").cast("double") * lit(b.toDouble)))
-              .as("mean_fill"))
-      }.reduce(_ unionByName _).orderBy("budget")
-    }),
+    "q319_packing_sweep" -> ((s, d) =>
+      TextAnalysis.packingSweep(Tables.documents(s, d),
+        Seq(512L, 1024L, 2048L, 4096L))),
 
     // ---- the recall/cost frontier over blocking window sizes: one
     // shared ranking, every operating point a filter (q168 pattern) ----
@@ -2673,7 +2660,10 @@ object SparkEntry {
       val o = Tables.orders(s, d).withColumn("fold",
         md5Long(concat(lit("fold|"), col("o_orderkey").cast("string"))) % 5)
       Stats.aucByKey(o, col("fold"), "o_totalprice",
-        col("o_orderpriority") === "1-URGENT")
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("fold").cast("long").as("fold"), col("n_pos"),
+          col("n_neg"), col("auc"))
+        .orderBy("fold")
     }),
 
     // ---- time-travel diff: what did the q126 MERGE actually touch ----

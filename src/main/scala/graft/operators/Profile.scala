@@ -90,8 +90,11 @@ object Profile {
     // for c > 0), so rows collapse to (k, value, count) once and the
     // sweeps, the deviation rollup and the final flag count all work
     // on checkpointed count frames — no second scan of the input
+    // null measures are excluded by contract; the key returns as
+    // STRING (the sweep-family key form)
     val vc = df.select(col(key).cast("string").as("k"),
         col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("k", "v").agg(count(lit(1)).as("na"))
       .localCheckpoint()
     val med = Stats.keyedExactMedian(vc, "med", preMaterialized = true)

@@ -173,9 +173,14 @@ object Stats {
     }
     val bc = spark.sparkContext.broadcast(off.result())
     sized.mapPartitionsWithIndex { case (i, it) =>
+      // explicit seeded flag: a null FIRST key would otherwise never
+      // trigger offset seeding (null != null is false) and restart the
+      // null group's cumulative sums at partition boundaries
+      var seeded = false
       var curK: String = null; var ca = 0L; var cb = 0L
       it.map { case (k, v, a, b) =>
-        if (k != curK) {
+        if (!seeded || k != curK) {
+          seeded = true
           curK = k
           val o = bc.value((i, k)); ca = o._1; cb = o._2
         }
@@ -188,11 +193,15 @@ object Stats {
     * [[keyedPrefixSums]] sweep, so a k-fold cross-validated ranking
     * metric (key = fold) runs as ONE plan: one (key, score) count
     * rollup, one keyed sweep, integer rank algebra per key, a single
-    * double division per output row. */
+    * double division per output row. Like every sweep-family
+    * operator, the group key returns as STRING (the sweep's portable
+    * key form) — cast at the call site when a numeric fold is
+    * wanted; null score rows are excluded by contract. */
   def aucByKey(df: DataFrame, key: Column, scoreCol: String,
       isPos: Column): DataFrame = {
     val counts = df.select(key.as("k"), col(scoreCol).as("v"),
         when(isPos, 1L).otherwise(0L).as("pos"))
+      .filter(col("v").isNotNull)
       .groupBy("k", "v")
       .agg(count(lit(1)).as("na"), sum(col("pos")).as("nb"))
     keyedPrefixSums(counts)
@@ -200,7 +209,7 @@ object Stats {
         col("ca").as("cum"))
       .withColumn("r2",
         lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
-      .groupBy(col("k").cast("long").as("fold"))
+      .groupBy(col("k").as("fold"))
       .agg(sum(col("n_pos") * col("r2")).as("sum_r2"),
         sum(col("n_pos")).as("np"),
         sum(col("cnt") - col("n_pos")).as("nn"))
@@ -216,36 +225,34 @@ object Stats {
     * |keys| single-task sorts. n_mid (1 for odd groups, 2 for even)
     * and the mid-rank midpoint match the row-level convention
     * bit-for-bit, because the value at a rank never depends on
-    * intra-tie order. */
+    * intra-tie order. Null values excluded by contract; the key
+    * returns as STRING (the sweep-family key form). */
   def exactMedianReport(df: DataFrame, key: String,
       value: String): DataFrame = {
     val vc = df.select(col(key).cast("string").as("k"),
         col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("k", "v").agg(count(lit(1)).as("na"))
-      .withColumn("nb", lit(0L))
       .localCheckpoint()
     val tot = vc.groupBy("k").agg(sum(col("na")).as("n"))
-    val r1 = expr("(n + 1) div 2")
-    val r2 = expr("(n + 2) div 2")
-    val covers = (r: Column) =>
-      col("ca") >= r && (col("ca") - col("na")) < r
-    keyedPrefixSums(vc, preMaterialized = true)
+    keyedExactMedian(vc, "med", preMaterialized = true)
       .join(broadcast(tot), "k")
-      .filter(covers(r1) || covers(r2))
-      .groupBy(col("k").as(key))
-      .agg((lit(2L) - max(col("n")) % lit(2L)).as("n_mid"),
-        trunc6((min(col("v")) + max(col("v"))) / lit(2.0)).as("median"))
+      .select(col("k").as(key),
+        (lit(2L) - col("n") % lit(2L)).as("n_mid"),
+        trunc6(col("med")).as("median"))
       .orderBy(key)
   }
 
   /** Exact per-group quantiles at arbitrary probes (rank = ⌈q·n⌉,
     * floored at 1 — the lower-value convention) via the same sweep:
     * the probe fan-out joins key-locally, so the only data-sized work
-    * is the one count rollup and the two sweep passes. */
+    * is the one count rollup and the two sweep passes. Null values
+    * excluded by contract; the key returns as STRING. */
   def exactQuantilesPerKey(df: DataFrame, key: String, value: String,
       qs: Seq[Double]): DataFrame = {
     val vc = df.select(col(key).cast("string").as("k"),
         col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("k", "v").agg(count(lit(1)).as("na"))
       .withColumn("nb", lit(0L))
       .localCheckpoint()
@@ -431,22 +438,31 @@ object Stats {
     * value is the unique row with 4·prev < k·W ≤ 4·cum — identical to
     * the first-ranked-row rule, because every row of a value tie-group
     * shares its value. Weights must be non-negative integers
-    * (cast-checked by the caller). */
+    * (cast-checked by the caller); null values are excluded by
+    * contract and the key returns as STRING (the sweep-family key
+    * form). An all-zero-weight group degenerates to its minimum value
+    * at every quantile — the first-ranked-row rule's own limit. */
   def weightedQuantiles(df: DataFrame, key: String, value: String,
       weight: String): DataFrame = {
     val counts = df
       .select(col(key).cast("string").as("k"),
         col(value).cast("double").as("v"),
         col(weight).cast("long").as("na"))
+      .filter(col("v").isNotNull)
       .groupBy("k", "v").agg(sum(col("na")).as("na"))
       .withColumn("nb", lit(0L))
-    val tot = counts.groupBy("k").agg(sum(col("na")).as("w_total"))
+    val tot = counts.groupBy("k")
+      .agg(sum(col("na")).as("w_total"), min(col("v")).as("v_min"))
     keyedPrefixSums(counts)
       .join(broadcast(tot), "k")
       .select(col("k"), col("v"), col("na"), col("ca"), col("w_total"),
-        explode(array(lit(1L), lit(2L), lit(3L))).as("qk"))
-      .filter(lit(4L) * col("ca") >= col("qk") * col("w_total") &&
-        lit(4L) * (col("ca") - col("na")) < col("qk") * col("w_total"))
+        col("v_min"), explode(array(lit(1L), lit(2L), lit(3L))).as("qk"))
+      .filter((lit(4L) * col("ca") >= col("qk") * col("w_total") &&
+        lit(4L) * (col("ca") - col("na")) < col("qk") * col("w_total")) ||
+        // W = 0: every cumulative weight ties at the threshold, and the
+        // min-rank rule picks the group's first value — same as the
+        // oracle's `4·cumw ≥ k·W` selecting rank 1
+        (col("w_total") === 0L && col("v") === col("v_min")))
       .select(col("k").as(key),
         (col("qk").cast("double") / lit(4.0)).as("q"),
         col("w_total"), col("v").as("value"))

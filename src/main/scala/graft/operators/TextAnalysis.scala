@@ -1587,6 +1587,29 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** Packing-budget sweep: sequences, overflow count and mean fill at
+    * every budget in one report — all arms derive from ONE
+    * token-start-offset frame (the two-phase prefix sum runs once,
+    * checkpointed; each budget's shard is integer division on the
+    * shared offsets, exactly the SQL twin's single cum CTE). */
+  def packingSweep(docs: DataFrame, budgets: Seq[Long]): DataFrame = {
+    val offsets = tokenStartOffsets(docs).localCheckpoint()
+    budgets.map { b =>
+      offsets
+        .select(expr(s"start div $b").as("shard"), col("n_tokens"))
+        .groupBy("shard").agg(sum(col("n_tokens")).as("seq_tokens"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("seq_tokens")).as("total_tokens"),
+          sum(when(col("seq_tokens") > b, 1L).otherwise(0L))
+            .as("n_overflow"))
+        .select(lit(b).as("budget"), col("n_seqs"), col("total_tokens"),
+          col("n_overflow"),
+          trunc6(col("total_tokens").cast("double") /
+            (col("n_seqs").cast("double") * lit(b.toDouble)))
+            .as("mean_fill"))
+    }.reduce(_ unionByName _).orderBy("budget")
+  }
+
   /** Consecutive-duplicate token audit — what a stutter-collapse
     * cleaning pass (the C4 whitespace/repetition trim) would remove,
     * rolled up per language. Row-local array lambda (Spark's 0-based

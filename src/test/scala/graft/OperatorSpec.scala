@@ -2469,8 +2469,10 @@ class OperatorSpec extends SparkSpec {
     val rows = ((1 to 20).map(i => (0L, i.toDouble, i > 10)) ++
       (1 to 20).map(i => (1L, i.toDouble, i <= 10)))
       .toDF("fold", "score", "is_pos")
+    // the sweep family returns the key as string — cast like q311 does
     val got = Stats.aucByKey(rows, col("fold"), "score", col("is_pos"))
-      .select("fold", "auc").as[(Long, Double)].collect().toMap
+      .select(col("fold").cast("long"), col("auc"))
+      .as[(Long, Double)].collect().toMap
     assert(got == Map(0L -> 1.0, 1L -> 0.0), got.toString)
   }
 
@@ -2505,9 +2507,11 @@ class OperatorSpec extends SparkSpec {
       .select("stratum", "fold", "n", "share")
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(got.forall(r => r._2 >= 0 && r._2 < 5), got.toString)
-    val byStratum = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
-    assert(byStratum.toMap.values.toSet == Set(167L, 167L, 166L).toSet ||
-      byStratum.values.sum == 500L, byStratum.toString)
+    // exact per-stratum totals: ids 1..500 by i % 3 → s0 gets the 166
+    // multiples of 3, s1 and s2 get 167 each
+    val byStratum = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byStratum == Map("s0" -> 166L, "s1" -> 167L, "s2" -> 167L),
+      byStratum.toString)
     got.groupBy(_._1).foreach { case (_, rs) =>
       val s = rs.map(_._4).sum
       assert(s > 0.99 && s <= 1.0 + 1e-9, s.toString)
