@@ -5498,7 +5498,7 @@ object Oracles {
          |  USING (user_id))
          |SELECT a.est_distinct AS est_a, b.est_distinct AS est_b,
          |       u.est_distinct AS est_union,
-         |       ${t6("a.est_distinct + b.est_distinct - u.est_distinct")} AS est_intersection,
+         |       ${t6("GREATEST(0.0, a.est_distinct + b.est_distinct - u.est_distinct)")} AS est_intersection,
          |       exact_intersection
          |FROM est a, est b, est u, exact
          |WHERE a.tag = 'click' AND b.tag = 'purchase' AND u.tag = 'union'""".stripMargin,
@@ -5560,7 +5560,9 @@ object Oracles {
          |        FROM lv l JOIN rv r ON l.v = r.v)
          |SELECT CAST(16 AS BIGINT) AS n_buckets, ${t6("est_rows_raw")} AS est_rows,
          |       actual_rows,
-         |       ${t6("abs(est_rows_raw - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE)")} AS rel_error
+         |       CASE WHEN actual_rows > 0 THEN
+         |         ${t6("abs(est_rows_raw - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE)")}
+         |       END AS rel_error
          |FROM est CROSS JOIN act""".stripMargin
     },
 
@@ -5575,15 +5577,15 @@ object Oracles {
          |  FROM orders)
          |SELECT * FROM (
          |  SELECT 'order_count' AS expectation, ${t6("n")} AS observed,
-         |         (${t6("n")} >= 1000.0 AND ${t6("n")} <= 1e15) AS pass FROM agg
+         |         COALESCE(${t6("n")} >= 1000.0 AND ${t6("n")} <= 1e15, false) AS pass FROM agg
          |  UNION ALL SELECT 'orderkey_unique', ${t6("du / n")},
-         |         (${t6("du / n")} >= 1.0 AND ${t6("du / n")} <= 1.0) FROM agg
+         |         COALESCE(${t6("du / n")} >= 1.0 AND ${t6("du / n")} <= 1.0, false) FROM agg
          |  UNION ALL SELECT 'priority_domain_share', ${t6("pd / n")},
-         |         (${t6("pd / n")} >= 1.0 AND ${t6("pd / n")} <= 1.0) FROM agg
+         |         COALESCE(${t6("pd / n")} >= 1.0 AND ${t6("pd / n")} <= 1.0, false) FROM agg
          |  UNION ALL SELECT 'totalprice_nonnull_share', ${t6("nn / n")},
-         |         (${t6("nn / n")} >= 0.999 AND ${t6("nn / n")} <= 1.0) FROM agg
+         |         COALESCE(${t6("nn / n")} >= 0.999 AND ${t6("nn / n")} <= 1.0, false) FROM agg
          |  UNION ALL SELECT 'totalprice_positive_share', ${t6("pp / n")},
-         |         (${t6("pp / n")} >= 0.999 AND ${t6("pp / n")} <= 1.0) FROM agg)
+         |         COALESCE(${t6("pp / n")} >= 0.999 AND ${t6("pp / n")} <= 1.0, false) FROM agg)
          |ORDER BY expectation""".stripMargin
     },
 

@@ -3626,7 +3626,12 @@ object SparkEntry {
   private def streamCleanBench(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.documents(s, d)
+    // bounded like streamIngestBench's 600-doc cut: MemoryStream feeds
+    // from the driver, so an uncapped collect of the documents table
+    // would make the bench harness itself driver-bound at sf1+ (the
+    // cap sits just above sf0.1's 5000 docs, so the comparable bench
+    // workload is untouched)
+    val rows = Tables.documents(s, d).filter(col("doc_id") < 6000)
       .select(col("doc_id").cast("long"), col("text")).collect()
       .map(r => (r.getLong(0),
         new java.sql.Timestamp(1717200000000L + r.getLong(0) * 1000L),

@@ -156,8 +156,11 @@ object Profile {
       .select(lit(buckets.toLong).as("n_buckets"),
         trunc6(col("est_rows_raw")).as("est_rows"),
         col("actual_rows"),
-        trunc6(abs(col("est_rows_raw") - col("actual_rows").cast("double")) /
-          col("actual_rows").cast("double")).as("rel_error"))
+        // disjoint key sets make the real join empty; a 0-row audit
+        // has no relative error to report (null, not NaN/÷0)
+        when(col("actual_rows") > 0,
+          trunc6(abs(col("est_rows_raw") - col("actual_rows").cast("double")) /
+            col("actual_rows").cast("double"))).as("rel_error"))
   }
 
   /** One-pass declarative expectations gate (the great-expectations
@@ -177,8 +180,10 @@ object Profile {
     agg.select(explode(array(rows: _*)).as("e"))
       .select(col("e.expectation").as("expectation"),
         col("e.observed").as("observed"),
-        (col("e.observed") >= col("e.lo") &&
-          col("e.observed") <= col("e.hi")).as("pass"))
+        // a null observation (e.g. avg over an empty scan) must FAIL
+        // the gate, not vanish from `WHERE NOT pass` checks downstream
+        coalesce(col("e.observed") >= col("e.lo") &&
+          col("e.observed") <= col("e.hi"), lit(false)).as("pass"))
       .orderBy("expectation")
   }
 

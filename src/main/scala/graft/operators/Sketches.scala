@@ -106,7 +106,11 @@ object Sketches {
         .select(col("est_distinct").as("est_b")))
       .crossJoin(estU.select(col("est_distinct").as("est_union")))
       .select(col("est_a"), col("est_b"), col("est_union"),
-        trunc6(col("est_a") + col("est_b") - col("est_union"))
+        // inclusion–exclusion is a DIFFERENCE of estimates: for a small
+        // true overlap the noise can push it negative, and a negative
+        // cardinality is never a meaningful answer — clamp at zero
+        trunc6(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")))
           .as("est_intersection"))
   }
 

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Ceiling on the per-partition key subtotals [[keyedPrefixSums]]
+    * ships to the driver (partitions × |keys| tuples of a few dozen
+    * bytes each — 4M ≈ low hundreds of MB, far below any sane driver
+    * heap). Crossing it means the key is NOT low-cardinality and the
+    * sweep's design premise is void. */
+  private[operators] val maxDriverSubtotals: Int = 4 * 1000 * 1000
+
   /** CDF of Poisson(1) at k = 0..7: e⁻¹·Σ_{j≤k} 1/j!. Pinned here once
     * so the Spark when-chain and the oracle CASE interpolate the SAME
     * doubles — inverse-CDF thresholds for hash-derived uniforms. */
@@ -164,6 +171,16 @@ object Stats {
       }
       m.iterator.map { case (k, (a, b)) => (i, k, a, b) }
     }.collect().sortBy(_._1)
+    // this path is FOR the few-big-groups regime: the driver holds
+    // partitions × |keys| subtotal tuples, so a high-cardinality key
+    // must fail fast with a named reason instead of creeping toward a
+    // driver OOM — such keys belong on the plain per-key window, whose
+    // groups fit a task
+    require(partSums.length <= maxDriverSubtotals,
+      s"keyedPrefixSums collected ${partSums.length} per-partition key " +
+        s"subtotals (cap $maxDriverSubtotals): the key column has too " +
+        "many distinct values for the few-big-groups sweep - use a " +
+        "Window.partitionBy(key) instead for many small groups")
     val run = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
     val off = Map.newBuilder[(Int, String), (Long, Long)]
     partSums.foreach { case (i, k, a, b) =>
