@@ -650,16 +650,52 @@ class MemFuse(
         m1.select(col("chunk_id").as("vec_id"), col("embedding")), nlist)
         .save(path("index"))
     }
+    // Quantizer reuse on tombstone rebuilds: a stale-fraction rebuild
+    // exists to DROP dead rows, not because the codebooks went bad. When
+    // the live table's drift (fraction the codebooks were never fit on)
+    // is still under [[IvfRefitDrift]], retraining from scratch every
+    // rebuild is pure waste — the x91 churn-phase data showed the Lloyd
+    // training job chain dominating the PQ maintain cycle. Below the
+    // threshold the rebuild is a SEMI-JOIN of the committed code table
+    // against the live chunk ids: every committed code (build-time or
+    // incrementally added) was encoded against these same codebooks, so
+    // a re-encode would reproduce it bit-identically — filtering IS the
+    // rebuild, and the corpus embeddings are never touched. Past the
+    // threshold, fall through to the full re-train. The carried fitRows
+    // assumes deletes hit fit/unfit rows proportionally, so the drift
+    // estimate survives the rebuild instead of resetting to zero.
+    def unfitFraction(nVectors: Long, fitRows: Long): Double =
+      if (fitRows < 0 || nVectors <= 0) 1.0
+      else math.max(0.0, (nVectors - fitRows).toDouble) / nVectors.toDouble
+    val liveIds = m1.select(col("chunk_id").as("vec_id"))
     if (hasPqIndex) {
       val idx = openPq()
-      PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
-        m = idx.m, ksub = idx.ksub, dim = idx.dim).save(path("index"))
+      val unfit = unfitFraction(idx.nVectors, idx.fitRows)
+      if (unfit > IvfRefitDrift)
+        PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+          m = idx.m, ksub = idx.ksub, dim = idx.dim).save(path("index"))
+      else {
+        val keep = idx.codesArr.join(liveIds, Seq("vec_id"), "left_semi")
+          .localCheckpoint() // count + save must read ONE materialization
+        new PqIndex(idx.codebook, keep, idx.m, idx.dim,
+          fitRows = math.round((1.0 - unfit) * keep.count()))
+          .save(path("index"))
+      }
     }
     if (hasIvfPqIndex) {
-      val model = openIvfPq().model
-      IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
-        nlist = model.nlist, m = model.m, ksub = model.ksub, dim = model.dim)
-        .save(path("index"))
+      val idx = openIvfPq()
+      val unfit = unfitFraction(idx.nVectors, idx.fitRows)
+      if (unfit > IvfRefitDrift)
+        IvfPq.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
+          nlist = idx.model.nlist, m = idx.model.m,
+          ksub = idx.model.ksub, dim = idx.model.dim).save(path("index"))
+      else {
+        val keep = idx.codesArr.join(liveIds, Seq("vec_id"), "left_semi")
+          .localCheckpoint()
+        new IvfPqIndex(idx.model, keep,
+          fitRows = math.round((1.0 - unfit) * keep.count()))
+          .save(path("index"))
+      }
     }
     resetTombstones()
     indexHandles.synchronized {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Retrieval
-import graft.pipeline.{KeywordIndex, MemFuse, Schemas}
+import graft.pipeline.{IvfPq, KeywordIndex, MemFuse, PqIndex, Schemas}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -185,8 +185,19 @@ class IndexSpec extends SparkSpec {
       useIndexes = true).collect().toSeq
     assert(!afterDel.exists(_.getAs[String]("content").contains("pruning")),
       "deleted session's chunks must not surface through stale PQ codes")
+    // the stale rebuild drops dead rows but must NOT retrain: live drift
+    // (1 unfit of 5 = 0.2) is under the 0.5 re-fit threshold, so the
+    // committed codebook is bit-identical to the live one (re-encode
+    // only) and the carried fitRows stays proportional, not reset
+    val preCb = PqIndex.load(spark, s"$dir/index").codebook
+      .map(t => (t._1, t._2, t._3.toSeq)).toSeq
     engine.maintain()
     assert(engine.indexStaleFraction == 0.0)
+    val rebuilt = PqIndex.load(spark, s"$dir/index")
+    assert(rebuilt.codebook.map(t => (t._1, t._2, t._3.toSeq)).toSeq == preCb,
+      "below-drift stale rebuild must reuse the live codebooks")
+    assert(rebuilt.nVectors == 3 && rebuilt.fitRows == 2,
+      "reuse rebuild re-encodes only live rows and carries drift proportionally")
     assert(engine.query("spark partition", "u1", topK = 3,
       useIndexes = true).collect().toSeq == afterDel,
       "rebuilt pq index still answers identically")
@@ -237,8 +248,18 @@ class IndexSpec extends SparkSpec {
       useIndexes = true, nProbe = 2).collect().toSeq
     assert(!afterDel.exists(_.getAs[String]("content").contains("pruning")),
       "deleted session's chunks must not surface through stale ivfpq codes")
+    // same reuse contract as the pq backend: below-drift stale rebuild
+    // keeps BOTH quantizers (coarse + residual codebooks) bit-identical
+    def ivfpqCbs() = {
+      val m = IvfPq.load(spark, s"$dir/index").model
+      (m.coarse.map(t => (t._1, t._2, t._3.toSeq)).toSeq,
+        m.pq.map(t => (t._1, t._2, t._3.toSeq)).toSeq)
+    }
+    val preModel = ivfpqCbs()
     engine.maintain()
     assert(engine.indexStaleFraction == 0.0)
+    assert(ivfpqCbs() == preModel,
+      "below-drift ivfpq stale rebuild must reuse both live quantizers")
     assert(engine.query("spark partition", "u1", topK = 3,
       useIndexes = true, nProbe = 2).collect().toSeq == afterDel,
       "rebuilt ivfpq index still answers identically")
