@@ -46,7 +46,12 @@ object Bench {
       rt.totalMemory() - rt.freeMemory()
     }
     val heapStart = heapUsed()
-    try SparkEntry.warmFixtures(spark, sfDir)
+    // per-fixture-group resident footprint: post-GC used heap after each
+    // group's build, committed as data so any round-over-round residency
+    // drift is attributable to a NAMED group, not the session at large
+    val fixtureHeap = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try SparkEntry.warmFixtures(spark, sfDir,
+      afterEach = name => fixtureHeap += name -> heapUsed())
     catch { case _: Throwable => () }
     val heapAfterFixtures = heapUsed()
     // untimed warmup pass: JIT, whole-stage-codegen compilation and file
@@ -64,7 +69,16 @@ object Bench {
     // min of n>=3 timed passes: one-off GC/compilation hiccups otherwise
     // dominate sub-second queries. A query that throws is recorded as
     // failed (time -1) instead of silently contributing a near-zero time.
+    // Each entry is timed from a drained heap: a heavy predecessor (the
+    // HITS/graph trio's checkpointed iteration blocks, shuffle buffers)
+    // otherwise leaves a collectible wake whose GC + ContextCleaner work
+    // lands INSIDE the next short query's timing — measured 1.9× on
+    // q24_fusion_rrf run directly after q239 vs in isolation, with
+    // identical plans. min-of-passes can't fix it because every pass has
+    // the same predecessor order. The drain runs between timings, so it
+    // costs wall clock, never query time.
     def pass() = ordered.map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
@@ -109,8 +123,11 @@ object Bench {
       .toArray(Array.empty[java.lang.management.MemoryPoolMXBean])
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+    val fixtures = fixtureHeap
+      .map { case (n, h) => s"\"" + n + "\":" + h }.mkString("{", ",", "}")
     val heap = s"""{"start":$heapStart,"after_fixtures":$heapAfterFixtures,""" +
-      s""""before_timed":$heapBeforeTimed,"end":$heapEnd,"peak":$heapPeak}"""
+      s""""before_timed":$heapBeforeTimed,"end":$heapEnd,"peak":$heapPeak,""" +
+      s""""fixtures":$fixtures}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phases,"heap_bytes":$heap,"sf":"$sfDir"}"""
     println(line)

@@ -3867,21 +3867,28 @@ object SparkEntry {
     * and the first timed pass starts from the same resident state as
     * every later one (round-5 verdict: lazy construction inside the
     * pass loop inflated unrelated queries via heap/GC pressure). */
-  def warmFixtures(s: SparkSession, d: String): Unit = {
-    keywordIndexFor(s, d)
-    ivfIndexFor(s, d)
-    pqIndexFor(s, d)
-    ivfPqIndexFor(s, d)
-    ivfQueryVec(s, d)
-    dupLabelsFor(s, d)
-    nearDupPairEdges(s, d)
-    vertexEmbeddingsFor(s, d)
-    zLayoutFor(s, d)
-    facadeFor(s, d)
-    facadePqFor(s, d)
-    facadeIvfPqFor(s, d)
-    facadeCeFor(s, d)
-    mergeTableFor(s, d)
+  /** Build every session fixture eagerly. `afterEach` fires with the
+    * fixture-group name after each build — the bench measures post-GC
+    * used heap there, so each group's RESIDENT footprint is committed
+    * as data (heap_bytes.fixtures) instead of the session's ambient
+    * drift being guessed at. */
+  def warmFixtures(s: SparkSession, d: String,
+      afterEach: String => Unit = _ => ()): Unit = {
+    def step(name: String)(f: => Any): Unit = { f; afterEach(name) }
+    step("kw_index")(keywordIndexFor(s, d))
+    step("ivf_index")(ivfIndexFor(s, d))
+    step("pq_index")(pqIndexFor(s, d))
+    step("ivfpq_index")(ivfPqIndexFor(s, d))
+    step("ivf_query_vec")(ivfQueryVec(s, d))
+    step("dup_labels")(dupLabelsFor(s, d))
+    step("near_dup_edges")(nearDupPairEdges(s, d))
+    step("vertex_embeddings")(vertexEmbeddingsFor(s, d))
+    step("z_layout")(zLayoutFor(s, d))
+    step("facade")(facadeFor(s, d))
+    step("facade_pq")(facadePqFor(s, d))
+    step("facade_ivfpq")(facadeIvfPqFor(s, d))
+    step("facade_ce")(facadeCeFor(s, d))
+    step("merge_table")(mergeTableFor(s, d))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql
