@@ -148,8 +148,9 @@ object Stats {
     * broadcast offsets. Checkpointed between phases for the same
     * boundary-resampling reason as [[orderedPrefixSums]]. Input
     * (k, v, na, nb) with (k, v) distinct. */
-  private[operators] def keyedPrefixSums(counts: DataFrame,
-      preMaterialized: Boolean = false): DataFrame = {
+  private[graft] def keyedPrefixSums(counts: DataFrame,
+      preMaterialized: Boolean = false,
+      maxSubtotals: Int = maxDriverSubtotals): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
     val base = counts
@@ -164,6 +165,26 @@ object Stats {
       .repartitionByRange(col("k"), col("v"))
       .sortWithinPartitions("k", "v")
       .as[(String, Double, Long, Long)].rdd.localCheckpoint()
+    // this path is FOR the few-big-groups regime: the driver holds
+    // partitions × |keys| subtotal tuples, so a high-cardinality key
+    // must fail fast with a named reason instead of a driver OOM — and
+    // the check must run BEFORE the collect (a guard on the collected
+    // array would fire only after the driver already materialized it).
+    // Rows are sorted by (k, v) within partitions, so distinct keys are
+    // contiguous: the count is a streaming O(1)-memory scan per
+    // partition, summed as longs on the driver (one long per partition).
+    val nSubtotals = sized.mapPartitions { it =>
+      var n = 0L; var cur: String = null; var seeded = false
+      it.foreach { case (k, _, _, _) =>
+        if (!seeded || k != cur) { n += 1L; seeded = true; cur = k }
+      }
+      Iterator.single(n)
+    }.fold(0L)(_ + _)
+    require(nSubtotals <= maxSubtotals,
+      s"keyedPrefixSums would collect $nSubtotals per-partition key " +
+        s"subtotals (cap $maxSubtotals): the key column has too " +
+        "many distinct values for the few-big-groups sweep - use a " +
+        "Window.partitionBy(key) instead for many small groups")
     val partSums = sized.mapPartitionsWithIndex { case (i, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
       it.foreach { case (k, _, a, b) =>
@@ -171,16 +192,6 @@ object Stats {
       }
       m.iterator.map { case (k, (a, b)) => (i, k, a, b) }
     }.collect().sortBy(_._1)
-    // this path is FOR the few-big-groups regime: the driver holds
-    // partitions × |keys| subtotal tuples, so a high-cardinality key
-    // must fail fast with a named reason instead of creeping toward a
-    // driver OOM — such keys belong on the plain per-key window, whose
-    // groups fit a task
-    require(partSums.length <= maxDriverSubtotals,
-      s"keyedPrefixSums collected ${partSums.length} per-partition key " +
-        s"subtotals (cap $maxDriverSubtotals): the key column has too " +
-        "many distinct values for the few-big-groups sweep - use a " +
-        "Window.partitionBy(key) instead for many small groups")
     val run = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
     val off = Map.newBuilder[(Int, String), (Long, Long)]
     partSums.foreach { case (i, k, a, b) =>

@@ -184,7 +184,10 @@ object IvfPq {
       sampleRows: Int = 256,
       dim: Int = Schemas.EmbeddingDim): IvfPqIndex = {
     val model = train(embeddings, nlist, m, ksub, iters, sampleRows, dim)
-    new IvfPqIndex(model, encodeArrays(embeddings, model),
+    // fit flag per code row (same contract as PqIndex.build): lets a
+    // stale rebuild carry fitRows exactly instead of proportionally
+    new IvfPqIndex(model,
+      encodeArrays(embeddings, model).withColumn("fit", lit(true)),
       fitRows = embeddings.count())
   }
 
@@ -240,6 +243,7 @@ class IvfPqIndex private[pipeline] (
     val vp = srcDir.getOrElse(throw new IllegalStateException(
       "addVectors requires a handle opened with IvfPq.load (save first, then load)"))
     IvfPq.encodeArrays(newVecs, model)
+      .withColumn("fit", lit(false))
       .write.mode(SaveMode.Append).partitionBy("cluster")
       .parquet(s"$vp/ivfpq_codes")
     val nNew = newVecs.count()

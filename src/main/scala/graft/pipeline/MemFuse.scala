@@ -662,12 +662,50 @@ class MemFuse(
     // a re-encode would reproduce it bit-identically — filtering IS the
     // rebuild, and the corpus embeddings are never touched. Past the
     // threshold, fall through to the full re-train. The carried fitRows
-    // assumes deletes hit fit/unfit rows proportionally, so the drift
-    // estimate survives the rebuild instead of resetting to zero.
+    // is EXACT: code rows carry a fit flag (build-time rows true,
+    // incremental adds false), so the surviving-fit count is a filter +
+    // count — no proportional-delete assumption that skewed deletes
+    // (churning out the original fit corpus while post-fit adds survive)
+    // would otherwise exploit to under-report drift indefinitely.
     def unfitFraction(nVectors: Long, fitRows: Long): Double =
       if (fitRows < 0 || nVectors <= 0) 1.0
       else math.max(0.0, (nVectors - fitRows).toDouble) / nVectors.toDouble
     val liveIds = m1.select(col("chunk_id").as("vec_id"))
+    // Reuse-branch live code table: (1) semi-join committed codes
+    // against live ids — dropping dead rows IS the rebuild; (2) dedup
+    // per vec_id — delete + re-ingest of identical content appends a
+    // second bit-identical code row for the same content-addressed
+    // chunk_id (deletes only tombstone), which a full retrain used to
+    // purge; keeping an arbitrary one is safe and stops nVectors /
+    // drift denominators inflating; (3) re-encode live m1 rows the code
+    // table is MISSING (a batch that died between the m1 append and
+    // index upkeep — resetTombstones() zeroes the staleness signal, so
+    // this rebuild is the last chance to close that recall gap) against
+    // the EXISTING codebooks — deterministic, bit-compatible with the
+    // committed rows.
+    def liveCodeTable(codesArr: DataFrame,
+        encodeMissing: DataFrame => DataFrame): (DataFrame, Long) = {
+      val alive = codesArr.join(liveIds, Seq("vec_id"), "left_semi")
+      // duplicate rows are bit-identical codes; a chunk is "fit" if ANY
+      // of its rows is (it was in the training set), so the dedup takes
+      // max(fit) instead of an arbitrary survivor — deterministic fitRows
+      val keep =
+        if (codesArr.columns.contains("fit")) {
+          val rest = codesArr.columns.filter(c => c != "vec_id" && c != "fit")
+          alive.groupBy("vec_id").agg(max(col("fit")).as("fit"),
+            rest.map(c => first(col(c)).as(c)): _*)
+        } else alive.dropDuplicates("vec_id")
+      val missing = m1.select(col("chunk_id").as("vec_id"), col("embedding"))
+        .join(codesArr.select("vec_id"), Seq("vec_id"), "left_anti")
+      val merged = keep.unionByName(
+          encodeMissing(missing).withColumn("fit", lit(false)),
+          allowMissingColumns = true)
+        .localCheckpoint() // fit-count + save must read ONE materialization
+      // exact surviving-fit count via the flag; a legacy table without
+      // it yields nulls → counted unfit → drift over-estimates, which
+      // errs toward retraining, never toward stale recall
+      (merged, merged.filter(coalesce(col("fit"), lit(false))).count())
+    }
     if (hasPqIndex) {
       val idx = openPq()
       val unfit = unfitFraction(idx.nVectors, idx.fitRows)
@@ -675,10 +713,11 @@ class MemFuse(
         PqIndex.build(m1.select(col("chunk_id").as("vec_id"), col("embedding")),
           m = idx.m, ksub = idx.ksub, dim = idx.dim).save(path("index"))
       else {
-        val keep = idx.codesArr.join(liveIds, Seq("vec_id"), "left_semi")
-          .localCheckpoint() // count + save must read ONE materialization
+        val (keep, fitSurvived) = liveCodeTable(idx.codesArr,
+          missing => PqIndex.encodeArrays(missing, idx.codebook.toSeq,
+            idx.m, idx.dim))
         new PqIndex(idx.codebook, keep, idx.m, idx.dim,
-          fitRows = math.round((1.0 - unfit) * keep.count()))
+          fitRows = fitSurvived)
           .save(path("index"))
       }
     }
@@ -690,10 +729,9 @@ class MemFuse(
           nlist = idx.model.nlist, m = idx.model.m,
           ksub = idx.model.ksub, dim = idx.model.dim).save(path("index"))
       else {
-        val keep = idx.codesArr.join(liveIds, Seq("vec_id"), "left_semi")
-          .localCheckpoint()
-        new IvfPqIndex(idx.model, keep,
-          fitRows = math.round((1.0 - unfit) * keep.count()))
+        val (keep, fitSurvived) = liveCodeTable(idx.codesArr,
+          missing => IvfPq.encodeArrays(missing, idx.model))
+        new IvfPqIndex(idx.model, keep, fitRows = fitSurvived)
           .save(path("index"))
       }
     }

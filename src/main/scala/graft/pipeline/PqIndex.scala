@@ -319,7 +319,13 @@ object PqIndex {
       sampleRows: Int = 256,
       dim: Int = Schemas.EmbeddingDim): PqIndex = {
     val cb = trainCodebooks(embeddings, m, ksub, iters, sampleRows, dim)
+    // fit flag per code row: build-time rows are what the codebooks were
+    // trained against; incremental adds write fit=false. A stale rebuild
+    // can then carry fitRows EXACTLY (count of surviving fit rows)
+    // instead of assuming deletes hit fit/unfit rows proportionally —
+    // skewed deletes would otherwise under-report drift indefinitely
     val codesArr = encodeArrays(embeddings, cb.toSeq, m, dim)
+      .withColumn("fit", lit(true))
     new PqIndex(cb, codesArr, m, dim, fitRows = embeddings.count())
   }
 
@@ -408,6 +414,7 @@ class PqIndex private[pipeline] (
     val vp = srcDir.getOrElse(throw new IllegalStateException(
       "addVectors requires a handle opened with PqIndex.load (save first, then load)"))
     PqIndex.encodeArrays(newVecs, codebook.toSeq, m, dim)
+      .withColumn("fit", lit(false))
       .write.mode(SaveMode.Append).parquet(s"$vp/pq_codes")
     val nNew = newVecs.count()
     val total = spark.read.parquet(s"$vp/pq_codes").count().toDouble

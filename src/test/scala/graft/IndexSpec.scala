@@ -188,7 +188,8 @@ class IndexSpec extends SparkSpec {
     // the stale rebuild drops dead rows but must NOT retrain: live drift
     // (1 unfit of 5 = 0.2) is under the 0.5 re-fit threshold, so the
     // committed codebook is bit-identical to the live one (re-encode
-    // only) and the carried fitRows stays proportional, not reset
+    // only) and the carried fitRows is the EXACT surviving-fit count
+    // (per-row fit flags), not a proportional estimate
     val preCb = PqIndex.load(spark, s"$dir/index").codebook
       .map(t => (t._1, t._2, t._3.toSeq)).toSeq
     engine.maintain()
@@ -271,6 +272,48 @@ class IndexSpec extends SparkSpec {
     assert(engine.query("spark partition", "u1", topK = 3,
       useIndexes = true).collect().toSeq == afterDel,
       "pq backend answers identically after the switch")
+  }
+
+  test("pq stale rebuild re-encodes committed-but-unindexed live rows") {
+    val dir = Files.createTempDirectory("pqgap").toString
+    val engine = new MemFuse(spark, dir)
+    engine.createUser("u1", "User One")
+    engine.createAgent("a1", "Agent")
+    engine.createSession("s1", "u1", "a1")
+    engine.createSession("s2", "u1", "a1")
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "cast iron cooking recipe", ts(3)),
+      Schemas.Message("m4", "s2", "u1", "r4", 4, "user", "spark partition pruning", ts(4))).toDF())
+    engine.buildIndexes(vectorIndex = "pq")
+    // simulate the committed-but-unindexed crash gap (a batch dying
+    // between the m1 append and index upkeep): drop one LIVE chunk's
+    // code row from the committed table, behind the facade's back
+    val gapId = engine.m1.filter(col("content").contains("broadcast"))
+      .select("chunk_id").as[String].head()
+    val vp = s"$dir/index/" + graft.pipeline.TableOps
+      .currentArtifactDir(spark, s"$dir/index", "pq").get
+    val gapped = spark.read.parquet(s"$vp/pq_codes")
+      .filter(col("vec_id") =!= gapId).localCheckpoint()
+    gapped.write.mode("overwrite").parquet(s"$vp/pq_codes")
+    // fresh facade: the old handle pins the overwritten file set
+    val engine2 = new MemFuse(spark, dir)
+    engine2.deleteSession("s2") // 2 tombstoned of 3 indexed → stale 0.67
+    val preCb = PqIndex.load(spark, s"$dir/index").codebook
+      .map(t => (t._1, t._2, t._3.toSeq)).toSeq
+    engine2.maintain() // unfit 0 of 3 → below-drift REUSE rebuild
+    val rebuilt = PqIndex.load(spark, s"$dir/index")
+    assert(rebuilt.codebook.map(t => (t._1, t._2, t._3.toSeq)).toSeq == preCb,
+      "gap re-encode must reuse the live codebooks")
+    // the missing live row is re-encoded (recall gap closed), counted
+    // conservatively as unfit (fit provenance was lost with the row)
+    assert(rebuilt.nVectors == 2 && rebuilt.fitRows == 1,
+      s"nVectors=${rebuilt.nVectors} fitRows=${rebuilt.fitRows}")
+    val hits = engine2.query("broadcast join", "u1", topK = 2,
+      useIndexes = true).collect().toSeq
+    assert(hits.exists(_.getAs[String]("content").contains("broadcast")),
+      "re-encoded row must be reachable through the rebuilt index")
   }
 
   test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {

@@ -1396,6 +1396,23 @@ class OperatorSpec extends SparkSpec {
     assert(got.last._3 >= got.head._3, got.toString)
   }
 
+  test("keyedPrefixSums cardinality guard fires BEFORE the driver collect") {
+    // 100 distinct keys, cap 10: the distributed pre-count must reject
+    // the input with the named reason without ever materializing the
+    // per-partition subtotal tuples on the driver
+    val rows = (1 to 100).map(i => (s"k$i", i.toDouble, 1L, 1L))
+      .toDF("k", "v", "na", "nb")
+    val e = intercept[IllegalArgumentException] {
+      Stats.keyedPrefixSums(rows, maxSubtotals = 10)
+    }
+    assert(e.getMessage.contains("cap 10"), e.getMessage)
+    // the same frame passes under a cap it fits, with exact running sums
+    val ok = Stats.keyedPrefixSums(rows, maxSubtotals = 4000)
+    assert(ok.count() == 100)
+    assert(ok.filter(col("k") === "k7")
+      .select("ca").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("lorenz deciles: planted whale owns its bin's share; shares sum to 1") {
     // 9 customers at 10 + 1 whale at 910 → whale bin share 0.91
     val rows = ((1L to 9L).map(k => (k, 10.0)) :+ (10L, 910.0))
