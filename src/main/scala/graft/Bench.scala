@@ -69,19 +69,34 @@ object Bench {
     // min of n>=3 timed passes: one-off GC/compilation hiccups otherwise
     // dominate sub-second queries. A query that throws is recorded as
     // failed (time -1) instead of silently contributing a near-zero time.
-    // Each entry is timed from a drained heap: a heavy predecessor (the
+    // Heap-drain policy between entries: a heavy predecessor (the
     // HITS/graph trio's checkpointed iteration blocks, shuffle buffers)
-    // otherwise leaves a collectible wake whose GC + ContextCleaner work
-    // lands INSIDE the next short query's timing — measured 1.9× on
+    // leaves a collectible wake whose GC + ContextCleaner work lands
+    // INSIDE the next short query's timing — measured 1.9× on
     // q24_fusion_rrf run directly after q239 vs in isolation, with
-    // identical plans. min-of-passes can't fix it because every pass has
-    // the same predecessor order. The drain runs between timings, so it
-    // costs wall clock, never query time.
-    def pass() = ordered.map { case (name, fn) =>
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // identical plans; min-of-passes can't fix it because every pass has
+    // the same predecessor order. Round 8 drained before EVERY entry and
+    // the forced full GCs were NOT free: the r7→r8 fleet comparison
+    // showed a ~15% median slowdown (291→327 s total, 59 queries >1.3×)
+    // with no plan changes — a full GC's own follow-on work (heap
+    // uncommit/re-commit, code-cache and metadata churn) lands inside
+    // the NEXT timed window. So the drain is now targeted: only after a
+    // predecessor whose own time exceeded drainAfterSec (the graph/churn
+    // heavies that motivated it), and -Xms is pinned to -Xmx in
+    // build.sbt so a full GC can never uncommit heap. SPARK_GRAFT_DRAIN
+    // = all|heavy|none overrides for A/B runs.
+    val drainMode = sys.env.getOrElse("SPARK_GRAFT_DRAIN", "heavy")
+    val drainAfterSec = 2.0
+    def pass() = {
+      var prevSec = 0.0
+      ordered.map { case (name, fn) =>
+        if (drainMode == "all" || (drainMode == "heavy" && prevSec > drainAfterSec))
+          System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        prevSec = (System.nanoTime() - t0) / 1e9
+        (name, prevSec, ok)
+      }
     }
     val heapBeforeTimed = heapUsed()
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt

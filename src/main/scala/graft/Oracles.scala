@@ -5179,6 +5179,51 @@ object Oracles {
       |    FROM ranked WHERE rn <= 2 GROUP BY l_orderkey)
       |  WHERE lf IS NOT NULL AND wf != lf)""".stripMargin
 
+  // q317/q320 shared frontier: blocking window recall/cost sweep --
+  // maximal-window pair mine with rank offsets, per-window cuts as
+  // filters, shared ground truth
+  private lazy val BlockingFrontierSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |                UNION ALL
+       |                SELECT doc_id + 10000, text FROM documents),
+       |grp AS (SELECT md5(text) AS h, list_sort(list(doc_id)) AS ids
+       |        FROM corpus GROUP BY md5(text) HAVING count(*) >= 2),
+       |tp AS (SELECT CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi
+       |       FROM (SELECT unnest(flatten(list_transform(generate_series(1, len(ids) - 1),
+       |               i -> list_transform(ids[i + 1:],
+       |                      x -> {'lo': ids[i], 'hi': x})))) AS p
+       |             FROM grp)),
+       |tok AS (SELECT doc_id, ${md5Long("t")} AS h
+       |        FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM corpus)),
+       |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+       |          GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM votes GROUP BY doc_id),
+       |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
+       |                  CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS r
+       |           FROM sig),
+       |cand AS (SELECT least(a.doc_id, b.doc_id) AS lo,
+       |                greatest(a.doc_id, b.doc_id) AS hi,
+       |                b.r - a.r AS off
+       |         FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 8
+       |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+       |ws AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS "window"),
+       |nc AS (SELECT "window", CAST(count(*) AS BIGINT) AS n_candidates
+       |       FROM ws JOIN cand ON off <= "window" GROUP BY "window"),
+       |nh AS (SELECT "window", CAST(count(*) AS BIGINT) AS n_hit
+       |       FROM ws JOIN (SELECT c.off FROM tp JOIN cand c
+       |                     ON c.lo = tp.lo AND c.hi = tp.hi) hitoff
+       |            ON hitoff.off <= "window" GROUP BY "window"),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tp)
+       |SELECT ws."window", n_true_pairs,
+       |       COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       |       COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |       ${t6("CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")} AS recall
+       |FROM ws LEFT JOIN nc USING ("window") LEFT JOIN nh USING ("window")
+       |CROSS JOIN nt ORDER BY ws."window"""".stripMargin
+
+
   val sql: Map[String, String] = base ++ Map(
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
@@ -5779,46 +5824,22 @@ object Oracles {
 
     // q317: blocking window frontier — maximal-window pair mine with
     // rank offsets, per-window cuts as filters, shared ground truth
-    "q317_blocking_sweep" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |                UNION ALL
-         |                SELECT doc_id + 10000, text FROM documents),
-         |grp AS (SELECT md5(text) AS h, list_sort(list(doc_id)) AS ids
-         |        FROM corpus GROUP BY md5(text) HAVING count(*) >= 2),
-         |tp AS (SELECT CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi
-         |       FROM (SELECT unnest(flatten(list_transform(generate_series(1, len(ids) - 1),
-         |               i -> list_transform(ids[i + 1:],
-         |                      x -> {'lo': ids[i], 'hi': x})))) AS p
-         |             FROM grp)),
-         |tok AS (SELECT doc_id, ${md5Long("t")} AS h
-         |        FROM (SELECT doc_id, unnest(${toks("text")}) AS t FROM corpus)),
-         |votes AS (SELECT doc_id, i, SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
-         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
-         |          GROUP BY doc_id, i),
-         |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-         |        FROM votes GROUP BY doc_id),
-         |ranked AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
-         |                  CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS r
-         |           FROM sig),
-         |cand AS (SELECT least(a.doc_id, b.doc_id) AS lo,
-         |                greatest(a.doc_id, b.doc_id) AS hi,
-         |                b.r - a.r AS off
-         |         FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 8
-         |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |ws AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS "window"),
-         |nc AS (SELECT "window", CAST(count(*) AS BIGINT) AS n_candidates
-         |       FROM ws JOIN cand ON off <= "window" GROUP BY "window"),
-         |nh AS (SELECT "window", CAST(count(*) AS BIGINT) AS n_hit
-         |       FROM ws JOIN (SELECT c.off FROM tp JOIN cand c
-         |                     ON c.lo = tp.lo AND c.hi = tp.hi) hitoff
-         |            ON hitoff.off <= "window" GROUP BY "window"),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tp)
-         |SELECT ws."window", n_true_pairs,
-         |       COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
-         |       COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
-         |       ${t6("CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")} AS recall
-         |FROM ws LEFT JOIN nc USING ("window") LEFT JOIN nh USING ("window")
-         |CROSS JOIN nt ORDER BY ws."window"""".stripMargin,
+    "q317_blocking_sweep" -> BlockingFrontierSql,
+
+    // q320: the auto-tuner's selection over the SAME frontier — regime
+    // 0 = smallest window meeting recall within budget, regime 1 =
+    // highest recall within budget, regime 2 = cheapest window
+    "q320_blocking_autotune" ->
+      s"""SELECT "window", n_true_pairs, n_candidates, n_hit, recall,
+         |       (recall >= 0.75 AND n_candidates <= 3000) AS met_target
+         |FROM ($BlockingFrontierSql) f
+         |ORDER BY (CASE WHEN recall >= 0.75 AND n_candidates <= 3000 THEN 0
+         |               WHEN n_candidates <= 3000 THEN 1 ELSE 2 END),
+         |         (CASE WHEN recall >= 0.75 AND n_candidates <= 3000 THEN CAST("window" AS DOUBLE)
+         |               WHEN n_candidates <= 3000 THEN -recall
+         |               ELSE CAST("window" AS DOUBLE) END),
+         |         "window"
+         |LIMIT 1""".stripMargin,
 
     // q313: stutter audit — 1-based list twin of the 0-based Spark
     // adjacent-equality lambda, per-language rollup

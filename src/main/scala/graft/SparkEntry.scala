@@ -2638,6 +2638,18 @@ object SparkEntry {
       Dedup.blockingRecallSweep(corpus, windows = Seq(1, 2, 4, 8))
     }),
 
+    // ---- blocking auto-tuner: the smallest window meeting a recall
+    // target within a candidate budget, picked from q317's MEASURED
+    // frontier (at sf0.01 window 4 is the unique answer: 8 clears the
+    // recall bar but busts the budget) ----
+    "q320_blocking_autotune" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.blockingAutoTune(corpus, windows = Seq(1, 2, 4, 8),
+        recallTarget = 0.75, candidateBudget = 3000L)
+    }),
+
     // ---- per-source Gopher gate pass rates: which feeds are worth
     // ingesting at all — the acquisition-level quality report ----
     "q315_source_quality_gate" -> ((s, d) => {
@@ -3416,7 +3428,49 @@ object SparkEntry {
     * the realistic (nProbe < nlist) IVF probe, and the facade's hybrid
     * query with and without its persisted side indexes on the same
     * corpus — the scan-vs-index win measured head to head. */
+  /** Pre-materialized fusion input (the ~100-row vector ∪ keyword
+    * union) and pre-fused frame — stage fixtures letting the x4x
+    * entries time the fusion CORE and the hydration join separately
+    * from the input scans (round-8 verdict #2: decompose the
+    * fusion-family drift instead of theorizing about it). */
+  private val fusionStageCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def fusionInputsFor(s: SparkSession, d: String): DataFrame =
+    fusionStageCache.getOrElseUpdate(s"$d#in", {
+      val df = hybridInputs(s, d).persist(); df.count(); df
+    })
+  private def fusedFor(s: SparkSession, d: String): DataFrame =
+    fusionStageCache.getOrElseUpdate(s"$d#fused", {
+      val df = Fusion.rrf(fusionInputsFor(s, d), RrfK, FusionWeights, 15)
+        .persist()
+      df.count(); df
+    })
+
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fusion drift decomposition (round-8 verdict #2): the family's
+    // stages timed separately — the two input scans and their union,
+    // the fusion arithmetic over a PRE-MATERIALIZED input, and the
+    // hydration join over a pre-fused frame. q24–q26 ≈ stage_union +
+    // core; q27 adds hydrate. Whichever stage drifts round-over-round
+    // owns the family's drift. ----
+    "x40_fusion_stage_vector" -> ((s, d) =>
+      Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId, 50)),
+    "x41_fusion_stage_keyword" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), Bm25Terms, 50)),
+    "x42_fusion_stage_union" -> ((s, d) => hybridInputs(s, d)),
+    "x43_fusion_core_rrf" -> ((s, d) =>
+      Fusion.rrf(fusionInputsFor(s, d), RrfK, FusionWeights, 20)),
+    "x44_fusion_core_normalized" -> ((s, d) =>
+      Fusion.normalizedWeightedSum(fusionInputsFor(s, d), FusionWeights, 20)),
+    "x45_fusion_stage_hydrate" -> ((s, d) => {
+      val fused = fusedFor(s, d)
+      val docs = Tables.documents(s, d)
+      fused.join(docs, fused("id") === docs("doc_id"))
+        .select(col("id"), col("fused_score"), col("lang"), col("source"),
+          substring(col("text"), 1, 80).as("preview"))
+        .orderBy(col("fused_score").desc, col("id"))
+    }),
+
     // realistic IVF probe: 2 of 8 clusters scanned; recall pinned by
     // IvfSpec, exactness of the exhaustive probe by q47's oracle
     "x47_ivf_probe2" -> ((s, d) =>
@@ -3535,7 +3589,42 @@ object SparkEntry {
     "x93_stream_ingest_e2e" -> ((s, d) => streamIngestBench(s, d)),
     "x94_stream_clean" -> ((s, d) => streamCleanBench(s, d)),
     "x95_stream_backfill" -> ((s, d) => streamBackfillBench(s, d)),
+    // throughput amortization ladder (round-8 verdict #4): the SAME
+    // pipeline and 6-batch shape at 10× and 100× the x93 message count;
+    // rows/s = n_messages / entry wall time. Fixed per-micro-batch
+    // overhead (state round, commit marker, file commit) should make
+    // rows/s grow ~10× per 10× batch size
+    "x96_stream_ingest_6k" -> ((s, d) => streamIngestBench(s, d, 6000)),
+    "x97_stream_ingest_60k" -> ((s, d) => streamIngestBench(s, d, 60000)),
+    // warm-path facade latency (round-8 verdict #5): repeated-query p50
+    // for the B5 result cache's hit and miss paths, measured separately
+    "x98_facade_warm_query" -> ((s, d) => facadeWarmBench(s, d)),
   )
+
+  /** Warm-path latency decomposition for [[pipeline.MemFuse.queryCached]]
+    * (the reference's ms-scale cached-retrieval envelope,
+    * docs/optimization/performance/README.md:66-73): 21 distinct
+    * queries time the MISS path (first one dropped — it also rebuilds
+    * the cleared views), then 20 repeats of one primed key time the HIT
+    * path. p50s land in [[churnPhaseTimings]] → the bench JSON's
+    * `phases` block; the entry's own wall time is the whole experiment. */
+  private def facadeWarmBench(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eng = facadeFor(s, d)
+    eng.clearCache()
+    def p50(ts: Seq[Double]): Double = { val x = ts.sorted; x(x.length / 2) }
+    def timeOne(q: String): Double = {
+      val t0 = System.nanoTime()
+      eng.queryCached(q, FacadeUser, topK = 10)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val missT = (0 until 21).map(i => timeOne(s"$KwQuery warm $i")).drop(1)
+    val hitT = (0 until 20).map(_ => timeOne(s"$KwQuery warm 1"))
+    churnPhaseTimings("x98_facade_warm_query") = Seq(
+      "p50_miss" -> p50(missT), "p50_hit" -> p50(hitT))
+    Seq((p50(missT), p50(hitT), missT.length.toLong, hitT.length.toLong))
+      .toDF("p50_miss_sec", "p50_hit_sec", "n_miss", "n_hit")
+  }
 
   /** Per-phase wall times of the LAST churn cycle per bench entry —
     * written by [[churnCycle]] on each run, drained by `Bench` into the
@@ -3584,22 +3673,32 @@ object SparkEntry {
 
   private val ChurnSession = "churn_session"
 
-  /** End-to-end streaming ingest throughput: 600 document-texts as
-    * messages over 12 sessions, fed as 6 micro-batches through the full
-    * [[graft.streaming.StreamingIngest.start]] pipeline (session
+  /** End-to-end streaming ingest throughput: `nMessages` document-texts
+    * as messages over 12 sessions, fed as SIX micro-batches through the
+    * full [[graft.streaming.StreamingIngest.start]] pipeline (session
     * batching state → dual m0/m1 bucketed appends → commit markers →
     * per-insert index absorption) into a fresh throwaway warehouse.
     * Returns the run's row accounting; rows/s = n_messages / the bench
-    * entry's wall time. */
-  private def streamIngestBench(s: SparkSession, d: String): DataFrame = {
+    * entry's wall time. The x93/x96/x97 family varies ONLY nMessages at
+    * a fixed 6-batch shape, so the per-micro-batch fixed overhead
+    * (state-store round, commit marker, file commit) amortizes with
+    * batch size — the throughput-scaling evidence the reference's
+    * headline ingest claim rests on (phase2_buffer_system.md:199-202).
+    * Past sf0.1's 5000 docs the texts recycle (ids stay unique), so the
+    * driver never collects more than the corpus. */
+  private def streamIngestBench(s: SparkSession, d: String,
+      nMessages: Int = 600): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val texts = Tables.documents(s, d).filter(col("doc_id") < 600)
-      .select(col("doc_id").cast("long"), col("text")).collect()
-    val msgs = texts.map { r =>
-      val id = r.getLong(0)
-      pipeline.Schemas.Message(s"sm$id", s"ss${id % 12}", "u1", s"sr$id", id.toInt,
-        "user", r.getString(1),
+    val texts = Tables.documents(s, d)
+      .filter(col("doc_id") < math.min(nMessages, 5000))
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(_.getString(1))
+    val msgs = (0 until nMessages).map { i =>
+      val id = i.toLong
+      pipeline.Schemas.Message(s"sm$id", s"ss${id % 12}", "u1", s"sr$id", i,
+        "user", texts((i % texts.length).toInt),
         new java.sql.Timestamp(1717200000000L + id * 1000L))
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_sb_ingest").toString
@@ -3609,7 +3708,7 @@ object SparkEntry {
       pipeline.HashingEncoder(), maxTokens = 400, timeoutMs = 0,
       checkpoint = s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-    try msgs.grouped(100).foreach { g =>
+    try msgs.grouped(math.max(1, nMessages / 6)).foreach { g =>
       source.addData(g.toSeq); q.processAllAvailable()
     } finally q.stop()
     val nBatches = graft.streaming.StreamingIngest.committedBatchIds(s, dir).size
@@ -3889,6 +3988,8 @@ object SparkEntry {
     step("facade_ivfpq")(facadeIvfPqFor(s, d))
     step("facade_ce")(facadeCeFor(s, d))
     step("merge_table")(mergeTableFor(s, d))
+    step("fusion_inputs")(fusionInputsFor(s, d))
+    step("fusion_fused")(fusedFor(s, d))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1396,6 +1396,34 @@ class OperatorSpec extends SparkSpec {
     assert(got.last._3 >= got.head._3, got.toString)
   }
 
+  test("blockingAutoTune: smallest meeting window; explicit flagged fallbacks") {
+    // 12 docs: 4 exact-duplicate pairs planted among 4 unique texts —
+    // larger windows monotonically gain recall and candidates
+    val texts = (0 until 4).flatMap(i =>
+      Seq((i * 3L, s"planted duplicate text body number $i"),
+        (i * 3L + 1, s"planted duplicate text body number $i"))) ++
+      (0 until 4).map(i => (100L + i, s"unique filler document $i about topic ${i * 7}"))
+    val docs = texts.toDF("doc_id", "text")
+    def tune(target: Double, budget: Long) =
+      Dedup.blockingAutoTune(docs, Seq(1, 2, 4), target, budget)
+        .select("window", "recall", "n_candidates", "met_target")
+        .as[(Long, Double, Long, Boolean)].head()
+    val sweep = Dedup.blockingRecallSweep(docs, Seq(1, 2, 4))
+      .select("window", "recall", "n_candidates")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    // regime 0: any reachable target under an unlimited budget picks the
+    // SMALLEST window whose measured recall clears it
+    val reachable = sweep.filter(_._2 >= sweep.head._2).head._2
+    val r0 = tune(reachable, Long.MaxValue)
+    assert(r0._4 && r0._1 == sweep.filter(_._2 >= reachable).map(_._1).min)
+    // regime 1: unreachable recall → highest-recall window within budget
+    val r1 = tune(2.0, Long.MaxValue)
+    assert(!r1._4 && r1._2 == sweep.map(_._2).max)
+    // regime 2: zero budget → cheapest (smallest) window, flagged
+    val r2 = tune(0.0, 0L)
+    assert(!r2._4 && r2._1 == 1L)
+  }
+
   test("keyedPrefixSums cardinality guard fires BEFORE the driver collect") {
     // 100 distinct keys, cap 10: the distributed pre-count must reject
     // the input with the named reason without ever materializing the
