@@ -4707,90 +4707,20 @@ object Oracles {
     // are derived ONCE and the 12 operating points sweep over them as
     // windowed cuts — the naive 12-replay form ran >10 min in DuckDB,
     // this runs at one replay's cost.
-    "q168_ann_frontier" -> {
-      val (nlist, m) = (SparkEntry.IvfPqNlist, SparkEntry.IvfPqM)
-      val (ksub, iters) = (SparkEntry.IvfPqKsub, SparkEntry.PqIters)
-      val sample = SparkEntry.PqSample
-      val qid = SparkEntry.KnnQueryId
-      val dsub = 64 / m
-      def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
-      val coarse =
-        lloydChainSql("c", unitFromEmbeddingsSql, "pq", 1, nlist, iters, sample)
-      val resSrc =
-        s"""SELECT u.vec_id,
-           |    list_transform(generate_series(1, 64),
-           |      i -> u.uvec[i] - cb.centroid[i]) AS uvec
-           |  FROM cunit u
-           |  JOIN ccodes k ON k.vec_id = u.vec_id
-           |  JOIN ccb$iters cb ON cb.code = k.code""".stripMargin
-      val resid = lloydChainSql("r", resSrc, "ivfpq", m, ksub, iters, sample)
-      val combosVals = (for {
-        np <- SparkEntry.FrontierProbes; os <- SparkEntry.FrontierOversamples
-      } yield s"($np, $os)").mkString(", ")
-      s"""WITH $coarse,
-         |$resid,
-         |combos(n_probe, oversample) AS (SELECT * FROM (VALUES $combosVals)),
-         |qv AS (SELECT uvec FROM cunit WHERE vec_id = $qid),
-         |cellrank AS (
-         |  SELECT cb.code AS cluster, cb.centroid,
-         |         row_number() OVER (ORDER BY
-         |           ${pqDist("list_dot_product(q.uvec, q.uvec)", "q.uvec", "cb.centroid")},
-         |           cb.code) AS cell_rank
-         |  FROM ccb$iters cb, qv q),
-         |qres AS (
-         |  SELECT p.cluster,
-         |         list_transform(generate_series(1, 64),
-         |           i -> q.uvec[i] - p.centroid[i]) AS uvec
-         |  FROM cellrank p, qv q),
-         |qsub AS (
-         |  SELECT cluster, sub, ${sv("uvec", "sub")} AS qsub
-         |  FROM (SELECT cluster, uvec, unnest(generate_series(0, ${m - 1})) AS sub
-         |        FROM qres)),
-         |lut AS (
-         |  SELECT q.cluster, c.sub, c.code,
-         |         ${pqDist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
-         |  FROM rcb$iters c JOIN qsub q USING (sub)),
-         |jc AS (
-         |  SELECT r.vec_id, k.code AS cluster, r.sub, r.code
-         |  FROM rcodes r JOIN ccodes k ON k.vec_id = r.vec_id),
-         |adc AS (
-         |  SELECT j.vec_id AS id, max(cr.cell_rank) AS cell_rank,
-         |         ${t6(dsum12("l.d"))} AS adc_dist
-         |  FROM jc j
-         |  JOIN lut l ON j.cluster = l.cluster AND j.sub = l.sub AND j.code = l.code
-         |  JOIN cellrank cr ON cr.cluster = j.cluster
-         |  WHERE j.vec_id != $qid
-         |  GROUP BY j.vec_id),
-         |cand AS (
-         |  SELECT c.n_probe, c.oversample, a.id,
-         |         row_number() OVER (PARTITION BY c.n_probe, c.oversample
-         |                            ORDER BY a.adc_dist, a.id) AS rn
-         |  FROM combos c JOIN adc a ON a.cell_rank <= c.n_probe),
-         |exactscore AS (
-         |  SELECT e.vec_id AS id,
-         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
-         |  FROM embeddings e,
-         |       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-         |        WHERE vec_id = $qid) q
-         |  WHERE e.vec_id != $qid),
-         |etop AS (SELECT id FROM exactscore ORDER BY score DESC, id LIMIT 10),
-         |resc AS (
-         |  SELECT n_probe, oversample, id FROM (
-         |    SELECT c.n_probe, c.oversample, c.id,
-         |           row_number() OVER (PARTITION BY c.n_probe, c.oversample
-         |                              ORDER BY s.score DESC, c.id) AS rr
-         |    FROM cand c JOIN exactscore s USING (id)
-         |    WHERE c.rn <= 10 * c.oversample)
-         |  WHERE rr <= 10)
-         |SELECT CAST(c.n_probe AS BIGINT) AS n_probe,
-         |       CAST(c.oversample AS BIGINT) AS oversample,
-         |       CAST(count(e.id) AS BIGINT) AS overlap_at_10
-         |FROM combos c
-         |LEFT JOIN resc r ON r.n_probe = c.n_probe AND r.oversample = c.oversample
-         |LEFT JOIN etop e ON e.id = r.id
-         |GROUP BY c.n_probe, c.oversample
-         |ORDER BY n_probe, oversample""".stripMargin
-    },
+    "q168_ann_frontier" -> AnnFrontierSql,
+
+    // q321: the ANN auto-tuner's selection over the SAME frontier --
+    // cheapest point meeting the overlap target (probe width first,
+    // rescore pool second); fallback = highest overlap, flagged
+    "q321_ann_autotune" ->
+      s"""SELECT n_probe, oversample, overlap_at_10,
+         |       (overlap_at_10 >= 8) AS met_target
+         |FROM ($AnnFrontierSql) f
+         |ORDER BY (CASE WHEN overlap_at_10 >= 8 THEN 0 ELSE 1 END),
+         |         (CASE WHEN overlap_at_10 >= 8 THEN CAST(n_probe AS DOUBLE)
+         |               ELSE -CAST(overlap_at_10 AS DOUBLE) END),
+         |         n_probe, oversample
+         |LIMIT 1""".stripMargin,
 
     // q153: the bucketed layout changes the PLAN (no join shuffle —
     // PlanSpec), not the answer
@@ -5223,6 +5153,95 @@ object Oracles {
        |FROM ws LEFT JOIN nc USING ("window") LEFT JOIN nh USING ("window")
        |CROSS JOIN nt ORDER BY ws."window"""".stripMargin
 
+
+  // q168/q321 shared frontier: the IVF-PQ recall sweep replay -- the
+  // training chain, cell ranking, per-cell LUTs, ADC distances and
+  // exact cosines are combo-independent, derived ONCE; the 12
+  // operating points sweep over them as windowed cuts
+  private lazy val AnnFrontierSql: String = {
+      val (nlist, m) = (SparkEntry.IvfPqNlist, SparkEntry.IvfPqM)
+      val (ksub, iters) = (SparkEntry.IvfPqKsub, SparkEntry.PqIters)
+      val sample = SparkEntry.PqSample
+      val qid = SparkEntry.KnnQueryId
+      val dsub = 64 / m
+      def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
+      val coarse =
+        lloydChainSql("c", unitFromEmbeddingsSql, "pq", 1, nlist, iters, sample)
+      val resSrc =
+        s"""SELECT u.vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> u.uvec[i] - cb.centroid[i]) AS uvec
+           |  FROM cunit u
+           |  JOIN ccodes k ON k.vec_id = u.vec_id
+           |  JOIN ccb$iters cb ON cb.code = k.code""".stripMargin
+      val resid = lloydChainSql("r", resSrc, "ivfpq", m, ksub, iters, sample)
+      val combosVals = (for {
+        np <- SparkEntry.FrontierProbes; os <- SparkEntry.FrontierOversamples
+      } yield s"($np, $os)").mkString(", ")
+      s"""WITH $coarse,
+         |$resid,
+         |combos(n_probe, oversample) AS (SELECT * FROM (VALUES $combosVals)),
+         |qv AS (SELECT uvec FROM cunit WHERE vec_id = $qid),
+         |cellrank AS (
+         |  SELECT cb.code AS cluster, cb.centroid,
+         |         row_number() OVER (ORDER BY
+         |           ${pqDist("list_dot_product(q.uvec, q.uvec)", "q.uvec", "cb.centroid")},
+         |           cb.code) AS cell_rank
+         |  FROM ccb$iters cb, qv q),
+         |qres AS (
+         |  SELECT p.cluster,
+         |         list_transform(generate_series(1, 64),
+         |           i -> q.uvec[i] - p.centroid[i]) AS uvec
+         |  FROM cellrank p, qv q),
+         |qsub AS (
+         |  SELECT cluster, sub, ${sv("uvec", "sub")} AS qsub
+         |  FROM (SELECT cluster, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+         |        FROM qres)),
+         |lut AS (
+         |  SELECT q.cluster, c.sub, c.code,
+         |         ${pqDist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
+         |  FROM rcb$iters c JOIN qsub q USING (sub)),
+         |jc AS (
+         |  SELECT r.vec_id, k.code AS cluster, r.sub, r.code
+         |  FROM rcodes r JOIN ccodes k ON k.vec_id = r.vec_id),
+         |adc AS (
+         |  SELECT j.vec_id AS id, max(cr.cell_rank) AS cell_rank,
+         |         ${t6(dsum12("l.d"))} AS adc_dist
+         |  FROM jc j
+         |  JOIN lut l ON j.cluster = l.cluster AND j.sub = l.sub AND j.code = l.code
+         |  JOIN cellrank cr ON cr.cluster = j.cluster
+         |  WHERE j.vec_id != $qid
+         |  GROUP BY j.vec_id),
+         |cand AS (
+         |  SELECT c.n_probe, c.oversample, a.id,
+         |         row_number() OVER (PARTITION BY c.n_probe, c.oversample
+         |                            ORDER BY a.adc_dist, a.id) AS rn
+         |  FROM combos c JOIN adc a ON a.cell_rank <= c.n_probe),
+         |exactscore AS (
+         |  SELECT e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |  FROM embeddings e,
+         |       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |        WHERE vec_id = $qid) q
+         |  WHERE e.vec_id != $qid),
+         |etop AS (SELECT id FROM exactscore ORDER BY score DESC, id LIMIT 10),
+         |resc AS (
+         |  SELECT n_probe, oversample, id FROM (
+         |    SELECT c.n_probe, c.oversample, c.id,
+         |           row_number() OVER (PARTITION BY c.n_probe, c.oversample
+         |                              ORDER BY s.score DESC, c.id) AS rr
+         |    FROM cand c JOIN exactscore s USING (id)
+         |    WHERE c.rn <= 10 * c.oversample)
+         |  WHERE rr <= 10)
+         |SELECT CAST(c.n_probe AS BIGINT) AS n_probe,
+         |       CAST(c.oversample AS BIGINT) AS oversample,
+         |       CAST(count(e.id) AS BIGINT) AS overlap_at_10
+         |FROM combos c
+         |LEFT JOIN resc r ON r.n_probe = c.n_probe AND r.oversample = c.oversample
+         |LEFT JOIN etop e ON e.id = r.id
+         |GROUP BY c.n_probe, c.oversample
+         |ORDER BY n_probe, oversample""".stripMargin
+  }
 
   val sql: Map[String, String] = base ++ Map(
     // q157: measured recall of the LSH near-dup path against the exact

@@ -2786,26 +2786,15 @@ object SparkEntry {
     // deployment would pick from; IvfPqSpec pins recall monotone in
     // nProbe. The probe itself stays pure partition pruning — cost
     // scales with nProbe/nlist of the corpus, never the corpus. ----
-    "q168_ann_frontier" -> ((s, d) => {
-      // the exact corpus scan — the dominant cost at scale — is built
-      // ONCE and joined against the union of all 12 probe results (the
-      // first cut recomputed it per combo: 12 corpus scans in the plan)
-      val exact = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId,
-        topK = 10).select(col("id"), lit(1L).as("hit"))
-      val combos =
-        for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
-      val approxAll = combos.map { case (np, os) =>
-        ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
-          nProbe = np, excludeId = Some(KnnQueryId),
-          rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
-          .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
-            col("id"))
-      }.reduce(_ unionByName _)
-      approxAll.join(exact, Seq("id"), "left")
-        .groupBy("n_probe", "oversample")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_at_10"))
-        .orderBy("n_probe", "oversample")
-    }),
+    "q168_ann_frontier" -> ((s, d) => annFrontier(s, d)),
+
+    // ---- ANN auto-tuner: the cheapest (n_probe, oversample) point
+    // meeting an overlap@10 target on q168's MEASURED frontier — probe
+    // width (the corpus-touching knob) minimized first, rescore pool
+    // second; fallback flagged by met_target (q320's contract on the
+    // ANN side). At sf0.01 overlap 8 is first reached at (4, 8). ----
+    "q321_ann_autotune" -> ((s, d) =>
+      Retrieval.annAutoTune(annFrontier(s, d), minOverlap = 8L)),
 
     // ---- batched serving: five queries' exact top-5 from ONE corpus
     // scan, per-query cut through the bounded heap ----
@@ -3428,6 +3417,31 @@ object SparkEntry {
     * the realistic (nProbe < nlist) IVF probe, and the facade's hybrid
     * query with and without its persisted side indexes on the same
     * corpus — the scan-vs-index win measured head to head. */
+  /** The q168 recall/cost frontier: overlap@10 of the rescored IVF-PQ
+    * probe against the exact scan at every (nProbe, oversample)
+    * operating point. The exact corpus scan — the dominant cost at
+    * scale — is built ONCE and joined against the union of all 12 probe
+    * results (the first cut recomputed it per combo: 12 corpus scans in
+    * the plan). Shared by q168 (the frontier as data) and q321 (the
+    * auto-tuner's selection over it). */
+  private def annFrontier(s: SparkSession, d: String): DataFrame = {
+    val exact = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId,
+      topK = 10).select(col("id"), lit(1L).as("hit"))
+    val combos =
+      for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
+    val approxAll = combos.map { case (np, os) =>
+      ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
+        nProbe = np, excludeId = Some(KnnQueryId),
+        rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
+        .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
+          col("id"))
+    }.reduce(_ unionByName _)
+    approxAll.join(exact, Seq("id"), "left")
+      .groupBy("n_probe", "oversample")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_at_10"))
+      .orderBy("n_probe", "oversample")
+  }
+
   /** Pre-materialized fusion input (the ~100-row vector ∪ keyword
     * union) and pre-fused frame — stage fixtures letting the x4x
     * entries time the fusion CORE and the hydration join separately

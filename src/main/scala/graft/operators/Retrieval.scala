@@ -668,4 +668,27 @@ object Retrieval {
         col("qsim"))
       .orderBy("rank")
   }
+
+  /** ANN operating-point AUTO-TUNER over a measured frontier table
+    * (n_probe, oversample, overlap_at_10 — the q168 sweep): the
+    * CHEAPEST operating point whose measured overlap@k meets
+    * `minOverlap`, minimizing n_probe first (the corpus-touching knob —
+    * probe width scales the candidate scan) and oversample second (the
+    * exact-rescore pool, a topK-bounded fetch). The knob a production
+    * ANN deployment actually sets, picked from measured recall instead
+    * of guessed — the same contract as `Dedup.blockingAutoTune`. If no
+    * point meets the target, the fallback is explicit and flagged by
+    * `met_target`: the highest-overlap point, cheapest first. One row. */
+  def annAutoTune(frontier: DataFrame, minOverlap: Long): DataFrame = {
+    val met = col("overlap_at_10") >= minOverlap
+    frontier
+      .withColumn("met_target", met)
+      .withColumn("regime", when(met, 0).otherwise(1))
+      .withColumn("pref", when(met, col("n_probe").cast("double"))
+        .otherwise(-col("overlap_at_10").cast("double")))
+      .orderBy(col("regime"), col("pref"), col("n_probe"), col("oversample"))
+      .limit(1)
+      .select(col("n_probe"), col("oversample"), col("overlap_at_10"),
+        col("met_target"))
+  }
 }

@@ -1396,6 +1396,21 @@ class OperatorSpec extends SparkSpec {
     assert(got.last._3 >= got.head._3, got.toString)
   }
 
+  test("annAutoTune: cheapest operating point meeting overlap; flagged fallback") {
+    val frontier = Seq(
+      (1L, 2L, 4L), (1L, 4L, 4L), (2L, 2L, 5L), (2L, 8L, 8L),
+      (4L, 2L, 8L), (4L, 8L, 9L), (8L, 8L, 9L))
+      .toDF("n_probe", "oversample", "overlap_at_10")
+    def pick(min: Long) = Retrieval.annAutoTune(frontier, min)
+      .as[(Long, Long, Long, Boolean)].head()
+    // overlap ≥ 8 reachable at probes {2,4,8} → cheapest probe wins
+    assert(pick(8L) == ((2L, 8L, 8L, true)))
+    // probe tie at the target → smaller oversample wins
+    assert(pick(4L) == ((1L, 2L, 4L, true)))
+    // unreachable target → highest overlap, cheapest first, flagged
+    assert(pick(10L) == ((4L, 8L, 9L, false)))
+  }
+
   test("blockingAutoTune: smallest meeting window; explicit flagged fallbacks") {
     // 12 docs: 4 exact-duplicate pairs planted among 4 unique texts —
     // larger windows monotonically gain recall and candidates
