@@ -3613,6 +3613,9 @@ object SparkEntry {
     // warm-path facade latency (round-8 verdict #5): repeated-query p50
     // for the B5 result cache's hit and miss paths, measured separately
     "x98_facade_warm_query" -> ((s, d) => facadeWarmBench(s, d)),
+    // the clean-path amortization rung (x96/x97's contract for x94):
+    // SAME recipe and 4-batch shape at ~4× the x94 document count
+    "x99_stream_clean_24k" -> ((s, d) => streamCleanBench(s, d, 24000)),
   )
 
   /** Warm-path latency decomposition for [[pipeline.MemFuse.queryCached]]
@@ -3736,19 +3739,27 @@ object SparkEntry {
     * watermark-bounded exact dedup) over 4 micro-batches of document
     * rows. Output batches drain to the noop sink with every column
     * materialized; the returned frame carries the kept-row count. */
-  private def streamCleanBench(s: SparkSession, d: String): DataFrame = {
+  private def streamCleanBench(s: SparkSession, d: String,
+      nDocs: Int = 6000): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // bounded like streamIngestBench's 600-doc cut: MemoryStream feeds
     // from the driver, so an uncapped collect of the documents table
     // would make the bench harness itself driver-bound at sf1+ (the
-    // cap sits just above sf0.1's 5000 docs, so the comparable bench
-    // workload is untouched)
-    val rows = Tables.documents(s, d).filter(col("doc_id") < 6000)
-      .select(col("doc_id").cast("long"), col("text")).collect()
-      .map(r => (r.getLong(0),
-        new java.sql.Timestamp(1717200000000L + r.getLong(0) * 1000L),
-        r.getString(1)))
+    // default cap sits just above sf0.1's 5000 docs, so the comparable
+    // x94 workload is untouched). The x99 amortization rung passes a
+    // LARGER nDocs — a bounded constant, not corpus-scaling — and past
+    // the corpus the texts recycle with a per-row salt so the
+    // watermark-bounded exact dedup sees distinct content (throughput
+    // is priced, not dedup drops); ids stay unique either way.
+    val base = Tables.documents(s, d).filter(col("doc_id") < 6000)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val rows = (0 until nDocs).map { i =>
+      val text =
+        if (i < base.length) base(i) else base(i % base.length) + " #" + i
+      (i.toLong, new java.sql.Timestamp(1717200000000L + i * 1000L), text)
+    }.toArray
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String)]
     val cleaned = graft.streaming.StreamingIngest.streamingClean(
