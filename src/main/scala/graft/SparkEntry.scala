@@ -3740,21 +3740,23 @@ object SparkEntry {
     * rows. Output batches drain to the noop sink with every column
     * materialized; the returned frame carries the kept-row count. */
   private def streamCleanBench(s: SparkSession, d: String,
-      nDocs: Int = 6000): DataFrame = {
+      explicitDocs: Int = 0): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // bounded like streamIngestBench's 600-doc cut: MemoryStream feeds
     // from the driver, so an uncapped collect of the documents table
     // would make the bench harness itself driver-bound at sf1+ (the
-    // default cap sits just above sf0.1's 5000 docs, so the comparable
-    // x94 workload is untouched). The x99 amortization rung passes a
-    // LARGER nDocs — a bounded constant, not corpus-scaling — and past
+    // cap sits just above sf0.1's 5000 docs). With no explicitDocs the
+    // workload is exactly the capped corpus — x94 prices the same rows
+    // round over round. The x99 amortization rung passes a LARGER
+    // explicitDocs — a bounded constant, not corpus-scaling — and past
     // the corpus the texts recycle with a per-row salt so the
     // watermark-bounded exact dedup sees distinct content (throughput
     // is priced, not dedup drops); ids stay unique either way.
     val base = Tables.documents(s, d).filter(col("doc_id") < 6000)
       .select(col("doc_id").cast("long"), col("text"))
       .orderBy("doc_id").collect().map(_.getString(1))
+    val nDocs = if (explicitDocs > 0) explicitDocs else base.length
     val rows = (0 until nDocs).map { i =>
       val text =
         if (i < base.length) base(i) else base(i % base.length) + " #" + i
