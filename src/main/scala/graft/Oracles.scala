@@ -2032,6 +2032,51 @@ object Oracles {
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // q322/q323 replay the shingle text verbatim: a token position is
+    // duplicated iff its 8-token window occurs >= 2 times corpus-wide;
+    // consecutive duplicated positions merge into maximal spans; removal
+    // keeps each shingle's canonical first occurrence (min doc_id, pos)
+    "q322_dup_spans" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM ($nearDupCorpus)
+         |                WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)),
+         |tok AS (SELECT doc_id, ${toks("text")} AS tk FROM corpus),
+         |sh AS (SELECT doc_id, pos, array_to_string(list_slice(tk, pos, pos + 7), ' ') AS s
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+         |             FROM tok WHERE len(tk) >= 8)),
+         |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+         |runs AS (SELECT doc_id, pos,
+         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |         FROM sh WHERE s IN (SELECT s FROM dup))
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+         |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q323_dup_span_removal" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM ($nearDupCorpus)
+         |                WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)),
+         |tok AS (SELECT doc_id, ${toks("text")} AS tk FROM corpus),
+         |sh AS (SELECT doc_id, pos, array_to_string(list_slice(tk, pos, pos + 7), ' ') AS s
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+         |             FROM tok WHERE len(tk) >= 8)),
+         |occ AS (SELECT doc_id, pos,
+         |               row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+         |               count(*) OVER (PARTITION BY s) AS n_occ
+         |        FROM sh),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS t
+         |        FROM (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS i
+         |              FROM occ WHERE n_occ >= 2 AND rn > 1)),
+         |tokens AS (SELECT doc_id, pos AS t, tk[pos] AS tok
+         |           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos
+         |                 FROM tok))
+         |SELECT tokens.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN cov.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(CASE WHEN cov.t IS NULL THEN tok END,
+         |                           ' ' ORDER BY tokens.t), '') AS text_clean
+         |FROM tokens LEFT JOIN cov
+         |  ON tokens.doc_id = cov.doc_id AND tokens.t = cov.t
+         |GROUP BY tokens.doc_id ORDER BY tokens.doc_id""".stripMargin,
+
     "q32_char_chunks" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, substr(text, i * 180 + 1, 200) AS chunk_text
         |FROM (SELECT doc_id, text,

@@ -1670,6 +1670,19 @@ object SparkEntry {
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
         n = 3, threshold = 0.5)),
 
+    // ---- exact duplicated-span detection + removal (substring dedup,
+    // Lee et al. 2022 suffix-array semantics re-shaped as one shingle
+    // shuffle + per-doc run merge): maximal >=8-token spans occurring
+    // >=2 times corpus-wide, then the keep-first cleaning pass ----
+    "q322_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+    "q323_dup_span_removal" -> ((s, d) =>
+      Dedup.spanRemoval(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+
     // ---- per-label centroid-similarity outlier scoring: every vector
     // cosine-scored against its own class centroid (decimal-widened
     // means; the scan is row-local against literal centroids) ----

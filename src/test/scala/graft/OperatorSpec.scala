@@ -2631,4 +2631,38 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("A", 1000L, 500.5, 250.0, 0L), ("B", 50L, 5.0, 0.0, 0L)),
       got.toString)
   }
+
+  test("duplicated spans: maximal runs, within-doc repeats, short docs skip") {
+    // doc 1 and doc 2 share tokens "a b c d" (k=3 windows at two doc-1
+    // positions merge into ONE maximal span); doc 3 repeats a 3-gram
+    // WITHIN itself; doc 4 is shorter than k and contributes nothing
+    val docs = Seq(
+      (1L, "x a b c d y"),
+      (2L, "a b c d z w"),
+      (3L, "p q r s s p q r t u"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 5L, 4L), // "a b c" + "b c d" windows merge → tokens 2..5
+      (2L, 1L, 4L, 4L),
+      (3L, 1L, 3L, 3L), (3L, 6L, 8L, 3L)), // within-doc "p q r" twice
+      got.toString)
+  }
+
+  test("span removal: canonical first occurrence survives, rest stripped") {
+    val docs = Seq(
+      (1L, "x a b c d y"),
+      (2L, "a b c d z w"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs, k = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 holds the canonical (min doc_id, pos) occurrences of both
+    // duplicated 3-grams → untouched; doc 2 loses tokens 1..4; doc 4 is
+    // below k and passes through whole
+    assert(got == Seq(
+      (1L, 6L, 0L, "x a b c d y"),
+      (2L, 6L, 4L, "z w"),
+      (4L, 2L, 0L, "a b")), got.toString)
+  }
 }
