@@ -2077,6 +2077,53 @@ object Oracles {
          |  ON tokens.doc_id = cov.doc_id AND tokens.t = cov.t
          |GROUP BY tokens.doc_id ORDER BY tokens.doc_id""".stripMargin,
 
+    "q324_incremental_spans" ->
+      s"""WITH batch AS (SELECT doc_id, text FROM ($nearDupCorpus)
+         |               WHERE doc_id >= 10000 AND doc_id < 10100),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |bsh AS (SELECT doc_id, pos, array_to_string(list_slice(tk, pos, pos + 7), ' ') AS s
+         |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+         |              FROM (SELECT doc_id, ${toks("text")} AS tk FROM batch)
+         |              WHERE len(tk) >= 8)),
+         |csh AS (SELECT DISTINCT array_to_string(list_slice(tk, pos, pos + 7), ' ') AS s
+         |        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+         |              FROM (SELECT ${toks("text")} AS tk FROM corpus)
+         |              WHERE len(tk) >= 8)),
+         |dup AS (SELECT s FROM bsh GROUP BY s HAVING count(*) >= 2
+         |        UNION SELECT s FROM csh),
+         |runs AS (SELECT doc_id, pos,
+         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |         FROM bsh WHERE s IN (SELECT s FROM dup))
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+         |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q325_duplication_report" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM ($nearDupCorpus)
+         |                WHERE doc_id < 100 OR (doc_id >= 10000 AND doc_id < 10100)),
+         |tok AS (SELECT doc_id, ${toks("text")} AS tk FROM corpus),
+         |sh AS (SELECT doc_id, pos, array_to_string(list_slice(tk, pos, pos + 7), ' ') AS s
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+         |             FROM tok WHERE len(tk) >= 8)),
+         |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+         |runs AS (SELECT doc_id, pos,
+         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |         FROM sh WHERE s IN (SELECT s FROM dup)),
+         |spans AS (SELECT max(pos) + 7 - min(pos) + 1 AS span_len
+         |          FROM runs GROUP BY doc_id, grp),
+         |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS total_tokens FROM tok),
+         |agg AS (SELECT CAST(coalesce(SUM(span_len), 0) AS BIGINT) AS dup_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_spans,
+         |               CAST(coalesce(MAX(span_len), 0) AS BIGINT) AS max_span_len
+         |        FROM spans)
+         |SELECT total_tokens, dup_tokens,
+         |       CASE WHEN total_tokens = 0 THEN 0.0
+         |            ELSE ${t6("CAST(dup_tokens AS DOUBLE) / total_tokens")}
+         |       END AS dup_ratio,
+         |       n_spans, max_span_len
+         |FROM tot, agg""".stripMargin,
+
     "q32_char_chunks" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, substr(text, i * 180 + 1, 200) AS chunk_text
         |FROM (SELECT doc_id, text,

@@ -1682,6 +1682,18 @@ object SparkEntry {
       Dedup.spanRemoval(
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+    // incremental shape: a new batch scanned against the committed
+    // corpus's distinct-shingle set (one semi-join) + itself
+    "q324_incremental_spans" -> ((s, d) =>
+      Dedup.incrementalSpans(
+        docsWithNearDups(s, d).filter(col("doc_id") >= 10000 &&
+          col("doc_id") < 10100),
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text"), k = 8)),
+    "q325_duplication_report" -> ((s, d) =>
+      Dedup.duplicationReport(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
 
     // ---- per-label centroid-similarity outlier scoring: every vector
     // cosine-scored against its own class centroid (decimal-widened
@@ -3503,6 +3515,12 @@ object SparkEntry {
     "x47_ivf_probe2" -> ((s, d) =>
       ivfIndexFor(s, d).query(ivfQueryVec(s, d), topK = 20, nProbe = 2,
         excludeId = Some(KnnQueryId))),
+
+    // substring dedup priced at corpus scale (q322 runs the oracle-sized
+    // 200-doc cut): the full near-dup corpus — 2x documents, one
+    // shingle shuffle + semi-join + per-doc window
+    "x49_dup_spans_corpus" -> ((s, d) =>
+      Dedup.duplicatedSpans(docsWithNearDups(s, d), k = 8)),
 
 
     // z-order vs single-sort layout under a two-sided band scan: the

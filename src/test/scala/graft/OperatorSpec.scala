@@ -2665,4 +2665,34 @@ class OperatorSpec extends SparkSpec {
       (2L, 6L, 4L, "z w"),
       (4L, 2L, 0L, "a b")), got.toString)
   }
+
+  test("incremental spans: batch vs corpus set + within-batch repeats") {
+    val corpus = Seq((1L, "x a b c d y")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "w a b c q q"), // "a b c" hits the corpus set once
+      (11L, "m n o z m n o"), // "m n o" repeats WITHIN the batch doc
+      (12L, "u v")).toDF("doc_id", "text")
+    val got = Dedup.incrementalSpans(batch, corpus, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // corpus-side spans are never reported; single corpus occurrence
+    // is enough to flag a batch position
+    assert(got == Seq(
+      (10L, 2L, 4L, 3L),
+      (11L, 1L, 3L, 3L), (11L, 5L, 7L, 3L)), got.toString)
+  }
+
+  test("duplication report: disjoint maximal spans sum exactly") {
+    val docs = Seq(
+      (1L, "x a b c d y"), // 6 tokens, span 2..5
+      (2L, "a b c d z w"), // 6 tokens, span 1..4
+      (4L, "a b")).toDF("doc_id", "text") // 2 tokens, below k
+    val got = Dedup.duplicationReport(docs, k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq((14L, 8L, 0.571428, 2L, 4L)), got.toString)
+    // degenerate corpus: no duplicated shingles -> zeroed report
+    val none = Dedup.duplicationReport(
+      Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(none == Seq((6L, 0L, 0.0, 0L, 0L)), none.toString)
+  }
 }
