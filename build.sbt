@@ -36,6 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // -Xms pinned to -Xmx: a full GC (the bench's targeted heap drains)
   // may otherwise UNCOMMIT heap, and the re-commit + region re-expansion
   // lands inside the next timed window (round-8 verdict #1)
+  // SPARK_DRIVER_XMS overrides the floor alone for small machines where
+  // committing 24g at JVM init would fail (bench numbers need the pin;
+  // plain test/verify runs don't)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))}",
 )

@@ -86,9 +86,15 @@ object Bench {
     // build.sbt so a full GC can never uncommit heap. SPARK_GRAFT_DRAIN
     // = all|heavy|none overrides for A/B runs.
     val drainMode = sys.env.getOrElse("SPARK_GRAFT_DRAIN", "heavy")
+    require(Set("all", "heavy", "none")(drainMode),
+      s"SPARK_GRAFT_DRAIN must be all|heavy|none, got '$drainMode'")
     val drainAfterSec = 2.0
     def pass() = {
-      var prevSec = 0.0
+      // seeded past the threshold: the PREVIOUS pass's last entry may
+      // have been a heavy, so each pass opens drained — otherwise the
+      // first entry's samples in passes 2..n carry that wake and
+      // min-of-passes degenerates to pass 1's single clean sample
+      var prevSec = Double.MaxValue
       ordered.map { case (name, fn) =>
         if (drainMode == "all" || (drainMode == "heavy" && prevSec > drainAfterSec))
           System.gc()

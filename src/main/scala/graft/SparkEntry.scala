@@ -3474,12 +3474,15 @@ object SparkEntry {
     * fusion-family drift instead of theorizing about it). */
   private val fusionStageCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // keys carry the session identity: persisted frames die with their
+  // session, so a second SparkSession in the same JVM (per-suite test
+  // sessions) must rebuild rather than touch a dead session's blocks
   private def fusionInputsFor(s: SparkSession, d: String): DataFrame =
-    fusionStageCache.getOrElseUpdate(s"$d#in", {
+    fusionStageCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$d#in", {
       val df = hybridInputs(s, d).persist(); df.count(); df
     })
   private def fusedFor(s: SparkSession, d: String): DataFrame =
-    fusionStageCache.getOrElseUpdate(s"$d#fused", {
+    fusionStageCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$d#fused", {
       val df = Fusion.rrf(fusionInputsFor(s, d), RrfK, FusionWeights, 15)
         .persist()
       df.count(); df
