@@ -152,6 +152,10 @@ object Demo {
       .select(($"doc_id" + 9000).as("doc_id"), $"text")
     Dedup.incrementalDedup(batch, corpus).groupBy("status").count().show(false)
 
+    println("-- substring dedup: duplicated spans in the batch vs corpus --")
+    Dedup.incrementalSpans(batch, corpus, k = 8).show(5, truncate = false)
+    Dedup.duplicationReport(corpus.unionByName(batch), k = 8).show(false)
+
     spark.stop()
   }
 }
