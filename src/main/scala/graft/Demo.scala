@@ -17,7 +17,7 @@ object Demo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val base = java.nio.file.Files.createTempDirectory("memfuse-demo").toString
+    val base = graft.TempDirs.create("memfuse-demo").toString
     val engine = new MemFuse(spark, base)
 
     def ts(i: Int) = new java.sql.Timestamp(1717200000000L + i * 1000L)
@@ -98,7 +98,7 @@ object Demo {
     Multimodal.sampleFrames(media).show(false)
 
     println("-- M2 semantic layer: facts + multi-layer query --")
-    val sem = new MemFuse(spark, java.nio.file.Files.createTempDirectory("sem").toString)
+    val sem = new MemFuse(spark, graft.TempDirs.create("sem").toString)
     sem.ingest(Seq(
       Schemas.Message("f1", "s1", "carol", "r1", 1, "user",
         "the capital of france is paris", ts(10)),

@@ -712,7 +712,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.KeywordIndex]
   private def keywordIndexFor(s: SparkSession, d: String): pipeline.KeywordIndex =
     kwIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString
+      val dir = graft.TempDirs.create("graft_kwidx").toString
       val idx = new pipeline.KeywordIndex(s, dir)
       idx.build(Tables.documents(s, d))
       idx
@@ -722,7 +722,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.IvfIndex]
   private def ivfIndexFor(s: SparkSession, d: String): pipeline.IvfIndex =
     ivfIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+      val dir = graft.TempDirs.create("graft_ivfidx").toString
       pipeline.IvfIndex.build(s, Tables.embeddings(s, d), nlist = 8).save(dir)
       pipeline.IvfIndex.load(s, dir)
     })
@@ -731,7 +731,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.PqIndex]
   private def pqIndexFor(s: SparkSession, d: String): pipeline.PqIndex =
     pqIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      val dir = graft.TempDirs.create("graft_pqidx").toString
       pipeline.PqIndex.build(Tables.embeddings(s, d),
         m = PqM, ksub = PqKsub, iters = PqIters, sampleRows = PqSample).save(dir)
       pipeline.PqIndex.load(s, dir)
@@ -741,7 +741,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.IvfPqIndex]
   private def ivfPqIndexFor(s: SparkSession, d: String): pipeline.IvfPqIndex =
     ivfPqIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+      val dir = graft.TempDirs.create("graft_ivfpqidx").toString
       pipeline.IvfPq.build(Tables.embeddings(s, d), nlist = IvfPqNlist,
         m = IvfPqM, ksub = IvfPqKsub, iters = PqIters, sampleRows = PqSample)
         .save(dir)
@@ -821,7 +821,7 @@ object SparkEntry {
     zLayoutCache.getOrElseUpdate(d, {
       val ev = Tables.events(s, d)
         .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
-      val base = java.nio.file.Files.createTempDirectory("graft_zord").toString
+      val base = graft.TempDirs.create("graft_zord").toString
       val (zDir, sDir) = (s"$base/z", s"$base/s")
       graft.pipeline.Layout.writeZOrdered(ev, zDir,
         Seq("user_id", "ts_us"), nFiles = 16)
@@ -3752,7 +3752,7 @@ object SparkEntry {
         "user", texts((i % texts.length).toInt),
         new java.sql.Timestamp(1717200000000L + id * 1000L))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_sb_ingest").toString
+    val dir = graft.TempDirs.create("graft_sb_ingest").toString
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[pipeline.Schemas.Message]
     val q = graft.streaming.StreamingIngest.start(source.toDS(), dir,
@@ -3822,7 +3822,7 @@ object SparkEntry {
     * partial-index predicate reads only pending buckets and rewrites
     * only those; the encode itself is the dominant distributed cost. */
   private def streamBackfillBench(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sb_backfill").toString
+    val dir = graft.TempDirs.create("graft_sb_backfill").toString
     val docs = Tables.documents(s, d).select(
       concat(lit("bf"), col("doc_id")).as("chunk_id"),
       col("text").as("content"),
@@ -3852,7 +3852,7 @@ object SparkEntry {
   private def churnFacadeFor(s: SparkSession, d: String,
       backend: String): pipeline.MemFuse =
     churnFacadeCache.getOrElseUpdate(s"$d#$backend", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString
+      val dir = graft.TempDirs.create("graft_churn").toString
       val eng = new pipeline.MemFuse(s, dir)
       eng.createUser(FacadeUser, "Bench User")
       eng.createAgent("bench_agent", "Bench Agent")
@@ -3882,7 +3882,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def facadeDirs(d: String): String =
     facadeDirCache.getOrElseUpdate(d,
-      java.nio.file.Files.createTempDirectory("graft_facade").toString)
+      graft.TempDirs.create("graft_facade").toString)
   private def facadeMessages(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       concat(lit("m"), col("doc_id")).as("message_id"),
@@ -3910,7 +3910,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
   private def facadePqFor(s: SparkSession, d: String): pipeline.MemFuse =
     facadePqCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_facade_pq").toString
+      val dir = graft.TempDirs.create("graft_facade_pq").toString
       val eng = new pipeline.MemFuse(s, dir)
       eng.ingest(facadeMessages(s, d))
       eng.buildIndexes(vectorIndex = "pq")
@@ -3925,7 +3925,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, pipeline.MemFuse]
   private def facadeIvfPqFor(s: SparkSession, d: String): pipeline.MemFuse =
     facadeIvfPqCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_facade_ivfpq").toString
+      val dir = graft.TempDirs.create("graft_facade_ivfpq").toString
       val eng = new pipeline.MemFuse(s, dir)
       eng.ingest(facadeMessages(s, d))
       eng.buildIndexes(nlist = 8, vectorIndex = "ivfpq")
@@ -3941,7 +3941,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def mergeTableFor(s: SparkSession, d: String): String =
     mergeTableCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_merge")
+      val dir = graft.TempDirs.create("graft_merge")
         .toString + "/docs"
       val base = Tables.documents(s, d)
         .select(col("doc_id").as("user_id"), col("text"))
@@ -3971,7 +3971,7 @@ object SparkEntry {
       val (ot, ct) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
       // external tables at a fresh temp location: a stale
       // spark-warehouse dir from an earlier JVM can't collide
-      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val base = graft.TempDirs.create("graft_bkt").toString
       Tables.orders(s, d).write.mode("overwrite").option("path", s"$base/$ot")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
       Tables.customer(s, d).write.mode("overwrite").option("path", s"$base/$ct")
@@ -3987,7 +3987,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def jsonlDocsFor(s: SparkSession, d: String): String =
     jsonlCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      val dir = graft.TempDirs.create("graft_jsonl")
         .toString + "/docs"
       Tables.documents(s, d).select("doc_id", "lang", "text")
         .write.mode("overwrite").json(dir)
@@ -4000,7 +4000,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def langPartitionedFor(s: SparkSession, d: String): String =
     langPartCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_langpart")
+      val dir = graft.TempDirs.create("graft_langpart")
         .toString + "/docs"
       Tables.documents(s, d).write.mode("overwrite")
         .partitionBy("lang").parquet(dir)

@@ -1,0 +1,35 @@
+package graft
+
+/** JVM-lifetime scratch directories. Every fixture warehouse, index
+  * save and stream sink the harness mains (Bench/Verify/Demo) and the
+  * specs create lives only for the process — but
+  * `Files.createTempDirectory` never cleans up, and a day of bench +
+  * verify + ladder runs left 750+ orphaned warehouse dirs (~4 GB of
+  * small parquet files) in /tmp, measurably degrading later stream-sink
+  * benches on the same machine. `create` is a drop-in replacement that
+  * registers each directory for recursive deletion at JVM exit. */
+object TempDirs {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      registered.forEach(deleteRecursively(_))))
+
+  def create(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    hookInstalled
+    registered.add(p)
+    p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val children = java.nio.file.Files.list(p)
+        try children.forEach(deleteRecursively(_)) finally children.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best effort at exit
+}

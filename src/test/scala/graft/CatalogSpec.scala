@@ -17,7 +17,7 @@ class CatalogSpec extends SparkSpec {
     Schemas.Message(id, session, user, round, seq, "user", content, ts(seq))
 
   private def populated(): MemFuse = {
-    val dir = Files.createTempDirectory("catalog").toString
+    val dir = graft.TempDirs.create("catalog").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "Alice")
     engine.createUser("u2", "Bob")

@@ -87,7 +87,7 @@ class ExtensionsSpec extends AnyFunSuite {
   test("queryPerSession auto-routes through the heap operator on an extended session") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("heapq").toString
+    val dir = graft.TempDirs.create("heapq").toString
     val engine = new graft.pipeline.MemFuse(spark, dir)
     def ts(i: Int) = new java.sql.Timestamp(1717200000000L + i * 1000L)
     engine.ingest(Seq(

@@ -10,7 +10,7 @@ class IndexSpec extends SparkSpec {
 
   test("keyword index bm25 equals on-the-fly bm25") {
     val docs = Tables.documents(spark, sf())
-    val dir = Files.createTempDirectory("kwidx").toString
+    val dir = graft.TempDirs.create("kwidx").toString
     val idx = new KeywordIndex(spark, dir)
     idx.build(docs)
     val fromIndex = idx.bm25(Seq("join", "filter", "table", "scan"), 50)
@@ -24,7 +24,7 @@ class IndexSpec extends SparkSpec {
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + i * 1000L)
 
   test("indexed hybrid query equals the on-the-fly path on the same corpus") {
-    val dir = Files.createTempDirectory("idxq").toString
+    val dir = graft.TempDirs.create("idxq").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
@@ -45,11 +45,11 @@ class IndexSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf())
     val half1 = docs.filter(col("doc_id") % 2 === 0)
     val half2 = docs.filter(col("doc_id") % 2 === 1)
-    val incDir = Files.createTempDirectory("kwinc").toString
+    val incDir = graft.TempDirs.create("kwinc").toString
     val inc = new KeywordIndex(spark, incDir)
     inc.build(half1)
     inc.addDocuments(half2)
-    val full = new KeywordIndex(spark, Files.createTempDirectory("kwfull").toString)
+    val full = new KeywordIndex(spark, graft.TempDirs.create("kwfull").toString)
     full.build(docs)
     val terms = Seq("join", "filter", "table", "scan")
     // reopen after the incremental update (same contract as after build)
@@ -64,7 +64,7 @@ class IndexSpec extends SparkSpec {
     // racing addDocuments always resolves a COMPLETE stats file (the old
     // in-place overwrite had a window where stats were half-written)
     val docs = Tables.documents(spark, sf())
-    val dir = Files.createTempDirectory("kwstats").toString
+    val dir = graft.TempDirs.create("kwstats").toString
     new KeywordIndex(spark, dir).build(docs.filter(col("doc_id") < 100))
     @volatile var failure: Option[Throwable] = None
     @volatile var writing = true
@@ -88,7 +88,7 @@ class IndexSpec extends SparkSpec {
   test("ivf incremental add: nearest-centroid assignment, probe completeness") {
     import graft.pipeline.IvfIndex
     val emb = Tables.embeddings(spark, sf())
-    val dir = Files.createTempDirectory("ivfinc").toString
+    val dir = graft.TempDirs.create("ivfinc").toString
     IvfIndex.build(spark, emb.filter(col("vec_id") < 100), nlist = 4).save(dir)
     val idx = IvfIndex.load(spark, dir)
     val drift = idx.addVectors(
@@ -119,7 +119,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("facade ingest after buildIndexes maintains the indexes incrementally") {
-    val dir = Files.createTempDirectory("incfacade").toString
+    val dir = graft.TempDirs.create("incfacade").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
@@ -151,7 +151,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("pq vector backend: indexed ≡ scan, incremental ingest, delete + maintain") {
-    val dir = Files.createTempDirectory("pqfacade").toString
+    val dir = graft.TempDirs.create("pqfacade").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -214,7 +214,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("ivfpq vector backend: indexed ≡ scan, incremental ingest, delete + maintain, switch retires") {
-    val dir = Files.createTempDirectory("ivfpqfacade").toString
+    val dir = graft.TempDirs.create("ivfpqfacade").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -275,7 +275,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("pq stale rebuild re-encodes committed-but-unindexed live rows") {
-    val dir = Files.createTempDirectory("pqgap").toString
+    val dir = graft.TempDirs.create("pqgap").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -317,7 +317,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("facade fusion strategies × freshness boost: indexed ≡ scan; boost scales fused scores") {
-    val dir = Files.createTempDirectory("idxknobs").toString
+    val dir = graft.TempDirs.create("idxknobs").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
@@ -350,7 +350,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("deletes tombstone the indexes; indexed ≡ scan with no manual rebuild; maintain() rebuilds past threshold") {
-    val dir = Files.createTempDirectory("idxdel").toString
+    val dir = graft.TempDirs.create("idxdel").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -383,7 +383,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("stale rebuild fires only past threshold — never every maintain cycle") {
-    val dir = Files.createTempDirectory("idxcadence").toString
+    val dir = graft.TempDirs.create("idxcadence").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -420,7 +420,7 @@ class IndexSpec extends SparkSpec {
     // untouched message's chunks regenerate IDENTICAL content-addressed
     // ids, which must NOT be appended to the postings/doclen/ivf again
     // (double df + duplicate candidates otherwise)
-    val dir = Files.createTempDirectory("idxmut").toString
+    val dir = graft.TempDirs.create("idxmut").toString
     val engine = new MemFuse(spark, dir, chunking = "character")
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
@@ -442,7 +442,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("scoped indexed queries scale the oversample by scope selectivity (recall)") {
-    val dir = Files.createTempDirectory("idxscope").toString
+    val dir = graft.TempDirs.create("idxscope").toString
     val engine = new MemFuse(spark, dir)
     // 30 strong-matching s1 messages drown the GLOBAL ranking; s2's two
     // weak matches must still surface for a query scoped to s2 — with a
@@ -472,7 +472,7 @@ class IndexSpec extends SparkSpec {
     // runs maintain() (compaction + vacuum + stale-index rebuild). Every
     // read must answer from SOME committed snapshot — no exceptions, no
     // half-swapped state; afterwards indexed ≡ scan on the final corpus.
-    val dir = Files.createTempDirectory("idxchaos").toString
+    val dir = graft.TempDirs.create("idxchaos").toString
     val engine = new MemFuse(spark, dir)
     engine.createUser("u1", "User One")
     engine.createAgent("a1", "Agent")
@@ -513,7 +513,7 @@ class IndexSpec extends SparkSpec {
   test("index rebuild never yanks files from a handle opened before it") {
     import graft.pipeline.IvfIndex
     val emb = Tables.embeddings(spark, sf())
-    val dir = Files.createTempDirectory("ivfver").toString
+    val dir = graft.TempDirs.create("ivfver").toString
     IvfIndex.build(spark, emb.filter(col("vec_id") < 50), nlist = 2).save(dir)
     val held = IvfIndex.load(spark, dir)
     // full rebuild over different data commits a NEW version
@@ -522,7 +522,7 @@ class IndexSpec extends SparkSpec {
     assert(IvfIndex.load(spark, dir).assigned.count() == 100, "fresh open sees the rebuild")
 
     val docs = Tables.documents(spark, sf())
-    val kdir = Files.createTempDirectory("kwver").toString
+    val kdir = graft.TempDirs.create("kwver").toString
     new KeywordIndex(spark, kdir).build(docs.filter(col("doc_id") < 100))
     val heldKw = new KeywordIndex(spark, kdir)
     val terms = Seq("join", "filter", "table", "scan")
@@ -539,7 +539,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("three-way hybrid: includeGraph adds the m2 vertex leg to the fusion") {
-    val dir = Files.createTempDirectory("graphleg").toString
+    val dir = graft.TempDirs.create("graphleg").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "espresso is coffee", ts(1)),
@@ -560,7 +560,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("session and agent scope narrow the query corpus (disjoint results)") {
-    val dir = Files.createTempDirectory("scope").toString
+    val dir = graft.TempDirs.create("scope").toString
     val engine = new MemFuse(spark, dir)
     engine.createAgent("a1", "support bot")
     engine.createAgent("a2", "sales bot")
@@ -580,7 +580,7 @@ class IndexSpec extends SparkSpec {
   }
 
   test("query cache: second call is served without recomputation; routing gates on quality") {
-    val dir = Files.createTempDirectory("cache").toString
+    val dir = graft.TempDirs.create("cache").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "alpha beta gamma", ts(1)),

@@ -100,7 +100,7 @@ class IvfPqSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf())
     val idx = IvfPq.build(emb, nlist = 8, m = 8, ksub = 16,
       iters = 2, sampleRows = 256)
-    val dir = java.nio.file.Files.createTempDirectory("ivfpqsave").toString
+    val dir = graft.TempDirs.create("ivfpqsave").toString
     idx.save(dir)
     val loaded = IvfPq.load(spark, dir)
     assert(loaded.model.nlist == 8 && loaded.model.m == 8 &&

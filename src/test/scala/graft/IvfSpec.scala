@@ -43,7 +43,7 @@ class IvfSpec extends SparkSpec {
   test("ivf index: save/load round-trip answers identically, cluster-partitioned") {
     val emb = Tables.embeddings(spark, sf())
     val built = IvfIndex.build(spark, emb, nlist = 4)
-    val dir = java.nio.file.Files.createTempDirectory("ivfsave").toString
+    val dir = graft.TempDirs.create("ivfsave").toString
     built.save(dir)
     val loaded = IvfIndex.load(spark, dir)
     val qvec = emb.filter(col("vec_id") === 0L)

@@ -11,7 +11,7 @@ class PipelineSpec extends SparkSpec {
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + sec * 1000L)
 
   private def freshEngine(): (MemFuse, String) = {
-    val dir = Files.createTempDirectory("memfuse").toString
+    val dir = graft.TempDirs.create("memfuse").toString
     (new MemFuse(spark, dir), dir)
   }
 
@@ -212,7 +212,7 @@ class PipelineSpec extends SparkSpec {
   test("chunking dispatch: character and token_budget strategies land on the m1 shape") {
     // C2: one long message → multiple overlapping character windows,
     // each with lineage to its source message
-    val dirC = Files.createTempDirectory("chunkc").toString
+    val dirC = graft.TempDirs.create("chunkc").toString
     val charEngine = new MemFuse(spark, dirC, chunking = "character")
     val long = ("word " * 500).trim
     charEngine.ingest(Seq(msg("m1", "s1", "u1", "r1", 1, "user", long)).toDF())
@@ -224,7 +224,7 @@ class PipelineSpec extends SparkSpec {
 
     // C3: messages pack greedily into ≤budget chunks, lineage covers
     // every message exactly once
-    val dirT = Files.createTempDirectory("chunkt").toString
+    val dirT = graft.TempDirs.create("chunkt").toString
     val tbEngine = new MemFuse(spark, dirT, chunking = "token_budget")
     tbEngine.ingest((1 to 6).map(i =>
       msg(s"m$i", "s1", "u1", s"r$i", i, "user", ("tok " * 300).trim)).toDF())
@@ -240,7 +240,7 @@ class PipelineSpec extends SparkSpec {
 
   test("C3 situating-context stage runs between packing and encoding") {
     def fresh(stage: Option[SituatingStage]) = {
-      val dir = Files.createTempDirectory("situate").toString
+      val dir = graft.TempDirs.create("situate").toString
       val e = new MemFuse(spark, dir, chunking = "token_budget", situating = stage)
       e.ingest(Seq(
         msg("m1", "s1", "u1", "r1", 1, "user", "alpha beta gamma"),
@@ -328,7 +328,7 @@ class PipelineSpec extends SparkSpec {
     // (a bi-encoder oracle would too, but a constant scorer would not)
     assert(s1 != ce.score("spark shuffle", "banana bread recipe"))
     // the facade runs end-to-end with the cross-encoder plugged in
-    val dir = java.nio.file.Files.createTempDirectory("xenc").toString
+    val dir = graft.TempDirs.create("xenc").toString
     val engine = new MemFuse(spark, dir, reranker = ce)
     engine.ingest(Seq(
       msg("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning"),
@@ -351,7 +351,7 @@ class PipelineSpec extends SparkSpec {
     val far = enc.encodeOne("completely unrelated cooking recipe words")
     assert(cos(a, near) > cos(a, far))
     // the full facade runs with the projection encoder plugged in
-    val dir = java.nio.file.Files.createTempDirectory("rpenc").toString
+    val dir = graft.TempDirs.create("rpenc").toString
     val engine = new MemFuse(spark, dir, encoder = enc)
     engine.ingest(Seq(
       msg("m1", "s1", "u1", "r1", 1, "user", "how to tune spark shuffle"),

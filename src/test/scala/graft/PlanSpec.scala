@@ -346,7 +346,7 @@ class PlanSpec extends SparkSpec {
   test("facade tenant read prunes to the user's bucket at file-list time") {
     import graft.pipeline.TableOps
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("plan").toString
+    val dir = graft.TempDirs.create("plan").toString
     val engine = new graft.pipeline.MemFuse(spark, dir)
     val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     // a second user hashed to a DIFFERENT bucket, so pruning is observable

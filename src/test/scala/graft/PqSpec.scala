@@ -60,7 +60,7 @@ class PqSpec extends SparkSpec {
 
     // over a LOADED index the fast scan is one projected parquet pass
     // feeding TakeOrdered — no shuffle exchange, no join, no aggregate
-    val dir = java.nio.file.Files.createTempDirectory("pqfast").toString
+    val dir = graft.TempDirs.create("pqfast").toString
     idx.save(dir)
     val loaded = PqIndex.load(spark, dir)
     assert(loaded.query(q, 20, excludeId = Some(0L), fast = true)
@@ -81,7 +81,7 @@ class PqSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf())
     val old = emb.filter(col("vec_id") < 400)
     val idx = PqIndex.build(old, m = 16, ksub = 16, iters = 2, sampleRows = 256)
-    val dir = java.nio.file.Files.createTempDirectory("pqsave").toString
+    val dir = graft.TempDirs.create("pqsave").toString
     idx.save(dir)
     val loaded = PqIndex.load(spark, dir)
     assert(loaded.m == 16 && loaded.ksub == 16)

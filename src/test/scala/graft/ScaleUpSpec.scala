@@ -13,7 +13,7 @@ import java.nio.file.Files
 class ScaleUpSpec extends SparkSpec {
 
   private lazy val dst = {
-    val dir = Files.createTempDirectory("scaleup").toString
+    val dir = graft.TempDirs.create("scaleup").toString
     ScaleUp.main(Array(sf(), dir, "3"))
     dir
   }

@@ -14,7 +14,7 @@ class SemanticSpec extends SparkSpec {
     Schemas.Message(id, "s1", "u1", s"r$seq", seq, role, content, ts(seq))
 
   private def engineWithFacts(): MemFuse = {
-    val dir = Files.createTempDirectory("sem").toString
+    val dir = graft.TempDirs.create("sem").toString
     val engine = new MemFuse(spark, dir)
     engine.ingest(Seq(
       msg("m1", 1, "user", "the capital of france is paris"),
@@ -118,7 +118,7 @@ class SemanticSpec extends SparkSpec {
   }
 
   test("episode formation: time-gap split, lineage, extractive summary") {
-    val dir = Files.createTempDirectory("epi").toString
+    val dir = graft.TempDirs.create("epi").toString
     val engine = new MemFuse(spark, dir)
     def at(hours: Int, id: String, round: String, seq: Int, content: String) =
       Schemas.Message(id, "s1", "u1", round, seq, "user", content,
@@ -142,7 +142,7 @@ class SemanticSpec extends SparkSpec {
   }
 
   test("knowledge CRUD round-trip") {
-    val dir = Files.createTempDirectory("kn").toString
+    val dir = graft.TempDirs.create("kn").toString
     val engine = new MemFuse(spark, dir)
     engine.addKnowledge("u1", Seq("likes scala", "dislikes yaml"))
     engine.addKnowledge("u2", Seq("other user"))

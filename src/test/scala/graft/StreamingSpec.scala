@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streamed chunks reach the side indexes: indexed query sees them, absorption is idempotent") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("streamidx").toString
+    val dir = graft.TempDirs.create("streamidx").toString
     val engine = new graft.pipeline.MemFuse(spark, dir)
     // batch-ingest a seed corpus and build kw+ivf indexes over it
     engine.ingest(Seq(
@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
   for (backend <- Seq("pq", "ivfpq"))
     test(s"streamed chunks reach the $backend-backed index; absorption idempotent") {
       implicit val sqlCtx = spark.sqlContext
-      val dir = Files.createTempDirectory(s"streamidx_$backend").toString
+      val dir = graft.TempDirs.create(s"streamidx_$backend").toString
       val engine = new graft.pipeline.MemFuse(spark, dir)
       engine.ingest(Seq(
         Schemas.Message("b1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
@@ -124,7 +124,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming ingest flushes the dual queue: m0 originals AND m1 chunks") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("stream").toString
+    val dir = graft.TempDirs.create("stream").toString
     val source = MemoryStream[Schemas.Message]
     val q = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
       maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt")
@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
 
   test("dual flush survives a crash between the two writes: no dupes, lineage 1:1") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("stream_crash").toString
+    val dir = graft.TempDirs.create("stream_crash").toString
     val source = MemoryStream[Schemas.Message]
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     // failpoint: die AFTER the m0 append, BEFORE the m1 append —
@@ -210,7 +210,7 @@ class StreamingSpec extends SparkSpec {
 
   test("commit-marker compaction preserves the committed view exactly") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = Files.createTempDirectory("compact").toString
+    val dir = graft.TempDirs.create("compact").toString
     val source = MemoryStream[Schemas.Message]
     val q = StreamingIngest.start(source.toDS(), dir, HashingEncoder(),
       maxTokens = 50, timeoutMs = 0, checkpoint = s"$dir/ckpt")
@@ -239,7 +239,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("embedding backfill encodes rows flagged needs_embedding") {
-    val dir = Files.createTempDirectory("backfill").toString
+    val dir = graft.TempDirs.create("backfill").toString
     val pending = Seq(
       ("c1", "some chunk text", "token_based", 3,
         Array.empty[Float], Seq("m1"), "u1", "s1", true, ts(0), ts(0)),

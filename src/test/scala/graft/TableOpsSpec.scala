@@ -13,7 +13,7 @@ class TableOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String) =
-    Files.createTempDirectory(prefix).toString + "/t"
+    graft.TempDirs.create(prefix).toString + "/t"
 
   test("reader holding a snapshot survives a whole-table rewrite (MVCC)") {
     val dir = tmp("mvcc")
@@ -213,7 +213,7 @@ class TableOpsSpec extends SparkSpec {
   }
 
   test("dropArtifactPointers retires one family, leaves others resolvable") {
-    val base = java.nio.file.Files.createTempDirectory("artdrop").toString
+    val base = graft.TempDirs.create("artdrop").toString
     def commit(prefix: String): Unit = {
       val name = TableOps.nextArtifactDir(spark, base, prefix)
       new java.io.File(s"$base/$name").mkdirs()
@@ -317,8 +317,8 @@ class TableOpsSpec extends SparkSpec {
       (a, i.toLong, s"r$i")
     }
     val df = rows.toDF("a", "b", "payload")
-    val zDir = Files.createTempDirectory("zord").toString + "/z"
-    val sDir = Files.createTempDirectory("zord").toString + "/s"
+    val zDir = graft.TempDirs.create("zord").toString + "/z"
+    val sDir = graft.TempDirs.create("zord").toString + "/s"
     Layout.writeZOrdered(df, zDir, Seq("a", "b"), nFiles = 16)
     df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
       .write.parquet(sDir)

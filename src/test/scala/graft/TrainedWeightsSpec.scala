@@ -52,7 +52,7 @@ class TrainedWeightsSpec extends SparkSpec {
   }
 
   test("facade retrieves + reranks a zero-token-overlap paraphrase end to end") {
-    val dir = Files.createTempDirectory("trained").toString
+    val dir = graft.TempDirs.create("trained").toString
     val engine = new MemFuse(spark, dir,
       encoder = RandomProjectionEncoder.trained,
       reranker = ProjectionCrossEncoder.trained)
