@@ -2044,9 +2044,14 @@ object Oracles {
          |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
          |             FROM tok WHERE len(tk) >= 8)),
          |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+         |gaps AS (SELECT doc_id, pos,
+         |                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+         |                     THEN 1 ELSE 0 END AS ng
+         |         FROM sh WHERE s IN (SELECT s FROM dup)),
          |runs AS (SELECT doc_id, pos,
-         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |         FROM sh WHERE s IN (SELECT s FROM dup))
+         |                SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+         |                              ROWS UNBOUNDED PRECEDING) AS grp
+         |         FROM gaps)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
          |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
@@ -2065,7 +2070,11 @@ object Oracles {
          |        FROM sh),
          |cov AS (SELECT DISTINCT doc_id, pos + i AS t
          |        FROM (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS i
-         |              FROM occ WHERE n_occ >= 2 AND rn > 1)),
+         |              FROM occ WHERE n_occ >= 2 AND rn > 1)
+         |        EXCEPT
+         |        SELECT DISTINCT doc_id, pos + i AS t
+         |        FROM (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS i
+         |              FROM occ WHERE n_occ >= 2 AND rn = 1)),
          |tokens AS (SELECT doc_id, pos AS t, tk[pos] AS tok
          |           FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos
          |                 FROM tok))
@@ -2091,9 +2100,14 @@ object Oracles {
          |              WHERE len(tk) >= 8)),
          |dup AS (SELECT s FROM bsh GROUP BY s HAVING count(*) >= 2
          |        UNION SELECT s FROM csh),
+         |gaps AS (SELECT doc_id, pos,
+         |                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+         |                     THEN 1 ELSE 0 END AS ng
+         |         FROM bsh WHERE s IN (SELECT s FROM dup)),
          |runs AS (SELECT doc_id, pos,
-         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |         FROM bsh WHERE s IN (SELECT s FROM dup))
+         |                SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+         |                              ROWS UNBOUNDED PRECEDING) AS grp
+         |         FROM gaps)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
          |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
@@ -2107,9 +2121,14 @@ object Oracles {
          |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
          |             FROM tok WHERE len(tk) >= 8)),
          |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
-         |runs AS (SELECT doc_id, pos,
-         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |gaps AS (SELECT doc_id, pos,
+         |                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+         |                     THEN 1 ELSE 0 END AS ng
          |         FROM sh WHERE s IN (SELECT s FROM dup)),
+         |runs AS (SELECT doc_id, pos,
+         |                SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+         |                              ROWS UNBOUNDED PRECEDING) AS grp
+         |         FROM gaps),
          |spans AS (SELECT max(pos) + 7 - min(pos) + 1 AS span_len
          |          FROM runs GROUP BY doc_id, grp),
          |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS total_tokens FROM tok),

@@ -14,7 +14,11 @@ object TempDirs {
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      registered.forEach(deleteRecursively(_))))
+      // per-directory guard: one failing dir (e.g. mutated concurrently
+      // by Spark's own shutdown hooks) must not abort the rest
+      registered.forEach(p =>
+        try deleteRecursively(p)
+        catch { case scala.util.control.NonFatal(_) => () })))
 
   def create(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -31,5 +35,7 @@ object TempDirs {
         try children.forEach(deleteRecursively(_)) finally children.close()
       }
       java.nio.file.Files.deleteIfExists(p)
-    } catch { case _: java.io.IOException => () } // best effort at exit
+      // UncheckedIOException (Files.list streams) and friends are
+      // RuntimeExceptions — best effort at exit means swallowing those too
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

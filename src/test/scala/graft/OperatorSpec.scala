@@ -2650,6 +2650,26 @@ class OperatorSpec extends SparkSpec {
       got.toString)
   }
 
+  test("duplicated spans: window starts with a [2, k-1] gap merge disjointly") {
+    // doc 1's duplicated window starts are 1 and 3 (start 2 "b c d" is
+    // unique) — their token intervals [1,3] and [3,5] overlap, so they
+    // must merge into ONE span; emitting both would double-count token 3
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c"),
+      (3L, "c d e")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 5L),
+      (2L, 1L, 3L, 3L),
+      (3L, 1L, 3L, 3L)), got.toString)
+    // and the report's token fraction stays a true fraction (<= 1)
+    val rep = Dedup.duplicationReport(docs, k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect().head
+    assert(rep == ((11L, 11L, 1.0, 3L, 5L)), rep.toString)
+  }
+
   test("span removal: canonical first occurrence survives, rest stripped") {
     val docs = Seq(
       (1L, "x a b c d y"),
@@ -2664,6 +2684,24 @@ class OperatorSpec extends SparkSpec {
       (1L, 6L, 0L, "x a b c d y"),
       (2L, 6L, 4L, "z w"),
       (4L, 2L, 0L, "a b")), got.toString)
+  }
+
+  test("span removal: canonical occurrences are protected from overlap strips") {
+    // "p q r" is canonical in doc 0, removable at doc 1 pos 2 (covers
+    // tokens 2-4); "q r s" is canonical in doc 1 at pos 3 (tokens 3-5)
+    // and removable in doc 2. Without protection doc 1's canonical
+    // "q r s" would lose tokens 3-4 and the substring would survive
+    // NOWHERE; with it doc 1 keeps "q r s t" (only token 2 stripped)
+    val docs = Seq(
+      (0L, "p q r"),
+      (1L, "z p q r s t"),
+      (2L, "q r s w w w")).toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs, k = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 0L, "p q r"),
+      (1L, 6L, 1L, "z q r s t"),
+      (2L, 6L, 3L, "w w w")), got.toString)
   }
 
   test("incremental spans: batch vs corpus set + within-batch repeats") {
