@@ -109,11 +109,18 @@ object Bench {
     val passes = (1 to nPasses).map(_ => pass())
     val isoResults = isolated.map { case (name, fn) =>
       // first run is untimed setup (warehouse build, index bootstrap);
-      // the timed run measures one steady-state cycle
+      // then min of 2 timed steady-state cycles — these single-process
+      // entries were the noisiest in cross-run comparisons (stream
+      // micro-batch scheduling and churn I/O swing ±30%), and min-of-n
+      // is the same estimator the comparative passes already use
       try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val allOk = times.forall(_._2)
+      (name, if (allOk) times.map(_._1).min else -1.0, allOk)
     }
     val results = ordered.indices.map { i =>
       val rs = passes.map(_(i))
@@ -126,9 +133,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     // per-phase attribution of the isolated churn cycles: recorded
-    // phases from the timed run + the residual "query" phase (entry
-    // total minus attributed time — the indexed query's plan execution
-    // through the noop sink, which happens outside churnCycle)
+    // phases from the LAST timed cycle + the residual "query" phase
+    // (entry total minus attributed time — the indexed query's plan
+    // execution through the noop sink, which happens outside
+    // churnCycle). The entry total is the min over cycles, so the
+    // residual is clamped at 0 when the last cycle wasn't the fastest.
     val entryTime = results.map { case (n, v, _) => n -> v }.toMap
     val phases = SparkEntry.churnPhaseTimings.toSeq.sortBy(_._1)
       .filter { case (n, _) => entryTime.get(n).exists(_ >= 0) }
