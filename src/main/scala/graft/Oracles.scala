@@ -5355,6 +5355,15 @@ object Oracles {
   }
 
   val sql: Map[String, String] = base ++ Map(
+    // q326: the index-backed incremental span formulation must be
+    // hash-identical to the recompute formulation — the oracle IS
+    // q324's SQL, so a green row is the equivalence proof
+    "q326_incremental_spans_indexed" -> base("q324_incremental_spans"),
+
+    // q327: the hashed-shingle-key formulation must be span-identical
+    // to the text-key formulation — the oracle IS q322's SQL
+    "q327_dup_spans_hashed" -> base("q322_dup_spans"),
+
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
     "q157_lsh_recall" ->

@@ -679,6 +679,46 @@ object SparkEntry {
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
+  /** documents ∪ a RE-SALTED copy shifted by +20000 (every odd-position
+    * token rewritten, the ScaleUp replica recipe) — a corpus whose
+    * distinct shingle set genuinely ~doubles, unlike an exact or
+    * near-dup copy whose windows are content-identical to the source.
+    * The 2× rung of the incremental-span index fixtures. */
+  private def docsWithSaltedCopies(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 20000).as("doc_id"),
+      array_join(zip_with(
+        split(col("text"), " "),
+        sequence(lit(0), size(split(col("text"), " ")) - 1),
+        (t, p) => when(p % 2 === 1,
+          concat(lit("z9q"), p.cast("string"))).otherwise(t)), " ").as("text")))
+  }
+
+  /** The 100-doc incremental batch shared by the x50–x52 span rungs
+    * (q324's batch: the near-dup variants of docs 0–99). */
+  private def spanBatchFor(s: SparkSession, d: String): DataFrame =
+    docsWithNearDups(s, d)
+      .filter(col("doc_id") >= 10000 && col("doc_id") < 10100)
+
+  /** Persisted corpus shingle indexes for the incremental-span bench
+    * pair — the ingest-time artifact [[operators.Dedup.shingleIndex]]
+    * maintains; built once per dataset (untimed fixture phase), hashed
+    * keys (the production shape). 1× = documents, 2× = documents ∪ the
+    * re-salted copy. */
+  private val shingleIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def shingleIndexFor(s: SparkSession, d: String,
+      twoX: Boolean): DataFrame =
+    shingleIndexCache.getOrElseUpdate(s"$d#${if (twoX) 2 else 1}", {
+      val corpus =
+        if (twoX) docsWithSaltedCopies(s, d)
+        else Tables.documents(s, d).select("doc_id", "text")
+      val idx = Dedup.shingleIndex(corpus, k = 8, hashKeys = true).persist()
+      idx.count()
+      idx
+    })
+
   /** Three-variant duplicate families over the first 100 docs: the
     * original, an exact copy (+10000) and a first-word-dropped near-dup
     * (+20000) — the corpus for transitive duplicate-cluster resolution. */
@@ -1694,6 +1734,25 @@ object SparkEntry {
       Dedup.duplicationReport(
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+    // index-backed incremental form: the SAME batch scanned against a
+    // PERSISTED corpus shingle index (one semi-join, no corpus re-scan);
+    // the oracle is q324's recompute SQL verbatim, so a green row IS the
+    // hash-for-hash equivalence of the two formulations
+    "q326_incremental_spans_indexed" -> ((s, d) =>
+      Dedup.incrementalSpansIndexed(
+        docsWithNearDups(s, d).filter(col("doc_id") >= 10000 &&
+          col("doc_id") < 10100),
+        Dedup.shingleIndex(Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text"), k = 8), k = 8)),
+    // hashed-key twin of q322: xxhash64'd fixed-width shingle shuffle
+    // keys (the 100 TB key shape) checked against the TEXT oracle — a
+    // green row pins span-identity of the two key representations on
+    // this corpus (OperatorSpec additionally asserts collision-freedom)
+    "q327_dup_spans_hashed" -> ((s, d) =>
+      Dedup.duplicatedSpans(
+        docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)),
+        k = 8, hashKeys = true)),
 
     // ---- per-label centroid-similarity outlier scoring: every vector
     // cosine-scored against its own class centroid (decimal-widened
@@ -3472,21 +3531,31 @@ object SparkEntry {
     * entries time the fusion CORE and the hydration join separately
     * from the input scans (round-8 verdict #2: decompose the
     * fusion-family drift instead of theorizing about it). */
+  // keys carry the session REFERENCE itself (reference equality — no
+  // identityHashCode collision can ever serve a frame bound to the
+  // wrong session): persisted frames die with their session, so a
+  // second SparkSession in the same JVM (per-suite test sessions) must
+  // rebuild rather than touch a dead session's blocks. Entries of
+  // stopped sessions are dropped at each access, so dead per-suite
+  // sessions and their frames don't stay pinned for the JVM lifetime.
   private val fusionStageCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  // keys carry the session identity: persisted frames die with their
-  // session, so a second SparkSession in the same JVM (per-suite test
-  // sessions) must rebuild rather than touch a dead session's blocks
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def stageCached(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    fusionStageCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(fusionStageCache.remove)
+    fusionStageCache.getOrElseUpdate((s, key), build)
+  }
   private def fusionInputsFor(s: SparkSession, d: String): DataFrame =
-    fusionStageCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$d#in", {
+    stageCached(s, s"$d#in") {
       val df = hybridInputs(s, d).persist(); df.count(); df
-    })
+    }
   private def fusedFor(s: SparkSession, d: String): DataFrame =
-    fusionStageCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$d#fused", {
+    stageCached(s, s"$d#fused") {
       val df = Fusion.rrf(fusionInputsFor(s, d), RrfK, FusionWeights, 15)
         .persist()
       df.count(); df
-    })
+    }
 
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fusion drift decomposition (round-8 verdict #2): the family's
@@ -3521,9 +3590,36 @@ object SparkEntry {
 
     // substring dedup priced at corpus scale (q322 runs the oracle-sized
     // 200-doc cut): the full near-dup corpus — 2x documents, one
-    // shingle shuffle + semi-join + per-doc window
+    // shingle shuffle + semi-join + per-doc window. Round 10 switched
+    // this rung to HASHED shuffle keys (xxhash64'd fixed-width longs —
+    // the production key shape; q327 pins hash≡text on the oracle cut),
+    // so its round-over-round delta prices exactly what pre-hashing
+    // buys the ladder's worst curve (r9 corpus ratio ×8.25)
     "x49_dup_spans_corpus" -> ((s, d) =>
-      Dedup.duplicatedSpans(docsWithNearDups(s, d), k = 8)),
+      Dedup.duplicatedSpans(docsWithNearDups(s, d), k = 8, hashKeys = true)),
+
+    // span REMOVAL priced at the same corpus scale (q323 runs the
+    // 200-doc oracle cut): detection's shuffle + the covered-token
+    // fan-out (≤k rows/occurrence) + per-doc re-assembly — the ladder
+    // rung for the claim that re-assembly stays bounded by doc length
+    "x48_span_removal_corpus" -> ((s, d) =>
+      Dedup.spanRemoval(docsWithNearDups(s, d), k = 8, hashKeys = true)),
+
+    // incremental span dedup, the crawl-ingest pair: the SAME 100-doc
+    // batch against a PERSISTED corpus shingle index at 1× and 2× the
+    // corpus — flat latency across the doubling is the operator's whole
+    // claim (batch cost independent of corpus size); x52 prices the
+    // recompute formulation on the 2× corpus for contrast (the
+    // O(corpus)-per-batch tax the index removes)
+    "x50_inc_spans_indexed_1x" -> ((s, d) =>
+      Dedup.incrementalSpansIndexed(spanBatchFor(s, d),
+        shingleIndexFor(s, d, twoX = false), k = 8, hashKeys = true)),
+    "x51_inc_spans_indexed_2x" -> ((s, d) =>
+      Dedup.incrementalSpansIndexed(spanBatchFor(s, d),
+        shingleIndexFor(s, d, twoX = true), k = 8, hashKeys = true)),
+    "x52_inc_spans_recompute_2x" -> ((s, d) =>
+      Dedup.incrementalSpans(spanBatchFor(s, d),
+        docsWithSaltedCopies(s, d), k = 8)),
 
 
     // z-order vs single-sort layout under a two-sided band scan: the
@@ -3650,6 +3746,13 @@ object SparkEntry {
     // the clean-path amortization rung (x96/x97's contract for x94):
     // SAME recipe and 4-batch shape at ~4× the x94 document count
     "x99_stream_clean_24k" -> ((s, d) => streamCleanBench(s, d, 24000)),
+    // the fourth throughput decade (x93→x96→x97→here: 600 → 6k → 60k →
+    // 600k messages, identical pipeline and 6-batch shape): rows/s =
+    // 600000 / wall either continues the ~10×-per-decade amortization
+    // line or exposes the knee where per-row work overtakes per-batch
+    // fixed overhead — committed as data instead of extrapolated
+    // ("x9a" sorts after x99, keeping the isolated block's order)
+    "x9a_stream_ingest_600k" -> ((s, d) => streamIngestBench(s, d, 600000)),
   )
 
   /** Warm-path latency decomposition for [[pipeline.MemFuse.queryCached]]
@@ -4051,6 +4154,8 @@ object SparkEntry {
     step("merge_table")(mergeTableFor(s, d))
     step("fusion_inputs")(fusionInputsFor(s, d))
     step("fusion_fused")(fusedFor(s, d))
+    step("shingle_index_1x")(shingleIndexFor(s, d, twoX = false))
+    step("shingle_index_2x")(shingleIndexFor(s, d, twoX = true))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

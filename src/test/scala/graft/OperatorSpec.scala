@@ -2733,4 +2733,54 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, Long)].collect().toSeq
     assert(none == Seq((6L, 0L, 0.0, 0L, 0L)), none.toString)
   }
+
+  test("hashed shingle keys: collision-free and span-identical on a real corpus") {
+    // the q322 corpus shape at sf0.001: documents ∪ first-word-dropped
+    // near-dups — the claim behind shipping hashed keys is that the
+    // xxhash64 fold loses NO key distinctions here, so every span
+    // operator is output-identical under either representation
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val nText = Dedup.shingleIndex(corpus, k = 8).count()
+    val nHash = Dedup.shingleIndex(corpus, k = 8, hashKeys = true).count()
+    assert(nText == nHash,
+      s"xxhash64 collision on corpus: $nText text keys vs $nHash hashed")
+    assert(Dedup.duplicatedSpans(corpus, 8, hashKeys = true)
+      .collect().toSeq ==
+      Dedup.duplicatedSpans(corpus, 8).collect().toSeq)
+    assert(Dedup.spanRemoval(corpus, 8, hashKeys = true)
+      .collect().toSeq ==
+      Dedup.spanRemoval(corpus, 8).collect().toSeq)
+  }
+
+  test("shingle index upkeep across two ingest batches == recompute") {
+    val corpus = Seq(
+      (1L, "x a b c d y"), (2L, "k l m n o p")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "a b c d q r")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "c d y z k l m"), // "k l m" hits the corpus set
+      (21L, "b c d q w")) // "b c d" occurs in corpus AND b1
+      .toDF("doc_id", "text")
+    // ingest-time fold: index(corpus) + batch1 == from-scratch build
+    val idx1 = Dedup.shingleIndexUpdate(
+      Dedup.shingleIndex(corpus, k = 3), b1, k = 3)
+    val fresh = Dedup.shingleIndex(corpus.unionByName(b1), k = 3)
+    assert(idx1.as[(String, Long)].collect().toMap ==
+      fresh.as[(String, Long)].collect().toMap)
+    // the index-backed batch scan equals the recompute formulation
+    val viaIdx = Dedup.incrementalSpansIndexed(b2, idx1, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val recomp = Dedup.incrementalSpans(b2, corpus.unionByName(b1), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaIdx == recomp && viaIdx.nonEmpty, s"$viaIdx vs $recomp")
+    // and the hashed-key index path lands on the same spans
+    val idx1h = Dedup.shingleIndexUpdate(
+      Dedup.shingleIndex(corpus, k = 3, hashKeys = true), b1,
+      k = 3, hashKeys = true)
+    val viaIdxH = Dedup.incrementalSpansIndexed(b2, idx1h, k = 3,
+      hashKeys = true).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaIdxH == recomp, viaIdxH.toString)
+  }
 }
