@@ -5354,7 +5354,121 @@ object Oracles {
          |ORDER BY n_probe, oversample""".stripMargin
   }
 
+  // q328 frontier: AnnFrontierSql generalized to a HELD-OUT QUERY SET —
+  // the training chain, corpus codes and cell assignments stay
+  // query-independent (derived once); every query-side CTE carries qid
+  // and partitions its window by it. The output is mean recall@10 per
+  // operating point: sum of per-query exact-top-10 hits / (10 · |set|).
+  private lazy val AnnFrontierHeldoutSql: String = {
+      val (nlist, m) = (SparkEntry.IvfPqNlist, SparkEntry.IvfPqM)
+      val (ksub, iters) = (SparkEntry.IvfPqKsub, SparkEntry.PqIters)
+      val sample = SparkEntry.PqSample
+      val qids = SparkEntry.HeldoutQueryIds
+      val dsub = 64 / m
+      def sv(u: String, s: String) = s"$u[($s*$dsub+1):($s*$dsub+$dsub)]"
+      val coarse =
+        lloydChainSql("c", unitFromEmbeddingsSql, "pq", 1, nlist, iters, sample)
+      val resSrc =
+        s"""SELECT u.vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> u.uvec[i] - cb.centroid[i]) AS uvec
+           |  FROM cunit u
+           |  JOIN ccodes k ON k.vec_id = u.vec_id
+           |  JOIN ccb$iters cb ON cb.code = k.code""".stripMargin
+      val resid = lloydChainSql("r", resSrc, "ivfpq", m, ksub, iters, sample)
+      val combosVals = (for {
+        np <- SparkEntry.FrontierProbes; os <- SparkEntry.FrontierOversamples
+      } yield s"($np, $os)").mkString(", ")
+      val qidVals = qids.map(q => s"($q)").mkString(", ")
+      val denom = s"${10.0 * qids.size}"
+      s"""WITH $coarse,
+         |$resid,
+         |combos(n_probe, oversample) AS (SELECT * FROM (VALUES $combosVals)),
+         |qids(qid) AS (SELECT * FROM (VALUES $qidVals)),
+         |qv AS (SELECT u.vec_id AS qid, u.uvec
+         |       FROM cunit u JOIN qids ON u.vec_id = qids.qid),
+         |cellrank AS (
+         |  SELECT q.qid, cb.code AS cluster, cb.centroid,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           ${pqDist("list_dot_product(q.uvec, q.uvec)", "q.uvec", "cb.centroid")},
+         |           cb.code) AS cell_rank
+         |  FROM ccb$iters cb, qv q),
+         |qres AS (
+         |  SELECT p.qid, p.cluster,
+         |         list_transform(generate_series(1, 64),
+         |           i -> q.uvec[i] - p.centroid[i]) AS uvec
+         |  FROM cellrank p JOIN qv q USING (qid)),
+         |qsub AS (
+         |  SELECT qid, cluster, sub, ${sv("uvec", "sub")} AS qsub
+         |  FROM (SELECT qid, cluster, uvec, unnest(generate_series(0, ${m - 1})) AS sub
+         |        FROM qres)),
+         |lut AS (
+         |  SELECT q.qid, q.cluster, c.sub, c.code,
+         |         ${pqDist("list_dot_product(q.qsub, q.qsub)", "q.qsub", "c.centroid")} AS d
+         |  FROM rcb$iters c JOIN qsub q USING (sub)),
+         |jc AS (
+         |  SELECT r.vec_id, k.code AS cluster, r.sub, r.code
+         |  FROM rcodes r JOIN ccodes k ON k.vec_id = r.vec_id),
+         |adc AS (
+         |  SELECT l.qid, j.vec_id AS id, max(cr.cell_rank) AS cell_rank,
+         |         ${t6(dsum12("l.d"))} AS adc_dist
+         |  FROM jc j
+         |  JOIN lut l ON j.cluster = l.cluster AND j.sub = l.sub AND j.code = l.code
+         |  JOIN cellrank cr ON cr.qid = l.qid AND cr.cluster = j.cluster
+         |  WHERE j.vec_id != l.qid
+         |  GROUP BY l.qid, j.vec_id),
+         |cand AS (
+         |  SELECT c.n_probe, c.oversample, a.qid, a.id,
+         |         row_number() OVER (PARTITION BY a.qid, c.n_probe, c.oversample
+         |                            ORDER BY a.adc_dist, a.id) AS rn
+         |  FROM combos c JOIN adc a ON a.cell_rank <= c.n_probe),
+         |exactscore AS (
+         |  SELECT q.qid, e.vec_id AS id,
+         |         ${t6(cosine("CAST(e.embedding AS DOUBLE[])", "q.qv"))} AS score
+         |  FROM embeddings e,
+         |       (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |        FROM embeddings JOIN qids ON vec_id = qids.qid) q
+         |  WHERE e.vec_id != q.qid),
+         |etop AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |    FROM exactscore)
+         |  WHERE rn <= 10),
+         |resc AS (
+         |  SELECT n_probe, oversample, qid, id FROM (
+         |    SELECT c.n_probe, c.oversample, c.qid, c.id,
+         |           row_number() OVER (PARTITION BY c.qid, c.n_probe, c.oversample
+         |                              ORDER BY s.score DESC, c.id) AS rr
+         |    FROM cand c JOIN exactscore s ON s.qid = c.qid AND s.id = c.id
+         |    WHERE c.rn <= 10 * c.oversample)
+         |  WHERE rr <= 10)
+         |SELECT CAST(c.n_probe AS BIGINT) AS n_probe,
+         |       CAST(c.oversample AS BIGINT) AS oversample,
+         |       ${t6(s"CAST(count(e.id) AS DOUBLE) / $denom")} AS mean_recall
+         |FROM combos c
+         |LEFT JOIN resc r ON r.n_probe = c.n_probe AND r.oversample = c.oversample
+         |LEFT JOIN etop e ON e.qid = r.qid AND e.id = r.id
+         |GROUP BY c.n_probe, c.oversample
+         |ORDER BY n_probe, oversample""".stripMargin
+  }
+
   val sql: Map[String, String] = base ++ Map(
+    // q328: the recall-mode auto-tuner's selection over the held-out
+    // frontier — cheapest point whose measured mean recall@10 meets
+    // the SLA target (probe width first); fallback = highest recall
+    "q328_ann_autotune_recall" -> {
+      val tgt = SparkEntry.HeldoutRecallTarget
+      s"""SELECT n_probe, oversample, mean_recall,
+         |       (mean_recall >= $tgt) AS met_target
+         |FROM ($AnnFrontierHeldoutSql) f
+         |ORDER BY (CASE WHEN mean_recall >= $tgt THEN 0 ELSE 1 END),
+         |         (CASE WHEN mean_recall >= $tgt THEN CAST(n_probe AS DOUBLE)
+         |               ELSE -mean_recall END),
+         |         n_probe, oversample
+         |LIMIT 1""".stripMargin
+    },
+
     // q326: the index-backed incremental span formulation must be
     // hash-identical to the recompute formulation — the oracle IS
     // q324's SQL, so a green row is the equivalence proof

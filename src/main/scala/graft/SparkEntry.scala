@@ -639,6 +639,10 @@ object SparkEntry {
   // the q168 frontier sweep: every (nProbe, oversample) operating point
   private[graft] val FrontierProbes = Seq(1, 2, 4, 8)
   private[graft] val FrontierOversamples = Seq(2, 4, 8)
+  // q328's held-out query set: the recall the tuner SLAs is measured
+  // over these, NOT over the single q168/q321 tuning query (qid 0)
+  private[graft] val HeldoutQueryIds = Seq(7L, 23L, 42L)
+  private[graft] val HeldoutRecallTarget = 0.7
   private[graft] val FusionWeights = Map("vector" -> 1.0, "keyword" -> 0.5)
 
   // q65 freshness-boost fixture: epoch base (2024-06-01) for the
@@ -893,6 +897,17 @@ object SparkEntry {
     ivfQueryVecCache.getOrElseUpdate(d,
       Tables.embeddings(s, d)
         .filter(col("vec_id") === KnnQueryId)
+        .select("embedding").head()
+        .getAs[scala.collection.Seq[Float]](0).toArray)
+
+  /** Per-qid query vectors for the held-out recall frontier (1-row
+    * bounded fetches, cached like [[ivfQueryVec]]). */
+  private val heldoutVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+  private def queryVecFor(s: SparkSession, d: String, qid: Long): Array[Float] =
+    heldoutVecCache.getOrElseUpdate(s"$d#$qid",
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") === qid)
         .select("embedding").head()
         .getAs[scala.collection.Seq[Float]](0).toArray)
 
@@ -2880,6 +2895,15 @@ object SparkEntry {
     "q321_ann_autotune" -> ((s, d) =>
       Retrieval.annAutoTune(annFrontier(s, d), minOverlap = 8L)),
 
+    // ---- recall-mode ANN auto-tuner (q321 generalized): the cheapest
+    // operating point whose MEASURED MEAN RECALL@10 over a held-out
+    // query set meets the SLA target — recall averaged over queries is
+    // the number a deployment actually commits to, where q321's single
+    // tuning query can over- or under-state the operating point ----
+    "q328_ann_autotune_recall" -> ((s, d) =>
+      Retrieval.annAutoTuneRecall(annFrontierHeldout(s, d),
+        minRecall = HeldoutRecallTarget)),
+
     // ---- batched serving: five queries' exact top-5 from ONE corpus
     // scan, per-query cut through the bounded heap ----
     "q161_batched_knn" -> ((s, d) =>
@@ -3523,6 +3547,34 @@ object SparkEntry {
     approxAll.join(exact, Seq("id"), "left")
       .groupBy("n_probe", "oversample")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_at_10"))
+      .orderBy("n_probe", "oversample")
+  }
+
+  /** The held-out recall frontier behind q328: mean recall@10 over
+    * [[HeldoutQueryIds]] per (nProbe, oversample) operating point —
+    * the q168 sweep generalized from one tuning query's overlap to the
+    * quantity an ANN deployment SLAs. The exact top-10 sets come from
+    * ONE corpus scan ([[operators.Retrieval.cosineKnnBatch]]'s bounded
+    * heap, the q161 amortization); each probe stays pure partition
+    * pruning, so the whole frontier costs |combos|·|queries| bounded
+    * probes + one scan, never |combos| corpus scans. */
+  private def annFrontierHeldout(s: SparkSession, d: String): DataFrame = {
+    val exact = Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
+      HeldoutQueryIds, topK = 10)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    val combos =
+      for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
+    val approxAll = (for { (np, os) <- combos; qid <- HeldoutQueryIds } yield
+      ivfPqIndexFor(s, d).query(queryVecFor(s, d, qid), topK = 10,
+        nProbe = np, excludeId = Some(qid),
+        rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
+        .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
+          lit(qid).as("qid"), col("id"))
+    ).reduce(_ unionByName _)
+    approxAll.join(exact, Seq("qid", "id"), "left")
+      .groupBy("n_probe", "oversample")
+      .agg(trunc6(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        lit(10.0 * HeldoutQueryIds.size)).as("mean_recall"))
       .orderBy("n_probe", "oversample")
   }
 

@@ -691,4 +691,28 @@ object Retrieval {
       .select(col("n_probe"), col("oversample"), col("overlap_at_10"),
         col("met_target"))
   }
+
+  /** Recall-targeting mode of [[annAutoTune]]: the q321 tuner selects
+    * on ONE tuning query's overlap@10; the number a deployment
+    * actually SLAs is measured MEAN RECALL over a held-out query set.
+    * Input frontier rows are (n_probe, oversample, mean_recall) where
+    * mean_recall = Σ overlap@k / (k · |held-out set|), trunc6'd on the
+    * comparison grid upstream. Selection contract identical to
+    * [[annAutoTune]]: the CHEAPEST point whose measured mean recall
+    * meets `minRecall` — n_probe (the corpus-touching knob) minimized
+    * first, oversample second; if no point qualifies the fallback is
+    * the highest-recall point, cheapest first, flagged by
+    * `met_target`. One row. */
+  def annAutoTuneRecall(frontier: DataFrame, minRecall: Double): DataFrame = {
+    val met = col("mean_recall") >= minRecall
+    frontier
+      .withColumn("met_target", met)
+      .withColumn("regime", when(met, 0).otherwise(1))
+      .withColumn("pref", when(met, col("n_probe").cast("double"))
+        .otherwise(-col("mean_recall")))
+      .orderBy(col("regime"), col("pref"), col("n_probe"), col("oversample"))
+      .limit(1)
+      .select(col("n_probe"), col("oversample"), col("mean_recall"),
+        col("met_target"))
+  }
 }

@@ -1411,6 +1411,22 @@ class OperatorSpec extends SparkSpec {
     assert(pick(10L) == ((4L, 8L, 9L, false)))
   }
 
+  test("annAutoTuneRecall: cheapest point meeting mean recall; flagged fallback") {
+    val frontier = Seq(
+      (1L, 2L, 0.4), (1L, 4L, 0.55), (2L, 2L, 0.65), (2L, 4L, 0.72),
+      (4L, 2L, 0.71), (4L, 4L, 0.9))
+      .toDF("n_probe", "oversample", "mean_recall")
+    def pick(min: Double) = Retrieval.annAutoTuneRecall(frontier, min)
+      .as[(Long, Long, Double, Boolean)].head()
+    // recall ≥ 0.7 reachable at probes {2,4} → the cheaper probe wins
+    // even though probe 4 offers higher recall
+    assert(pick(0.7) == ((2L, 4L, 0.72, true)))
+    // probe tie at the target → smaller oversample wins
+    assert(pick(0.6) == ((2L, 2L, 0.65, true)))
+    // unreachable target → highest recall, flagged
+    assert(pick(0.95) == ((4L, 4L, 0.9, false)))
+  }
+
   test("blockingAutoTune: smallest meeting window; explicit flagged fallbacks") {
     // 12 docs: 4 exact-duplicate pairs planted among 4 unique texts —
     // larger windows monotonically gain recall and candidates
