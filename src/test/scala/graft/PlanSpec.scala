@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q326: the corpus shingle index streams map-side; no corpus-keyed exchange") {
+    // the membership pass must broadcast the BATCH key set against the
+    // index and the final position filter must broadcast the hit set —
+    // a SortMergeJoin here would mean the corpus-sized index gets
+    // shuffled+sorted per ingest batch, the exact anti-pattern the
+    // persisted index exists to remove
+    val p = plan("q326_incremental_spans_indexed")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("q125: the winsorize bounds sit on a broadcast build side") {
     val p = plan("q125_winsorized_stats")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
