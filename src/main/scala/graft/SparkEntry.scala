@@ -3525,58 +3525,79 @@ object SparkEntry {
     * the realistic (nProbe < nlist) IVF probe, and the facade's hybrid
     * query with and without its persisted side indexes on the same
     * corpus — the scan-vs-index win measured head to head. */
+  /** Per-(combo) exact-top-10 hit counts behind the q168/q321/q328
+    * frontiers, in ONE codes scan per query: [[pipeline.IvfPq.adcSweep]]
+    * ranks every vector once at full probe width with its cell rank
+    * carried, exact cosines are scored once per (query, vector), and
+    * each (nProbe, oversample) operating point derives as a broadcast
+    * filter + two windowed cuts — exactly the optimization the DuckDB
+    * oracle replay already used (the 12-probe union form ran 12 scans
+    * + 12 rescores per query; q328's 36-branch union took 5.9 s where
+    * this takes one scan + one window pass). Candidate semantics are
+    * operator-identical to `adcTopKRescored`: rank by (adc_dist, id)
+    * within the probed cells, keep 10·oversample, exact-rescore by
+    * (score desc, id), keep 10. */
+  private def frontierHits(s: SparkSession, d: String,
+      qids: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val idx = ivfPqIndexFor(s, d)
+    val sweeps = qids.map { qid =>
+      pipeline.IvfPq.adcSweep(idx.codes, idx.model,
+        queryVecFor(s, d, qid), excludeId = Some(qid))
+        .withColumn("qid", lit(qid))
+    }.reduce(_ unionByName _)
+    val qvecs = qids.map(qid => (qid, queryVecFor(s, d, qid).toSeq))
+      .toDF("qid", "qvec")
+    val scored = Tables.embeddings(s, d).crossJoin(broadcast(qvecs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        trunc6(VectorFunctions.cosine(col("embedding"), col("qvec")))
+          .as("score"))
+    val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    val etop = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    val combos = (for { np <- FrontierProbes; os <- FrontierOversamples }
+      yield (np.toLong, os.toLong)).toDF("n_probe", "oversample")
+    val wAdc = Window.partitionBy("qid", "n_probe", "oversample")
+      .orderBy(col("adc_dist"), col("id"))
+    val pool = sweeps
+      .join(broadcast(combos), col("cell_rank") <= col("n_probe"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= lit(10L) * col("oversample"))
+    val wSc = Window.partitionBy("qid", "n_probe", "oversample")
+      .orderBy(col("score").desc, col("id"))
+    pool.join(scored, Seq("qid", "id"))
+      .withColumn("rr", row_number().over(wSc)).filter(col("rr") <= 10)
+      .join(etop, Seq("qid", "id"), "left")
+      .groupBy("n_probe", "oversample")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+  }
+
   /** The q168 recall/cost frontier: overlap@10 of the rescored IVF-PQ
     * probe against the exact scan at every (nProbe, oversample)
-    * operating point. The exact corpus scan — the dominant cost at
-    * scale — is built ONCE and joined against the union of all 12 probe
-    * results (the first cut recomputed it per combo: 12 corpus scans in
-    * the plan). Shared by q168 (the frontier as data) and q321 (the
-    * auto-tuner's selection over it). */
-  private def annFrontier(s: SparkSession, d: String): DataFrame = {
-    val exact = Retrieval.cosineKnn(Tables.embeddings(s, d), KnnQueryId,
-      topK = 10).select(col("id"), lit(1L).as("hit"))
-    val combos =
-      for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
-    val approxAll = combos.map { case (np, os) =>
-      ivfPqIndexFor(s, d).query(ivfQueryVec(s, d), topK = 10,
-        nProbe = np, excludeId = Some(KnnQueryId),
-        rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
-        .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
-          col("id"))
-    }.reduce(_ unionByName _)
-    approxAll.join(exact, Seq("id"), "left")
-      .groupBy("n_probe", "oversample")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_at_10"))
+    * operating point — [[frontierHits]] over the single tuning query.
+    * Shared by q168 (the frontier as data) and q321 (the auto-tuner's
+    * selection over it). */
+  private def annFrontier(s: SparkSession, d: String): DataFrame =
+    frontierHits(s, d, Seq(KnnQueryId))
+      .select(col("n_probe"), col("oversample"),
+        col("hits").as("overlap_at_10"))
       .orderBy("n_probe", "oversample")
-  }
 
   /** The held-out recall frontier behind q328: mean recall@10 over
     * [[HeldoutQueryIds]] per (nProbe, oversample) operating point —
     * the q168 sweep generalized from one tuning query's overlap to the
-    * quantity an ANN deployment SLAs. The exact top-10 sets come from
-    * ONE corpus scan ([[operators.Retrieval.cosineKnnBatch]]'s bounded
-    * heap, the q161 amortization); each probe stays pure partition
-    * pruning, so the whole frontier costs |combos|·|queries| bounded
-    * probes + one scan, never |combos| corpus scans. */
-  private def annFrontierHeldout(s: SparkSession, d: String): DataFrame = {
-    val exact = Retrieval.cosineKnnBatch(Tables.embeddings(s, d),
-      HeldoutQueryIds, topK = 10)
-      .select(col("qid"), col("id"), lit(1L).as("hit"))
-    val combos =
-      for { np <- FrontierProbes; os <- FrontierOversamples } yield (np, os)
-    val approxAll = (for { (np, os) <- combos; qid <- HeldoutQueryIds } yield
-      ivfPqIndexFor(s, d).query(queryVecFor(s, d, qid), topK = 10,
-        nProbe = np, excludeId = Some(qid),
-        rescoreFrom = Some(Tables.embeddings(s, d)), oversample = os)
-        .select(lit(np.toLong).as("n_probe"), lit(os.toLong).as("oversample"),
-          lit(qid).as("qid"), col("id"))
-    ).reduce(_ unionByName _)
-    approxAll.join(exact, Seq("qid", "id"), "left")
-      .groupBy("n_probe", "oversample")
-      .agg(trunc6(sum(coalesce(col("hit"), lit(0L))).cast("double") /
-        lit(10.0 * HeldoutQueryIds.size)).as("mean_recall"))
+    * quantity an ANN deployment SLAs. [[frontierHits]] prices it at
+    * one codes scan + one exact-score pass PER QUERY (3 queries × 12
+    * combos would otherwise be 36 probe plans). */
+  private def annFrontierHeldout(s: SparkSession, d: String): DataFrame =
+    frontierHits(s, d, HeldoutQueryIds)
+      .select(col("n_probe"), col("oversample"),
+        trunc6(col("hits").cast("double") /
+          lit(10.0 * HeldoutQueryIds.size)).as("mean_recall"))
       .orderBy("n_probe", "oversample")
-  }
 
   /** Pre-materialized fusion input (the ~100-row vector ∪ keyword
     * union) and pre-fused frame — stage fixtures letting the x4x
@@ -3782,7 +3803,8 @@ object SparkEntry {
     // BOUNDED, and all heavy work (batching state, encoding, bucketed
     // appends, index absorption, dedup state) runs distributed. x9
     // prefix → isolated from the comparative passes (side-effectful). ----
-    "x93_stream_ingest_e2e" -> ((s, d) => streamIngestBench(s, d)),
+    "x93_stream_ingest_e2e" -> ((s, d) =>
+      streamIngestBench(s, d, entryName = "x93_stream_ingest_e2e")),
     "x94_stream_clean" -> ((s, d) => streamCleanBench(s, d)),
     "x95_stream_backfill" -> ((s, d) => streamBackfillBench(s, d)),
     // throughput amortization ladder (round-8 verdict #4): the SAME
@@ -3790,8 +3812,10 @@ object SparkEntry {
     // rows/s = n_messages / entry wall time. Fixed per-micro-batch
     // overhead (state round, commit marker, file commit) should make
     // rows/s grow ~10× per 10× batch size
-    "x96_stream_ingest_6k" -> ((s, d) => streamIngestBench(s, d, 6000)),
-    "x97_stream_ingest_60k" -> ((s, d) => streamIngestBench(s, d, 60000)),
+    "x96_stream_ingest_6k" -> ((s, d) =>
+      streamIngestBench(s, d, 6000, "x96_stream_ingest_6k")),
+    "x97_stream_ingest_60k" -> ((s, d) =>
+      streamIngestBench(s, d, 60000, "x97_stream_ingest_60k")),
     // warm-path facade latency (round-8 verdict #5): repeated-query p50
     // for the B5 result cache's hit and miss paths, measured separately
     "x98_facade_warm_query" -> ((s, d) => facadeWarmBench(s, d)),
@@ -3804,7 +3828,8 @@ object SparkEntry {
     // line or exposes the knee where per-row work overtakes per-batch
     // fixed overhead — committed as data instead of extrapolated
     // ("x9a" sorts after x99, keeping the isolated block's order)
-    "x9a_stream_ingest_600k" -> ((s, d) => streamIngestBench(s, d, 600000)),
+    "x9a_stream_ingest_600k" -> ((s, d) =>
+      streamIngestBench(s, d, 600000, "x9a_stream_ingest_600k")),
   )
 
   /** Warm-path latency decomposition for [[pipeline.MemFuse.queryCached]]
@@ -3893,7 +3918,7 @@ object SparkEntry {
     * Past sf0.1's 5000 docs the texts recycle (ids stay unique), so the
     * driver never collects more than the corpus. */
   private def streamIngestBench(s: SparkSession, d: String,
-      nMessages: Int = 600): DataFrame = {
+      nMessages: Int = 600, entryName: String = ""): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val texts = Tables.documents(s, d)
@@ -3914,11 +3939,21 @@ object SparkEntry {
       pipeline.HashingEncoder(), maxTokens = 400, timeoutMs = 0,
       checkpoint = s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val tFeed0 = System.nanoTime()
     try msgs.grouped(math.max(1, nMessages / 6)).foreach { g =>
       source.addData(g.toSeq); q.processAllAvailable()
     } finally q.stop()
+    val tFeed = (System.nanoTime() - tFeed0) / 1e9
     val nBatches = graft.streaming.StreamingIngest.committedBatchIds(s, dir).size
     val m1n = graft.streaming.StreamingIngest.m1Committed(s, dir).count()
+    // phase attribution for the throughput-decade ladder: "feed" is the
+    // six micro-batch rounds end to end (per-row encode/append + the
+    // per-batch fixed overhead); the residual "query" phase Bench
+    // derives is the setup + commit verification around it. The fourth
+    // decade's knee claim (per-row work now dominates) rests on feed
+    // owning the entry total at 600k.
+    if (entryName.nonEmpty)
+      churnPhaseTimings(entryName) = Seq("feed" -> tFeed)
     Seq((msgs.length.toLong, nBatches.toLong, m1n))
       .toDF("n_messages", "n_batches", "m1_chunks")
   }

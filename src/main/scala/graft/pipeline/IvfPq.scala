@@ -148,6 +148,45 @@ object IvfPq {
       .limit(topK)
   }
 
+  /** Per-vector ADC distance at FULL probe width, with each vector's
+    * coarse cell RANK carried — the one-scan frame a frontier sweep
+    * derives every (nProbe, oversample) operating point from as a
+    * broadcast filter + windowed cut. This mirrors in the physical
+    * plan what the q168 oracle already does in SQL: the training
+    * chain, LUTs and per-vector distances are combo-independent, so
+    * the 12-probe union form (12 codes scans + 12 LUT joins + 12
+    * aggregations) collapses to ONE scan per query. Distances are
+    * bit-identical to [[adcTopK]]'s — same per-cell LUT rows, same
+    * decimal-widened sum, same trunc6 — and cell_rank is constant per
+    * vector (its own cluster's rank for this query). */
+  def adcSweep(
+      codes: DataFrame,
+      model: Model,
+      queryVec: Array[Float],
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    var qn = 0.0
+    queryVec.foreach(v => qn += v.toDouble * v.toDouble)
+    val nrm = math.sqrt(qn)
+    val q = queryVec.map(v => if (nrm == 0.0) 0.0 else v.toDouble / nrm)
+    val centById = model.coarse.map { case (_, c, v) => c -> v }.toMap
+    val lutRows = rankedCells(q, model).zipWithIndex.flatMap { case (c, i) =>
+      val cent = centById(c)
+      val qres = Array.tabulate(model.dim)(j => q(j) - cent(j))
+      PqIndex.adcLutRaw(qres, model.pq.toSeq, model.m, model.dim)
+        .map { case (s, code, dd) => (c, i + 1L, s, code, dd) }
+    }
+    val lutDf = lutRows.toDF("cluster", "cell_rank", "sub", "code", "d")
+    val filtered =
+      excludeId.fold(codes)(id => codes.filter(col("vec_id") =!= id))
+    filtered.join(broadcast(lutDf), Seq("cluster", "sub", "code"))
+      .groupBy("vec_id")
+      .agg(trunc6(dsum12(col("d"))).as("adc_dist"),
+        max(col("cell_rank")).as("cell_rank"))
+      .select(col("vec_id").as("id"), col("cell_rank"), col("adc_dist"))
+  }
+
   /** ADC candidates + exact rescore (FAISS refine) — fetch only
     * topK×oversample full vectors by id, re-rank by exact cosine. */
   def adcTopKRescored(

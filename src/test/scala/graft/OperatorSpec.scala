@@ -2798,5 +2798,13 @@ class OperatorSpec extends SparkSpec {
     val viaIdxH = Dedup.incrementalSpansIndexed(b2, idx1h, k = 3,
       hashKeys = true).as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaIdxH == recomp, viaIdxH.toString)
+    // the index is a PERSISTED artifact: a parquet round-trip (the
+    // on-disk form ingest upkeep maintains) serves batches identically
+    val dir = graft.TempDirs.create("graft_shidx").toString
+    idx1.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaDisk = Dedup.incrementalSpansIndexed(b2, reloaded, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaDisk == recomp, viaDisk.toString)
   }
 }
