@@ -570,4 +570,76 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("lang_guess"), col("redacted"), col(tsCol))
   }
+
+  /** Substring (span) dedup ON THE INGEST STREAM — the crawl-ingest
+    * deployment of the persisted shingle index, closing the loop the
+    * batch operators open ([[graft.operators.Dedup.shingleIndex]] /
+    * `shingleIndexUpdate` / `incrementalSpansIndexed`): every
+    * micro-batch is scanned against the index AS IT STOOD BEFORE the
+    * batch (one map-side membership pass + the batch's own small
+    * shuffle — cost independent of corpus size), its duplicated spans
+    * land under `baseDir/spans/batch_id=N`, and the index advances by
+    * the batch's shingle counts — so index maintenance IS the ingest
+    * path, exactly like the BM25 postings and minhash signature upkeep.
+    *
+    * Exactly-once: the index advances through the versioned-artifact
+    * pointer CAS (TableOps lifecycle, shared with the vector indexes)
+    * whose meta records the last folded batch id. A replayed batch id
+    * at or below the committed one is a NO-OP, and the span output for
+    * a batch is a per-batch partition OVERWRITE — a crash between span
+    * write and index commit leaves at most a partial partition that
+    * the replay rewrites whole. */
+  def spanDedupIngest(
+      docs: DataFrame, baseDir: String, k: Int = 8,
+      hashKeys: Boolean = true): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$baseDir/ckpt_spans")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        applySpanBatch(b, baseDir, k, hashKeys, batchId); ()
+      }.start()
+
+  private val SpanIdxPrefix = "shingle_index"
+
+  /** Current committed (index frame, last folded batch id) — empty
+    * index / -1 before the first commit. */
+  private[graft] def currentSpanIndex(spark: SparkSession, baseDir: String,
+      hashKeys: Boolean): (DataFrame, Long) =
+    TableOps.currentArtifactDir(spark, baseDir, SpanIdxPrefix) match {
+      case Some(v) =>
+        val last = spark.read.parquet(s"$baseDir/$v/meta")
+          .head().getLong(0)
+        (spark.read.parquet(s"$baseDir/$v/index"), last)
+      case None =>
+        val shType: org.apache.spark.sql.types.DataType =
+          if (hashKeys) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.StringType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sh", shType),
+          org.apache.spark.sql.types.StructField("n_occ",
+            org.apache.spark.sql.types.LongType)))
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), -1L)
+    }
+
+  /** One ingest step: detect the batch's spans against the committed
+    * index, write them, advance the index. Idempotent on batch-id
+    * replay. */
+  private[graft] def applySpanBatch(batch: DataFrame, baseDir: String,
+      k: Int, hashKeys: Boolean, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (idx, lastBatch) = currentSpanIndex(spark, baseDir, hashKeys)
+    if (batchId <= lastBatch) return // replay of an already-folded batch
+    // pin the micro-batch: it feeds detection AND the index fold, and a
+    // foreachBatch frame re-executes its source per action otherwise
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    graft.operators.Dedup.incrementalSpansIndexed(b, idx, k, hashKeys)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$baseDir/spans/batch_id=$batchId")
+    val name = TableOps.nextArtifactDir(spark, baseDir, SpanIdxPrefix)
+    graft.operators.Dedup.shingleIndexUpdate(idx, b, k, hashKeys)
+      .write.parquet(s"$baseDir/$name/index")
+    Seq(batchId).toDF("last_batch").write.parquet(s"$baseDir/$name/meta")
+    TableOps.commitArtifactDir(spark, baseDir, SpanIdxPrefix, name)
+  }
 }

@@ -501,4 +501,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("span-dedup ingest maintains the shingle index; stream ≡ batch; replay is a no-op") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.TempDirs.create("graft_spanstream").toString
+    val b1 = Seq((1L, "x a b c d y"), (2L, "k l m n o p"))
+    val b2 = Seq((10L, "w a b c d q"), (11L, "m n o z m n o"))
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingIngest.spanDedupIngest(
+      source.toDS().toDF("doc_id", "text"), dir, k = 3, hashKeys = false)
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the ingest-maintained index equals a from-scratch build over
+    // everything ingested so far
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val (idx, lastBatch) =
+      StreamingIngest.currentSpanIndex(spark, dir, hashKeys = false)
+    assert(lastBatch == 1L)
+    assert(idx.as[(String, Long)].collect().toMap ==
+      Dedup.shingleIndex(all, k = 3).as[(String, Long)].collect().toMap)
+    // batch 2's spans were detected against the index as it stood
+    // BEFORE the batch — exactly the batch operator's answer
+    val got = spark.read.parquet(s"$dir/spans/batch_id=1")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.incrementalSpans(
+      b2.toDF("doc_id", "text"), b1.toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // a replayed batch id is a committed no-op: index state unchanged
+    StreamingIngest.applySpanBatch(b2.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 1L)
+    val (idx2, last2) =
+      StreamingIngest.currentSpanIndex(spark, dir, hashKeys = false)
+    assert(last2 == 1L)
+    assert(idx2.as[(String, Long)].collect().toMap ==
+      idx.as[(String, Long)].collect().toMap)
+  }
 }
