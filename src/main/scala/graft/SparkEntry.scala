@@ -3554,21 +3554,40 @@ object SparkEntry {
       .select(col("qid"), col("vec_id").as("id"),
         trunc6(VectorFunctions.cosine(col("embedding"), col("qvec")))
           .as("score"))
+    // every corpus-sized cut rides the bounded-heap TopKPerKey (window
+    // fallback on plain sessions, the cosineKnnBatch pattern): a
+    // row_number window partitioned by (qid, combo) would sort
+    // corpus-sized partitions with parallelism capped at |qids|·12 —
+    // the heap cuts per-partition first, and the rank windows below
+    // only ever see the bounded survivors
+    val heap = s.sessionState.planner
+      .strategies.exists(_ eq graft.plans.TopKPerKeyStrategy)
     val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    val etop = scored.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 10)
+    val etop = (if (heap)
+        graft.plans.TopKPerKey(scored, Seq("qid"),
+          Seq(col("score").desc, col("id")), 10)
+      else scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10))
       .select(col("qid"), col("id"), lit(1L).as("hit"))
     val combos = (for { np <- FrontierProbes; os <- FrontierOversamples }
       yield (np.toLong, os.toLong)).toDF("n_probe", "oversample")
+    val cand = sweeps
+      .join(broadcast(combos), col("cell_rank") <= col("n_probe"))
+    val kMax = 10 * FrontierOversamples.max
+    val cut = if (heap)
+      graft.plans.TopKPerKey(cand, Seq("qid", "n_probe", "oversample"),
+        Seq(col("adc_dist"), col("id")), kMax)
+    else cand
     val wAdc = Window.partitionBy("qid", "n_probe", "oversample")
       .orderBy(col("adc_dist"), col("id"))
-    val pool = sweeps
-      .join(broadcast(combos), col("cell_rank") <= col("n_probe"))
-      .withColumn("rn", row_number().over(wAdc))
+    val pool = cut.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= lit(10L) * col("oversample"))
+      .select("qid", "id", "n_probe", "oversample")
+    // the pool is bounded (≤ kMax rows per combo) — broadcast it so the
+    // corpus-sized exact-score stream joins map-side, never shuffling
     val wSc = Window.partitionBy("qid", "n_probe", "oversample")
       .orderBy(col("score").desc, col("id"))
-    pool.join(scored, Seq("qid", "id"))
+    scored.join(broadcast(pool), Seq("qid", "id"))
       .withColumn("rr", row_number().over(wSc)).filter(col("rr") <= 10)
       .join(etop, Seq("qid", "id"), "left")
       .groupBy("n_probe", "oversample")

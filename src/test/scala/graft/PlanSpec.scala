@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q328: frontier cuts ride the bounded heap, not corpus-sized rank windows") {
+    // the per-combo candidate cut and the exact top-10 must plan
+    // through TopKPerKeyExec (per-partition heaps): a row_number window
+    // partitioned only by (qid, combo) would sort corpus-sized
+    // partitions with parallelism capped at |qids|·|combos|
+    val df = SparkEntry.queries("q328_ann_autotune_recall")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerKey"), p.take(3000))
+  }
+
   test("q326: the corpus shingle index streams map-side; no corpus-keyed exchange") {
     // the membership pass must broadcast the BATCH key set against the
     // index and the final position filter must broadcast the hit set —
