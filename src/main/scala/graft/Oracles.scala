@@ -5478,6 +5478,11 @@ object Oracles {
     // to the text-key formulation — the oracle IS q322's SQL
     "q327_dup_spans_hashed" -> base("q322_dup_spans"),
 
+    // q329: the Bloom-prefiltered incremental formulation must be
+    // exact (no false negatives + confirm kills false positives) —
+    // the oracle IS q324's SQL
+    "q329_incremental_spans_bloom" -> base("q324_incremental_spans"),
+
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
     "q157_lsh_recall" ->

@@ -723,6 +723,14 @@ object SparkEntry {
       idx
     })
 
+  /** Bloom snapshot of the 2× shingle index (the persisted prefilter
+    * artifact), built once per dataset alongside the index fixture. */
+  private val shingleBloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  private def shingleBloomFor(s: SparkSession, d: String): Array[Byte] =
+    shingleBloomCache.getOrElseUpdate(d,
+      Dedup.shingleIndexBloom(shingleIndexFor(s, d, twoX = true)))
+
   /** Three-variant duplicate families over the first 100 docs: the
     * original, an exact copy (+10000) and a first-word-dropped near-dup
     * (+20000) — the corpus for transitive duplicate-cluster resolution. */
@@ -1759,6 +1767,19 @@ object SparkEntry {
           col("doc_id") < 10100),
         Dedup.shingleIndex(Tables.documents(s, d).filter(col("doc_id") < 100)
           .select("doc_id", "text"), k = 8), k = 8)),
+    // Bloom-prefiltered twin of q326 (the extreme-corpus shape): the
+    // batch probes a Bloom snapshot of the index key set map-side, the
+    // exact confirm kills false positives — same oracle as q324/q326,
+    // so a green row IS the exactness of the prefiltered path
+    "q329_incremental_spans_bloom" -> ((s, d) => {
+      val idx = Dedup.shingleIndex(
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text"), k = 8)
+      Dedup.incrementalSpansBloom(
+        docsWithNearDups(s, d).filter(col("doc_id") >= 10000 &&
+          col("doc_id") < 10100),
+        idx, Dedup.shingleIndexBloom(idx), k = 8)
+    }),
     // hashed-key twin of q322: xxhash64'd fixed-width shingle shuffle
     // keys (the 100 TB key shape) checked against the TEXT oracle — a
     // green row pins span-identity of the two key representations on
@@ -3712,6 +3733,13 @@ object SparkEntry {
     "x52_inc_spans_recompute_2x" -> ((s, d) =>
       Dedup.incrementalSpans(spanBatchFor(s, d),
         docsWithSaltedCopies(s, d), k = 8)),
+    // the Bloom-prefiltered rung on the same 2× index (snapshot built
+    // untimed as a fixture): prices what the O(batch) map-side probe
+    // saves the exact confirm at this index size
+    "x53_inc_spans_bloom_2x" -> ((s, d) =>
+      Dedup.incrementalSpansBloom(spanBatchFor(s, d),
+        shingleIndexFor(s, d, twoX = true), shingleBloomFor(s, d),
+        k = 8, hashKeys = true)),
 
 
     // z-order vs single-sort layout under a two-sided band scan: the
@@ -4262,6 +4290,7 @@ object SparkEntry {
     step("fusion_fused")(fusedFor(s, d))
     step("shingle_index_1x")(shingleIndexFor(s, d, twoX = false))
     step("shingle_index_2x")(shingleIndexFor(s, d, twoX = true))
+    step("shingle_bloom")(shingleBloomFor(s, d))
   }
 
   def oracleSql: Map[String, String] = Oracles.sql

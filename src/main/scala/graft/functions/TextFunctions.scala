@@ -167,6 +167,12 @@ object TextFunctions {
     * with an exact join on the survivors when exactness is required. */
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     columnOf(BloomMightContain(expressionOf(c), bloomBytes))
+
+  /** [[bloomMightContain]] for LONG keys (the hashed-shingle shape) —
+    * probes with the filter's native long hash, matching how
+    * `DataFrameStatFunctions.bloomFilter` inserts integral columns. */
+  def bloomMightContainLong(c: Column, bloomBytes: Array[Byte]): Column =
+    columnOf(BloomMightContainLong(expressionOf(c), bloomBytes))
 }
 
 /** Distinct word n-grams of a `array<string>` column in one compiled
@@ -266,6 +272,28 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def nullSafeEval(input: Any): Any =
     bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BloomMightContain]]'s sibling for LONG keys: probes via
+  * `mightContainLong`, the same hash `bloomFilter` uses to insert
+  * integral columns — string and long probes are NOT interchangeable
+  * on one filter, so the key representation must match the build. */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.BooleanType
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

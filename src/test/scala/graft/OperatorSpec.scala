@@ -2806,5 +2806,15 @@ class OperatorSpec extends SparkSpec {
     val viaDisk = Dedup.incrementalSpansIndexed(b2, reloaded, k = 3)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaDisk == recomp, viaDisk.toString)
+    // the Bloom-prefiltered path is EXACT (no false negatives; the
+    // confirm join kills false positives), for both key shapes
+    val viaBloom = Dedup.incrementalSpansBloom(b2, idx1,
+      Dedup.shingleIndexBloom(idx1), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaBloom == recomp, viaBloom.toString)
+    val viaBloomH = Dedup.incrementalSpansBloom(b2, idx1h,
+      Dedup.shingleIndexBloom(idx1h), k = 3, hashKeys = true)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaBloomH == recomp, viaBloomH.toString)
   }
 }
