@@ -55,7 +55,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
       case Some(m) =>
         val mult = m.group(2).toLowerCase match {
           case "k" => 1L; case "m" => 1024L; case "g" => 1024L * 1024
-          case "t" => 1024L * 1024 * 1024; case _ => 1L // bytes -> ~0 KB
+          // no suffix = bytes per -Xmx spec; mult=1 reads the byte count
+          // AS KB — a 1024x OVERestimate of the requested heap, so the
+          // availability gate conservatively skips the pin
+          case "t" => 1024L * 1024 * 1024; case _ => 1L
         }
         m.group(1).toLong * mult
       case None => Long.MaxValue // unparseable: never claim it's backable

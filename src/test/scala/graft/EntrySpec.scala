@@ -27,7 +27,7 @@ class EntrySpec extends SparkSpec {
     // would push 60k driver-built messages through the pipeline for
     // zero extra coverage
     val sizeOnlyRungs = Set("x96_stream_ingest_6k", "x97_stream_ingest_60k",
-      "x99_stream_clean_24k")
+      "x99_stream_clean_24k", "x9a_stream_ingest_600k")
     val failures = SparkEntry.benchExtras.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => sizeOnlyRungs(name) }
       .flatMap { case (name, fn) =>
