@@ -173,6 +173,13 @@ object TextFunctions {
     * `DataFrameStatFunctions.bloomFilter` inserts integral columns. */
   def bloomMightContainLong(c: Column, bloomBytes: Array[Byte]): Column =
     columnOf(BloomMightContainLong(expressionOf(c), bloomBytes))
+
+  /** Space-join of the tokens whose 1-BASED position is NOT in
+    * `positions` — span removal's re-assembly kernel, one compiled
+    * O(n + m log m) merge per row; see [[TokensExceptPositions]]. */
+  def tokensExceptPositions(toks: Column, positions: Column): Column =
+    columnOf(TokensExceptPositions(
+      expressionOf(toks), expressionOf(positions)))
 }
 
 /** Distinct word n-grams of a `array<string>` column in one compiled
@@ -250,6 +257,77 @@ case class NGramModeCount(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Re-assembly kernel for span removal: given a token array and the
+  * (distinct, in-range) 1-based positions to drop, emit the surviving
+  * tokens space-joined in original order. One compiled pass per row —
+  * positions sort once (m log m), then a linear merge over the tokens
+  * (O(n + m)) — replacing the declarative form's per-doc corpus-token
+  * explode → (doc_id, pos) shuffle join → collect_list re-sort, which
+  * paid two corpus-token-sized exchanges for what is row-local work
+  * once the covered positions arrive as an array. `array_contains`
+  * inside a filter lambda would be the HOF alternative: interpreted
+  * per element AND O(n·m) per row. Null positions array = drop
+  * nothing (docs with no covered tokens). */
+case class TokensExceptPositions(toks: Expression, positions: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = toks
+  override def right: Expression = positions
+  override def dataType: DataType = StringType
+
+  // positions MUST be long elements: the merge reads them via
+  // toLongArray, and an int-element UnsafeArrayData would silently
+  // reinterpret its bytes rather than convert
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (toks.dataType, positions.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<string>, array<bigint>), got ($l, $r)")
+    }
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullable: Boolean = toks.nullable
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = toks.eval(input)
+    if (t == null) return null
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val p = positions.eval(input)
+    if (p == null) {
+      val all = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { all(i) = arr.getUTF8String(i); i += 1 }
+      return UTF8String.concatWs(space, all.toIndexedSeq: _*)
+    }
+    val posArr = p.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(posArr)
+    // sized for the worst case (drop nothing): duplicate or out-of-range
+    // positions then cost capacity, never a silently dropped token
+    val kept = new Array[UTF8String](n)
+    var i = 0; var j = 0; var k = 0
+    while (i < n) {
+      val pos = i + 1L // 1-based token position
+      while (j < posArr.length && posArr(j) < pos) j += 1
+      if (j < posArr.length && posArr(j) == pos) j += 1
+      else { kept(k) = arr.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(space, kept.toIndexedSeq.take(k): _*)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(toks = newLeft, positions = newRight)
 }
 
 /** `mightContain` probe against a Bloom filter shipped as serialized

@@ -574,7 +574,7 @@ object StreamingIngest {
   /** Substring (span) dedup ON THE INGEST STREAM — the crawl-ingest
     * deployment of the persisted shingle index, closing the loop the
     * batch operators open ([[graft.operators.Dedup.shingleIndex]] /
-    * `shingleIndexUpdate` / `incrementalSpansIndexed`): every
+    * `shingleIndexMerge` / `incrementalSpansIndexed`): every
     * micro-batch is scanned against the index AS IT STOOD BEFORE the
     * batch (one map-side membership pass + the batch's own small
     * shuffle — cost independent of corpus size), its duplicated spans
@@ -582,64 +582,180 @@ object StreamingIngest {
     * the batch's shingle counts — so index maintenance IS the ingest
     * path, exactly like the BM25 postings and minhash signature upkeep.
     *
-    * Exactly-once: the index advances through the versioned-artifact
-    * pointer CAS (TableOps lifecycle, shared with the vector indexes)
-    * whose meta records the last folded batch id. A replayed batch id
-    * at or below the committed one is a NO-OP, and the span output for
-    * a batch is a per-batch partition OVERWRITE — a crash between span
-    * write and index commit leaves at most a partial partition that
-    * the replay rewrites whole. */
+    * The index is LOG-STRUCTURED (the KeywordIndex postings-append /
+    * TableOps-compaction lifecycle, reference pattern: incremental
+    * index upkeep, store/keyword_store/sqlite_store.py:93-145): a batch
+    * appends ONLY its own shingle counts as a delta under
+    * `spanlog/delta/batch_id=N` — per-batch write cost ∝ batch, never
+    * index — and every `compactEvery` batches the base ∪ deltas fold
+    * into a new compacted base ([[graft.operators.Dedup.shingleIndexMerge]];
+    * counts are a mergeable SUM, so the folded index is bit-identical
+    * to a from-scratch build). Readers between compactions see base ∪
+    * ≤ compactEvery batch-sized deltas; detection needs only key
+    * MEMBERSHIP and left-semi joins are insensitive to duplicate
+    * right-side keys, so the merge is never paid on the detection path.
+    *
+    * Exactly-once: the index state (last folded batch id, compaction
+    * point, base name) advances through ONE versioned-meta pointer CAS
+    * (TableOps lifecycle, shared with the vector indexes). A replayed
+    * batch id at or below the committed one is a NO-OP; span output and
+    * the delta land at deterministic per-batch paths as OVERWRITES — a
+    * crash anywhere before the meta commit leaves at most partial
+    * per-batch dirs that the replay rewrites whole, and an orphaned
+    * base dir a later compaction never references. */
   def spanDedupIngest(
       docs: DataFrame, baseDir: String, k: Int = 8,
-      hashKeys: Boolean = true): StreamingQuery =
+      hashKeys: Boolean = true,
+      compactEvery: Int = SpanCompactEvery): StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$baseDir/ckpt_spans")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        applySpanBatch(b, baseDir, k, hashKeys, batchId); ()
+        applySpanBatch(b, baseDir, k, hashKeys, batchId, compactEvery); ()
       }.start()
 
-  private val SpanIdxPrefix = "shingle_index"
+  /** Default compaction cadence: readers between compactions union at
+    * most this many batch-sized deltas onto the base. */
+  private[graft] val SpanCompactEvery = 8
 
-  /** Current committed (index frame, last folded batch id) — empty
-    * index / -1 before the first commit. */
-  private[graft] def currentSpanIndex(spark: SparkSession, baseDir: String,
-      hashKeys: Boolean): (DataFrame, Long) =
-    TableOps.currentArtifactDir(spark, baseDir, SpanIdxPrefix) match {
+  private val SpanMetaPrefix = "shingle_meta"
+  private val SpanBasePrefix = "shingle_base"
+
+  /** Committed span-log state: last folded batch id, the batch id the
+    * base is compacted through, and the base dir name (None before the
+    * first compaction — the index is then deltas alone). */
+  private[graft] case class SpanLogState(
+      lastBatch: Long, compactedThrough: Long, base: Option[String])
+
+  private[graft] def spanLogState(spark: SparkSession,
+      baseDir: String): SpanLogState =
+    TableOps.currentArtifactDir(spark, baseDir, SpanMetaPrefix) match {
       case Some(v) =>
-        val last = spark.read.parquet(s"$baseDir/$v/meta")
-          .head().getLong(0)
-        (spark.read.parquet(s"$baseDir/$v/index"), last)
-      case None =>
-        val shType: org.apache.spark.sql.types.DataType =
-          if (hashKeys) org.apache.spark.sql.types.LongType
-          else org.apache.spark.sql.types.StringType
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("sh", shType),
-          org.apache.spark.sql.types.StructField("n_occ",
-            org.apache.spark.sql.types.LongType)))
-        (spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), -1L)
+        val r = spark.read.parquet(s"$baseDir/$v").head()
+        SpanLogState(r.getAs[Long]("last_batch"),
+          r.getAs[Long]("compacted_through"),
+          Option(r.getAs[String]("base")))
+      case None => SpanLogState(-1L, -1L, None)
     }
 
+  private def deltaDir(baseDir: String, id: Long): String =
+    s"$baseDir/spanlog/delta/batch_id=$id"
+
+  /** The index as its PARTS — compacted base plus the uncompacted
+    * per-batch count deltas — WITHOUT the count merge: rows may repeat
+    * a key across parts. Detection consumes exactly this (key
+    * membership only); [[currentSpanIndex]] adds the merge for
+    * consumers that need true counts. */
+  private def spanIndexParts(spark: SparkSession, baseDir: String,
+      st: SpanLogState, hashKeys: Boolean): DataFrame = {
+    val dirs = st.base.map(b => s"$baseDir/$b").toSeq ++
+      ((st.compactedThrough + 1) to st.lastBatch).map(deltaDir(baseDir, _))
+    if (dirs.isEmpty) {
+      val shType: org.apache.spark.sql.types.DataType =
+        if (hashKeys) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sh", shType),
+        org.apache.spark.sql.types.StructField("n_occ",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(dirs: _*)
+  }
+
+  /** Current committed (merged index frame, last folded batch id) —
+    * empty index / -1 before the first commit. The frame is the
+    * merge-on-read view over base + deltas; its counts equal a
+    * from-scratch [[graft.operators.Dedup.shingleIndex]] over
+    * everything folded so far. */
+  private[graft] def currentSpanIndex(spark: SparkSession, baseDir: String,
+      hashKeys: Boolean): (DataFrame, Long) = {
+    val st = spanLogState(spark, baseDir)
+    (graft.operators.Dedup.shingleIndexMerge(
+      Seq(spanIndexParts(spark, baseDir, st, hashKeys))), st.lastBatch)
+  }
+
   /** One ingest step: detect the batch's spans against the committed
-    * index, write them, advance the index. Idempotent on batch-id
-    * replay. */
+    * index parts, append the batch's count delta, advance the meta (and
+    * compact on cadence). Idempotent on batch-id replay. Per-batch work
+    * is O(batch): one membership scan of the parts (map-side vs the
+    * broadcast batch keys) + a batch-sized delta write — the full index
+    * is never re-aggregated or rewritten outside compaction. */
   private[graft] def applySpanBatch(batch: DataFrame, baseDir: String,
-      k: Int, hashKeys: Boolean, batchId: Long): Unit = {
+      k: Int, hashKeys: Boolean, batchId: Long,
+      compactEvery: Int = SpanCompactEvery): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (idx, lastBatch) = currentSpanIndex(spark, baseDir, hashKeys)
-    if (batchId <= lastBatch) return // replay of an already-folded batch
-    // pin the micro-batch: it feeds detection AND the index fold, and a
+    val st = spanLogState(spark, baseDir)
+    if (batchId <= st.lastBatch) return // replay of an already-folded batch
+    // pin the micro-batch: it feeds detection AND the delta write, and a
     // foreachBatch frame re-executes its source per action otherwise
     val b = batch.select("doc_id", "text").localCheckpoint()
-    graft.operators.Dedup.incrementalSpansIndexed(b, idx, k, hashKeys)
+    graft.operators.Dedup.incrementalSpansIndexed(
+      b, spanIndexParts(spark, baseDir, st, hashKeys).select("sh"),
+      k, hashKeys)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$baseDir/spans/batch_id=$batchId")
-    val name = TableOps.nextArtifactDir(spark, baseDir, SpanIdxPrefix)
-    graft.operators.Dedup.shingleIndexUpdate(idx, b, k, hashKeys)
-      .write.parquet(s"$baseDir/$name/index")
-    Seq(batchId).toDF("last_batch").write.parquet(s"$baseDir/$name/meta")
-    TableOps.commitArtifactDir(spark, baseDir, SpanIdxPrefix, name)
+    graft.operators.Dedup.shingleIndex(b, k, hashKeys)
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir(baseDir, batchId))
+    val compactDue = batchId - st.compactedThrough >= compactEvery
+    val (newBase, newCompacted) =
+      if (compactDue) {
+        val name = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
+        graft.operators.Dedup.shingleIndexMerge(Seq(spanIndexParts(
+          spark, baseDir, st.copy(lastBatch = batchId), hashKeys)))
+          .write.parquet(s"$baseDir/$name")
+        (Some(name), batchId)
+      } else (st.base, st.compactedThrough)
+    val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
+    Seq((batchId, newCompacted, newBase.orNull))
+      .toDF("last_batch", "compacted_through", "base")
+      .coalesce(1).write.parquet(s"$baseDir/$metaName")
+    TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
+    if (compactDue) vacuumSpanLog(spark, baseDir, st)
+  }
+
+  /** Seed a span-log warehouse from an index frame built elsewhere
+    * (bench/test fixture): the frame becomes the compacted base,
+    * lastBatch = compactedThrough = `seedBatchId` — as if a prior
+    * ingest had folded and compacted through that batch. */
+  private[graft] def seedSpanLog(index: DataFrame, baseDir: String,
+      seedBatchId: Long = 0L): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val name = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
+    index.write.parquet(s"$baseDir/$name")
+    val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
+    Seq((seedBatchId, seedBatchId, name))
+      .toDF("last_batch", "compacted_through", "base")
+      .coalesce(1).write.parquet(s"$baseDir/$metaName")
+    TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
+  }
+
+  /** GC after a compaction commit, keep-2 semantics (the TableOps
+    * vacuum convention): deltas at or below the PREVIOUS compaction
+    * point were superseded a full generation ago — readers pinned on
+    * the current or previous meta never reference them — and base dirs
+    * older than the previous base are likewise unreachable. */
+  private def vacuumSpanLog(spark: SparkSession, baseDir: String,
+      prev: SpanLogState): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deltas = new org.apache.hadoop.fs.Path(s"$baseDir/spanlog/delta")
+    val fs = deltas.getFileSystem(conf)
+    if (fs.exists(deltas))
+      fs.listStatus(deltas).map(_.getPath)
+        .filter { p =>
+          val n = p.getName.stripPrefix("batch_id=")
+          n.forall(_.isDigit) && n.nonEmpty && n.toLong <= prev.compactedThrough
+        }.foreach(fs.delete(_, true))
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val keep = prev.base.toSet
+    val re = (SpanBasePrefix + "_v(\\d{8})").r
+    val baseDirs = fs.listStatus(base).map(_.getPath)
+      .filter(p => re.findFirstIn(p.getName).contains(p.getName))
+      .sortBy(_.getName)
+    // the newest dir is the just-committed base; also keep prev.base
+    baseDirs.dropRight(1)
+      .filterNot(p => keep.contains(p.getName))
+      .foreach(fs.delete(_, true))
   }
 }

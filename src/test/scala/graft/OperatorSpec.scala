@@ -2817,4 +2817,68 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaBloomH == recomp, viaBloomH.toString)
   }
+
+  test("sharded bloom snapshot: probe ≡ unfiltered, fold ≡ rebuild, " +
+      "untouched shards pass through byte-identical") {
+    val corpus = Seq(
+      (1L, "x a b c d y"), (2L, "k l m n o p")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "a b c d q r")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "c d y z k l m"),
+      (21L, "b c d q w")).toDF("doc_id", "text")
+    val recomp = Dedup.incrementalSpans(b2, corpus.unionByName(b1), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    for (hash <- Seq(false, true)) {
+      val idx0 = Dedup.shingleIndex(corpus, k = 3, hashKeys = hash)
+      val idx1 = Dedup.shingleIndexUpdate(idx0, b1, k = 3, hashKeys = hash)
+      // every shard materializes a row, even empty ones (the fold must
+      // never meet a missing shard), and n_keys accounts for all keys
+      val snapFull = Dedup.shingleIndexBloomShards(idx1, shards = 8)
+      assert(snapFull.count() == 8)
+      assert(snapFull.agg(sum("n_keys")).head().getLong(0) == idx1.count())
+      // probe through the sharded snapshot ≡ the unfiltered indexed path
+      // ≡ the recompute formulation
+      val viaShards = Dedup.incrementalSpansBloomSharded(
+        b2, idx1, snapFull, k = 3, hashKeys = hash)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaShards == recomp && viaShards.nonEmpty, viaShards.toString)
+      // MERGEABLE upkeep: snapshot(corpus) + fold(b1) serves the same
+      // batch identically — no corpus re-read in the fold
+      val folded = Dedup.shingleIndexBloomShardsFold(
+        Dedup.shingleIndexBloomShards(idx0, shards = 8), b1,
+        k = 3, hashKeys = hash)
+      val viaFolded = Dedup.incrementalSpansBloomSharded(
+        b2, idx1, folded, k = 3, hashKeys = hash)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaFolded == recomp, viaFolded.toString)
+      // and folds CHAIN: a second batch folds into the already-folded
+      // snapshot, serving a later batch against corpus ∪ b1 ∪ b2
+      val b3 = Seq((30L, "z k l m n o w")).toDF("doc_id", "text")
+      val idx2 = Dedup.shingleIndexUpdate(idx1, b2, k = 3, hashKeys = hash)
+      val folded2 = Dedup.shingleIndexBloomShardsFold(
+        folded, b2, k = 3, hashKeys = hash)
+      val viaFolded2 = Dedup.incrementalSpansBloomSharded(
+        b3, idx2, folded2, k = 3, hashKeys = hash)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val recomp3 = Dedup.incrementalSpans(
+        b3, corpus.unionByName(b1).unionByName(b2), k = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaFolded2 == recomp3 && viaFolded2.nonEmpty, viaFolded2.toString)
+      // shards b1's keys don't touch keep their filter bytes verbatim
+      val before = Dedup.shingleIndexBloomShards(idx0, shards = 8)
+        .select("shard", "bloom").as[(Int, Array[Byte])]
+        .collect().toMap
+      val after = folded.select("shard", "bloom")
+        .as[(Int, Array[Byte])].collect().toMap
+      val touched = Dedup.shingleIndex(b1, k = 3, hashKeys = hash)
+        .select(pmod(xxhash64(col("sh")), lit(8L)).cast("int"))
+        .as[Int].collect().toSet
+      val untouched = (0 until 8).toSet -- touched
+      assert(untouched.nonEmpty)
+      untouched.foreach { s =>
+        assert(java.util.Arrays.equals(before(s), after(s)),
+          s"untouched shard $s rewrote (hashKeys=$hash)")
+      }
+    }
+  }
 }

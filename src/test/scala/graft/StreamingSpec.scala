@@ -541,4 +541,56 @@ class StreamingSpec extends SparkSpec {
     assert(idx2.as[(String, Long)].collect().toMap ==
       idx.as[(String, Long)].collect().toMap)
   }
+
+  test("span-log fold: per-batch delta is batch-sized, base untouched " +
+      "between compactions, compacted index ≡ from-scratch, vacuum reclaims") {
+    import graft.operators.Dedup
+    val dir = graft.TempDirs.create("graft_spanlog_fold").toString
+    val batches = (0 until 5).map { i =>
+      Seq((i * 10L + 1, s"a b c d shared tail x$i"),
+          (i * 10L + 2, s"p q r s t u v y$i"))
+    }
+    // compactEvery = 2 with compactedThrough starting at -1:
+    // compactions fire at batch ids 1 and 3, batches 0/2/4 are pure folds
+    def fold(i: Int): Unit = StreamingIngest.applySpanBatch(
+      batches(i).toDF("doc_id", "text"), dir, k = 3, hashKeys = false,
+      batchId = i.toLong, compactEvery = 2)
+    (0 to 3).foreach(fold)
+    val st3 = StreamingIngest.spanLogState(spark, dir)
+    assert(st3.lastBatch == 3L && st3.compactedThrough == 3L && st3.base.isDefined)
+    fold(4)
+    val st4 = StreamingIngest.spanLogState(spark, dir)
+    // the non-compacting batch advanced the log WITHOUT touching the
+    // base: same base name, same compaction point — its only data write
+    // is the batch-sized delta (per-batch work independent of index size)
+    assert(st4.lastBatch == 4L && st4.compactedThrough == 3L &&
+      st4.base == st3.base)
+    val delta4 = spark.read.parquet(s"$dir/spanlog/delta/batch_id=4")
+    assert(delta4.count() ==
+      Dedup.shingleIndex(batches(4).toDF("doc_id", "text"), k = 3).count())
+    // merged view over base ∪ deltas equals a from-scratch build over
+    // everything folded so far (N batches, through two compactions)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val (idx, last) = StreamingIngest.currentSpanIndex(spark, dir, hashKeys = false)
+    assert(last == 4L)
+    assert(idx.as[(String, Long)].collect().toMap ==
+      Dedup.shingleIndex(all, k = 3).as[(String, Long)].collect().toMap)
+    // each batch's spans were detected against the log as it stood
+    // BEFORE the batch — identical to the recompute operator's answer
+    val got = spark.read.parquet(s"$dir/spans/batch_id=4")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.incrementalSpans(batches(4).toDF("doc_id", "text"),
+      batches.take(4).flatten.toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want, s"$got vs $want")
+    // vacuum (keep-2): the second compaction reclaimed deltas at or
+    // below the FIRST compaction point; newer deltas survive
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=0")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=4")))
+    // replay below the committed frontier is a no-op
+    fold(2)
+    assert(StreamingIngest.spanLogState(spark, dir) == st4)
+  }
 }
