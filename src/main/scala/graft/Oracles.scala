@@ -5483,6 +5483,11 @@ object Oracles {
     // the oracle IS q324's SQL
     "q329_incremental_spans_bloom" -> base("q324_incremental_spans"),
 
+    // q330: the SHARDED-Bloom prefilter (per-shard filters as a table,
+    // probed via cogroup — the no-driver-array form) must be exact for
+    // the same reason as q329 — the oracle IS q324's SQL
+    "q330_incremental_spans_bloom_sharded" -> base("q324_incremental_spans"),
+
     // q157: measured recall of the LSH near-dup path against the exact
     // quadratic baseline — the bucketing trade quantified as data
     "q157_lsh_recall" ->

@@ -735,6 +735,43 @@ object SparkEntry {
     shingleBloomCache.getOrElseUpdate(d,
       Dedup.shingleIndexBloom(shingleIndexFor(s, d, twoX = true)))
 
+  /** Pre-seeded span-log warehouses for the write-side fold rungs
+    * (x68/x69): the 1×/2× corpus shingle index written ONCE (untimed,
+    * first warmup touch) as the compacted base of a
+    * [[graft.streaming.StreamingIngest]] span log. Each timed run then
+    * folds one 100-doc batch — detection scan + batch-sized delta
+    * append + one meta CAS, the full ingest step — whose cost must stay
+    * flat as the corpus index doubles (the WRITE-side twin of x51's
+    * read-side claim; round-10 verdict #1). Keyed by dataset only: the
+    * value is a directory of bytes on disk, free of session state. */
+  private val spanLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def spanLogFor(s: SparkSession, d: String, twoX: Boolean): String =
+    spanLogCache.getOrElseUpdate(s"$d#${if (twoX) 2 else 1}", {
+      val dir = graft.TempDirs.create("graft_spanlog").toString
+      graft.streaming.StreamingIngest.seedSpanLog(
+        shingleIndexFor(s, d, twoX), dir)
+      dir
+    })
+
+  /** One span-ingest fold step over the pre-seeded log — what x68/x69
+    * time. compactEvery is effectively infinite so the rung prices the
+    * per-batch FOLD (the flat-cost claim), not amortized compaction;
+    * repeat runs append further batch-sized deltas, identically on both
+    * rungs, so the 1×/2× ratio stays the corpus-independence measure. */
+  private def spanFoldBench(s: SparkSession, d: String,
+      twoX: Boolean): DataFrame = {
+    import s.implicits._
+    val dir = spanLogFor(s, d, twoX)
+    val next = graft.streaming.StreamingIngest
+      .spanLogState(s, dir).lastBatch + 1
+    graft.streaming.StreamingIngest.applySpanBatch(
+      spanBatchFor(s, d), dir, k = 8, hashKeys = true, batchId = next,
+      compactEvery = Int.MaxValue)
+    val nDelta = s.read.parquet(s"$dir/spanlog/delta/batch_id=$next").count()
+    Seq((next, nDelta)).toDF("batch_id", "n_delta_keys")
+  }
+
   /** Three-variant duplicate families over the first 100 docs: the
     * original, an exact copy (+10000) and a first-word-dropped near-dup
     * (+20000) — the corpus for transitive duplicate-cluster resolution. */
@@ -1783,6 +1820,20 @@ object SparkEntry {
         docsWithNearDups(s, d).filter(col("doc_id") >= 10000 &&
           col("doc_id") < 10100),
         idx, Dedup.shingleIndexBloom(idx), k = 8)
+    }),
+    // SHARDED-Bloom twin of q329 (the form that survives extreme corpus
+    // sizes: per-key-shard filters stored as a table, probed via a
+    // batch-keys shuffle — no driver-resident array, no broadcast of the
+    // snapshot). Same oracle as q324/q326/q329, so a green row IS the
+    // exactness of the sharded path.
+    "q330_incremental_spans_bloom_sharded" -> ((s, d) => {
+      val idx = Dedup.shingleIndex(
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text"), k = 8)
+      Dedup.incrementalSpansBloomSharded(
+        docsWithNearDups(s, d).filter(col("doc_id") >= 10000 &&
+          col("doc_id") < 10100),
+        idx, Dedup.shingleIndexBloomShards(idx, shards = 16), k = 8)
     }),
     // hashed-key twin of q322: xxhash64'd fixed-width shingle shuffle
     // keys (the 100 TB key shape) checked against the TEXT oracle — a
@@ -3752,6 +3803,15 @@ object SparkEntry {
         shingleIndexFor(s, d, twoX = true), shingleBloomFor(s, d),
         k = 8, hashKeys = true)),
 
+    // the WRITE-side twin of the x50/x51 pair: one full span-ingest
+    // fold step (detection + batch-sized delta append + meta CAS)
+    // against a pre-seeded log whose compacted base is the 1×/2×
+    // corpus index — flat across the doubling is the log-structured
+    // fold's whole claim (per-batch ingest cost independent of index
+    // size; round-10 verdict #1's "x51 twin")
+    "x68_span_fold_1x" -> ((s, d) => spanFoldBench(s, d, twoX = false)),
+    "x69_span_fold_2x" -> ((s, d) => spanFoldBench(s, d, twoX = true)),
+
 
     // z-order vs single-sort layout under a two-sided band scan: the
     // same aggregate over the same rows, different on-disk clustering —
@@ -3884,10 +3944,13 @@ object SparkEntry {
     // 600k messages, identical pipeline and 6-batch shape): rows/s =
     // 600000 / wall either continues the ~10×-per-decade amortization
     // line or exposes the knee where per-row work overtakes per-batch
-    // fixed overhead — committed as data instead of extrapolated
+    // fixed overhead — committed as data instead of extrapolated.
+    // Fed from a PARQUET FILE STREAM (round-10 verdict #2): the
+    // MemoryStream instrument held 600k driver-resident rows and was
+    // itself the bottleneck at this rung (records diverged 4.4×)
     // ("x9a" sorts after x99, keeping the isolated block's order)
     "x9a_stream_ingest_600k" -> ((s, d) =>
-      streamIngestBench(s, d, 600000, "x9a_stream_ingest_600k")),
+      streamIngestBenchFile(s, d, 600000, "x9a_stream_ingest_600k")),
   )
 
   /** Warm-path latency decomposition for [[pipeline.MemFuse.queryCached]]
@@ -4020,6 +4083,76 @@ object SparkEntry {
     if (entryName.nonEmpty)
       churnPhaseTimings(entryName) = Seq("feed" -> tFeed)
     Seq((msgs.length.toLong, nBatches.toLong, m1n))
+      .toDF("n_messages", "n_batches", "m1_chunks")
+  }
+
+  /** Pre-generated parquet message feeds for [[streamIngestBenchFile]],
+    * keyed (dataset, n): six files of Message rows generated ENGINE-SIDE
+    * (range × broadcast-joined document texts — the driver never
+    * constructs or holds a message object) during the isolated entries'
+    * untimed first cycle. Bytes on disk — session-free. */
+  private val msgFeedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def msgFeedFor(s: SparkSession, d: String, nMessages: Int): String =
+    msgFeedCache.getOrElseUpdate(s"$d#$nMessages", {
+      val dir = graft.TempDirs.create("graft_sb_feed").toString
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 5000)
+        .select(col("doc_id"), col("text"))
+      val nTexts = math.min(nMessages.toLong, docs.count())
+      s.range(nMessages)
+        .withColumn("__t", pmod(col("id"), lit(nTexts)))
+        .join(broadcast(docs), col("__t") === col("doc_id"))
+        .select(
+          concat(lit("sm"), col("id")).as("message_id"),
+          concat(lit("ss"), pmod(col("id"), lit(12L))).as("session_id"),
+          lit("u1").as("user_id"),
+          concat(lit("sr"), col("id")).as("round_id"),
+          col("id").cast("int").as("sequence_number"),
+          lit("user").as("role"),
+          col("text").as("content"),
+          timestamp_millis(lit(1717200000000L) + col("id") * lit(1000L))
+            .as("created_at"))
+        .repartitionByRange(6, col("sequence_number"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** [[streamIngestBench]]'s harness-independent form for the largest
+    * throughput decade (round-10 verdict #2): the feed is a
+    * PARQUET-BACKED FILE STREAM read one file per trigger (six files =
+    * the family's fixed six-micro-batch shape) instead of a
+    * driver-resident MemoryStream — at 600k messages the MemoryStream
+    * harness held every row on the driver and became the bottleneck it
+    * was supposed to measure (committed vs driver records diverged
+    * 4.4× with a 70 GB heap peak; the engine path itself reproduces to
+    * 0.5% at 60k). The pipeline under test is IDENTICAL
+    * ([[graft.streaming.StreamingIngest.start]] end to end); only the
+    * instrument changed. */
+  private def streamIngestBenchFile(s: SparkSession, d: String,
+      nMessages: Int, entryName: String): DataFrame = {
+    import s.implicits._
+    val feedDir = msgFeedFor(s, d, nMessages)
+    val dir = graft.TempDirs.create("graft_sb_ingest").toString
+    val feed = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[pipeline.Schemas.Message]
+        .schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      .as[pipeline.Schemas.Message]
+    val q = graft.streaming.StreamingIngest.start(feed, dir,
+      pipeline.HashingEncoder(), maxTokens = 400, timeoutMs = 0,
+      checkpoint = s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val tFeed0 = System.nanoTime()
+    var tFeed = 0.0
+    try {
+      q.processAllAvailable()
+      tFeed = (System.nanoTime() - tFeed0) / 1e9
+    } finally q.stop()
+    val nBatches = graft.streaming.StreamingIngest.committedBatchIds(s, dir).size
+    val m1n = graft.streaming.StreamingIngest.m1Committed(s, dir).count()
+    if (entryName.nonEmpty)
+      churnPhaseTimings(entryName) = Seq("feed" -> tFeed)
+    Seq((nMessages.toLong, nBatches.toLong, m1n))
       .toDF("n_messages", "n_batches", "m1_chunks")
   }
 
