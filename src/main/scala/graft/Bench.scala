@@ -31,6 +31,25 @@ object Bench {
     "q92_rolling_window" -> 0.5034,
   )
 
+  /** ISOLATED-entry canaries (round-10 verdict #4): the comparative
+    * basket above corrects the pass-loop entries to ~2.5% but the
+    * isolated x9* cycles run AFTER the passes in a different ambient
+    * (single-process stream scheduling + churn I/O swing ±30%), so
+    * their window swings need their own probe. Three code-frozen
+    * isolated entries — the 600-message and 6k-message ingest cycles
+    * and the churn maintain cycle, all exercising the paths that
+    * swung in the r9/r10 committed-vs-driver splits — act as the
+    * machine-speed probe for the isolated block: iso scale = MEDIAN of
+    * (time_now / time_ref), applied to isolated entries in
+    * `queries_normalized`. Refs in BLESSED-window units (run time ÷
+    * that run's comparative scale). Falls back to the comparative
+    * scale when a probe failed or the run is filtered. */
+  private val IsoCanaryRef: Map[String, Double] = Map(
+    "x93_stream_ingest_e2e" -> 7.0811,
+    "x96_stream_ingest_6k" -> 7.3377,
+    "x90_facade_churn_maintain" -> 9.0609,
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -188,16 +207,31 @@ object Bench {
         val rs = canaryOk.map { case (n, v, _) => v / CanaryRef(n) }.sorted
         rs(rs.size / 2)
       } else 1.0
+    // isolated-block scale: median over the iso canaries, falling back
+    // to the comparative scale on a filtered/partial run
+    val isoOk = results
+      .filter(r => IsoCanaryRef.contains(r._1) && r._3 && r._2 > 0)
+    val isoScale =
+      if (isoOk.size == IsoCanaryRef.size) {
+        val rs = isoOk.map { case (n, v, _) => v / IsoCanaryRef(n) }.sorted
+        rs(rs.size / 2)
+      } else scale
     val canaryJson = {
       val entries = canaryOk.map { case (n, v, _) =>
         s"\"" + n + "\":{\"sec\":" + v + ",\"ref\":" + CanaryRef(n) + "}"
       }.mkString("{", ",", "}")
-      s"""{"entries":$entries,"scale":$scale}"""
+      val isoEntries = isoOk.map { case (n, v, _) =>
+        s"\"" + n + "\":{\"sec\":" + v + ",\"ref\":" + IsoCanaryRef(n) + "}"
+      }.mkString("{", ",", "}")
+      s"""{"entries":$entries,"scale":$scale,"iso_entries":$isoEntries,"iso_scale":$isoScale}"""
     }
+    val isolatedNames = isolated.map(_._1).toSet
     val qsNorm = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok && v >= 0) v / scale else v)
+      val s0 = if (isolatedNames(k)) isoScale else scale
+      s"\"" + k + "\":" + (if (ok && v >= 0) v / s0 else v)
     }.mkString("{", ",", "}")
-    val totalNorm = total / scale
+    val totalNorm = results.collect { case (n, v, true) if v >= 0 =>
+      v / (if (isolatedNames(n)) isoScale else scale) }.sum
     // per-phase attribution of the isolated churn cycles: recorded
     // phases from the MIN-time cycle (the one the entry total reports)
     // + the residual "query" phase (entry total minus attributed time —

@@ -176,6 +176,24 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     // the term_bucket partition filter must reach the postings scan
     assert(p.contains("term_bucket"), p.take(2000))
+    // scan-count guard (round-10 verdict #5): the per-query plan reads
+    // the postings exactly twice (the df derivation + the scored join)
+    // and doclen once. q46's clean-frame drift (1.73x vs r4) profiled
+    // to AMBIENT suite pressure — in isolation it runs at the r4 level
+    // (0.29 s vs r4's ~0.28 s) — so this pins that no PLAN fan-in ever
+    // hides under that ambient as the postings lifecycle grows.
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    def nScans(sub: String) = scans.count(_.relation.location.rootPaths
+      .exists(_.toString.contains(sub)))
+    assert(nScans("/postings") == 2 && nScans("/doclen") == 1,
+      scans.map(_.toString.take(150)).mkString("\n"))
   }
 
   test("q52: per-key top-k plans through the custom heap operator, no Window") {
