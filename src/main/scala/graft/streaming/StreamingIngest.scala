@@ -606,11 +606,13 @@ object StreamingIngest {
   def spanDedupIngest(
       docs: DataFrame, baseDir: String, k: Int = 8,
       hashKeys: Boolean = true,
-      compactEvery: Int = SpanCompactEvery): StreamingQuery =
+      compactEvery: Int = SpanCompactEvery,
+      bloomShards: Int = 0): StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$baseDir/ckpt_spans")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        applySpanBatch(b, baseDir, k, hashKeys, batchId, compactEvery); ()
+        applySpanBatch(b, baseDir, k, hashKeys, batchId, compactEvery,
+          bloomShards); ()
       }.start()
 
   /** Default compaction cadence: readers between compactions union at
@@ -619,21 +621,28 @@ object StreamingIngest {
 
   private val SpanMetaPrefix = "shingle_meta"
   private val SpanBasePrefix = "shingle_base"
+  private val SpanBloomPrefix = "shingle_bloomshards"
 
   /** Committed span-log state: last folded batch id, the batch id the
-    * base is compacted through, and the base dir name (None before the
-    * first compaction — the index is then deltas alone). */
+    * base is compacted through, the base dir name (None before the
+    * first compaction — the index is then deltas alone), and the
+    * sharded-Bloom snapshot dir name (None when the snapshot isn't
+    * maintained). */
   private[graft] case class SpanLogState(
-      lastBatch: Long, compactedThrough: Long, base: Option[String])
+      lastBatch: Long, compactedThrough: Long, base: Option[String],
+      bloom: Option[String] = None)
 
   private[graft] def spanLogState(spark: SparkSession,
       baseDir: String): SpanLogState =
     TableOps.currentArtifactDir(spark, baseDir, SpanMetaPrefix) match {
       case Some(v) =>
-        val r = spark.read.parquet(s"$baseDir/$v").head()
+        val df = spark.read.parquet(s"$baseDir/$v")
+        val r = df.head()
         SpanLogState(r.getAs[Long]("last_batch"),
           r.getAs[Long]("compacted_through"),
-          Option(r.getAs[String]("base")))
+          Option(r.getAs[String]("base")),
+          if (df.columns.contains("bloom"))
+            Option(r.getAs[String]("bloom")) else None)
       case None => SpanLogState(-1L, -1L, None)
     }
 
@@ -679,10 +688,20 @@ object StreamingIngest {
     * compact on cadence). Idempotent on batch-id replay. Per-batch work
     * is O(batch): one membership scan of the parts (map-side vs the
     * broadcast batch keys) + a batch-sized delta write — the full index
-    * is never re-aggregated or rewritten outside compaction. */
+    * is never re-aggregated or rewritten outside compaction.
+    *
+    * `bloomShards > 0` additionally maintains the SHARDED Bloom
+    * snapshot ([[graft.operators.Dedup.shingleIndexBloomShards]]) as a
+    * second versioned artifact: detection then probes the snapshot
+    * (as it stood BEFORE the batch) ahead of the exact membership
+    * confirm, and the batch's keys fold in afterwards — only touched
+    * shards rewrite ([[graft.operators.Dedup.shingleIndexBloomShardsFold]]).
+    * Both artifacts advance through the SAME meta CAS, so index and
+    * snapshot can never commit out of step. */
   private[graft] def applySpanBatch(batch: DataFrame, baseDir: String,
       k: Int, hashKeys: Boolean, batchId: Long,
-      compactEvery: Int = SpanCompactEvery): Unit = {
+      compactEvery: Int = SpanCompactEvery,
+      bloomShards: Int = 0): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val st = spanLogState(spark, baseDir)
@@ -690,10 +709,15 @@ object StreamingIngest {
     // pin the micro-batch: it feeds detection AND the delta write, and a
     // foreachBatch frame re-executes its source per action otherwise
     val b = batch.select("doc_id", "text").localCheckpoint()
-    graft.operators.Dedup.incrementalSpansIndexed(
-      b, spanIndexParts(spark, baseDir, st, hashKeys).select("sh"),
-      k, hashKeys)
-      .write.mode(SaveMode.Overwrite)
+    val parts = spanIndexParts(spark, baseDir, st, hashKeys)
+    val spans = st.bloom match {
+      case Some(snap) => graft.operators.Dedup.incrementalSpansBloomSharded(
+        b, parts.select("sh"), spark.read.parquet(s"$baseDir/$snap"),
+        k, hashKeys)
+      case None => graft.operators.Dedup.incrementalSpansIndexed(
+        b, parts.select("sh"), k, hashKeys)
+    }
+    spans.write.mode(SaveMode.Overwrite)
       .parquet(s"$baseDir/spans/batch_id=$batchId")
     graft.operators.Dedup.shingleIndex(b, k, hashKeys)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(baseDir, batchId))
@@ -706,12 +730,44 @@ object StreamingIngest {
           .write.parquet(s"$baseDir/$name")
         (Some(name), batchId)
       } else (st.base, st.compactedThrough)
+    val newBloom =
+      if (bloomShards <= 0) st.bloom
+      else {
+        val name = TableOps.nextArtifactDir(spark, baseDir, SpanBloomPrefix)
+        val next = st.bloom match {
+          // fold ONLY the batch's keys in — touched shards rewrite,
+          // untouched pass through byte-identical
+          case Some(cur) => graft.operators.Dedup.shingleIndexBloomShardsFold(
+            spark.read.parquet(s"$baseDir/$cur"), b, k, hashKeys)
+          // enable-time build: one pass over the merged index INCLUDING
+          // this batch (the only O(index) moment in the snapshot's life)
+          case None => graft.operators.Dedup.shingleIndexBloomShards(
+            graft.operators.Dedup.shingleIndexMerge(Seq(spanIndexParts(
+              spark, baseDir, st.copy(lastBatch = batchId), hashKeys))),
+            shards = bloomShards)
+        }
+        next.write.parquet(s"$baseDir/$name")
+        Some(name)
+      }
     val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
-    Seq((batchId, newCompacted, newBase.orNull))
-      .toDF("last_batch", "compacted_through", "base")
+    Seq((batchId, newCompacted, newBase.orNull, newBloom.orNull))
+      .toDF("last_batch", "compacted_through", "base", "bloom")
       .coalesce(1).write.parquet(s"$baseDir/$metaName")
     TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
     if (compactDue) vacuumSpanLog(spark, baseDir, st)
+    // snapshot generations are per-batch: GC all but this one and the
+    // previous (keep-2, matching every artifact family here)
+    if (bloomShards > 0) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(baseDir)
+      val fs = base.getFileSystem(conf)
+      val re = (SpanBloomPrefix + "_v(\\d{8})").r
+      val keep = (newBloom.toSet ++ st.bloom.toSet)
+      fs.listStatus(base).map(_.getPath)
+        .filter(p => re.findFirstIn(p.getName).contains(p.getName))
+        .filterNot(p => keep.contains(p.getName))
+        .foreach(fs.delete(_, true))
+    }
   }
 
   /** Seed a span-log warehouse from an index frame built elsewhere
@@ -725,8 +781,8 @@ object StreamingIngest {
     val name = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
     index.write.parquet(s"$baseDir/$name")
     val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
-    Seq((seedBatchId, seedBatchId, name))
-      .toDF("last_batch", "compacted_through", "base")
+    Seq((seedBatchId, seedBatchId, name, null: String))
+      .toDF("last_batch", "compacted_through", "base", "bloom")
       .coalesce(1).write.parquet(s"$baseDir/$metaName")
     TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
   }

@@ -542,6 +542,53 @@ class StreamingSpec extends SparkSpec {
       idx.as[(String, Long)].collect().toMap)
   }
 
+  test("span-dedup ingest maintains the sharded-Bloom snapshot with the " +
+      "index: spans exact, snapshot advances through the same meta CAS, replay no-op") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.TempDirs.create("graft_spanstream_bloom").toString
+    val b1 = Seq((1L, "x a b c d y"), (2L, "k l m n o p"))
+    val b2 = Seq((10L, "w a b c d q"), (11L, "m n o z m n o"))
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingIngest.spanDedupIngest(
+      source.toDS().toDF("doc_id", "text"), dir, k = 3, hashKeys = false,
+      bloomShards = 4)
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val st = StreamingIngest.spanLogState(spark, dir)
+    assert(st.lastBatch == 1L && st.bloom.isDefined)
+    // batch 2's spans went through the Bloom-prefiltered detection and
+    // are still EXACT — identical to the recompute operator
+    val got = spark.read.parquet(s"$dir/spans/batch_id=1")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.incrementalSpans(
+      b2.toDF("doc_id", "text"), b1.toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // a third batch detects against the FOLD-maintained snapshot
+    // (corpus = b1 ∪ b2) and still matches the recompute answer
+    val b3 = Seq((20L, "u a b c d v"), (21L, "h m n o z w"))
+    StreamingIngest.applySpanBatch(b3.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 2L, bloomShards = 4)
+    val got3 = spark.read.parquet(s"$dir/spans/batch_id=2")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want3 = Dedup.incrementalSpans(b3.toDF("doc_id", "text"),
+      (b1 ++ b2).toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got3 == want3 && got3.nonEmpty, s"$got3 vs $want3")
+    // snapshot advanced with the meta; replay is a full-state no-op
+    val st3 = StreamingIngest.spanLogState(spark, dir)
+    assert(st3.lastBatch == 2L && st3.bloom.isDefined &&
+      st3.bloom != st.bloom)
+    StreamingIngest.applySpanBatch(b3.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 2L, bloomShards = 4)
+    assert(StreamingIngest.spanLogState(spark, dir) == st3)
+  }
+
   test("span-log fold: per-batch delta is batch-sized, base untouched " +
       "between compactions, compacted index ≡ from-scratch, vacuum reclaims") {
     import graft.operators.Dedup
