@@ -772,6 +772,50 @@ object SparkEntry {
     Seq((next, nDelta)).toDF("batch_id", "n_delta_keys")
   }
 
+  /** Pre-seeded span logs for the COMPACTION rungs (x6a/x6b) — a
+    * separate warehouse per rung so the compaction cadence here never
+    * disturbs the fold rungs' loose-delta ladder. Same seeding: the
+    * 1×/2× corpus shingle index as the shard-bucketed base. */
+  private val spanCompactLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def spanCompactLogFor(s: SparkSession, d: String,
+      twoX: Boolean): String =
+    spanCompactLogCache.getOrElseUpdate(s"$d#${if (twoX) 2 else 1}", {
+      val dir = graft.TempDirs.create("graft_spancompact").toString
+      graft.streaming.StreamingIngest.seedSpanLog(
+        shingleIndexFor(s, d, twoX), dir)
+      dir
+    })
+
+  /** One L1-COMPACTION cycle over the pre-seeded log — the compaction
+    * twin of x68/x69 (round-11 verdict #1): two ingest folds with
+    * compactEvery = 2, so the second triggers exactly one L1 compaction
+    * (loose deltas → one run) inside the timed cycle. The r11 form
+    * re-aggregated base ∪ deltas and rewrote the WHOLE base at this
+    * moment — O(index) every cadence; the tiered form's step reads only
+    * the deltas being folded, so the 1×/2× ratio across the corpus-index
+    * doubling is the flat-compaction proof. absorbEvery is pinned
+    * effectively infinite so every cycle measures the SAME step (base
+    * absorption — per-shard, on the cadence² schedule — is priced by
+    * its own spec and stays out of this rung); repeat runs accumulate
+    * run dirs identically on both rungs. */
+  private def spanCompactBench(s: SparkSession, d: String,
+      twoX: Boolean): DataFrame = {
+    import s.implicits._
+    val dir = spanCompactLogFor(s, d, twoX)
+    val st0 = graft.streaming.StreamingIngest.spanLogState(s, dir)
+    (1 to 2).foreach { i =>
+      graft.streaming.StreamingIngest.applySpanBatch(
+        spanBatchFor(s, d), dir, k = 8, hashKeys = true,
+        batchId = st0.lastBatch + i,
+        compactEvery = 2, absorbEvery = Int.MaxValue)
+    }
+    val st = graft.streaming.StreamingIngest.spanLogState(s, dir)
+    require(st.runs.size.toLong == st0.runs.size + 1,
+      s"cycle must compact exactly once: ${st0.runs.size} -> ${st.runs.size}")
+    Seq((st.lastBatch, st.runs.size.toLong)).toDF("batch_id", "n_runs")
+  }
+
   /** Three-variant duplicate families over the first 100 docs: the
     * original, an exact copy (+10000) and a first-word-dropped near-dup
     * (+20000) — the corpus for transitive duplicate-cluster resolution. */
@@ -1782,10 +1826,13 @@ object SparkEntry {
       Dedup.duplicatedSpans(
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+    // ordered = true ONLY here: the oracle hash needs the total order;
+    // the operator default skips the global sort (r11 verdict #4)
     "q323_dup_span_removal" -> ((s, d) =>
       Dedup.spanRemoval(
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
-          (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8)),
+          (col("doc_id") >= 10000 && col("doc_id") < 10100)), k = 8,
+        ordered = true)),
     // incremental shape: a new batch scanned against the committed
     // corpus's distinct-shingle set (one semi-join) + itself
     "q324_incremental_spans" -> ((s, d) =>
@@ -3812,6 +3859,14 @@ object SparkEntry {
     "x68_span_fold_1x" -> ((s, d) => spanFoldBench(s, d, twoX = false)),
     "x69_span_fold_2x" -> ((s, d) => spanFoldBench(s, d, twoX = true)),
 
+    // the COMPACTION twin of x68/x69 (round-11 verdict #1): one L1
+    // compaction cycle (two folds, the second folding the loose deltas
+    // into a run) against the 1×/2× seeded base — flat across the
+    // doubling is the tiered log's claim that NO cadence step ever
+    // re-aggregates the index (the r11 form paid O(index) here)
+    "x6a_span_compact_1x" -> ((s, d) => spanCompactBench(s, d, twoX = false)),
+    "x6b_span_compact_2x" -> ((s, d) => spanCompactBench(s, d, twoX = true)),
+
 
     // z-order vs single-sort layout under a two-sided band scan: the
     // same aggregate over the same rows, different on-disk clustering —
@@ -4098,10 +4153,19 @@ object SparkEntry {
       val dir = graft.TempDirs.create("graft_sb_feed").toString
       val docs = Tables.documents(s, d).filter(col("doc_id") < 5000)
         .select(col("doc_id"), col("text"))
-      val nTexts = math.min(nMessages.toLong, docs.count())
+      // dense 0-based text index via row_number, NOT the raw doc_id: a
+      // sparse or non-zero-based doc_id domain would silently drop
+      // messages on the pmod join while n_messages still reported the
+      // full count (the tiny ≤5000-row frame makes the single-partition
+      // window free)
+      val texts = docs.select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id")) - 1).cast("long").as("__t"),
+        col("text"))
+      val nTexts = math.min(nMessages.toLong, math.max(1L, texts.count()))
       s.range(nMessages)
         .withColumn("__t", pmod(col("id"), lit(nTexts)))
-        .join(broadcast(docs), col("__t") === col("doc_id"))
+        .join(broadcast(texts), Seq("__t"))
         .select(
           concat(lit("sm"), col("id")).as("message_id"),
           concat(lit("ss"), pmod(col("id"), lit(12L))).as("session_id"),
@@ -4114,6 +4178,11 @@ object SparkEntry {
             .as("created_at"))
         .repartitionByRange(6, col("sequence_number"))
         .write.mode("overwrite").parquet(dir)
+      // the throughput claim divides by nMessages — a silently short
+      // feed would inflate rows/s, so the written count is asserted
+      val written = s.read.parquet(dir).count()
+      require(written == nMessages.toLong,
+        s"message feed wrote $written of $nMessages rows")
       dir
     })
 

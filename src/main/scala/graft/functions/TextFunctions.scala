@@ -285,10 +285,13 @@ case class TokensExceptPositions(toks: Expression, positions: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (toks.dataType, positions.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+      // positions must be non-null elements: eval reads the array via
+      // toLongArray, which NPEs on a GenericArrayData null slot and
+      // silently reads 0 from an UnsafeArrayData one
+      case (ArrayType(StringType, _), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"requires (array<string>, array<bigint>), got ($l, $r)")
+        s"requires (array<string>, array<bigint> with non-null elements), got ($l, $r)")
     }
   }
 

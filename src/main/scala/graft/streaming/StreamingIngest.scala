@@ -582,82 +582,134 @@ object StreamingIngest {
     * the batch's shingle counts — so index maintenance IS the ingest
     * path, exactly like the BM25 postings and minhash signature upkeep.
     *
-    * The index is LOG-STRUCTURED (the KeywordIndex postings-append /
-    * TableOps-compaction lifecycle, reference pattern: incremental
-    * index upkeep, store/keyword_store/sqlite_store.py:93-145): a batch
-    * appends ONLY its own shingle counts as a delta under
-    * `spanlog/delta/batch_id=N` — per-batch write cost ∝ batch, never
-    * index — and every `compactEvery` batches the base ∪ deltas fold
-    * into a new compacted base ([[graft.operators.Dedup.shingleIndexMerge]];
-    * counts are a mergeable SUM, so the folded index is bit-identical
-    * to a from-scratch build). Readers between compactions see base ∪
-    * ≤ compactEvery batch-sized deltas; detection needs only key
-    * MEMBERSHIP and left-semi joins are insensitive to duplicate
-    * right-side keys, so the merge is never paid on the detection path.
+    * The index is LOG-STRUCTURED AND TIERED (an LSM tree in parquet —
+    * the KeywordIndex postings-append / TableOps-compaction lifecycle
+    * generalized; reference pattern: staged incremental index upkeep,
+    * store/keyword_store/sqlite_store.py:93-145):
     *
-    * Exactly-once: the index state (last folded batch id, compaction
-    * point, base name) advances through ONE versioned-meta pointer CAS
-    * (TableOps lifecycle, shared with the vector indexes). A replayed
-    * batch id at or below the committed one is a NO-OP; span output and
-    * the delta land at deterministic per-batch paths as OVERWRITES — a
-    * crash anywhere before the meta commit leaves at most partial
-    * per-batch dirs that the replay rewrites whole, and an orphaned
-    * base dir a later compaction never references. */
+    *  - L0: a batch appends ONLY its own shingle counts as a delta
+    *    under `spanlog/delta/batch_id=N` — per-batch write cost
+    *    ∝ batch, never index.
+    *  - L1: every `compactEvery` batches the loose deltas fold into ONE
+    *    run dir ([[graft.operators.Dedup.shingleIndexMerge]]; counts
+    *    are a mergeable SUM) — compaction cost ∝ the deltas being
+    *    folded, NEVER the index (the r11 form re-aggregated and rewrote
+    *    the whole base here — O(index) every cadence).
+    *  - base: every `compactEvery` runs (compactEvery² batches) the
+    *    accumulated runs absorb into the base, which is HASH-BUCKETED
+    *    by key shard (`pmod(xxhash64(sh), nShards)` — the same hash
+    *    space as the Bloom shards) into per-shard segments tracked
+    *    individually in the meta: only shards the runs' keys touch
+    *    merge and rewrite; untouched segments carry over by REFERENCE
+    *    (no read, no write). Absorption cost ∝ runs + touched
+    *    segments — bucket-proportional, index-sized only in the
+    *    uniform-key worst case, and then on the compactEvery² cadence
+    *    (amortized O(index/compactEvery²) per batch, vs the r11 form's
+    *    O(index/compactEvery)).
+    *
+    * Readers see base segments ∪ ≤ compactEvery runs ∪ ≤ compactEvery
+    * batch-sized deltas; detection needs only key MEMBERSHIP and
+    * left-semi joins are insensitive to duplicate right-side keys, so
+    * the count merge is never paid on the detection path.
+    *
+    * Exactly-once: the whole index state (last folded batch id, fold
+    * point, run list, per-shard segment paths, Bloom snapshot) advances
+    * through ONE versioned-meta pointer CAS (TableOps lifecycle, shared
+    * with the vector indexes). A replayed batch id at or below the
+    * committed one is a NO-OP; span output and the delta land at
+    * deterministic per-batch paths as OVERWRITES — a crash anywhere
+    * before the meta commit leaves at most partial per-batch dirs that
+    * the replay rewrites whole, and orphaned run/base dirs no committed
+    * meta ever references (reclaimed by the keep-2 GC).
+    *
+    * `bloomShards > 0` ENABLES the sharded-Bloom prefilter snapshot;
+    * once enabled it is maintained on every subsequent batch REGARDLESS
+    * of the flag (a restart with the default 0 must not leave detection
+    * probing an ever-staler snapshot — that would be a silent
+    * false-negative exactness violation). */
   def spanDedupIngest(
       docs: DataFrame, baseDir: String, k: Int = 8,
       hashKeys: Boolean = true,
       compactEvery: Int = SpanCompactEvery,
-      bloomShards: Int = 0): StreamingQuery =
+      bloomShards: Int = 0,
+      nShards: Int = SpanBaseShards): StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$baseDir/ckpt_spans")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         applySpanBatch(b, baseDir, k, hashKeys, batchId, compactEvery,
-          bloomShards); ()
+          bloomShards = bloomShards, nShards = nShards); ()
       }.start()
 
-  /** Default compaction cadence: readers between compactions union at
-    * most this many batch-sized deltas onto the base. */
+  /** Default L1 compaction cadence: readers union at most this many
+    * batch-sized deltas (and this many runs) onto the base segments;
+    * base absorption fires every cadence². */
   private[graft] val SpanCompactEvery = 8
+
+  /** Default base bucket count. At 100 TB this is the knob that sizes
+    * a segment to one executor's comfortable merge (thousands); the
+    * sandbox default keeps per-segment files non-trivial at sf0.1. */
+  private[graft] val SpanBaseShards = 16
 
   private val SpanMetaPrefix = "shingle_meta"
   private val SpanBasePrefix = "shingle_base"
+  private val SpanRunPrefix = "shingle_run"
   private val SpanBloomPrefix = "shingle_bloomshards"
 
   /** Committed span-log state: last folded batch id, the batch id the
-    * base is compacted through, the base dir name (None before the
-    * first compaction — the index is then deltas alone), and the
-    * sharded-Bloom snapshot dir name (None when the snapshot isn't
-    * maintained). */
+    * log is folded through (deltas above it are loose), the L1 run dir
+    * names (oldest first), the per-shard base segment paths (entry s =
+    * shard s's segment, relative to baseDir; null until that shard
+    * first absorbs keys), the bucket count, and the sharded-Bloom
+    * snapshot dir name (None when the snapshot isn't maintained). */
   private[graft] case class SpanLogState(
-      lastBatch: Long, compactedThrough: Long, base: Option[String],
-      bloom: Option[String] = None)
+      lastBatch: Long, foldedThrough: Long,
+      runs: Seq[String] = Nil, bases: Seq[String] = Nil,
+      nShards: Int = SpanBaseShards,
+      bloom: Option[String] = None) {
+    def basePaths: Seq[String] = bases.filter(_ != null)
+  }
 
   private[graft] def spanLogState(spark: SparkSession,
       baseDir: String): SpanLogState =
     TableOps.currentArtifactDir(spark, baseDir, SpanMetaPrefix) match {
       case Some(v) =>
-        val df = spark.read.parquet(s"$baseDir/$v")
-        val r = df.head()
+        val r = spark.read.parquet(s"$baseDir/$v").head()
+        // parquet arrays deserialize as mutable.ArraySeq — copy to the
+        // immutable Seq the state (and its equality contract) carries
+        def seqOf(name: String): Seq[String] =
+          r.getAs[scala.collection.Seq[String]](name).toIndexedSeq
         SpanLogState(r.getAs[Long]("last_batch"),
-          r.getAs[Long]("compacted_through"),
-          Option(r.getAs[String]("base")),
-          if (df.columns.contains("bloom"))
-            Option(r.getAs[String]("bloom")) else None)
-      case None => SpanLogState(-1L, -1L, None)
+          r.getAs[Long]("folded_through"),
+          seqOf("runs"), seqOf("bases"),
+          r.getAs[Int]("n_shards"),
+          Option(r.getAs[String]("bloom")))
+      case None => SpanLogState(-1L, -1L)
     }
+
+  private def writeSpanMeta(spark: SparkSession, baseDir: String,
+      st: SpanLogState): Unit = {
+    import spark.implicits._
+    val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
+    Seq((st.lastBatch, st.foldedThrough, st.runs, st.bases, st.nShards,
+      st.bloom.orNull))
+      .toDF("last_batch", "folded_through", "runs", "bases", "n_shards",
+        "bloom")
+      .coalesce(1).write.parquet(s"$baseDir/$metaName")
+    TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
+  }
 
   private def deltaDir(baseDir: String, id: Long): String =
     s"$baseDir/spanlog/delta/batch_id=$id"
 
-  /** The index as its PARTS — compacted base plus the uncompacted
-    * per-batch count deltas — WITHOUT the count merge: rows may repeat
-    * a key across parts. Detection consumes exactly this (key
+  /** The index as its PARTS — per-shard base segments, L1 runs, and the
+    * loose per-batch count deltas — WITHOUT the count merge: rows may
+    * repeat a key across parts. Detection consumes exactly this (key
     * membership only); [[currentSpanIndex]] adds the merge for
     * consumers that need true counts. */
   private def spanIndexParts(spark: SparkSession, baseDir: String,
       st: SpanLogState, hashKeys: Boolean): DataFrame = {
-    val dirs = st.base.map(b => s"$baseDir/$b").toSeq ++
-      ((st.compactedThrough + 1) to st.lastBatch).map(deltaDir(baseDir, _))
+    val dirs = (st.basePaths ++ st.runs).map(p => s"$baseDir/$p") ++
+      ((st.foldedThrough + 1) to st.lastBatch).map(deltaDir(baseDir, _))
     if (dirs.isEmpty) {
       val shType: org.apache.spark.sql.types.DataType =
         if (hashKeys) org.apache.spark.sql.types.LongType
@@ -668,7 +720,7 @@ object StreamingIngest {
           org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(dirs: _*)
+    } else spark.read.parquet(dirs: _*).select("sh", "n_occ")
   }
 
   /** Current committed (merged index frame, last folded batch id) —
@@ -687,27 +739,48 @@ object StreamingIngest {
     * index parts, append the batch's count delta, advance the meta (and
     * compact on cadence). Idempotent on batch-id replay. Per-batch work
     * is O(batch): one membership scan of the parts (map-side vs the
-    * broadcast batch keys) + a batch-sized delta write — the full index
-    * is never re-aggregated or rewritten outside compaction.
+    * broadcast batch keys) + a batch-sized delta write. Every
+    * `compactEvery` batches the loose deltas fold into one L1 run
+    * (cost ∝ the deltas — the index is NEVER re-aggregated here), and
+    * every `compactEvery` runs the runs absorb into the shard-bucketed
+    * base, rewriting only the segments their keys touch (see
+    * [[spanDedupIngest]] for the full tier story).
     *
-    * `bloomShards > 0` additionally maintains the SHARDED Bloom
-    * snapshot ([[graft.operators.Dedup.shingleIndexBloomShards]]) as a
-    * second versioned artifact: detection then probes the snapshot
-    * (as it stood BEFORE the batch) ahead of the exact membership
-    * confirm, and the batch's keys fold in afterwards — only touched
-    * shards rewrite ([[graft.operators.Dedup.shingleIndexBloomShardsFold]]).
-    * Both artifacts advance through the SAME meta CAS, so index and
-    * snapshot can never commit out of step. */
+    * `bloomShards > 0` ENABLES the SHARDED Bloom snapshot
+    * ([[graft.operators.Dedup.shingleIndexBloomShards]]) as a second
+    * versioned artifact; once a snapshot exists it is maintained on
+    * every batch regardless of the flag (detection probes it, so
+    * leaving it stale would be a silent false-negative violation).
+    * Detection probes the snapshot as it stood BEFORE the batch ahead
+    * of the exact membership confirm, and the batch's keys fold in
+    * afterwards — only touched shards rewrite
+    * ([[graft.operators.Dedup.shingleIndexBloomShardsFold]]); when a
+    * shard's insertions run ≥ 2× past its built capacity the whole
+    * snapshot rebuilds at the current size (the doubling schedule —
+    * amortized O(1) extra work per key, and the fpp contract holds
+    * over an unbounded ingest). Index and snapshot advance through the
+    * SAME meta CAS, so they can never commit out of step.
+    *
+    * Per-batch FS footprint: spans + delta + meta (+ snapshot when
+    * maintained) writes and the meta pointer listing; the keep-2 GC
+    * listings run only on L1-compaction cadence, so between compactions
+    * superseded snapshot/meta generations accumulate but stay bounded
+    * by compactEvery. */
   private[graft] def applySpanBatch(batch: DataFrame, baseDir: String,
       k: Int, hashKeys: Boolean, batchId: Long,
       compactEvery: Int = SpanCompactEvery,
-      bloomShards: Int = 0): Unit = {
+      absorbEvery: Int = 0, // runs threshold for base absorption;
+      // <= 0 couples it to compactEvery (the default LSM shape) —
+      // the bench rungs decouple it to price the L1 step alone
+      bloomShards: Int = 0,
+      nShards: Int = SpanBaseShards): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val st = spanLogState(spark, baseDir)
     if (batchId <= st.lastBatch) return // replay of an already-folded batch
     // pin the micro-batch: it feeds detection AND the delta write, and a
-    // foreachBatch frame re-executes its source per action otherwise
+    // foreachBatch frame re-executes its source per action otherwise.
+    // (localCheckpoint is the sandbox trade — executor loss recomputes
+    // nothing here; cluster deployments prefer reliable persistence)
     val b = batch.select("doc_id", "text").localCheckpoint()
     val parts = spanIndexParts(spark, baseDir, st, hashKeys)
     val spans = st.bloom match {
@@ -721,79 +794,140 @@ object StreamingIngest {
       .parquet(s"$baseDir/spans/batch_id=$batchId")
     graft.operators.Dedup.shingleIndex(b, k, hashKeys)
       .write.mode(SaveMode.Overwrite).parquet(deltaDir(baseDir, batchId))
-    val compactDue = batchId - st.compactedThrough >= compactEvery
-    val (newBase, newCompacted) =
-      if (compactDue) {
-        val name = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
-        graft.operators.Dedup.shingleIndexMerge(Seq(spanIndexParts(
-          spark, baseDir, st.copy(lastBatch = batchId), hashKeys)))
-          .write.parquet(s"$baseDir/$name")
-        (Some(name), batchId)
-      } else (st.base, st.compactedThrough)
-    val newBloom =
-      if (bloomShards <= 0) st.bloom
+    // ---- L1 compaction + base absorption (tier cadence) ----
+    // the bucket count is pinned at the log's FIRST commit: segments
+    // and snapshot shards key the same hash space for the log's life
+    val shards = if (st.lastBatch >= 0) st.nShards else nShards
+    val compactDue = batchId - st.foldedThrough >= compactEvery
+    val (newRuns, newBases, newFolded) =
+      if (!compactDue) (st.runs, st.bases, st.foldedThrough)
       else {
+        val deltas = spark.read.parquet(
+          ((st.foldedThrough + 1) to batchId)
+            .map(deltaDir(baseDir, _)): _*)
+        val absorbAt = if (absorbEvery > 0) absorbEvery else compactEvery
+        if (st.runs.size + 1 < absorbAt) {
+          // fold the loose deltas into ONE run — cost ∝ deltas, the
+          // index untouched (this is the flat-compaction claim x6a/x6b
+          // measure)
+          val name = TableOps.nextArtifactDir(spark, baseDir, SpanRunPrefix)
+          graft.operators.Dedup.shingleIndexMerge(Seq(deltas))
+            .write.parquet(s"$baseDir/$name")
+          (st.runs :+ name, st.bases, batchId)
+        } else {
+          // absorption: runs + these deltas merge into the base,
+          // PER SHARD — only segments the incoming keys touch read,
+          // merge and rewrite; the rest carry over by reference
+          val shardOf = pmod(xxhash64(col("sh")), lit(shards.toLong))
+            .cast("int").as("shard")
+          val incoming = (st.runs.map(r =>
+            spark.read.parquet(s"$baseDir/$r").select("sh", "n_occ")) :+
+            deltas.select("sh", "n_occ"))
+            .reduce(_ unionByName _).select(col("sh"), col("n_occ"), shardOf)
+          val touched = incoming.select("shard").distinct()
+            .collect().map(_.getInt(0)).toSet // ≤ nShards ints
+          val oldBases = if (st.bases.nonEmpty) st.bases
+            else Seq.fill[String](shards)(null)
+          val touchedSegs = touched.toSeq.sorted
+            .flatMap(s => Option(oldBases(s)))
+            .map(p => spark.read.parquet(s"$baseDir/$p")
+              .select(col("sh"), col("n_occ"), shardOf))
+          val container =
+            TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
+          (incoming +: touchedSegs).reduce(_ unionByName _)
+            .groupBy("shard", "sh").agg(sum(col("n_occ")).as("n_occ"))
+            .write.partitionBy("shard").parquet(s"$baseDir/$container")
+          val bases = (0 until shards).map { s =>
+            if (touched(s)) s"$container/shard=$s" else oldBases(s)
+          }
+          (Nil, bases, batchId)
+        }
+      }
+    // ---- Bloom snapshot maintenance ----
+    val maintainBloom = bloomShards > 0 || st.bloom.isDefined
+    val newBloom =
+      if (!maintainBloom) None
+      else {
+        def freshBuild(nBloomShards: Int): DataFrame =
+          graft.operators.Dedup.shingleIndexBloomShards(
+            graft.operators.Dedup.shingleIndexMerge(Seq(spanIndexParts(
+              spark, baseDir,
+              st.copy(lastBatch = batchId, foldedThrough = newFolded,
+                runs = newRuns, bases = newBases), hashKeys))),
+            shards = nBloomShards)
         val name = TableOps.nextArtifactDir(spark, baseDir, SpanBloomPrefix)
-        val next = st.bloom match {
+        st.bloom match {
           // fold ONLY the batch's keys in — touched shards rewrite,
           // untouched pass through byte-identical
-          case Some(cur) => graft.operators.Dedup.shingleIndexBloomShardsFold(
-            spark.read.parquet(s"$baseDir/$cur"), b, k, hashKeys)
+          case Some(cur) =>
+            graft.operators.Dedup.shingleIndexBloomShardsFold(
+              spark.read.parquet(s"$baseDir/$cur"), b, k, hashKeys)
+              .write.parquet(s"$baseDir/$name")
+            // capacity check on the (tiny, nShards-row) folded stats:
+            // a shard ≥ 2× past its built capacity triggers a rebuild
+            // at the current size — the superseded fold dir becomes an
+            // unreferenced orphan for the keep-2 GC
+            val over = spark.read.parquet(s"$baseDir/$name")
+              .filter(col("n_keys") > col("expected") * 2).limit(1)
+              .count() > 0
+            if (!over) Some(name)
+            else {
+              val rn = spark.read.parquet(s"$baseDir/$name")
+                .select("n_shards").head().getInt(0)
+              val rebuilt =
+                TableOps.nextArtifactDir(spark, baseDir, SpanBloomPrefix)
+              freshBuild(rn).write.parquet(s"$baseDir/$rebuilt")
+              Some(rebuilt)
+            }
           // enable-time build: one pass over the merged index INCLUDING
-          // this batch (the only O(index) moment in the snapshot's life)
-          case None => graft.operators.Dedup.shingleIndexBloomShards(
-            graft.operators.Dedup.shingleIndexMerge(Seq(spanIndexParts(
-              spark, baseDir, st.copy(lastBatch = batchId), hashKeys))),
-            shards = bloomShards)
+          // this batch (with the doubling rebuilds, the only O(index)
+          // snapshot moments are enable + ~log(growth) rebuilds)
+          case None =>
+            freshBuild(bloomShards).write.parquet(s"$baseDir/$name")
+            Some(name)
         }
-        next.write.parquet(s"$baseDir/$name")
-        Some(name)
       }
-    val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
-    Seq((batchId, newCompacted, newBase.orNull, newBloom.orNull))
-      .toDF("last_batch", "compacted_through", "base", "bloom")
-      .coalesce(1).write.parquet(s"$baseDir/$metaName")
-    TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
-    if (compactDue) vacuumSpanLog(spark, baseDir, st)
-    // snapshot generations are per-batch: GC all but this one and the
-    // previous (keep-2, matching every artifact family here)
-    if (bloomShards > 0) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val base = new org.apache.hadoop.fs.Path(baseDir)
-      val fs = base.getFileSystem(conf)
-      val re = (SpanBloomPrefix + "_v(\\d{8})").r
-      val keep = (newBloom.toSet ++ st.bloom.toSet)
-      fs.listStatus(base).map(_.getPath)
-        .filter(p => re.findFirstIn(p.getName).contains(p.getName))
-        .filterNot(p => keep.contains(p.getName))
-        .foreach(fs.delete(_, true))
-    }
+    writeSpanMeta(spark, baseDir, SpanLogState(batchId, newFolded,
+      newRuns, newBases, shards, newBloom))
+    // keep-2 GC on compaction cadence only (per-batch listings would
+    // dominate the FS footprint at high trigger rates): everything
+    // referenced by neither the new meta nor the previous one goes
+    if (compactDue)
+      vacuumSpanLog(spark, baseDir, st,
+        SpanLogState(batchId, newFolded, newRuns, newBases, shards,
+          newBloom))
   }
 
   /** Seed a span-log warehouse from an index frame built elsewhere
-    * (bench/test fixture): the frame becomes the compacted base,
-    * lastBatch = compactedThrough = `seedBatchId` — as if a prior
-    * ingest had folded and compacted through that batch. */
+    * (bench/test fixture): the frame becomes the shard-bucketed base,
+    * lastBatch = foldedThrough = `seedBatchId` — as if a prior ingest
+    * had folded and absorbed through that batch. */
   private[graft] def seedSpanLog(index: DataFrame, baseDir: String,
-      seedBatchId: Long = 0L): Unit = {
+      seedBatchId: Long = 0L, nShards: Int = SpanBaseShards): Unit = {
     val spark = index.sparkSession
-    import spark.implicits._
-    val name = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
-    index.write.parquet(s"$baseDir/$name")
-    val metaName = TableOps.nextArtifactDir(spark, baseDir, SpanMetaPrefix)
-    Seq((seedBatchId, seedBatchId, name, null: String))
-      .toDF("last_batch", "compacted_through", "base", "bloom")
-      .coalesce(1).write.parquet(s"$baseDir/$metaName")
-    TableOps.commitArtifactDir(spark, baseDir, SpanMetaPrefix, metaName)
+    val container = TableOps.nextArtifactDir(spark, baseDir, SpanBasePrefix)
+    val shardOf = pmod(xxhash64(col("sh")), lit(nShards.toLong))
+      .cast("int").as("shard")
+    index.select(col("sh"), col("n_occ"), shardOf)
+      .write.partitionBy("shard").parquet(s"$baseDir/$container")
+    val present = spark.read.parquet(s"$baseDir/$container")
+      .select("shard").distinct().collect()
+      .map(_.getAs[Number]("shard").intValue()).toSet
+    val bases = (0 until nShards).map(s =>
+      if (present(s)) s"$container/shard=$s" else null)
+    writeSpanMeta(spark, baseDir, SpanLogState(seedBatchId, seedBatchId,
+      Nil, bases, nShards, None))
   }
 
   /** GC after a compaction commit, keep-2 semantics (the TableOps
-    * vacuum convention): deltas at or below the PREVIOUS compaction
-    * point were superseded a full generation ago — readers pinned on
-    * the current or previous meta never reference them — and base dirs
-    * older than the previous base are likewise unreachable. */
+    * vacuum convention): artifacts referenced by NEITHER the new meta
+    * nor the previous one are unreachable — readers pin a meta at open,
+    * and only those two generations can be live. Deltas at or below the
+    * previous fold point, run dirs and base containers outside both
+    * reference sets, and snapshot generations beyond the last two all
+    * go. */
   private def vacuumSpanLog(spark: SparkSession, baseDir: String,
-      prev: SpanLogState): Unit = {
+      prev: SpanLogState, cur: SpanLogState): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val deltas = new org.apache.hadoop.fs.Path(s"$baseDir/spanlog/delta")
     val fs = deltas.getFileSystem(conf)
@@ -801,17 +935,21 @@ object StreamingIngest {
       fs.listStatus(deltas).map(_.getPath)
         .filter { p =>
           val n = p.getName.stripPrefix("batch_id=")
-          n.forall(_.isDigit) && n.nonEmpty && n.toLong <= prev.compactedThrough
+          n.forall(_.isDigit) && n.nonEmpty && n.toLong <= prev.foldedThrough
         }.foreach(fs.delete(_, true))
     val base = new org.apache.hadoop.fs.Path(baseDir)
-    val keep = prev.base.toSet
-    val re = (SpanBasePrefix + "_v(\\d{8})").r
-    val baseDirs = fs.listStatus(base).map(_.getPath)
-      .filter(p => re.findFirstIn(p.getName).contains(p.getName))
-      .sortBy(_.getName)
-    // the newest dir is the just-committed base; also keep prev.base
-    baseDirs.dropRight(1)
-      .filterNot(p => keep.contains(p.getName))
-      .foreach(fs.delete(_, true))
+    def gcFamily(prefix: String, keep: Set[String]): Unit = {
+      val re = (prefix + "_v(\\d{8})").r
+      fs.listStatus(base).map(_.getPath)
+        .filter(p => re.findFirstIn(p.getName).contains(p.getName))
+        .filterNot(p => keep.contains(p.getName))
+        .foreach(fs.delete(_, true))
+    }
+    gcFamily(SpanRunPrefix, (prev.runs ++ cur.runs).toSet)
+    // a base container stays while ANY shard path of either meta points
+    // into it (segment paths are container/shard=N)
+    gcFamily(SpanBasePrefix,
+      (prev.basePaths ++ cur.basePaths).map(_.split("/")(0)).toSet)
+    gcFamily(SpanBloomPrefix, (prev.bloom.toSet ++ cur.bloom.toSet))
   }
 }

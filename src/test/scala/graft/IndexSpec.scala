@@ -41,6 +41,41 @@ class IndexSpec extends SparkSpec {
     assert(indexed == scan)
   }
 
+  test("facade warm-miss plan pins its m1 scan count (x98 guard)") {
+    // the x98_facade_warm_query rung's MISS path is MemFuse.query on
+    // the default (scan) flags; like q46's postings pin, this guards
+    // that no plan fan-in ever hides under ambient drift — the corpus
+    // table must be scanned a FIXED number of times per query
+    // regardless of warehouse growth
+    val dir = graft.TempDirs.create("idxwarm").toString
+    val engine = new MemFuse(spark, dir)
+    engine.ingest(Seq(
+      Schemas.Message("m1", "s1", "u1", "r1", 1, "user", "spark shuffle partition tuning", ts(1)),
+      Schemas.Message("m2", "s1", "u1", "r2", 2, "user", "broadcast join details", ts(2)),
+      Schemas.Message("m3", "s2", "u1", "r3", 3, "user", "spark partition pruning", ts(3))).toDF())
+    val df = engine.query("spark partition", "u1", topK = 10)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val m1Scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("m1_episodic")) => s
+    }
+    // 6 pruned-projection scans: vector leg (chunk_id+embedding),
+    // keyword leg tf + df + doclen, hydration, buffer-union probe —
+    // each reads only its columns with the tenant filter PUSHED; a
+    // 7th scan appearing here is a plan regression, not ambient
+    assert(m1Scans.size == 6, s"m1 scans: ${m1Scans.size}\n" + exec.toString.take(1500))
+    m1Scans.foreach { s =>
+      assert(s.metadata("PushedFilters").contains("EqualTo(user_id,u1)"),
+        "tenant filter must reach every m1 scan:\n" + s.toString.take(400))
+      assert(!s.schema.fieldNames.contains("metadata"),
+        "no scan should read the wide metadata map:\n" + s.toString.take(400))
+    }
+  }
+
   test("keyword index incremental add equals a fresh full build") {
     val docs = Tables.documents(spark, sf())
     val half1 = docs.filter(col("doc_id") % 2 === 0)

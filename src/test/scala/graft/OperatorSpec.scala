@@ -2691,7 +2691,7 @@ class OperatorSpec extends SparkSpec {
       (1L, "x a b c d y"),
       (2L, "a b c d z w"),
       (4L, "a b")).toDF("doc_id", "text")
-    val got = Dedup.spanRemoval(docs, k = 3)
+    val got = Dedup.spanRemoval(docs, k = 3, ordered = true)
       .as[(Long, Long, Long, String)].collect().toSeq
     // doc 1 holds the canonical (min doc_id, pos) occurrences of both
     // duplicated 3-grams → untouched; doc 2 loses tokens 1..4; doc 4 is
@@ -2712,7 +2712,7 @@ class OperatorSpec extends SparkSpec {
       (0L, "p q r"),
       (1L, "z p q r s t"),
       (2L, "q r s w w w")).toDF("doc_id", "text")
-    val got = Dedup.spanRemoval(docs, k = 3)
+    val got = Dedup.spanRemoval(docs, k = 3, ordered = true)
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq(
       (0L, 3L, 0L, "p q r"),
@@ -2766,9 +2766,9 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(corpus, 8, hashKeys = true)
       .collect().toSeq ==
       Dedup.duplicatedSpans(corpus, 8).collect().toSeq)
-    assert(Dedup.spanRemoval(corpus, 8, hashKeys = true)
+    assert(Dedup.spanRemoval(corpus, 8, hashKeys = true, ordered = true)
       .collect().toSeq ==
-      Dedup.spanRemoval(corpus, 8).collect().toSeq)
+      Dedup.spanRemoval(corpus, 8, ordered = true).collect().toSeq)
   }
 
   test("shingle index upkeep across two ingest batches == recompute") {
@@ -2879,6 +2879,29 @@ class OperatorSpec extends SparkSpec {
         assert(java.util.Arrays.equals(before(s), after(s)),
           s"untouched shard $s rewrote (hashKeys=$hash)")
       }
+    }
+  }
+
+  test("sharded bloom probe fails SAFE: a missing shard row means " +
+      "might-contain, never a silent false negative") {
+    val corpus = Seq(
+      (1L, "x a b c d y"), (2L, "k l m n o p")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "c d y z k l m"),
+      (21L, "b c d q w")).toDF("doc_id", "text")
+    val recomp = Dedup.incrementalSpans(b2, corpus, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    for (hash <- Seq(false, true)) {
+      val idx = Dedup.shingleIndex(corpus, k = 3, hashKeys = hash)
+      // a snapshot that violates the every-shard-emits-a-row invariant
+      // (here: every NON-EMPTY shard dropped — the worst case) must
+      // cost extra exact confirms, not exactness
+      val broken = Dedup.shingleIndexBloomShards(idx, shards = 8)
+        .filter(col("n_keys") === 0)
+      val via = Dedup.incrementalSpansBloomSharded(
+        b2, idx, broken, k = 3, hashKeys = hash)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(via == recomp && via.nonEmpty, s"hashKeys=$hash: $via")
     }
   }
 }

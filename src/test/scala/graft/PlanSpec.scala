@@ -196,6 +196,28 @@ class PlanSpec extends SparkSpec {
       scans.map(_.toString.take(150)).mkString("\n"))
   }
 
+  test("spanRemoval: the corpus-wide doc_id sort is opt-in, not in the operator") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    def globalSorts(df: org.apache.spark.sql.DataFrame) = {
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+    }
+    // default: no global Exchange+Sort of the whole cleaned corpus —
+    // the only sorts left are the per-doc window's local ones (r11
+    // verdict #4: the total order existed only for the oracle hash)
+    assert(globalSorts(Dedup.spanRemoval(docs, k = 8, hashKeys = true)).isEmpty)
+    // the oracle wrapper opts in and gets exactly the ordered frame
+    assert(globalSorts(Dedup.spanRemoval(docs, k = 8, hashKeys = true,
+      ordered = true)).nonEmpty)
+  }
+
   test("q52: per-key top-k plans through the custom heap operator, no Window") {
     val df = SparkEntry.queries("q52_topk_per_key")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()

@@ -589,34 +589,45 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.spanLogState(spark, dir) == st3)
   }
 
-  test("span-log fold: per-batch delta is batch-sized, base untouched " +
-      "between compactions, compacted index ≡ from-scratch, vacuum reclaims") {
+  test("span-log tiers: batch-sized deltas, L1 run compaction ∝ deltas, " +
+      "per-shard base absorption, merged ≡ from-scratch, vacuum reclaims") {
     import graft.operators.Dedup
     val dir = graft.TempDirs.create("graft_spanlog_fold").toString
     val batches = (0 until 5).map { i =>
       Seq((i * 10L + 1, s"a b c d shared tail x$i"),
           (i * 10L + 2, s"p q r s t u v y$i"))
     }
-    // compactEvery = 2 with compactedThrough starting at -1:
-    // compactions fire at batch ids 1 and 3, batches 0/2/4 are pure folds
+    // compactEvery = 2 with foldedThrough starting at -1:
+    // batch 1 folds deltas 0-1 into a run; batch 3 hits the runs
+    // threshold and ABSORBS (run + deltas 2-3) into the sharded base;
+    // batches 0/2/4 are pure folds
     def fold(i: Int): Unit = StreamingIngest.applySpanBatch(
       batches(i).toDF("doc_id", "text"), dir, k = 3, hashKeys = false,
-      batchId = i.toLong, compactEvery = 2)
-    (0 to 3).foreach(fold)
+      batchId = i.toLong, compactEvery = 2, nShards = 4)
+    (0 to 1).foreach(fold)
+    val st1 = StreamingIngest.spanLogState(spark, dir)
+    // L1 compaction folded the loose deltas into ONE run and left the
+    // base alone — the step the r11 form paid O(index) for
+    assert(st1.lastBatch == 1L && st1.foldedThrough == 1L &&
+      st1.runs.size == 1 && st1.basePaths.isEmpty)
+    (2 to 3).foreach(fold)
     val st3 = StreamingIngest.spanLogState(spark, dir)
-    assert(st3.lastBatch == 3L && st3.compactedThrough == 3L && st3.base.isDefined)
+    // absorption consumed the runs into per-shard base segments
+    assert(st3.lastBatch == 3L && st3.foldedThrough == 3L &&
+      st3.runs.isEmpty && st3.basePaths.nonEmpty && st3.nShards == 4)
     fold(4)
     val st4 = StreamingIngest.spanLogState(spark, dir)
-    // the non-compacting batch advanced the log WITHOUT touching the
-    // base: same base name, same compaction point — its only data write
-    // is the batch-sized delta (per-batch work independent of index size)
-    assert(st4.lastBatch == 4L && st4.compactedThrough == 3L &&
-      st4.base == st3.base)
+    // the non-compacting batch advanced the log WITHOUT touching base
+    // or runs: its only data write is the batch-sized delta (per-batch
+    // work independent of index size)
+    assert(st4.lastBatch == 4L && st4.foldedThrough == 3L &&
+      st4.bases == st3.bases && st4.runs.isEmpty)
     val delta4 = spark.read.parquet(s"$dir/spanlog/delta/batch_id=4")
     assert(delta4.count() ==
       Dedup.shingleIndex(batches(4).toDF("doc_id", "text"), k = 3).count())
-    // merged view over base ∪ deltas equals a from-scratch build over
-    // everything folded so far (N batches, through two compactions)
+    // merged view over base segments ∪ runs ∪ deltas equals a
+    // from-scratch build (5 batches, through a run compaction AND a
+    // base absorption)
     val all = batches.flatten.toDF("doc_id", "text")
     val (idx, last) = StreamingIngest.currentSpanIndex(spark, dir, hashKeys = false)
     assert(last == 4L)
@@ -631,13 +642,85 @@ class StreamingSpec extends SparkSpec {
       batches.take(4).flatten.toDF("doc_id", "text"), k = 3)
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(got == want, s"$got vs $want")
-    // vacuum (keep-2): the second compaction reclaimed deltas at or
-    // below the FIRST compaction point; newer deltas survive
+    // vacuum (keep-2): the absorption event reclaimed deltas at or
+    // below the PREVIOUS fold point; newer deltas survive, and the
+    // just-consumed run survives one more generation (prev meta
+    // still references it)
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=0")))
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=1")))
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/spanlog/delta/batch_id=4")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/${st1.runs.head}")))
     // replay below the committed frontier is a no-op
     fold(2)
     assert(StreamingIngest.spanLogState(spark, dir) == st4)
+  }
+
+  test("span-log bloom: once enabled the snapshot keeps folding even when " +
+      "a restart drops the flag — detection stays exact, never stale") {
+    import graft.operators.Dedup
+    val b1 = Seq((1L, "x a b c d y"), (2L, "k l m n o p"))
+    val b2 = Seq((10L, "w a b c d q"), (11L, "m n o z m n o"))
+    val b3 = Seq((20L, "u a b c d v"), (21L, "h m n o z w"))
+    val dir = graft.TempDirs.create("graft_spanlog_bloomoff").toString
+    StreamingIngest.applySpanBatch(b1.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 0L, bloomShards = 4)
+    val st0 = StreamingIngest.spanLogState(spark, dir)
+    assert(st0.bloom.isDefined)
+    // the restart-with-default scenario (advice r11): bloomShards = 0
+    // on a log whose snapshot exists — the fold must continue (b2's
+    // keys enter the snapshot) or b3 would miss cross-batch duplicates
+    StreamingIngest.applySpanBatch(b2.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 1L, bloomShards = 0)
+    val st1 = StreamingIngest.spanLogState(spark, dir)
+    assert(st1.bloom.isDefined && st1.bloom != st0.bloom,
+      s"snapshot did not advance: ${st0.bloom} -> ${st1.bloom}")
+    StreamingIngest.applySpanBatch(b3.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 2L, bloomShards = 0)
+    val got = spark.read.parquet(s"$dir/spans/batch_id=2")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.incrementalSpans(b3.toDF("doc_id", "text"),
+      (b1 ++ b2).toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // b3 duplicates spans from BOTH earlier batches; a stale snapshot
+    // would drop the b2-sourced ones
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+  }
+
+  test("span-log bloom: a shard run 2x past its built capacity triggers " +
+      "a same-batch snapshot rebuild at the current size") {
+    import graft.operators.Dedup
+    val dir = graft.TempDirs.create("graft_spanlog_bloomcap").toString
+    val small = Seq((1L, "x a b c d y"))
+    // enable on a tiny corpus: every shard's filter is built at the
+    // 16-key capacity floor
+    StreamingIngest.applySpanBatch(small.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 0L, bloomShards = 4)
+    val st0 = StreamingIngest.spanLogState(spark, dir)
+    val snap0 = spark.read.parquet(s"$dir/${st0.bloom.get}")
+    assert(snap0.agg(max(col("expected"))).head().getLong(0) == 16L)
+    // a batch with ~300 distinct shingles drives every shard far past
+    // 2x its built capacity — the maintainer must rebuild, not let fpp
+    // drift toward 1 over an unbounded ingest
+    val big = Seq((2L, (0 until 300).map(i => s"t$i").mkString(" ")))
+    StreamingIngest.applySpanBatch(big.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 1L)
+    val st1 = StreamingIngest.spanLogState(spark, dir)
+    val snap1 = spark.read.parquet(s"$dir/${st1.bloom.get}")
+      .select("n_keys", "expected").as[(Long, Long)].collect()
+    assert(snap1.forall { case (n, exp) => n <= 2 * exp },
+      snap1.mkString(","))
+    assert(snap1.map(_._2).max > 16L, "rebuild did not resize")
+    // and the rebuilt snapshot still serves detection exactly
+    val b2 = Seq((10L, "w a b c d q t5 t6 t7 z"))
+    StreamingIngest.applySpanBatch(b2.toDF("doc_id", "text"), dir,
+      k = 3, hashKeys = false, batchId = 2L)
+    val got = spark.read.parquet(s"$dir/spans/batch_id=2")
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.incrementalSpans(b2.toDF("doc_id", "text"),
+      (small ++ big).toDF("doc_id", "text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty, s"$got vs $want")
   }
 }

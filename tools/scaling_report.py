@@ -25,6 +25,7 @@ BOUNDED = {"q62_duplicate_clusters", "q74_incremental_dedup",
            "x50_inc_spans_indexed_1x", "x51_inc_spans_indexed_2x",
            "x53_inc_spans_bloom_2x",
            "x68_span_fold_1x", "x69_span_fold_2x",
+           "x6a_span_compact_1x", "x6b_span_compact_2x",
            "x56_facade_query_indexed", "x62_facade_query_ivfpq",
            "x90_facade_churn_maintain"}
 
