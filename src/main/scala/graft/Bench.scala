@@ -162,7 +162,7 @@ object Bench {
     // time, keeping the artifact internally consistent (a phases block
     // can no longer sum past its own entry total)
     val isoPhases = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
-    val isoResults = isolated.map { case (name, fn) =>
+    def runIsolatedInProcess() = isolated.map { case (name, fn) =>
       // first run is untimed setup (warehouse build, index bootstrap);
       // then min of 2 timed steady-state cycles — these single-process
       // entries were the noisiest in cross-run comparisons (stream
@@ -179,6 +179,84 @@ object Bench {
       if (allOk)
         cycles.minBy(_._1)._3.foreach(p => isoPhases(name) = p)
       (name, if (allOk) cycles.map(_._1).min else -1.0, allOk)
+    }
+    // the isolated x9* block runs in a FRESH FORKED JVM by default
+    // (round-11 verdict #2): after a full comparative suite the parent
+    // heap carries every resident fixture plus the passes' collectible
+    // wake, and that ambient GC regime — 52.8 vs 18.9 GB same-tree peak
+    // splits — was the one thing keeping driver and builder records
+    // from agreeing on the longest stream rung. A child JVM re-runs
+    // this main with a filter pinned to exactly the isolated entries
+    // (its own comparative loop is then empty), so the block times
+    // against a cold, fixture-only heap every run, on either side.
+    // SPARK_GRAFT_ISO_FORK=0 forces in-process; any fork failure falls
+    // back silently (iso_forked=false in the artifact says which ran).
+    val isChild = sys.env.contains("SPARK_GRAFT_ISO_CHILD")
+    def forkIsolated(): Option[(Seq[(String, Double, Boolean)],
+        Map[String, Seq[(String, Double)]], Long)] =
+      try {
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+          .toArray(Array.empty[AnyRef]).map(_.toString).toSeq
+          .filterNot(a => a.startsWith("-agentlib") ||
+            a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_ISO_CHILD", "1")
+        pb.environment().put("SPARK_GRAFT_FILTER",
+          isolated.map(_._1).mkString("^(", "|", ")$"))
+        // child logs join the parent's stderr stream (same place the
+        // parent's own Spark logs go); stdout carries the JSON line
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val lines = scala.io.Source.fromInputStream(
+          proc.getInputStream, "UTF-8").getLines().toList
+        val code = proc.waitFor()
+        val line = lines.find(_.contains("\"metric\""))
+        if (code != 0 || line.isEmpty) None
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(line.get)
+          val qn = root.get("queries")
+          val res = isolated.map { case (n, _) =>
+            val v = Option(qn.get(n)).map(_.asDouble(-1.0)).getOrElse(-1.0)
+            (n, v, v >= 0)
+          }
+          val ph = scala.collection.mutable.Map
+            .empty[String, Seq[(String, Double)]]
+          Option(root.get("phases")).foreach { p =>
+            val it = p.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              val inner = scala.collection.mutable.ListBuffer
+                .empty[(String, Double)]
+              val fit = e.getValue.fields()
+              while (fit.hasNext) {
+                val f = fit.next()
+                // the child's derived residual re-derives parent-side
+                if (f.getKey != "query")
+                  inner += f.getKey -> f.getValue.asDouble()
+              }
+              ph(e.getKey) = inner.toSeq
+            }
+          }
+          val childPeak = Option(root.get("heap_bytes"))
+            .flatMap(h => Option(h.get("peak"))).map(_.asLong(0L))
+            .getOrElse(0L)
+          Some((res, ph.toMap, childPeak))
+        }
+      } catch { case _: Throwable => None }
+    val forkWanted = !isChild && isolated.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ISO_FORK", "1") != "0"
+    val forked = if (forkWanted) forkIsolated() else None
+    val isoForked = forked.isDefined
+    val isoChildPeak = forked.map(_._3).getOrElse(0L)
+    val isoResults = forked match {
+      case Some((res, ph, _)) => isoPhases ++= ph; res
+      case None => runIsolatedInProcess()
     }
     val results = ordered.indices.map { i =>
       val rs = passes.map(_(i))
@@ -260,7 +338,7 @@ object Bench {
       s""""before_timed":$heapBeforeTimed,"end":$heapEnd,"peak":$heapPeak,""" +
       s""""fixtures":$fixtures}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary":$canaryJson,"total_normalized":$totalNorm,"queries_normalized":$qsNorm,"phases":$phases,"heap_bytes":$heap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary":$canaryJson,"total_normalized":$totalNorm,"queries_normalized":$qsNorm,"phases":$phases,"heap_bytes":$heap,"iso_forked":$isoForked,"iso_child_heap_peak":$isoChildPeak,"sf":"$sfDir"}"""
     println(line)
     // also to files: the driver's log tail truncates long lines, which
     // cost round-over-round comparability (BENCH_r04 lost q01-q10).
