@@ -2750,6 +2750,22 @@ class OperatorSpec extends SparkSpec {
     assert(none == Seq((6L, 0L, 0.0, 0L, 0L)), none.toString)
   }
 
+  test("minhash verify-leg hashing: xxhash64 collision-free on the q29 " +
+      "corpus's 3-gram shingles") {
+    // minhashLsh verifies candidates over PRE-HASHED shingle arrays;
+    // Jaccard over hashed sets equals Jaccard over the strings exactly
+    // when the hash loses no distinctions on the corpus (a fortiori on
+    // every pair's union) — the same claim the span family pins
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val sh = Dedup.shingles(corpus, 3).select("shingle").distinct()
+    assert(sh.count() ==
+      sh.select(xxhash64(col("shingle"))).distinct().count(),
+      "xxhash64 collision on the corpus's 3-gram shingles")
+  }
+
   test("hashed shingle keys: collision-free and span-identical on a real corpus") {
     // the q322 corpus shape at sf0.001: documents ∪ first-word-dropped
     // near-dups — the claim behind shipping hashed keys is that the
