@@ -1947,6 +1947,56 @@ object Oracles {
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // q331: LSH banding sweep — one 8-function md5 signature matrix
+    // (q29's family), every (bands, rows) split mined for candidate
+    // pairs, scored against exact all-pairs Jaccard truth on the
+    // bounded audit slice (first 100 docs + their near-dups)
+    "q331_lsh_banding_sweep" -> {
+      val sigCols = (0 until 8).map { i =>
+        s"list_min(list_transform(m${i / 4}, m -> CAST(concat('0x', substr(m, ${(i % 4) * 8 + 1}, 8)) AS BIGINT))) AS mh$i"
+      }.mkString(",\n         ")
+      def candFor(nb: Int) = {
+        val r = 8 / nb
+        val bandSel = (0 until nb).map { b =>
+          val cols = (0 until r).map(j => s"mh${b * r + j}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""cand$nb AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM ($bandSel) x JOIN ($bandSel) y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+      }
+      def comboRow(nb: Int) =
+        s"""SELECT CAST($nb AS BIGINT) AS bands, CAST(${8 / nb} AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand$nb) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand$nb c
+           |     JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit""".stripMargin
+      val jac = t6("CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) " +
+        "/ (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id < 100),
+         |sharr AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(${toks("text")}) - 2),
+         |        i -> array_to_string(${toks("text")}[i:i+2], ' '))) AS shingles
+         |  FROM corpus WHERE len(${toks("text")}) >= 3),
+         |shm AS (SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> md5(concat('mh0|', s))) AS m0,
+         |         list_transform(shingles, s -> md5(concat('mh1|', s))) AS m1 FROM sharr),
+         |sig AS (SELECT doc_id, $sigCols FROM shm),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sharr a JOIN sharr b ON a.doc_id < b.doc_id
+         |  WHERE $jac >= 0.5),
+         |${Seq(1, 2, 4, 8).map(candFor).mkString(",\n")}
+         |SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+         |  CASE WHEN n_true = 0 THEN 0.0
+         |       ELSE ${t6("CAST(n_hit AS DOUBLE) / n_true")} END AS recall
+         |FROM (${Seq(1, 2, 4, 8).map(comboRow).mkString("\n  UNION ALL\n")})
+         |ORDER BY bands""".stripMargin
+    },
+
     // q74: incremental dedup — exact hash join, then NEW-vs-CORPUS band
     // candidates only (same minhash machinery as q29, two corpora);
     // best match = highest trunc6'd Jaccard, ties to smallest corpus id

@@ -1882,6 +1882,21 @@ object SparkEntry {
           col("doc_id") < 10100),
         idx, Dedup.shingleIndexBloomShards(idx, shards = 16), k = 8)
     }),
+    // LSH banding operating-point sweep on a bounded audit slice
+    // (first 100 docs + their near-dups): recall vs candidate cost at
+    // every (bands, rowsPerBand) split of one 8-function signature
+    // matrix, scored against exact all-pairs Jaccard truth — the
+    // tuning-as-data convention (q316/q317/q320/q321) applied to the
+    // q29 operator's own knob
+    "q331_lsh_banding_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val slice = docs.unionByName(docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      Dedup.lshBandingSweep(slice, shingleSize = 3, numHashes = 8,
+        bandCounts = Seq(1, 2, 4, 8), jaccardThreshold = 0.5)
+    }),
     // hashed-key twin of q322: xxhash64'd fixed-width shingle shuffle
     // keys (the 100 TB key shape) checked against the TEXT oracle — a
     // green row pins span-identity of the two key representations on
