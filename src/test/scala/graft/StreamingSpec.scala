@@ -655,6 +655,41 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.spanLogState(spark, dir) == st4)
   }
 
+  test("span-log absorption touches only the shards its keys hash to; " +
+      "untouched base segments carry over by reference") {
+    import graft.operators.Dedup
+    val dir = graft.TempDirs.create("graft_spanlog_touch").toString
+    // seed a 64-shard base from a wide corpus (many occupied shards)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    StreamingIngest.seedSpanLog(
+      Dedup.shingleIndex(corpus, k = 3), dir, nShards = 64)
+    val st0 = StreamingIngest.spanLogState(spark, dir)
+    assert(st0.basePaths.size > 10, s"seed too narrow: ${st0.basePaths.size}")
+    // one tiny batch absorbed straight into the base (compactEvery=1):
+    // its ~4 keys hash to a handful of shards
+    val batch = Seq((100L, "n1 n2 n3 n4 n5 n6")).toDF("doc_id", "text")
+    StreamingIngest.applySpanBatch(batch, dir, k = 3, hashKeys = false,
+      batchId = 1L, compactEvery = 1)
+    val st1 = StreamingIngest.spanLogState(spark, dir)
+    val touched = (0 until 64).count(s =>
+      st1.bases(s) != null && st1.bases(s) != st0.bases(s))
+    val carried = (0 until 64).count(s =>
+      st0.bases(s) != null && st1.bases(s) == st0.bases(s))
+    // the batch's distinct keys bound the touched-shard count; every
+    // other occupied segment keeps its OLD path — absorption cost is
+    // bucket-proportional, never index-proportional
+    val nBatchKeys = Dedup.shingleIndex(batch, k = 3).count()
+    assert(touched > 0 && touched <= nBatchKeys,
+      s"touched $touched vs batch keys $nBatchKeys")
+    assert(carried > 5, s"only $carried segments carried by reference")
+    // and the merged view is still exactly the from-scratch index
+    val (idx, _) = StreamingIngest.currentSpanIndex(spark, dir, hashKeys = false)
+    assert(idx.as[(String, Long)].collect().toMap ==
+      Dedup.shingleIndex(corpus.unionByName(batch), k = 3)
+        .as[(String, Long)].collect().toMap)
+  }
+
   test("span-log bloom: once enabled the snapshot keeps folding even when " +
       "a restart drops the flag — detection stays exact, never stale") {
     import graft.operators.Dedup
