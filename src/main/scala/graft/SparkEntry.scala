@@ -816,6 +816,53 @@ object SparkEntry {
     Seq((st.lastBatch, st.runs.size.toLong)).toDF("batch_id", "n_runs")
   }
 
+  /** Pre-seeded span logs for the base-ABSORPTION rungs (x6c/x6d) —
+    * their own warehouses so the absorption cadence never disturbs the
+    * fold or L1-compaction ladders. */
+  private val spanAbsorbLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def spanAbsorbLogFor(s: SparkSession, d: String,
+      twoX: Boolean): String =
+    spanAbsorbLogCache.getOrElseUpdate(s"$d#${if (twoX) 2 else 1}", {
+      val dir = graft.TempDirs.create("graft_spanabsorb").toString
+      graft.streaming.StreamingIngest.seedSpanLog(
+        shingleIndexFor(s, d, twoX), dir)
+      dir
+    })
+
+  /** One base-ABSORPTION cycle over the pre-seeded log — the absorption
+    * twin of x6a/x6b and the span-LSM story's last unmeasured moment
+    * (r12 verdict "next round" #4): two ingest folds with
+    * compactEvery = 2 and absorbEvery = 1, so the second fold's cadence
+    * step absorbs the loose deltas STRAIGHT into the shard-bucketed
+    * base — only segments the incoming keys touch read, merge and
+    * rewrite (untouched segments carry by reference;
+    * StreamingSpec pins the touched-only contract). The cost claim this
+    * rung prices is BUCKET-PROPORTIONAL, not flat: a batch whose keys
+    * hash across all shards rewrites a base-sized byte volume, so the
+    * 1×/2× ratio across the corpus-index doubling is expected ≈ the
+    * touched-segment size ratio (bounded class, ≤ the doubling) — vs
+    * the L1 step (x6a/x6b) which stays flat. Repeat runs absorb one
+    * further batch pair identically on both rungs. */
+  private def spanAbsorbBench(s: SparkSession, d: String,
+      twoX: Boolean): DataFrame = {
+    import s.implicits._
+    val dir = spanAbsorbLogFor(s, d, twoX)
+    val st0 = graft.streaming.StreamingIngest.spanLogState(s, dir)
+    (1 to 2).foreach { i =>
+      graft.streaming.StreamingIngest.applySpanBatch(
+        spanBatchFor(s, d), dir, k = 8, hashKeys = true,
+        batchId = st0.lastBatch + i,
+        compactEvery = 2, absorbEvery = 1)
+    }
+    val st = graft.streaming.StreamingIngest.spanLogState(s, dir)
+    require(st.runs.isEmpty && st.foldedThrough == st0.lastBatch + 2,
+      s"cycle must absorb exactly once: runs=${st.runs.size}, " +
+        s"folded ${st0.foldedThrough} -> ${st.foldedThrough}")
+    Seq((st.lastBatch, st.basePaths.size.toLong))
+      .toDF("batch_id", "n_base_segments")
+  }
+
   /** Three-variant duplicate families over the first 100 docs: the
     * original, an exact copy (+10000) and a first-word-dropped near-dup
     * (+20000) — the corpus for transitive duplicate-cluster resolution. */
@@ -1771,25 +1818,28 @@ object SparkEntry {
         Oracles.LangMarkers, CleanSpec, alpha = 0.7, seqTokens = 1024L)),
 
     // ---- dedup family ----
-    "q28_dedup_exact" -> ((s, d) => Dedup.exact(docsWithCopies(s, d))),
+    "q28_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docsWithCopies(s, d), ordered = true)),
 
     // ---- passage-level dedup with reassembly (RefinedWeb/CCNet): drop
     // every 20-token passage duplicated anywhere in the corpus (first
     // occurrence wins), rebuild documents from the survivors — the cut
     // runs through the bounded-heap TopKPerKey operator with k=1 ----
     "q69_paragraph_dedup" -> ((s, d) =>
-      Dedup.paragraphDedup(docsWithCopies(s, d), paraTokens = 20)),
+      Dedup.paragraphDedup(docsWithCopies(s, d), paraTokens = 20,
+        ordered = true)),
 
     "q29_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docsWithNearDups(s, d),
-        shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5)),
+        shingleSize = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.5,
+        ordered = true)),
 
     // ---- the verify-free signature-agreement estimator over the same
     // banded candidates: Ĵ = matching minhash positions / 8 — what the
     // 100 TB path scores with when re-reading text is the cost ----
     "q106_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimatePairs(docsWithNearDups(s, d),
-        shingleSize = 3, bands = 4, rowsPerBand = 2)),
+        shingleSize = 3, bands = 4, rowsPerBand = 2, ordered = true)),
 
     // ---- incremental dedup (the daily-ingest flow): a new batch of 50
     // exact copies + 50 near-dups + 100 genuinely-new docs deduped
@@ -1810,13 +1860,13 @@ object SparkEntry {
     }),
 
     "q30_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d), bits = 16)),
+      Dedup.simhash(Tables.documents(s, d), bits = 16, ordered = true)),
 
     "q31_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         docsWithNearDups(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
-        n = 3, threshold = 0.5)),
+        n = 3, threshold = 0.5, ordered = true)),
 
     // ---- exact duplicated-span detection + removal (substring dedup,
     // Lee et al. 2022 suffix-array semantics re-shaped as one shingle
@@ -1956,7 +2006,7 @@ object SparkEntry {
       Dedup.containmentPairs(
         docsWithPrefixCopies(s, d).filter(col("doc_id") < 100 ||
           (col("doc_id") >= 10000 && col("doc_id") < 10100)),
-        n = 3, threshold = 0.9)),
+        n = 3, threshold = 0.9, ordered = true)),
 
     // ---- per-language top-k collocations via the bounded-heap cut ----
     "q119_top_bigrams_lang" -> ((s, d) =>
@@ -2745,7 +2795,7 @@ object SparkEntry {
     // simhash, pair each with the next 2, keep pairs ≤ 2 bits apart ----
     "q303_simhash_neighborhood" -> ((s, d) =>
       Dedup.simhashNeighborhood(Tables.documents(s, d),
-        bits = 16, window = 2, maxHamming = 2)),
+        bits = 16, window = 2, maxHamming = 2, ordered = true)),
 
     // ---- HLL set overlap: click∩purchase users by inclusion–exclusion
     // on register-max-merged sketches, audited against the exact join ----
@@ -2810,7 +2860,7 @@ object SparkEntry {
     "q310_neighborhood_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.simhashNeighborhood(Tables.documents(s, d),
-          bits = 16, window = 2, maxHamming = 2))),
+          bits = 16, window = 2, maxHamming = 2), ordered = true)),
 
     // ---- contrastive triplets: exact top-1 positive + 4 hash-ranked
     // negatives per query — the DPR/InfoNCE training-data shape ----
@@ -3467,7 +3517,8 @@ object SparkEntry {
     // list; every member labels with the family's smallest doc id ----
     "q62_duplicate_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
-        Dedup.ngramJaccardPairs(docsWithDupFamilies(s, d), n = 3, threshold = 0.5))),
+        Dedup.ngramJaccardPairs(docsWithDupFamilies(s, d), n = 3,
+          threshold = 0.5), ordered = true)),
 
     // ---- canonical selection: after cluster resolution, KEEP exactly
     // one member per cluster — the highest-quality copy (doc_id breaks
@@ -3881,6 +3932,14 @@ object SparkEntry {
     // re-aggregates the index (the r11 form paid O(index) here)
     "x6a_span_compact_1x" -> ((s, d) => spanCompactBench(s, d, twoX = false)),
     "x6b_span_compact_2x" -> ((s, d) => spanCompactBench(s, d, twoX = true)),
+
+    // the base-ABSORPTION twin (r12 verdict next-round #4): one cadence
+    // step that folds the loose deltas straight into the shard-bucketed
+    // base — prices the touched-segment rewrite, the one span-LSM
+    // moment x6a/x6b pin OUT by design. Expected bucket-proportional
+    // (≈ base-size ratio across the doubling), not flat.
+    "x6c_span_absorb_1x" -> ((s, d) => spanAbsorbBench(s, d, twoX = false)),
+    "x6d_span_absorb_2x" -> ((s, d) => spanAbsorbBench(s, d, twoX = true)),
 
 
     // z-order vs single-sort layout under a two-sided band scan: the

@@ -93,6 +93,23 @@ object TextFunctions {
   def dsum12(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast(StringType).cast(DoubleType)
 
+  /** Driver-side twin of [[dsum12]], bit-identical by construction —
+    * for BOUNDED fixpoints (≤ alphabet-sized state spaces) that run on
+    * the driver instead of as dozens of 25-row exchanges. Each term
+    * follows Spark's double→decimal(38,12) cast exactly (shortest-
+    * string BigDecimal, then HALF_UP at scale 12 — Decimal.set /
+    * changePrecision), decimals sum exactly in any order, and the
+    * result goes through the same decimal→string→double parse.
+    * TrainedWeightsSpec-style pin: OperatorSpec asserts ≡ [[dsum12]]
+    * on randomized inputs. */
+  def dsum12Local(terms: Iterable[Double]): Double = {
+    val s = terms.foldLeft(java.math.BigDecimal.ZERO) { (acc, t) =>
+      acc.add(java.math.BigDecimal.valueOf(t)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    java.lang.Double.parseDouble(s.toString)
+  }
+
   /** Exact average built from dsum / count — deterministic across engines. */
   def davg(c: Column): Column =
     (dsum(c) / count(c)).cast(DoubleType)

@@ -541,26 +541,50 @@ object EventOps {
     * happens ONCE in [[transitionMatrix]]. */
   def markovStationary(events: DataFrame, iters: Int = 20): DataFrame = {
     val pm = transitionMatrix(events)
-    val states = pm.select(col("prev_type").as("state")).distinct()
-      .localCheckpoint()
-    val nS = lit(states.count())
-    var pi = states.select(col("state"), (lit(1.0) / nS).as("pi"))
-    for (_ <- 1 to iters) {
-      pi = pm.join(pi.select(col("state").as("prev_type"), col("pi")),
-          "prev_type")
-        .select(col("next_type").as("state"), (col("pi") * col("p")).as("c"))
-        .groupBy("state").agg(dsum12(col("c")).as("pi"))
-    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    // The corpus pass happens once in transitionMatrix; the fixpoint
+    // itself runs over a frame bounded by |event types|² BY CONTRACT
+    // (states = the type alphabet), so it iterates on the DRIVER with
+    // bit-identical arithmetic (dsum12Local ≡ dsum12; the flatMap/
+    // groupBy replays the inner join + keyed decimal sum exactly).
+    // The distributed loop planned 2·iters exchanges of ≤ 25 rows —
+    // pure scheduling overhead (2.85 s → sub-second at sf0.1) that
+    // would dwarf the real work at ANY scale, because the matrix stays
+    // alphabet-sized no matter the corpus.
+    val pi = powerIteration(pm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))), iters)
     val emp = events.groupBy(col("event_type").as("state"))
       .agg(count(lit(1)).as("n"))
     val empTot = emp.agg(sum(col("n")).as("n_all"))
-    pi.join(emp.crossJoin(broadcast(empTot)), "state")
+    pi.toSeq.toDF("state", "pi")
+      .join(emp.crossJoin(broadcast(empTot)), "state")
       .select(col("state"), trunc6(col("pi")).as("stationary"),
         trunc6(col("n").cast("double") / col("n_all").cast("double"))
           .as("empirical"),
         trunc6(col("pi") -
           col("n").cast("double") / col("n_all").cast("double")).as("gap"))
       .orderBy("state")
+  }
+
+  /** Driver-side power iteration over a collected (prev, next, p)
+    * transition list — the exact replay of the former distributed
+    * loop: start uniform over the distinct prev states, and each step
+    * keeps exactly the states reachable via some (prev ∈ π) row (the
+    * inner-join semantics), with contributions decimal-summed at 12
+    * places ([[graft.functions.TextFunctions.dsum12Local]]). */
+  private def powerIteration(rows: Array[(String, String, Double)],
+      iters: Int): Map[String, Double] = {
+    import graft.functions.TextFunctions.dsum12Local
+    val states = rows.map(_._1).distinct
+    var pi: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to iters) {
+      pi = rows.flatMap { case (prev, next, p) =>
+        pi.get(prev).map(v => next -> v * p)
+      }.groupBy(_._1).map { case (s, cs) => s -> dsum12Local(cs.map(_._2)) }
+    }
+    pi
   }
 
   /** Finite-horizon absorption: probability that a user starting at
@@ -572,22 +596,28 @@ object EventOps {
     * bounded-state iteration shape as [[markovStationary]]. */
   def conversionWithin(events: DataFrame, target: String = "purchase",
       k: Int = 7): DataFrame = {
+    import graft.functions.TextFunctions.dsum12Local
     val pm = transitionMatrix(events)
-    val states = pm.select(col("prev_type").as("state")).distinct()
-      .localCheckpoint()
-    var pi = states.select(col("state"),
-      when(col("state") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    // bounded-alphabet driver fixpoint (the [[markovStationary]]
+    // shape): backward absorption over the collected matrix, target
+    // pinned at 1 each step, missing states coalesce to 0 — the exact
+    // replay of the former states-join-left loop
+    val rows = pm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = rows.map(_._1).distinct
+    var pr: Map[String, Double] =
+      states.map(s => s -> (if (s == target) 1.0 else 0.0)).toMap
     for (_ <- 1 to k) {
-      val nxt = pm.join(pi.select(col("state").as("next_type"), col("pr")),
-          "next_type")
-        .select(col("prev_type").as("state"), (col("p") * col("pr")).as("c"))
-        .groupBy("state").agg(dsum12(col("c")).as("cont"))
-      pi = states.join(nxt, Seq("state"), "left")
-        .select(col("state"),
-          when(col("state") === target, lit(1.0))
-            .otherwise(coalesce(col("cont"), lit(0.0))).as("pr"))
+      val cont = rows.flatMap { case (prev, next, p) =>
+        pr.get(next).map(v => prev -> p * v)
+      }.groupBy(_._1).map { case (s, cs) => s -> dsum12Local(cs.map(_._2)) }
+      pr = states.map(s => s ->
+        (if (s == target) 1.0 else cont.getOrElse(s, 0.0))).toMap
     }
-    pi.select(col("state"), trunc6(col("pr")).as("p_within_k"))
+    pr.toSeq.toDF("state", "pr")
+      .select(col("state"), trunc6(col("pr")).as("p_within_k"))
       .orderBy("state")
   }
 
@@ -869,19 +899,15 @@ object EventOps {
     * "how predictable is behavior from each state" readout. */
   def markovEntropyRate(events: DataFrame, iters: Int = 20): DataFrame = {
     val pm = transitionMatrix(events)
-    val states = pm.select(col("prev_type").as("state")).distinct()
-      .localCheckpoint()
-    val nS = lit(states.count())
-    var pi = states.select(col("state"), (lit(1.0) / nS).as("pi"))
-    for (_ <- 1 to iters) {
-      pi = pm.join(pi.select(col("state").as("prev_type"), col("pi")),
-          "prev_type")
-        .select(col("next_type").as("state"), (col("pi") * col("p")).as("c"))
-        .groupBy("state").agg(dsum12(col("c")).as("pi"))
-    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    // same bounded-alphabet driver fixpoint as [[markovStationary]]
+    val pi = powerIteration(pm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))), iters)
     val rowH = pm.groupBy(col("prev_type").as("state"))
       .agg(dsum12(-(col("p") * log(col("p")))).as("h_state"))
-    pi.join(rowH, "state")
+    pi.toSeq.toDF("state", "pi")
+      .join(rowH, "state")
       .select(col("state"), trunc6(col("pi")).as("stationary"),
         trunc6(col("h_state")).as("h_state"),
         trunc6(col("pi") * col("h_state")).as("contribution"))

@@ -1589,22 +1589,59 @@ object Stats {
       .unionAll(duels.select(col(loseCol).as("a"), col(winCol).as("b")))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    var p = games.select(col("a")).distinct()
-      .join(wins, col("a") === col("p"), "left")
-      .select(col("a"), coalesce(col("w"), lit(0L)).as("w"),
-        lit(1.0).as("x"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val pa = p.select(col("a"), col("w"), col("x").as("xa"))
-      val pb = p.select(col("a").as("b"), col("x").as("xb"))
-      p = games.join(pa, "a").join(pb, "b")
-        .groupBy(col("a"), col("w"))
-        .agg(dsum12(col("n").cast("double") / (col("xa") + col("xb")))
-          .as("den"))
-        .select(col("a"), col("w"),
-          (col("w").cast("double") / col("den")).as("x"))
-        .localCheckpoint()
-    }
+    // The preference frame is players×players-bounded; when it is
+    // SMALL (≤ 4096 met pairs — the checkpoint makes the count free),
+    // the MM fixpoint runs on the driver with bit-identical arithmetic
+    // (dsum12Local ≡ dsum12; the groupBy replays the keyed decimal
+    // sum): the distributed loop paid 8 rounds of two joins + an
+    // exchange + an eager checkpoint over a handful of rows — pure
+    // scheduling overhead. Past the guard (true many-player corpora,
+    // where the pair frame is data) the distributed loop stands.
+    val p =
+      if (games.count() <= 4096) {
+        import graft.functions.TextFunctions.dsum12Local
+        val g = games.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+        val winMap = wins.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        val players = g.map(_._1).distinct
+        val w: Map[Any, Long] =
+          players.map(pl => pl -> winMap.getOrElse(pl, 0L)).toMap
+        var x: Map[Any, Double] = players.map(_ -> 1.0).toMap
+        for (_ <- 1 to iters) {
+          val den = g.groupBy(_._1).map { case (a, rows) =>
+            a -> dsum12Local(rows.map { case (_, b, n) =>
+              n.toDouble / (x(a) + x(b)) })
+          }
+          x = players.map(a => a -> w(a).toDouble / den(a)).toMap
+        }
+        val spark = duels.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          games.schema("a"),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(players.map(a =>
+            org.apache.spark.sql.Row(a, w(a), x(a))): _*), schema)
+      } else {
+        var pd = games.select(col("a")).distinct()
+          .join(wins, col("a") === col("p"), "left")
+          .select(col("a"), coalesce(col("w"), lit(0L)).as("w"),
+            lit(1.0).as("x"))
+          .localCheckpoint()
+        for (_ <- 1 to iters) {
+          val pa = pd.select(col("a"), col("w"), col("x").as("xa"))
+          val pb = pd.select(col("a").as("b"), col("x").as("xb"))
+          pd = games.join(pa, "a").join(pb, "b")
+            .groupBy(col("a"), col("w"))
+            .agg(dsum12(col("n").cast("double") / (col("xa") + col("xb")))
+              .as("den"))
+            .select(col("a"), col("w"),
+              (col("w").cast("double") / col("den")).as("x"))
+            .localCheckpoint()
+        }
+        pd
+      }
     val tot = p.agg(dsum12(col("x")).as("tot"))
     p.crossJoin(broadcast(tot))
       .select(col("a").as("player"), col("w").as("n_wins"),

@@ -41,9 +41,11 @@ class OperatorSpec extends SparkSpec {
     // bucket holds the whole corpus
     val docs = (1L to 30L).map(i => (i, s"the same boilerplate text repeated everywhere v$i"))
       .toDF("doc_id", "text")
-    val plain = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 1)
+    val plain = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 1,
+        ordered = true)
       .as[(Long, Long, Double)].collect().toSeq
-    val salted = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 4)
+    val salted = Dedup.minhashLsh(docs, jaccardThreshold = 0.3, salts = 4,
+        ordered = true)
       .as[(Long, Long, Double)].collect().toSeq
     assert(plain.nonEmpty)
     assert(salted == plain)
@@ -344,7 +346,7 @@ class OperatorSpec extends SparkSpec {
       (4L, s"$pA $pA"))
       .toDF("doc_id", "text")
     // doc 4's repeats of pA lose to doc 1's (smaller doc_id)
-    val got = Dedup.paragraphDedup(docs, paraTokens = 3)
+    val got = Dedup.paragraphDedup(docs, paraTokens = 3, ordered = true)
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq(
       (1L, 2L, 2L, s"$pA $pB"),
@@ -356,7 +358,7 @@ class OperatorSpec extends SparkSpec {
     val real = Tables.documents(spark, sf()).select("doc_id", "text")
     val corpus = real.unionByName(
       real.select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val viaSpark = Dedup.paragraphDedup(corpus)
+    val viaSpark = Dedup.paragraphDedup(corpus, ordered = true)
       .as[(Long, Long, Long, String)].collect().toSeq
     val local = corpus.as[(Long, String)].collect().sortBy(_._1)
     val seen = scala.collection.mutable.HashSet.empty[String]
@@ -465,6 +467,26 @@ class OperatorSpec extends SparkSpec {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
       Dedup.duplicateClustersWithRounds(chain, maxIters = 1)
+    }
+  }
+
+  test("dsum12Local is bit-identical to the dsum12 aggregate") {
+    // the driver-side fixpoints (markov family, small Bradley–Terry)
+    // replay dsum12 locally; this pins the two summation paths equal
+    // on adversarial magnitudes (tiny terms, sign mixes, many rows —
+    // decimal addition is exact, so shard/fold order cannot matter)
+    import graft.functions.TextFunctions.{dsum12, dsum12Local}
+    val rnd = new scala.util.Random(20260817L)
+    val batches = Seq(
+      Seq.fill(257)(rnd.nextDouble()),                      // uniform [0,1)
+      Seq.fill(100)(math.pow(10.0, -rnd.nextInt(14)) * rnd.nextDouble()),
+      Seq.fill(64)((rnd.nextDouble() - 0.5) * 1e6),         // sign mix, big
+      Seq(0.0, 1.0 / 3.0, 2.0 / 3.0, 1e-13, 123456.789012345))
+    batches.zipWithIndex.foreach { case (xs, i) =>
+      val viaSpark = xs.toDF("v").agg(dsum12(col("v"))).head().getDouble(0)
+      val viaLocal = dsum12Local(xs)
+      assert(java.lang.Double.compare(viaSpark, viaLocal) == 0,
+        s"batch $i: spark=$viaSpark local=$viaLocal")
     }
   }
 

@@ -218,6 +218,47 @@ class PlanSpec extends SparkSpec {
       ordered = true)).nonEmpty)
   }
 
+  test("dedup family: deterministic total orders are opt-in, not in the operators") {
+    // r12 verdict next-round #5 (the spanRemoval guard above, swept
+    // across the family): every data-sized dedup output used to end in
+    // a global orderBy that existed only for the oracle hash — and
+    // internal consumers (q310's cluster input, q62's pair mining, the
+    // blocking sweeps' simhash ranking) paid a full Exchange+Sort they
+    // immediately re-partitioned away. Default plans must carry NO
+    // global sort; the declared queries opt in with `ordered = true`.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    def globalSorts(df: org.apache.spark.sql.DataFrame) = {
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+    }
+    val defaults = Seq(
+      "exact" -> Dedup.exact(docs),
+      "simhash" -> Dedup.simhash(docs, bits = 16),
+      "minhashLsh" -> Dedup.minhashLsh(docs),
+      "minhashEstimatePairs" -> Dedup.minhashEstimatePairs(docs),
+      "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, 3, 0.5),
+      "containmentPairs" -> Dedup.containmentPairs(docs, 3, 0.5),
+      "simhashNeighborhood" -> Dedup.simhashNeighborhood(docs),
+      "paragraphDedup" -> Dedup.paragraphDedup(docs))
+    defaults.foreach { case (name, df) =>
+      assert(globalSorts(df).isEmpty,
+        s"$name default plan must not carry a global sort")
+    }
+    // and the opt-in actually orders (spot-check two shapes)
+    assert(globalSorts(Dedup.exact(docs, ordered = true)).nonEmpty)
+    assert(globalSorts(Dedup.simhashNeighborhood(docs,
+      ordered = true)).nonEmpty)
+  }
+
   test("q52: per-key top-k plans through the custom heap operator, no Window") {
     val df = SparkEntry.queries("q52_topk_per_key")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()
