@@ -245,15 +245,23 @@ object Bench {
         // trees, the x90/x96 divergence), and the iso block exists
         // precisely so both records time against the same ambient.
         // Xms pins to the same value (the r8 uncommit lesson).
+        // bytes per unit: suffix-less -Xmx is raw bytes (r13 advice —
+        // it was stripped but unparsed, silently yielding the default)
         def mb(a: String): Option[Long] =
-          "(?i)^-Xmx(\\d+)([kmgt])$".r.findFirstMatchIn(a).map { m =>
-            m.group(1).toLong * (m.group(2).toLowerCase match {
-              case "k" => 1L; case "m" => 1024L; case "g" => 1024L * 1024
-              case _ => 1024L * 1024 * 1024
-            }) / 1024
+          "(?i)^-Xmx(\\d+)([kmgt]?)$".r.findFirstMatchIn(a).map { m =>
+            val unit = m.group(2).toLowerCase match {
+              case "" => 1L; case "k" => 1024L; case "m" => 1024L * 1024
+              case "g" => 1024L * 1024 * 1024; case _ => 1024L * 1024 * 1024 * 1024
+            }
+            m.group(1).toLong * unit / (1024L * 1024)
           }
-        val childMb = math.min(
-          inherited.flatMap(mb).lastOption.getOrElse(24L * 1024), 24L * 1024)
+        // no -Xmx at all (or unparsable) falls back to the PARENT's
+        // effective heap, not a hard 24 g: a host whose default heap is
+        // far under 24 g must not hand the child more than the parent
+        // itself has (r13 advice — the stated rule is min(parent, 24g))
+        val parentMb = inherited.flatMap(mb).lastOption
+          .getOrElse(Runtime.getRuntime.maxMemory() / (1024L * 1024))
+        val childMb = math.max(1024L, math.min(parentMb, 24L * 1024))
         val jvmArgs = inherited.filterNot(a =>
           a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
           Seq(s"-Xmx${childMb}m", s"-Xms${childMb}m")
@@ -427,6 +435,34 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary":$canaryJson,"total_normalized":$totalNorm,"queries_normalized":$qsNorm,"phases":$phases,"heap_bytes":$heap,"iso_forked":$isoForked,"iso_child_heap_peak":$isoChildPeak,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT trailer line (r13 verdict #1): the driver captures only
+    // the last ~2000 chars of combined sbt output, so the full record
+    // line above (~30 KB at 374 entries) has NEVER parsed driver-side —
+    // BENCH_r01..r13 all carry parsed:null with the tail starting
+    // mid-object, which left PERF per-query comparison and the c8/c32
+    // scaling block empty every round. The full line stays first (the
+    // fork protocol and grep-based iteration read it, and it is the
+    // bytes written to target/bench.json + BENCH_LATEST.json — no
+    // per-query entry is removed or renamed anywhere); this short
+    // summary is the LAST stdout write so any tail capture holds one
+    // COMPLETE metric JSON line. Per-query data lives in the committed
+    // BENCH_LATEST.json the summary points at. The failed list is
+    // capped so a pathological run cannot blow the line past the tail.
+    val failedNames = results.collect { case (n, _, false) => n }
+    val failedCompact = (failedNames.take(10).map("\"" + _ + "\"") ++
+      (if (failedNames.size > 10)
+        Seq("\"+" + (failedNames.size - 10) + "_more\"") else Nil))
+      .mkString("[", ",", "]")
+    val isoOutCompact = isoOutliers.take(6).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},""" +
+      s""""n":${results.size},"n_ok":${results.count(r => r._3 && r._2 >= 0)},""" +
+      s""""failed":$failedCompact,"total_normalized":$totalNorm,""" +
+      s""""canary_scale":$scale,"iso_scale":$isoScale,""" +
+      s""""iso_outliers":$isoOutCompact,"iso_forked":$isoForked,""" +
+      s""""queries_in":"BENCH_LATEST.json","sf":"$sfDir"}"""
+    println(compact)
     // also to files: the driver's log tail truncates long lines, which
     // cost round-over-round comparability (BENCH_r04 lost q01-q10).
     // BENCH_LATEST.json is the COMMITTED sibling — target/ is gitignored

@@ -4052,7 +4052,8 @@ object SparkEntry {
     // prefix → isolated from the comparative passes (side-effectful). ----
     "x93_stream_ingest_e2e" -> ((s, d) =>
       streamIngestBench(s, d, entryName = "x93_stream_ingest_e2e")),
-    "x94_stream_clean" -> ((s, d) => streamCleanBench(s, d)),
+    "x94_stream_clean" -> ((s, d) =>
+      streamCleanBench(s, d, entryName = "x94_stream_clean")),
     "x95_stream_backfill" -> ((s, d) => streamBackfillBench(s, d)),
     // throughput amortization ladder (round-8 verdict #4): the SAME
     // pipeline and 6-batch shape at 10× and 100× the x93 message count;
@@ -4068,7 +4069,8 @@ object SparkEntry {
     "x98_facade_warm_query" -> ((s, d) => facadeWarmBench(s, d)),
     // the clean-path amortization rung (x96/x97's contract for x94):
     // SAME recipe and 4-batch shape at ~4× the x94 document count
-    "x99_stream_clean_24k" -> ((s, d) => streamCleanBench(s, d, 24000)),
+    "x99_stream_clean_24k" -> ((s, d) =>
+      streamCleanBench(s, d, 24000, "x99_stream_clean_24k")),
     // the fourth throughput decade (x93→x96→x97→here: 600 → 6k → 60k →
     // 600k messages, identical pipeline and 6-batch shape): rows/s =
     // 600000 / wall either continues the ~10×-per-decade amortization
@@ -4305,7 +4307,7 @@ object SparkEntry {
     * rows. Output batches drain to the noop sink with every column
     * materialized; the returned frame carries the kept-row count. */
   private def streamCleanBench(s: SparkSession, d: String,
-      explicitDocs: Int = 0): DataFrame = {
+      explicitDocs: Int = 0, entryName: String = ""): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // bounded like streamIngestBench's 600-doc cut: MemoryStream feeds
@@ -4340,9 +4342,21 @@ object SparkEntry {
         kept.addAndGet(b.count())
         b.unpersist(); ()
       }.start()
-    try rows.grouped(math.max(1, rows.length / 4)).foreach { g =>
-      source.addData(g.toSeq); q.processAllAvailable()
+    // phase attribution (r13 verdict #7: x94 swung 5x between records
+    // with nothing in the artifact to attribute it): "feed" is the four
+    // micro-batch rounds end to end, closed BEFORE q.stop() teardown;
+    // the residual "query" phase Bench derives is corpus collect +
+    // stream setup + teardown. A swing now names its phase.
+    val tFeed0 = System.nanoTime()
+    var tFeed = 0.0
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { g =>
+        source.addData(g.toSeq); q.processAllAvailable()
+      }
+      tFeed = (System.nanoTime() - tFeed0) / 1e9
     } finally q.stop()
+    if (entryName.nonEmpty)
+      churnPhaseTimings(entryName) = Seq("feed" -> tFeed)
     Seq((rows.length.toLong, kept.get()))
       .toDF("n_docs", "n_kept")
   }

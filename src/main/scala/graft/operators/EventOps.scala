@@ -539,7 +539,8 @@ object EventOps {
     * 25-row join + 5-row decimal-summed aggregation — the [[GraphOps]]
     * PageRank shape on a bounded state space; the raw event pass
     * happens ONCE in [[transitionMatrix]]. */
-  def markovStationary(events: DataFrame, iters: Int = 20): DataFrame = {
+  def markovStationary(events: DataFrame, iters: Int = 20,
+      driverCap: Int = maxDriverMatrixRows): DataFrame = {
     val pm = transitionMatrix(events)
     val spark = events.sparkSession
     import spark.implicits._
@@ -551,13 +552,18 @@ object EventOps {
     // The distributed loop planned 2·iters exchanges of ≤ 25 rows —
     // pure scheduling overhead (2.85 s → sub-second at sf0.1) that
     // would dwarf the real work at ANY scale, because the matrix stays
-    // alphabet-sized no matter the corpus.
-    val pi = powerIteration(pm.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getDouble(2))), iters)
+    // alphabet-sized no matter the corpus. The collect is GUARDED by
+    // the bradleyTerry cardinality pattern (the checkpoint makes the
+    // count free): an out-of-contract high-cardinality type column
+    // falls back to the distributed loop instead of OOMing the driver.
+    val pi = collectMatrix(pm, driverCap) match {
+      case Some(rows) => powerIteration(rows, iters).toSeq.toDF("state", "pi")
+      case None => stationaryDistributed(pm, iters)
+    }
     val emp = events.groupBy(col("event_type").as("state"))
       .agg(count(lit(1)).as("n"))
     val empTot = emp.agg(sum(col("n")).as("n_all"))
-    pi.toSeq.toDF("state", "pi")
+    pi
       .join(emp.crossJoin(broadcast(empTot)), "state")
       .select(col("state"), trunc6(col("pi")).as("stationary"),
         trunc6(col("n").cast("double") / col("n_all").cast("double"))
@@ -565,6 +571,42 @@ object EventOps {
         trunc6(col("pi") -
           col("n").cast("double") / col("n_all").cast("double")).as("gap"))
       .orderBy("state")
+  }
+
+  /** Markov-family collect guard (the [[Stats.bradleyTerry]] pattern):
+    * the checkpointed transition frame is |event types|²-bounded BY
+    * CONTRACT, but an out-of-contract high-cardinality type column must
+    * degrade to the distributed loop, not collect itself onto the
+    * driver. The count is one cheap job over the already-materialized
+    * checkpoint blocks. */
+  private[graft] val maxDriverMatrixRows = 4096
+  private def collectMatrix(pm: DataFrame,
+      cap: Int): Option[Array[(String, String, Double)]] =
+    if (pm.count() <= cap)
+      Some(pm.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2))))
+    else None
+
+  /** Distributed power-iteration fallback past [[collectMatrix]]'s
+    * guard — the pre-r13 loop shape with a per-round localCheckpoint so
+    * the composed plan stays linear. Arithmetic is dsum12, the exact
+    * distributed twin of the driver path's dsum12Local. */
+  private def stationaryDistributed(pm: DataFrame,
+      iters: Int): DataFrame = {
+    import graft.functions.TextFunctions.dsum12
+    val states = pm.select(col("prev_type").as("state")).distinct()
+      .localCheckpoint()
+    val nS = lit(states.count())
+    var pi = states.select(col("state"), (lit(1.0) / nS).as("pi"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      pi = pm.join(pi.select(col("state").as("prev_type"), col("pi")),
+          "prev_type")
+        .select(col("next_type").as("state"), (col("pi") * col("p")).as("c"))
+        .groupBy("state").agg(dsum12(col("c")).as("pi"))
+        .localCheckpoint()
+    }
+    pi
   }
 
   /** Driver-side power iteration over a collected (prev, next, p)
@@ -595,7 +637,7 @@ object EventOps {
     * Σ_t P(s,t)·pᵢ(t) for s ≠ target, target pinned at 1. Same
     * bounded-state iteration shape as [[markovStationary]]. */
   def conversionWithin(events: DataFrame, target: String = "purchase",
-      k: Int = 7): DataFrame = {
+      k: Int = 7, driverCap: Int = maxDriverMatrixRows): DataFrame = {
     import graft.functions.TextFunctions.dsum12Local
     val pm = transitionMatrix(events)
     val spark = events.sparkSession
@@ -603,21 +645,43 @@ object EventOps {
     // bounded-alphabet driver fixpoint (the [[markovStationary]]
     // shape): backward absorption over the collected matrix, target
     // pinned at 1 each step, missing states coalesce to 0 — the exact
-    // replay of the former states-join-left loop
-    val rows = pm.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getDouble(2)))
-    val states = rows.map(_._1).distinct
-    var pr: Map[String, Double] =
-      states.map(s => s -> (if (s == target) 1.0 else 0.0)).toMap
-    for (_ <- 1 to k) {
-      val cont = rows.flatMap { case (prev, next, p) =>
-        pr.get(next).map(v => prev -> p * v)
-      }.groupBy(_._1).map { case (s, cs) => s -> dsum12Local(cs.map(_._2)) }
-      pr = states.map(s => s ->
-        (if (s == target) 1.0 else cont.getOrElse(s, 0.0))).toMap
+    // replay of the former states-join-left loop. Same collect guard
+    // as the rest of the family: past the cap the distributed loop
+    // (the pre-r13 shape, per-round checkpointed) stands.
+    val pi = collectMatrix(pm, driverCap) match {
+      case Some(rows) =>
+        val states = rows.map(_._1).distinct
+        var pr: Map[String, Double] =
+          states.map(s => s -> (if (s == target) 1.0 else 0.0)).toMap
+        for (_ <- 1 to k) {
+          val cont = rows.flatMap { case (prev, next, p) =>
+            pr.get(next).map(v => prev -> p * v)
+          }.groupBy(_._1).map { case (s, cs) => s -> dsum12Local(cs.map(_._2)) }
+          pr = states.map(s => s ->
+            (if (s == target) 1.0 else cont.getOrElse(s, 0.0))).toMap
+        }
+        pr.toSeq.toDF("state", "pr")
+      case None =>
+        import graft.functions.TextFunctions.dsum12
+        val states = pm.select(col("prev_type").as("state")).distinct()
+          .localCheckpoint()
+        var pr = states.select(col("state"),
+          when(col("state") === target, lit(1.0)).otherwise(lit(0.0)).as("pr"))
+          .localCheckpoint()
+        for (_ <- 1 to k) {
+          val nxt = pm.join(pr.select(col("state").as("next_type"), col("pr")),
+              "next_type")
+            .select(col("prev_type").as("state"), (col("p") * col("pr")).as("c"))
+            .groupBy("state").agg(dsum12(col("c")).as("cont"))
+          pr = states.join(nxt, Seq("state"), "left")
+            .select(col("state"),
+              when(col("state") === target, lit(1.0))
+                .otherwise(coalesce(col("cont"), lit(0.0))).as("pr"))
+            .localCheckpoint()
+        }
+        pr
     }
-    pr.toSeq.toDF("state", "pr")
-      .select(col("state"), trunc6(col("pr")).as("p_within_k"))
+    pi.select(col("state"), trunc6(col("pr")).as("p_within_k"))
       .orderBy("state")
   }
 
@@ -897,16 +961,20 @@ object EventOps {
     * event pass happens once in [[transitionMatrix]]. Output is
     * per-state (π, h, contribution) so the rate decomposes — the
     * "how predictable is behavior from each state" readout. */
-  def markovEntropyRate(events: DataFrame, iters: Int = 20): DataFrame = {
+  def markovEntropyRate(events: DataFrame, iters: Int = 20,
+      driverCap: Int = maxDriverMatrixRows): DataFrame = {
     val pm = transitionMatrix(events)
     val spark = events.sparkSession
     import spark.implicits._
-    // same bounded-alphabet driver fixpoint as [[markovStationary]]
-    val pi = powerIteration(pm.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getDouble(2))), iters)
+    // same bounded-alphabet driver fixpoint as [[markovStationary]],
+    // behind the same collect guard with the same distributed fallback
+    val pi = collectMatrix(pm, driverCap) match {
+      case Some(rows) => powerIteration(rows, iters).toSeq.toDF("state", "pi")
+      case None => stationaryDistributed(pm, iters)
+    }
     val rowH = pm.groupBy(col("prev_type").as("state"))
       .agg(dsum12(-(col("p") * log(col("p")))).as("h_state"))
-    pi.toSeq.toDF("state", "pi")
+    pi
       .join(rowH, "state")
       .select(col("state"), trunc6(col("pi")).as("stationary"),
         trunc6(col("h_state")).as("h_state"),

@@ -410,11 +410,23 @@ object GraphOps {
     var hub = srcs.select(col("v"), (lit(1.0) / nS).as("h"))
       .localCheckpoint()
     var auth: DataFrame = null
+    // ONE action per round, not two: auth is referenced exactly once
+    // inside the round (by hub) and once after the LAST round (totals +
+    // output join), so the intra-round auth checkpoint bought nothing —
+    // hub's own checkpoint truncates the lineage to depth 2 every
+    // round, the plan stays linear (no double-reference blowup, see
+    // scaladoc), and the vertex-sized auth vector materializes as the
+    // broadcast build INSIDE hub's job instead of as its own job +
+    // block-manager write. Only the final auth is checkpointed (it is
+    // referenced twice: its L1 total and the output join). Arithmetic
+    // is untouched — dsum12 is order-free exact, so scores are
+    // bit-identical to the two-action form.
     for (i <- 1 to iters) {
       auth = e.join(side(hub.select(col("v").as("src"), col("h"))), "src")
         .groupBy(col("dst").as("v")).agg(dsum12(col("h")).as("a"))
-        .localCheckpoint()
-      hub = e.join(side(auth.select(col("v").as("dst"), col("a"))), "dst")
+      val authRef =
+        if (i == iters) { auth = auth.localCheckpoint(); auth } else auth
+      hub = e.join(side(authRef.select(col("v").as("dst"), col("a"))), "dst")
         .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h"))
         .localCheckpoint()
     }

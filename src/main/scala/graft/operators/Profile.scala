@@ -98,9 +98,16 @@ object Profile {
       .groupBy("k", "v").agg(count(lit(1)).as("na"))
       .localCheckpoint()
     val med = Stats.keyedExactMedian(vc, "med", preMaterialized = true)
+    // the deviation frame is NOT re-aggregated: the sweep's rank probes
+    // are correct over duplicate (k, v) count rows (cumulative
+    // intervals still partition the rank line and duplicates of a
+    // value are adjacent under the sweep's sort, so the covering row's
+    // v is unchanged) — the old groupBy(k, |v−med|) re-exchange merged
+    // at most the v = med±d twins and cost a full data-sized Exchange
+    // for it (guide §2.4). One broadcast join + checkpoint replaces
+    // exchange + checkpoint; row count is vc's, same order of size.
     val devc = vc.join(broadcast(med), "k")
-      .groupBy(col("k"), abs(col("v") - col("med")).as("v"))
-      .agg(sum(col("na")).as("na"))
+      .select(col("k"), abs(col("v") - col("med")).as("v"), col("na"))
       .localCheckpoint()
     val mad = Stats.keyedExactMedian(devc, "mad", preMaterialized = true)
     import graft.functions.TextFunctions.trunc6

@@ -167,31 +167,28 @@ object Stats {
       .as[(String, Double, Long, Long)].rdd.localCheckpoint()
     // this path is FOR the few-big-groups regime: the driver holds
     // partitions × |keys| subtotal tuples, so a high-cardinality key
-    // must fail fast with a named reason instead of a driver OOM — and
-    // the check must run BEFORE the collect (a guard on the collected
-    // array would fire only after the driver already materialized it).
-    // Rows are sorted by (k, v) within partitions, so distinct keys are
-    // contiguous: the count is a streaming O(1)-memory scan per
-    // partition, summed as longs on the driver (one long per partition).
-    val nSubtotals = sized.mapPartitions { it =>
-      var n = 0L; var cur: String = null; var seeded = false
-      it.foreach { case (k, _, _, _) =>
-        if (!seeded || k != cur) { n += 1L; seeded = true; cur = k }
-      }
-      Iterator.single(n)
-    }.fold(0L)(_ + _)
-    require(nSubtotals <= maxSubtotals,
-      s"keyedPrefixSums would collect $nSubtotals per-partition key " +
-        s"subtotals (cap $maxSubtotals): the key column has too " +
-        "many distinct values for the few-big-groups sweep - use a " +
-        "Window.partitionBy(key) instead for many small groups")
+    // must fail fast with a named reason instead of a driver OOM. The
+    // guard is FUSED into the subtotal pass (r13 paid a separate full
+    // counting scan per sweep — one extra data-sized job at any scale,
+    // guide §1.2): each task bounds ITS map at maxSubtotals while
+    // building it (the common out-of-contract key fails executor-side,
+    // O(1) per row), the driver re-checks the total after the collect,
+    // and a pathological spread that passes per-task but not in total
+    // is stopped by spark.driver.maxResultSize with its own named
+    // error before it can OOM the driver.
+    val capMsg = s"keyedPrefixSums subtotal cap $maxSubtotals exceeded: " +
+      "the key column has too many distinct values for the " +
+      "few-big-groups sweep - use a Window.partitionBy(key) instead " +
+      "for many small groups"
     val partSums = sized.mapPartitionsWithIndex { case (i, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
       it.foreach { case (k, _, a, b) =>
         val (pa, pb) = m.getOrElse(k, (0L, 0L)); m(k) = (pa + a, pb + b)
+        require(m.size <= maxSubtotals, capMsg)
       }
       m.iterator.map { case (k, (a, b)) => (i, k, a, b) }
     }.collect().sortBy(_._1)
+    require(partSums.length <= maxSubtotals, capMsg)
     val run = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
     val off = Map.newBuilder[(Int, String), (Long, Long)]
     partSums.foreach { case (i, k, a, b) =>
@@ -817,16 +814,28 @@ object Stats {
     val base = df.select(when(isRef, 1L).otherwise(0L).as("ref"),
       floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").as("v2"))
     val ref = base.filter(col("ref") === 1L)
-    val ranked = ref
-      .withColumn("rn", row_number().over(Window.orderBy("v2")).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val edges = ranked
-      .select(col("v2"), col("rn"), col("n"),
+    // Decile edges by the q192 integer rank rule — edge k is the value
+    // at rank ⌈k·n/bins⌉ (the least rn with bins·rn ≥ k·n) — read off
+    // the [[orderedPrefixSums]] VALUE-level sweep instead of a global
+    // row_number window: the reference side is data-sized, and the old
+    // single-partition Window sorted all of it in one task (r13 verdict
+    // #6). The value at a rank never depends on intra-tie order, so the
+    // covering count row carries exactly the ranked row's v2; duplicate
+    // edge values (two ks landing in one tie group) survive via one
+    // (k, v2) row per probe, keeping `es` the same multiset. v2 is a
+    // centi-quantized long ≪ 2^53, so the sweep's double round-trips
+    // exactly.
+    val cnts = ref.groupBy("v2")
+      .agg(count(lit(1)).as("na"))
+      .select(col("v2").cast("double").as("v"), col("na"), lit(0L).as("nb"))
+    val refTot = cnts.agg(sum(col("na")).as("n"))
+    val edges: DataFrame = orderedPrefixSums(cnts)
+      .crossJoin(broadcast(refTot))
+      .select(col("v"), col("na"), col("ca"), col("n"),
         explode(sequence(lit(1), lit(bins - 1))).as("k"))
-      .filter(lit(bins.toLong) * col("rn") >= col("k") * col("n"))
-      .groupBy("k").agg(min(col("rn")).as("rn"))
-      .join(ranked.select(col("rn"), col("v2")), "rn")
-      .agg(sort_array(collect_list(col("v2"))).as("es"))
+      .withColumn("rk", expr(s"(k * n + ${bins - 1}) div $bins"))
+      .filter(col("ca") >= col("rk") && col("ca") - col("na") < col("rk"))
+      .agg(sort_array(collect_list(col("v").cast("long"))).as("es"))
     val d = (c: String) => col(c).cast("double")
     val binned = base.crossJoin(broadcast(edges))
       .withColumn("bin", expr("size(filter(es, e -> v2 > e))").cast("long"))
@@ -923,11 +932,20 @@ object Stats {
   def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
       minPairs: Long = 2): DataFrame = {
     val b = baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
-      .distinct()
-    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val d = (c: String) => col(c).cast("double")
-    b.groupBy("bid")
+    // collect_set IS the per-basket distinct, so the raw rows shuffle
+    // ONCE (bid-keyed, with map-side partial sets combining repeats) —
+    // the former standalone .distinct() paid a second full exchange of
+    // the same rows keyed (bid, item) for rows this aggregation was
+    // about to dedup anyway (guide §2.4). Item supports then come off
+    // the basket arrays (one row per distinct (bid, item) by
+    // construction), not from a second pass over the raw frame.
+    val ps = b.groupBy("bid")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .localCheckpoint()
+    val itemCnt = ps.select(explode(col("ps")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val d = (c: String) => col(c).cast("double")
+    ps
       // sequence(1, 0) is DESCENDING in Spark — guard 1-item baskets
       .filter(size(col("ps")) >= 2)
       .select(explode(expr(

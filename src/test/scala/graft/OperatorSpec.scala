@@ -1478,15 +1478,19 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("keyedPrefixSums cardinality guard fires BEFORE the driver collect") {
-    // 100 distinct keys, cap 10: the distributed pre-count must reject
-    // the input with the named reason without ever materializing the
-    // per-partition subtotal tuples on the driver
+    // 100 distinct keys, cap 10: the guard is fused into the subtotal
+    // pass (r14) — each task bounds ITS map while building it, so the
+    // out-of-contract key is rejected executor-side with the named
+    // reason before the driver materializes anything; the driver
+    // re-checks the total after the (bounded) collect
     val rows = (1 to 100).map(i => (s"k$i", i.toDouble, 1L, 1L))
       .toDF("k", "v", "na", "nb")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Stats.keyedPrefixSums(rows, maxSubtotals = 10)
     }
-    assert(e.getMessage.contains("cap 10"), e.getMessage)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("cap 10"), chain(e))
     // the same frame passes under a cap it fits, with exact running sums
     val ok = Stats.keyedPrefixSums(rows, maxSubtotals = 4000)
     assert(ok.count() == 100)
@@ -2941,5 +2945,41 @@ class OperatorSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSeq
       assert(via == recomp && via.nonEmpty, s"hashKeys=$hash: $via")
     }
+  }
+
+  test("minhash lsh broadcast gate: shuffle-join fallback yields identical pairs") {
+    // hot-bucket corpus (every doc a near-copy) — exactly the regime the
+    // gate exists for; maxBroadcastPairs = -1 forces the fallback since
+    // the cached candidate-volume bound is always >= 0
+    val docs = (1L to 30L)
+      .map(i => (i, s"the same boilerplate text repeated everywhere v$i"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = Dedup.minhashLsh(docs, jaccardThreshold = 0.3,
+        ordered = true)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaShuffle = Dedup.minhashLsh(docs, jaccardThreshold = 0.3,
+        ordered = true, maxBroadcastPairs = -1L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast)
+  }
+
+  test("markov family: distributed fallback past the driver cap matches the driver fixpoint") {
+    // driverCap = -1 forces every matrix past the guard, so the
+    // distributed loops must reproduce the driver-side fixpoints exactly
+    // (dsum12 vs its pinned local replay) on the same corpus
+    val types = Seq("a", "a", "a", "b", "c", "a", "b", "purchase", "a", "c")
+    val ev = (0 until 200).map { i =>
+      (i.toLong, (i / 40).toLong, i.toLong * 60L, types(i % 10))
+    }.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+      .withColumn("value", lit(1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(EventOps.markovStationary(ev, driverCap = -1)) ==
+      rows(EventOps.markovStationary(ev)))
+    assert(rows(EventOps.markovEntropyRate(ev, driverCap = -1)) ==
+      rows(EventOps.markovEntropyRate(ev)))
+    assert(rows(EventOps.conversionWithin(ev, "purchase", 7, driverCap = -1)) ==
+      rows(EventOps.conversionWithin(ev, "purchase", 7)))
   }
 }

@@ -259,6 +259,26 @@ class PlanSpec extends SparkSpec {
       ordered = true)).nonEmpty)
   }
 
+  test("q248: psi decile edges ride the sweep, not a global row_number window") {
+    val df = SparkEntry.queries("q248_psi_drift")(spark, sf())
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val p = exec.toString()
+    // the reference side is data-sized: its decile ranks must come off
+    // the orderedPrefixSums sweep, never a single-partition row_number
+    // window over the rows (r13 verdict #6)
+    assert(!p.contains("row_number"), p.take(2000))
+    // the one surviving global window is the bounded (≤ bins+1 rows)
+    // PSI headline sum over the bin aggregate — report-sized by contract
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size <= 1, p.take(2000))
+  }
+
   test("q52: per-key top-k plans through the custom heap operator, no Window") {
     val df = SparkEntry.queries("q52_topk_per_key")(spark, sf())
     val p = df.queryExecution.executedPlan.toString()
