@@ -108,16 +108,21 @@ object Stats {
     * could re-sample range boundaries and silently shift every offset,
     * so losing the blocks must fail the job, not corrupt the sums.
     * Input (v, na, nb) with distinct v; output adds exact cumulative
-    * (ca, cb) in ascending-v order. */
-  private[operators] def orderedPrefixSums(counts: DataFrame): DataFrame = {
+    * (ca, cb) in ascending-v order. `preMaterialized` mirrors
+    * [[keyedPrefixSums]]: a caller that already checkpointed the count
+    * frame (because it derives totals/ties from the SAME frame) skips
+    * the internal copy, so the upstream aggregation runs exactly once. */
+  private[operators] def orderedPrefixSums(counts: DataFrame,
+      preMaterialized: Boolean = false): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
-    val sized = counts
+    val base = counts
       .select(col("v").cast("double"), col("na").cast("long"),
         col("nb").cast("long"))
+    val sized = (
       // materialize before the range exchange — boundary sampling would
       // otherwise run the upstream plan a second time
-      .localCheckpoint()
+      if (preMaterialized) base else base.localCheckpoint())
       .repartitionByRange(col("v"))
       .sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd.localCheckpoint()
@@ -346,14 +351,21 @@ object Stats {
     * on intra-tie order. Output (k, med). */
   private[operators] def keyedExactMedian(countsIn: DataFrame,
       out: String, preMaterialized: Boolean = false): DataFrame = {
-    val counts = countsIn.select(col("k"), col("v"), col("na"))
+    val counts0 = countsIn.select(col("k"), col("v"), col("na"))
       .withColumn("nb", lit(0L))
+    // ONE materialization feeds both consumers: `tot` and the sweep
+    // read the same count frame, so an unmaterialized input would run
+    // its whole upstream aggregation twice (once for the totals, once
+    // for the sweep's own checkpoint) — guide §1.2/§5. Callers that
+    // already checkpointed (madOutliers' vc) skip the extra copy.
+    val counts =
+      if (preMaterialized) counts0 else counts0.localCheckpoint()
     val tot = counts.groupBy("k").agg(sum(col("na")).as("n"))
     val r1 = expr("(n + 1) div 2")
     val r2 = expr("(n + 2) div 2")
     val covers = (r: Column) =>
       col("ca") >= r && (col("ca") - col("na")) < r
-    keyedPrefixSums(counts, preMaterialized)
+    keyedPrefixSums(counts, preMaterialized = true)
       .join(broadcast(tot), "k")
       .filter(covers(r1) || covers(r2))
       .groupBy("k")
@@ -375,9 +387,12 @@ object Stats {
         when(isA, 1L).otherwise(0L).as("a"),
         when(isA, 0L).otherwise(1L).as("b"))
       .groupBy("v").agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      // one materialization for both consumers (totals + sweep): the
+      // value-count aggregation over the raw rows runs exactly once
+      .localCheckpoint()
     val tot = counts.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
     val d = (c: String) => col(c).cast("double")
-    orderedPrefixSums(counts)
+    orderedPrefixSums(counts, preMaterialized = true)
       .crossJoin(broadcast(tot))
       .agg(max(abs(d("ca") / d("n1") - d("cb") / d("n2"))).as("d_raw"),
         max(col("n1")).as("n1"), max(col("n2")).as("n2"))
@@ -476,9 +491,11 @@ object Stats {
       .filter(col("v").isNotNull)
       .groupBy("k", "v").agg(sum(col("na")).as("na"))
       .withColumn("nb", lit(0L))
+      // one materialization for both consumers (per-key totals + sweep)
+      .localCheckpoint()
     val tot = counts.groupBy("k")
       .agg(sum(col("na")).as("w_total"), min(col("v")).as("v_min"))
-    keyedPrefixSums(counts)
+    keyedPrefixSums(counts, preMaterialized = true)
       .join(broadcast(tot), "k")
       .select(col("k"), col("v"), col("na"), col("ca"), col("w_total"),
         col("v_min"), explode(array(lit(1L), lit(2L), lit(3L))).as("qk"))
@@ -828,8 +845,10 @@ object Stats {
     val cnts = ref.groupBy("v2")
       .agg(count(lit(1)).as("na"))
       .select(col("v2").cast("double").as("v"), col("na"), lit(0L).as("nb"))
+      // one materialization for both consumers (reference total + sweep)
+      .localCheckpoint()
     val refTot = cnts.agg(sum(col("na")).as("n"))
-    val edges: DataFrame = orderedPrefixSums(cnts)
+    val edges: DataFrame = orderedPrefixSums(cnts, preMaterialized = true)
       .crossJoin(broadcast(refTot))
       .select(col("v"), col("na"), col("ca"), col("n"),
         explode(sequence(lit(1), lit(bins - 1))).as("k"))
@@ -1202,7 +1221,9 @@ object Stats {
     val rows = df.select(col(groupCol).as("g"), v2.as("v2"))
     val counts = rows.groupBy(col("v2").as("v")).agg(count(lit(1)).as("na"))
       .withColumn("nb", lit(0L))
-    val ranks = orderedPrefixSums(counts)
+      // one materialization for both consumers (tie correction + sweep)
+      .localCheckpoint()
+    val ranks = orderedPrefixSums(counts, preMaterialized = true)
       .select(col("v").as("v2"),
         (lit(2L) * (col("ca") - col("na")) + col("na") + lit(1L)).as("r2"))
     val d = (c: String) => col(c).cast("double")
