@@ -22,12 +22,21 @@ object Oracles {
     .map(w => s"'$w'").mkString("[", ",", "]")
 
   private def t6(x: String) = s"floor(($x) * 1e6) / 1e6"
-  // decimal→double via VARCHAR: correctly-rounded parse in both engines
-  // (DuckDB's direct DECIMAL→DOUBLE cast can be 1 ulp off Java's)
+  // BOTH decimal boundary crossings go via VARCHAR so each engine's
+  // cast is the same correctly-rounded decimal-string operation:
+  //  - decimal→double: DuckDB's direct DECIMAL→DOUBLE cast can be
+  //    1 ulp off Java's (double-rounds through the int128 numerator);
+  //  - double→decimal: DuckDB's direct cast multiplies the BINARY
+  //    double by 10^scale and rounds THAT, while Spark rounds the
+  //    SHORTEST DECIMAL STRING (BigDecimal.valueOf) — on knife-edge
+  //    terms the two differ by 1 unit in the last place of the
+  //    decimal, which is exactly how q241/q257 diverged at sf0.001
+  //    (found round 14; DuckDB's double→VARCHAR is shortest-round-trip,
+  //    so VARCHAR→DECIMAL replays Java's path bit-for-bit).
   private def dsum(x: String) =
-    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
   private def dsum12(x: String) =
-    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
   private def davg(x: String) =
     s"CAST(${dsum(x)} / COUNT($x) AS DOUBLE)"
   /** The scaled-long exact sum (TextFunctions.xsum): floor part and

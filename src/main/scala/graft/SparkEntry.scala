@@ -961,9 +961,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def partCooccurrenceEdges(s: SparkSession, d: String): DataFrame =
     partCoocCache.getOrElseUpdate(d, {
+      // collect_set IS the per-basket distinct — no standalone
+      // exchange ahead of it (the itemCosine treatment, guide §2.4)
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
-        .distinct()
       val pairs = b.groupBy("bid")
         .agg(sort_array(collect_set(col("item"))).as("ps"))
         .filter(size(col("ps")) >= 2)

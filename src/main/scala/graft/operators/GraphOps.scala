@@ -428,10 +428,21 @@ object GraphOps {
         if (i == iters) { auth = auth.localCheckpoint(); auth } else auth
       hub = e.join(side(authRef.select(col("v").as("dst"), col("a"))), "dst")
         .groupBy(col("src").as("v")).agg(dsum12(col("a")).as("h"))
-        .localCheckpoint()
+      // checkpoint cadence 2 (and always the last round): hub and auth
+      // are each referenced exactly ONCE by the next step, so two
+      // un-checkpointed rounds compose a depth-4 linear plan — no
+      // double-reference blowup — and the round loop pays iters/2
+      // actions instead of iters. Arithmetic untouched (same operator
+      // chain, just fused into fewer jobs).
+      if (i % 2 == 0 || i == iters) hub = hub.localCheckpoint()
     }
-    val aTot = lit(auth.agg(dsum12(col("a"))).head().getDouble(0))
-    val hTot = lit(hub.agg(dsum12(col("h"))).head().getDouble(0))
+    // both L1 totals in ONE action: a cross join of two 1-row exact
+    // aggregates (the former two .head() jobs each re-read a
+    // checkpointed vector — same aggregations, one job)
+    val tots = auth.agg(dsum12(col("a")).as("at"))
+      .crossJoin(hub.agg(dsum12(col("h")).as("ht"))).head()
+    val aTot = lit(tots.getDouble(0))
+    val hTot = lit(tots.getDouble(1))
     hub.select(col("v"), (col("h") / hTot).as("h"))
       .join(auth.select(col("v"), (col("a") / aTot).as("a")),
         Seq("v"), "full_outer")

@@ -175,16 +175,47 @@ object Retrieval {
       posexplode(col("emb")).as(Seq("i", "x")))
     val cent = dims.groupBy(col("cluster").as("c2"), col("i"))
       .agg(davg(col("x")).as("c"))
-    val dist = dims.select(col("vec_id"), col("i"), col("x"))
-      .join(broadcast(cent), "i")
-      .groupBy("vec_id", "c2")
-      .agg(sqrt(dsum12((col("x") - col("c")) * (col("x") - col("c"))))
-        .as("dd"))
-      .select(col("vec_id"), col("c2"), trunc6(col("dd")).as("d"))
-    val ab = dist.join(labels, "vec_id")
-      .groupBy("vec_id", "cluster")
-      .agg(max(when(col("c2") === col("cluster"), col("d"))).as("a"),
-        min(when(col("c2") =!= col("cluster"), col("d"))).as("b"))
+    // The k·d centroid table folds to ONE broadcast row of (c2, array)
+    // structs and every vector computes its k distances ROW-LOCALLY:
+    // zip_with pairs component x with centroid c by array position
+    // (array_sort on struct(i, c) is the posexplode index order). Each
+    // (x−c)² term takes THE SAME double→decimal cast as dsum12's
+    // per-row cast (shortest-string BigDecimal, HALF_UP at scale 12),
+    // and the terms then sum as their exact UNSCALED LONGS — the ×10¹²
+    // product of a scale-12 decimal is an integer, so the cast to
+    // bigint is exact, long addition is closed and exact (a plain
+    // decimal `+` lambda cannot hold scale 12 at precision 38: Add
+    // promotes (38,12)+(38,12) → (38,11), silently rounding the 12th
+    // digit per step), and the final /10¹² division reconstitutes a
+    // decimal(38,12) whose 12-decimal quotient is exact — then the
+    // same decimal→string→double exit, sqrt, trunc6 as before.
+    // Envelope: |x−c| ≤ ~3.8·10² per component keeps the 64-term long
+    // sum within ±2⁶³ (embedding clouds sit orders of magnitude
+    // inside). The former shape exchanged an n·d·k join fan-out into a
+    // (vec_id, c2) aggregation and re-joined labels for n·k more rows
+    // (guide §2.3/§2.4); both exchanges are gone, and a/b fall out of
+    // the per-row distance array (min is order-free; the own-cluster
+    // pick matches exactly one entry, so collect_list's
+    // nondeterministic struct order is harmless).
+    val cents = cent.groupBy("c2")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("carr"))
+      .agg(collect_list(struct(col("c2"), col("carr"))).as("cents"))
+    val distSql =
+      "cast(floor(sqrt(cast(cast(cast(aggregate(" +
+        "zip_with(emb, ct.carr, (x, c) -> " +
+          "cast(cast((x - c) * (x - c) as decimal(26,12)) * " +
+          "1000000000000 as bigint)), " +
+        "cast(0 as bigint), (acc, t) -> acc + t) " +
+        "as decimal(26,0)) / cast(1000000000000 as decimal(13,0)) " +
+        "as string) as double)) * 1e6) / 1e6 as double)"
+    val ab = labeled.crossJoin(broadcast(cents))
+      .withColumn("ds",
+        expr(s"transform(cents, ct -> struct(ct.c2 as c2, $distSql as d))"))
+      .select(col("vec_id"), col("cluster"),
+        expr("filter(ds, s -> s.c2 = cluster)[0].d").as("a"),
+        expr("array_min(transform(filter(ds, s -> s.c2 != cluster), " +
+          "s -> s.d))").as("b"))
     val sil = when(greatest(col("a"), col("b")) > lit(0.0),
       (col("b") - col("a")) / greatest(col("a"), col("b")))
       .otherwise(lit(0.0))
@@ -380,6 +411,52 @@ object Retrieval {
     up.select("i", "j", "cov").unionAll(lower).localCheckpoint()
   }
 
+  /** Driver-cap for the collected covariance matrix: dim² rows, BOUNDED
+    * BY THE `dim` PARAMETER (never by data) — 4096 rows at the default
+    * dim = 64, the same cap class as EventOps.maxDriverMatrixRows. A
+    * caller passing a pathological dim falls back to the distributed
+    * chain below. */
+  private val maxDriverCovRows = 4096L
+
+  /** Driver-side twin of [[powerIterate]], bit-identical by
+    * construction (the EventOps markov-family pattern, r13): the
+    * matvec's inner join + keyed 12-decimal sum replays as flatMap +
+    * groupBy + dsum12Local (≡ dsum12, pinned by OperatorSpec), the L2
+    * renormalization is the same sqrt-of-decimal-sum over the same
+    * double products, and the division is the same double division.
+    * The distributed loop planned 2·iters dim-sized exchanges + iters
+    * checkpoints of a 64-ROW frame — pure scheduling overhead at any
+    * corpus size, because the matrix is dim²-bounded BY PARAMETER (the
+    * only data-sized work in the PCA family is the covariance pass
+    * itself, which stays distributed). Returns (v_final sorted by dim
+    * index, ‖C·v‖ of the last round). */
+  private def powerIterateLocal(rows: Array[(Long, Long, Double)],
+      dim: Int, iters: Int): (Seq[(Long, Double)], Double) = {
+    import graft.functions.TextFunctions.dsum12Local
+    var v: Map[Long, Double] =
+      (0L until dim.toLong).map(_ -> 0.125).toMap
+    var nrm = 1.0
+    for (_ <- 1 to iters) {
+      // inner-join semantics: only (i, j) rows whose j survives in v
+      // contribute, and w keeps exactly the i's with ≥ 1 contribution
+      val w = rows.flatMap { case (i, j, c) =>
+        v.get(j).map(x => i -> c * x)
+      }.groupBy(_._1).map { case (i, cs) => i -> dsum12Local(cs.map(_._2)) }
+      nrm = math.sqrt(dsum12Local(w.map { case (_, x) => x * x }))
+      v = w.map { case (i, x) => i -> x / nrm }
+    }
+    (v.toSeq.sortBy(_._1), nrm)
+  }
+
+  /** Collect the dim²-bounded covariance frame for the driver chain;
+    * None past the parameter cap (→ distributed fallback). */
+  private def collectCov(cov: DataFrame, dim: Int):
+      Option[Array[(Long, Long, Double)]] =
+    if (dim.toLong * dim <= maxDriverCovRows)
+      Some(cov.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    else None
+
   /** One normalized power-iteration chain over the covariance matrix
     * (von Mises & Pollaczek-Geiringer 1929): v₀ uniform (0.125 = 1/√64
     * exactly representable), each round w = C·v via a dim-keyed join +
@@ -389,7 +466,9 @@ object Retrieval {
     * quantization floor). Every v is a dim-sized frame, checkpointed
     * per round: the matvec is the only join, so the chain is linear in
     * both engines. Returns (v_final, norm_final); ‖C·v‖ of the last
-    * round is the Rayleigh-quotient estimate of λ₁ for a unit v. */
+    * round is the Rayleigh-quotient estimate of λ₁ for a unit v.
+    * DISTRIBUTED FALLBACK past [[collectCov]]'s parameter cap — the
+    * default dim = 64 runs [[powerIterateLocal]] instead. */
   private def powerIterate(cov: DataFrame, dim: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val spark = cov.sparkSession
@@ -415,7 +494,14 @@ object Retrieval {
     * dim²-sized matrix frame. Loadings are trunc6'd per dim. */
   def pcaTopComponent(embeddings: DataFrame, dim: Int = 64,
       iters: Int = 6): DataFrame = {
-    val (v, _) = powerIterate(covFull(embeddings, dim), dim, iters)
+    val cov = covFull(embeddings, dim)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = collectCov(cov, dim) match {
+      case Some(rows) =>
+        powerIterateLocal(rows, dim, iters)._1.toDF("j", "x")
+      case None => powerIterate(cov, dim, iters)._1
+    }
     v.select(col("j").cast("long").as("dim"),
         trunc6(col("x")).as("loading"))
       .orderBy("dim")
@@ -429,10 +515,23 @@ object Retrieval {
   def pcaExplained(embeddings: DataFrame, dim: Int = 64,
       iters: Int = 6): DataFrame = {
     val cov = covFull(embeddings, dim)
-    val (_, nrm) = powerIterate(cov, dim, iters)
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(dsum12(col("cov")).as("trace"))
-    nrm.crossJoin(tr)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nrmTr = collectCov(cov, dim) match {
+      case Some(rows) =>
+        // trace = dsum12 over the diagonal, replayed with dsum12Local
+        // on the same collected rows the iteration uses
+        val nrmD = powerIterateLocal(rows, dim, iters)._2
+        val trD = graft.functions.TextFunctions.dsum12Local(
+          rows.collect { case (i, j, c) if i == j => c })
+        Seq((nrmD, trD)).toDF("nrm", "trace")
+      case None =>
+        val (_, nrm) = powerIterate(cov, dim, iters)
+        val tr = cov.filter(col("i") === col("j"))
+          .agg(dsum12(col("cov")).as("trace"))
+        nrm.crossJoin(tr)
+    }
+    nrmTr
       .select(trunc6(col("nrm")).as("lambda1"),
         trunc6(col("trace")).as("trace"),
         trunc6(col("nrm") / col("trace")).as("explained_ratio"))

@@ -1082,8 +1082,9 @@ object Stats {
   def frequentTriples(baskets: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long = 2, topK: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collect_set IS the per-basket distinct — no standalone exchange
+    // ahead of it (the itemCosine/associationRules treatment, §2.4)
     baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
-      .distinct()
       .groupBy("bid")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
       .filter(size(col("ps")) >= 3)
@@ -1138,11 +1139,21 @@ object Stats {
       itemCol: String, minPairs: Long = 3, topK: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
-      .distinct()
-    val nBaskets = b.agg(countDistinct(col("bid")).as("n_baskets"))
-    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pairs = b.groupBy("bid")
+    // collect_set IS the per-basket distinct (the itemCosine treatment,
+    // guide §2.4): the raw rows shuffle ONCE, bid-keyed with map-side
+    // partial sets combining repeats — the former standalone
+    // .distinct() paid a second full exchange keyed (bid, item) for
+    // rows this aggregation dedups anyway, and the basket total +
+    // item supports each re-scanned that deduped frame. Both now come
+    // off the basket arrays: one row per basket (so count(1) IS
+    // countDistinct(bid)), one element per distinct (bid, item).
+    val ps = b.groupBy("bid")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .localCheckpoint()
+    val nBaskets = ps.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = ps.select(explode(col("ps")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = ps
       // sequence(1, 0) is DESCENDING in Spark — guard 1-item baskets
       .filter(size(col("ps")) >= 2)
       .select(explode(expr(
@@ -1622,10 +1633,16 @@ object Stats {
     * is engine-deterministic. */
   def bradleyTerry(duels: DataFrame, winCol: String, loseCol: String,
       iters: Int = 8): DataFrame = {
-    val wins = duels.groupBy(col(winCol).as("p"))
+    // materialize the duel frame ONCE: it has THREE data-sized readers
+    // (the wins aggregation and both unionAll legs of the pair
+    // aggregation), so an un-materialized input — q293's is a full
+    // keyed window over lineitem — re-executed its whole upstream plan
+    // per reader (guide §1.2/§5; the pageRank edge-list lesson).
+    val du = duels.select(col(winCol), col(loseCol)).localCheckpoint()
+    val wins = du.groupBy(col(winCol).as("p"))
       .agg(count(lit(1)).as("w"))
-    val games = duels.select(col(winCol).as("a"), col(loseCol).as("b"))
-      .unionAll(duels.select(col(loseCol).as("a"), col(winCol).as("b")))
+    val games = du.select(col(winCol).as("a"), col(loseCol).as("b"))
+      .unionAll(du.select(col(loseCol).as("a"), col(winCol).as("b")))
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     // The preference frame is players×players-bounded; when it is

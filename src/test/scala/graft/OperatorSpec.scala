@@ -2471,6 +2471,69 @@ class OperatorSpec extends SparkSpec {
     assert(ex._3 > 0.99 && ex._1 <= ex._2, ex.toString)
   }
 
+  test("pca driver fixpoint ≡ distributed chain (the dim-cap fallback)") {
+    // dim = 96 exceeds the 4096-row driver cap (96² > 4096) so the
+    // distributed powerIterate runs — over the SAME 64×64 matrix,
+    // because the embedding slice caps at the vector length and the
+    // matvec's inner join ignores the extra v₀ rows. The two paths
+    // must agree bit-for-bit on every loading and on the spectral
+    // summary (the markov-family dsum12Local ≡ dsum12 pin, applied to
+    // the PCA chain end to end).
+    val vecs = (0 until 30).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(d => ((i * 13 + d * 7) % 11 - 5) * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val drv = Retrieval.pcaTopComponent(vecs, dim = 64)
+      .as[(Long, Double)].collect().toSeq
+    val dist = Retrieval.pcaTopComponent(vecs, dim = 96)
+      .as[(Long, Double)].collect().toSeq
+    assert(drv.map(_._1) == dist.map(_._1), "same dim index set")
+    drv.zip(dist).foreach { case ((jd, xd), (js, xs)) =>
+      assert(java.lang.Double.compare(xd, xs) == 0,
+        s"loading diverged at dim $jd/$js: $xd vs $xs") }
+    val exD = Retrieval.pcaExplained(vecs, dim = 64)
+      .as[(Double, Double, Double)].head()
+    val exS = Retrieval.pcaExplained(vecs, dim = 96)
+      .as[(Double, Double, Double)].head()
+    assert(java.lang.Double.compare(exD._1, exS._1) == 0 &&
+      java.lang.Double.compare(exD._2, exS._2) == 0 &&
+      java.lang.Double.compare(exD._3, exS._3) == 0, s"$exD vs $exS")
+  }
+
+  test("row-local decimal zip-sum ≡ the dsum12 aggregate (silhouette)") {
+    // silhouette's per-centroid distance takes dsum12's per-term
+    // double→decimal cast, then sums the exact unscaled longs and
+    // reconstitutes the scale-12 decimal by an exact division (a plain
+    // decimal `+` lambda cannot hold scale 12 at precision 38); the
+    // sums must be bit-equal to the dsum12 aggregate on randomized
+    // vectors
+    import graft.functions.TextFunctions.dsum12
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 20 - 10),
+        Seq.fill(64)(rnd.nextDouble() * 20 - 10))
+    }.toDF("id", "emb", "carr")
+    val viaAgg = rows.select(col("id"),
+      expr("cast(cast(cast(aggregate(zip_with(emb, carr, (x, c) -> " +
+        "cast(cast((x - c) * (x - c) as decimal(26,12)) * " +
+        "1000000000000 as bigint)), " +
+        "cast(0 as bigint), (acc, t) -> acc + t) " +
+        "as decimal(26,0)) / cast(1000000000000 as decimal(13,0)) " +
+        "as string) as double)").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val viaSum = rows
+      .select(col("id"), posexplode(col("emb")).as(Seq("i", "x")))
+      .join(rows.select(col("id"),
+        posexplode(col("carr")).as(Seq("i", "c"))), Seq("id", "i"))
+      .groupBy("id")
+      .agg(dsum12((col("x") - col("c")) * (col("x") - col("c"))).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaAgg.keySet == viaSum.keySet)
+    viaAgg.foreach { case (id, s) =>
+      assert(java.lang.Double.compare(s, viaSum(id)) == 0,
+        s"id $id: agg=$s sum=${viaSum(id)}") }
+  }
+
   test("best gini split: the planted threshold wins with pure sides") {
     // y = x > 55; candidates 1..100 → best split at x = 55 (left pure 0s)
     val rows = (1 to 100).map(i => (i.toDouble, i > 55)).toDF("x", "y")
